@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Session + shared column helpers for the graft engine.
+  *
+  * Scale notes: AQE on (runtime skew-join + partition coalescing),
+  * shuffle partitions sized for the local rig (on a 1000-executor
+  * cluster this would be 2-3x total cores); UTC session timezone for
+  * cross-engine determinism.
+  */
+object GraftSession {
+
+  /** Build a local session with graft extensions installed. */
+  def build(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+
+  /** Load one of the driver-generated tables from an sf directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- cross-engine-exact arithmetic helpers -------------------------
+  // Double sums are order-dependent, and Spark's parallel aggregation
+  // order differs from DuckDB's. Decimal arithmetic is exact in both
+  // engines, so: cast to decimal, aggregate, cast the final result back
+  // to double -> bit-identical results regardless of execution order.
+
+  /** Exact decimal image of a double money/quantity column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Order-independent exact sum of a double column (returns double). */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Portable 32-bit hash: identical in Spark and DuckDB.
+    * Spark:  conv(substr(md5(s), 1, 8), 16, 10) cast to long
+    * DuckDB: ('0x' || substr(md5(s), 1, 8))::BIGINT
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+}

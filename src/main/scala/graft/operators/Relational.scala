@@ -1,0 +1,401 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftSession.{dec, dsum, table}
+
+/** Pack A — relational/analytics core (SURVEY.md §2.A).
+  *
+  * Every query is declarative DataFrame API: Catalyst pushes filters
+  * and projections into the parquet scan, picks broadcast joins for
+  * the dims, and does partial (map-side) aggregation before the single
+  * hash shuffle. Monetary aggregates run in decimal (exact, order-
+  * independent) and are cast back to double so the DuckDB oracle is
+  * bit-identical — see GraftSession.dsum.
+  */
+object Relational {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> ((s, dir) => {
+      // TPC-H Q1 shape: wide scan -> filter -> 2-key groupBy, 5 aggregates.
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      // Selective predicate + narrow projection; both reach the scan
+      // (PushedFilters + ReadSchema prune ~70% of the columns).
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+          && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q03_topk" -> ((s, dir) => {
+      // Global top-k: Spark plans TakeOrderedAndProject — per-partition
+      // heap + driver merge, no full sort shuffle.
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+    }),
+
+    "q04_distinct" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+    }),
+
+    "q05_join_broadcast" -> ((s, dir) => {
+      // Fact ⋈ dim: dim explicitly broadcast — zero shuffle of lineitem.
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q06_multi_join" -> ((s, dir) => {
+      // TPC-H Q5 shape: 6-table star join. region/nation/supplier/customer
+      // are broadcast dims; only orders⋈lineitem shuffles (on orderkey).
+      val region = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = table(s, dir, "nation")
+      val customer = table(s, dir, "customer")
+      val supplier = table(s, dir, "supplier")
+      val orders = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val lineitem = table(s, dir, "lineitem")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q07_having" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q08_semi_join" -> ((s, dir) => {
+      // EXISTS — left-semi stops probing at first match, emits left cols only.
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q09_anti_join" -> ((s, dir) => {
+      // NOT EXISTS — customers with no pending ('P') order.
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q10_union" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val big = orders.filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      big.union(urgent)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q11_window_rank" -> ((s, dir) => {
+      // Partitioned top-N: one shuffle on the partition key, in-partition
+      // sort, early filter on rank.
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+
+    "q12_window_running" -> ((s, dir) => {
+      // Running sum in decimal: window accumulation order is fixed by the
+      // ORDER BY, and decimal keeps it exact (DuckDB's segment-tree window
+      // aggregation would otherwise differ in double rounding).
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+        .withColumn("running_qty",
+          sum(dec(col("l_quantity")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
+
+    "q13_rollup" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    "q14_conditional_pivot" -> ((s, dir) => {
+      def n(p: String) = sum(when(col("o_orderpriority") === p, 1).otherwise(0))
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          n("1-URGENT").as("n_urgent"), n("2-HIGH").as("n_high"),
+          n("3-MEDIUM").as("n_medium"), n("4-NOT SPECIFIED").as("n_notspec"),
+          n("5-LOW").as("n_low"), count(lit(1)).as("n_total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q15_scalar_subquery" -> ((s, dir) => {
+      // Scalar subquery as broadcast-cross-join of a 1-row aggregate —
+      // the fact table is scanned once, never shuffled.
+      val orders = table(s, dir, "orders")
+      val avgTp = orders.agg(
+        (dsum(col("o_totalprice")) / count(lit(1))).as("avg_tp"))
+      orders.crossJoin(broadcast(avgTp))
+        .filter(col("o_totalprice") > col("avg_tp") * 1.5)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q16_case_string" -> ((s, dir) => {
+      table(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+          when(col("p_type").isin("ECONOMY", "PROMO"), "value")
+            .when(col("p_size") > 30, "big")
+            .otherwise("std").as("category"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q17_date_agg" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("month"))
+    }),
+
+    "q18_stats" -> ((s, dir) => {
+      // Welford-merged moments are stable to ~1e-12 relative in both
+      // engines; round(6) absorbs the accumulation-order noise.
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qty_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q19_approx_distinct" -> ((s, dir) => {
+      // HLL++ sketch — rows-only oracle (DuckDB's approx sketch differs).
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  // DuckDB-runnable mirrors. Decimal-exact money math, explicit ORDER BY,
+  // aliases identical to the Spark side (driver hash-compares by name).
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         | CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_distinct" ->
+      """SELECT DISTINCT c_mktsegment, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q05_join_broadcast" ->
+      s"""SELECT p_brand, CAST(SUM($discPrice) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q06_multi_join" ->
+      s"""SELECT n_name, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q07_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q08_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_union" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        | COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000.0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q11_window_rank" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "q12_window_running" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        | LAG(l_quantity, 1) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q14_conditional_pivot" ->
+      """SELECT o_orderstatus,
+        | SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+        | SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+        | SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
+        | SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
+        | SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low,
+        | COUNT(*) AS n_total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q15_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders) * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q16_case_string" ->
+      """SELECT p_partkey,
+        | UPPER(SUBSTRING(p_name, 1, 8)) AS name_prefix,
+        | p_brand || '/' || p_type AS brand_type,
+        | CASE WHEN p_type IN ('ECONOMY','PROMO') THEN 'value'
+        |      WHEN p_size > 30 THEN 'big' ELSE 'std' END AS category,
+        | LENGTH(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q17_date_agg" ->
+      """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q18_stats" ->
+      """SELECT l_returnflag,
+        | ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+        | ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+        | ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    // q19_approx_distinct: intentionally no oracle (sketches differ).
+  )
+}

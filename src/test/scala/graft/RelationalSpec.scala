@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has matching oracle alias coverage and runs") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned no rows at sf0.001")
+    }
+  }
+
+  test("q01 aggregates are exact decimals cast to double") {
+    val row = SparkEntry.queries("q01_agg")(spark, sf).collect().head
+    assert(row.getAs[Double]("sum_qty") > 0.0)
+    assert(row.getAs[Long]("count_order") > 0L)
+  }
+
+  test("q03 topk is ordered descending") {
+    val prices = SparkEntry.queries("q03_topk")(spark, sf)
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q05 broadcast join plan contains BroadcastHashJoin") {
+    val plan = SparkEntry.queries("q05_join_broadcast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q02 pushes filters into the parquet scan") {
+    val plan = SparkEntry.queries("q02_filter_project")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_discount"), plan)
+  }
+}
