@@ -22,12 +22,26 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS), which Spark has no
+      // native type for; read as long and normalize via eventsTable.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1's checksummed checkpoint writer starves/deadlocks on
+      // small local[N] rigs (all task slots block in its async close);
+      // plain checkpoint files are fine for our durability model.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
 
   /** Load one of the driver-generated tables from an sf directory. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table with its nanosecond timestamp normalized to a
+    * microsecond TimestampType (integer truncation — bit-identical to
+    * DuckDB's nanos->micros parquet read). */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   // ---- cross-engine-exact arithmetic helpers -------------------------
   // Double sums are order-dependent, and Spark's parallel aggregation

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.GraftSession.{dsum, eventsTable, table}
+
+/** Pack B — event-log / kafkaish semantics over the `events` table
+  * (SURVEY.md §2.B). Each query is the batch face of a reference
+  * behavior (replay, ack/lag, latest, compaction, windows, live
+  * enrichment); the live faces live in graft.streaming.TopicStream.
+  *
+  * The `events` table maps onto the topic model (SURVEY.md §3):
+  * event_id = offset, event_type = event, user_id = key.
+  *
+  * Scale notes: replay predicates (offset > watermark, event = X) push
+  * into the parquet scan; the subscriber table is broadcast (never
+  * shuffles the log); windows/sessionization shuffle once on the
+  * grouping key with AQE handling skew.
+  */
+object EventOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_replay_from_offset" -> ((s, dir) => {
+      // Durable replay (topic.js:142-197): resume after acked offset 500,
+      // one event type, in offset order.
+      eventsTable(s, dir)
+        .filter(col("event_id") > 500 && col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q21_replay_all" -> ((s, dir) => {
+      // New-subscriber replay from the beginning (topic.js:129-135).
+      eventsTable(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q22_consumer_lag" -> ((s, dir) => {
+      // Backlog per named subscriber = records past its acked watermark
+      // (ack: topic.js:198-223). Subscriber table broadcast: the log
+      // never shuffles.
+      import s.implicits._
+      val subs = Seq(("analytics", 100L), ("audit", 0L), ("billing", 750L))
+        .toDF("sub_name", "last_offset")
+      val events = eventsTable(s, dir)
+      broadcast(subs)
+        .join(events, col("event_id") > col("last_offset"), "left")
+        .groupBy(col("sub_name"), col("last_offset"))
+        .agg(count(col("event_id")).as("backlog"))
+        .orderBy(col("sub_name"))
+    }),
+
+    "q23_latest_offsets" -> ((s, dir) => {
+      // latest() head lookup (topic.js:224-250), per event type.
+      eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(max(col("event_id")).as("head_offset"),
+          count(lit(1)).as("n_records"),
+          max(col("ts")).as("last_ts"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q24_compaction" -> ((s, dir) => {
+      // Kafka-style compaction: latest record per (key, event type).
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id").desc)
+      eventsTable(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    "q25_tumbling_window" -> ((s, dir) => {
+      eventsTable(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    "q26_sliding_window" -> ((s, dir) => {
+      // Native hopping window (1h window, 30min slide): each event lands
+      // in 2 windows; Spark expands scan-side, no extra shuffle.
+      eventsTable(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    "q27_sessionize" -> ((s, dir) => {
+      // Gap-based sessions (30 min) per user: lag -> new-session flag ->
+      // running sum = session id; then per-session rollup. One shuffle
+      // on user_id serves both windows and the final groupBy.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      eventsTable(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"),
+          max(col("ts")).as("t_end"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "q28_enrich_join" -> ((s, dir) => {
+      // Stream-table enrichment: events (the stream face) ⋈ broadcast
+      // customer dim -> per-segment behavior profile.
+      eventsTable(s, dir)
+        .join(broadcast(table(s, dir, "customer")),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
+    "q29_event_dedup" -> ((s, dir) => {
+      // At-least-once -> exactly-once: redelivered events (union with
+      // itself simulates redelivery) deduped on the offset before stats.
+      val events = eventsTable(s, dir)
+      events.union(events)
+        .dropDuplicates("event_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_replay_from_offset" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE event_id > 500 AND event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    "q21_replay_all" ->
+      """SELECT event_id, user_id, value, props FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q22_consumer_lag" ->
+      """SELECT s.sub_name, s.last_offset, COUNT(e.event_id) AS backlog
+        |FROM (VALUES ('analytics', CAST(100 AS BIGINT)),
+        |             ('audit', CAST(0 AS BIGINT)),
+        |             ('billing', CAST(750 AS BIGINT))) s(sub_name, last_offset)
+        |LEFT JOIN events e ON e.event_id > s.last_offset
+        |GROUP BY s.sub_name, s.last_offset ORDER BY s.sub_name""".stripMargin,
+
+    "q23_latest_offsets" ->
+      """SELECT event_type, MAX(event_id) AS head_offset,
+        | COUNT(*) AS n_records, MAX(ts) AS last_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q24_compaction" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q25_tumbling_window" ->
+      """SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q26_sliding_window" ->
+      """WITH b AS (
+        |  SELECT make_timestamp(CAST(FLOOR(EPOCH(ts)/1800) AS BIGINT)*1800*1000000) AS h,
+        |    event_type, value FROM events),
+        |w AS (
+        |  SELECT h AS win_start, event_type, value FROM b
+        |  UNION ALL
+        |  SELECT h - INTERVAL 30 MINUTE, event_type, value FROM b)
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q27_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+        |          - CAST(FLOOR(EPOCH(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(ts) AS t_start, MAX(ts) AS t_end,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q28_enrich_join" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "q29_event_dedup" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
+
+import graft.log.TopicLog
+
+/** Structured-Streaming face of a [[graft.log.TopicLog]] — the live
+  * half of the reference's subscribe semantics (kafkaish
+  * `src/topic.js:42-117`).
+  *
+  *  - ephemeral subscribe (topic.js:49-88 `listen`: find head, tail
+  *    `_id > head`): capture the current heads at subscribe time and
+  *    stream only records after them — subscribers "see messages
+  *    published from now on".
+  *  - durable subscribe (topic.js:89-117 + ack): a checkpointed
+  *    `writeStream` — the checkpoint directory IS the acked watermark,
+  *    giving at-least-once delivery with resume-where-you-left-off,
+  *    exactly the reference's named-subscriber contract.
+  *  - event filter (topic.js:169-171): pushed into the stream source.
+  *
+  * At cluster scale the file source incrementally lists only new files
+  * (the log is append-only), state is bounded by watermarks, and
+  * per-key session state lives in the state store (RocksDB-backed on a
+  * real cluster).
+  */
+object TopicStream {
+
+  /** Live tail of a topic as an unbounded DataFrame. `event = None`
+    * subscribes to all events (reference `subscribe(null, ...)`). */
+  def subscribe(topic: TopicLog, event: Option[String] = None,
+      fromNow: Boolean = true): DataFrame = {
+    val heads = if (fromNow) topic.heads() else Map.empty[Int, Long]
+    val base = topic.spark.readStream
+      .schema(TopicLog.SCHEMA)
+      .option("maxFilesPerTrigger", "32")
+      .parquet(s"${topic.path}/log")
+    val afterHead = heads.foldLeft(base) { case (df, (p, h)) =>
+      df.filter(!(col("log_part") === p) || col("offset") > h)
+    }
+    event.fold(afterHead)(e => afterHead.filter(col("event") === e))
+  }
+
+  /** Durable subscription: checkpointed parquet sink. The checkpoint
+    * dir plays the role of the reference's `<topic>_subscribers`
+    * acked-offset collection. */
+  def durableSink(stream: DataFrame, outDir: String, checkpointDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Watermarked tumbling-window aggregation over a live topic. */
+  def windowedCounts(stream: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event"), col("n_events"))
+
+  case class SessionEvent(key: String, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(key: String, startMs: Long, endMs: Long, nEvents: Int)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: a
+    * session closes (and is emitted) when a later event for the same key
+    * arrives more than `gapMs` after the session's last event.
+    *
+    * NoTimeout by design: a quiet key keeps its open session in state
+    * until the next event. (A timeout-flush variant with
+    * ProcessingTimeTimeout makes the no-data stream spin empty
+    * micro-batches continuously — and deadlocks Spark 4.1's checksum
+    * checkpoint writer on small local rigs. On a cluster the idiomatic
+    * flush is EventTimeTimeout against the watermark.) */
+  def sessionize(spark: SparkSession, stream: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import spark.implicits._
+    val typed = stream
+      .select(coalesce(col("key"), lit("")).as("key"), col("ts"))
+      .as[SessionEvent]
+    typed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = events.map(_.ts.getTime).toSeq.sorted
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption.getOrElse(
+              SessionState(sorted.head, sorted.head, 0))
+            sorted.foreach { t =>
+              if (t - cur.last > gapMs) {
+                closed ::= SessionOut(key, cur.start, cur.last, cur.n)
+                cur = SessionState(t, t, 1)
+              } else {
+                cur = SessionState(cur.start, t, cur.n + 1)
+              }
+            }
+            state.update(cur)
+            closed.reverseIterator
+          }
+      }.toDF()
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log.TopicLog
+import graft.streaming.TopicStream
+
+class TopicStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def mkRecords(n: Int, startId: Int = 0) = {
+    import spark.implicits._
+    (startId until startId + n).map { i =>
+      (s"evt-${i % 3}", s"key-${i % 5}", s"""{"i":$i}""",
+        new java.sql.Timestamp(1700000000000L + i * 60000L))
+    }.toDF("event", "key", "message", "ts")
+  }
+
+  test("ephemeral subscribe only sees records published after joining") {
+    val dir = Files.createTempDirectory("stream").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publish(mkRecords(30))
+    // subscribe now: the 30 existing records must NOT be delivered
+    val stream = TopicStream.subscribe(topic, event = None, fromNow = true)
+    val q = stream.writeStream.format("memory").queryName("eph")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM eph").count() == 0)
+      topic.publish(mkRecords(12, startId = 30))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM eph").count() == 12)
+    } finally q.stop()
+  }
+
+  test("event-filtered subscription delivers only that event type") {
+    val dir = Files.createTempDirectory("stream").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publish(mkRecords(5))
+    val stream = TopicStream.subscribe(topic, event = Some("evt-1"), fromNow = true)
+    val q = stream.writeStream.format("memory").queryName("flt")
+      .outputMode("append").start()
+    try {
+      topic.publish(mkRecords(30, startId = 5))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT DISTINCT event FROM flt").collect().map(_.getString(0))
+      assert(got.sameElements(Array("evt-1")))
+      assert(spark.sql("SELECT * FROM flt").count() == 10) // 30/3
+    } finally q.stop()
+  }
+
+  test("durable subscription resumes from checkpoint after restart") {
+    val dir = Files.createTempDirectory("stream").toString
+    val out = Files.createTempDirectory("out").toString + "/sink"
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publish(mkRecords(20))
+    // first run drains the backlog (replay-from-beginning semantics)
+    val q1 = TopicStream.durableSink(
+      TopicStream.subscribe(topic, fromNow = false), out, ckpt).start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 20)
+    // publish while "disconnected", then reconnect with the same name
+    // (= checkpoint): only the new records are delivered
+    topic.publish(mkRecords(7, startId = 20))
+    val q2 = TopicStream.durableSink(
+      TopicStream.subscribe(topic, fromNow = false), out, ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() == 27)
+  }
+
+  test("watermarked windowed aggregation over the live topic") {
+    val dir = Files.createTempDirectory("stream").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    val stream = TopicStream.subscribe(topic, fromNow = false)
+    val agg = TopicStream.windowedCounts(stream, "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("complete").start()
+    try {
+      topic.publish(mkRecords(60)) // 60 events, 1/min -> one hour
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM win").collect()
+      assert(rows.map(_.getAs[Long]("n_events")).sum == 60)
+      assert(rows.forall(_.getAs[java.sql.Timestamp]("win_start") != null))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    val dir = Files.createTempDirectory("stream").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    val sess = TopicStream.sessionize(spark,
+      TopicStream.subscribe(topic, fromNow = false), gapMs = 10 * 60 * 1000L)
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      import spark.implicits._
+      // two bursts for one key, 30 min apart -> first burst closes when
+      // the second arrives (gap 10 min)
+      val burst1 = (0 until 5).map(i =>
+        ("e", "k1", "{}", new java.sql.Timestamp(1700000000000L + i * 60000L)))
+      val burst2 = (0 until 3).map(i =>
+        ("e", "k1", "{}", new java.sql.Timestamp(1700000000000L + 30 * 60000L + i * 60000L)))
+      topic.publish(burst1.toDF("event", "key", "message", "ts"))
+      val qq = q
+      qq.processAllAvailable()
+      topic.publish(burst2.toDF("event", "key", "message", "ts"))
+      qq.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess").collect()
+      assert(rows.length == 1, s"expected 1 closed session, got ${rows.length}")
+      assert(rows.head.getAs[Int]("nEvents") == 5)
+    } finally q.stop()
+  }
+}
