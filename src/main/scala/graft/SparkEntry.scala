@@ -15,10 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EventOps.queries
+    Relational.queries ++ EventOps.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextOps.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ EventOps.oracle
+    Relational.oracle ++ EventOps.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ TextOps.oracle ++ Multimodal.oracle
 }

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Pack C (dedup) — training-data deduplication operators
+  * (SURVEY.md §2.C1-C5): exact hash dedup, MinHash signatures,
+  * MinHash-LSH banding, exact n-gram Jaccard, SimHash.
+  *
+  * Everything hashes through the portable md5-derived 32-bit hash so
+  * the DuckDB oracle is bit-identical (Spark's murmur3 `hash()` has no
+  * DuckDB twin).
+  *
+  * Scale notes: signatures/fingerprints are computed scan-side in one
+  * pass (shuffle only the (doc_id, signature) pairs, never the corpus);
+  * LSH candidate pairs shuffle on uniform band-bucket keys (no skew by
+  * construction); exact-Jaccard verification joins only candidate
+  * pairs back to shingle sets.
+  */
+object Dedup {
+
+  /** Portable seeded 32-bit hash (matches DuckDB
+    * `('0x'||substr(md5(seed||':'||s),1,8))::BIGINT`). */
+  def seededHash(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 8), 16, 10).cast("long")
+
+  private val K = 8          // minhash signature length
+  private val BANDS = 4      // LSH bands (2 rows each)
+
+  /** documents with every 10th doc duplicated under doc_id+100000 —
+    * deterministic duplicate injection so dedup operators have real
+    * work to do (the synthetic corpus has no exact dups). */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+  private val dupSql =
+    """SELECT * FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** 3-word shingles, one row per (doc_id, shingle), duplicates kept
+    * (min-hash is multiset-insensitive). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .as("sh"))
+  private val shinglesSql =
+    """SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+      |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+      |      FROM documents) t,
+      |  UNNEST(generate_series(1, len(toks)-2)) AS u(i)
+      |WHERE len(toks) >= 3""".stripMargin
+
+  /** doc_id, mh0..mh7 minhash signature. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until K).map(j => min(seededHash(j, col("sh"))).as(s"mh$j"))
+    shingles(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+  private val signaturesSql = {
+    val mhs = (0 until K).map(j =>
+      s"MIN(('0x'||substr(md5('$j:'||sh),1,8))::BIGINT) AS mh$j").mkString(", ")
+    s"SELECT doc_id, $mhs FROM sh GROUP BY doc_id"
+  }
+
+  /** (doc_id, band, bkey): the banded signature for LSH bucketing. */
+  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
+    val bandStructs = (0 until BANDS).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
+    }
+    signatures(s, dir)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+  private val bandsSql = (0 until BANDS).map { b =>
+    s"""SELECT doc_id, $b AS band,
+       | CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS bkey
+       |FROM sig""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_exact_dedup" -> ((s, dir) => {
+      // Exact dedup: hash-groupBy on content hash; survivor = min doc_id.
+      docsWithDups(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("text_hash"))
+    }),
+
+    "q31_minhash_signatures" -> ((s, dir) =>
+      signatures(s, dir).orderBy(col("doc_id"))),
+
+    "q32_lsh_near_dup" -> ((s, dir) => {
+      // Candidate pairs sharing >= 1 of 4 bands. Join key (band, bkey)
+      // is a hash bucket -> uniform, skew-free shuffle.
+      val b = bandsDf(s, dir)
+      b.as("a").join(b.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q33_ngram_jaccard" -> ((s, dir) => {
+      // Exact shingle-set Jaccard for consecutive-doc pairs (the
+      // deterministic verification stage downstream of LSH candidates).
+      val sh = shingles(s, dir).distinct()
+      val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") &&
+            col("y.doc_id") === col("x.doc_id") + 1)
+        .groupBy(col("x.doc_id").as("doc_a"))
+        .agg(count(lit(1)).as("n_inter"))
+      cnts.as("ca").join(cnts.as("cb"),
+          col("cb.doc_id") === col("ca.doc_id") + 1)
+        .join(inter, col("ca.doc_id") === col("doc_a"), "left")
+        .select(col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b"),
+          col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+        .orderBy(col("doc_a"))
+    }),
+
+    "q34_simhash" -> ((s, dir) => {
+      // 16-bit SimHash over tokens (weight = term frequency): per bit,
+      // sum +-1 by the portable hash's bit, then reassemble.
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      val bitAggs = (0 until 16).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+      val fp = (0 until 16).map(i =>
+        when(col(s"b$i") > 0, 1L << i).otherwise(0L)).reduce(_ + _)
+      toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+        .withColumn("simhash16", fp)
+        .select(col("doc_id"), col("simhash16"),
+          expr("simhash16 div 256").as("bucket"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      s"""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+         | COUNT(*) AS n_copies
+         |FROM ($dupSql)
+         |GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "q31_minhash_signatures" ->
+      s"""WITH sh AS ($shinglesSql)
+         |$signaturesSql ORDER BY doc_id""".stripMargin,
+
+    "q32_lsh_near_dup" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS ($signaturesSql),
+         |bands AS ($bandsSql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | COUNT(*) AS n_shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q33_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT DISTINCT * FROM ($shinglesSql)),
+         |cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS doc_a, COUNT(*) AS n_inter
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND y.doc_id = x.doc_id + 1
+         |  GROUP BY 1)
+         |SELECT ca.doc_id AS doc_a, cb.doc_id AS doc_b,
+         | ca.n_sh AS n_a, cb.n_sh AS n_b,
+         | COALESCE(i.n_inter, 0) AS n_inter,
+         | ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |   / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+         |FROM cnts ca JOIN cnts cb ON cb.doc_id = ca.doc_id + 1
+         |LEFT JOIN inter i ON ca.doc_id = i.doc_a
+         |ORDER BY doc_a""".stripMargin,
+
+    "q34_simhash" -> {
+      val bits = (0 until 16).map(i =>
+        s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+      val fp = (0 until 16).map(i =>
+        s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS h FROM toks),
+         |bits AS (SELECT doc_id, $bits FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16,
+         | CAST(($fp) // 256 AS BIGINT) AS bucket
+         |FROM bits ORDER BY doc_id""".stripMargin
+    }
+  )
+}

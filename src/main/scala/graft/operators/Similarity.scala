@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Pack C (similarity) — ANN over the embeddings table
+  * (SURVEY.md §2.C6-C7).
+  *
+  * q35 is the correctness baseline: brute-force cosine top-k via the
+  * native codegen'd `cosine_sim` Catalyst expression (the query vector
+  * broadcast; one fused scan, no shuffle before the top-k).
+  *
+  * q36 is the scale path: IVF-style cell search — centroids are a tiny
+  * broadcast table, the query probes the 2 nearest cells and scans only
+  * those cells' vectors. On 100 TB of embeddings this turns a full-scan
+  * kNN into a centroid lookup + a pruned partition scan (cells stored
+  * partition-aligned).
+  */
+object Similarity {
+
+  private def cosine(a: String, b: String) =
+    call_function("cosine_sim", col(a), col(b))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_cosine_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos", round(cosine("embedding", "qv"), 6))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("cos"))
+    }),
+
+    "q36_knn_bucketed" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      // centroid per label cell: mean of each dim (rounded so the
+      // parallel-sum noise can't leak across engines)
+      val ex = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cent = ex.groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      val qx = emb.filter(col("vec_id") === 0)
+        .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
+        .withColumn("qv", col("qv").cast("double"))
+      // probe = 2 cells whose centroids are nearest the query
+      val probes = cent.join(broadcast(qx), Seq("pos"))
+        .groupBy(col("label"))
+        .agg(round(sum(col("cv") * col("qv")) /
+          (sqrt(sum(col("cv") * col("cv"))) * sqrt(sum(col("qv") * col("qv")))), 6)
+          .as("ccos"))
+        .orderBy(col("ccos").desc, col("label"))
+        .limit(2)
+        .select(col("label"))
+      // search only within the probed cells
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      emb.join(broadcast(probes), Seq("label"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", round(cosine("embedding", "qvec"), 6))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), col("label"), col("cos"))
+    })
+  )
+
+  // The dot/norm subqueries unnest both lists positionally (DuckDB zips
+  // parallel UNNESTs) and accumulate left-to-right in double — the same
+  // order as the native expression's loop, so round(6) is bit-stable.
+  private val cosSql =
+    """ROUND(
+      | (SELECT SUM(CAST(x.a AS DOUBLE)*CAST(x.b AS DOUBLE))
+      |  FROM (SELECT UNNEST(e.embedding) AS a, UNNEST(q.qv) AS b) x)
+      | / (SQRT((SELECT SUM(CAST(x.a AS DOUBLE)*CAST(x.a AS DOUBLE))
+      |          FROM (SELECT UNNEST(e.embedding) AS a) x))
+      |  * SQRT((SELECT SUM(CAST(x.b AS DOUBLE)*CAST(x.b AS DOUBLE))
+      |          FROM (SELECT UNNEST(q.qv) AS b) x))), 6)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q35_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, $cosSql AS cos
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q36_knn_bucketed" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, label, UNNEST(embedding) AS v,
+         |    generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS cv
+         |  FROM ex GROUP BY label, pos),
+         |qx AS (
+         |  SELECT generate_subscripts(embedding, 1) AS pos,
+         |    CAST(UNNEST(embedding) AS DOUBLE) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT label FROM (
+         |    SELECT c.label,
+         |      ROUND(SUM(c.cv*qx.qv) /
+         |        (SQRT(SUM(c.cv*c.cv)) * SQRT(SUM(qx.qv*qx.qv))), 6) AS ccos
+         |    FROM cent c JOIN qx USING (pos) GROUP BY c.label)
+         |  ORDER BY ccos DESC, label LIMIT 2),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, $cosSql AS cos
+         |FROM embeddings e JOIN probes USING (label), q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+  )
+}

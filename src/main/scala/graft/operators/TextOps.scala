@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Pack C (text analysis) — language ID, quality scoring, token
+  * counting, document fingerprinting over `documents`
+  * (SURVEY.md §2.C8-C11).
+  *
+  * All scoring is pure integer/rational arithmetic on identical
+  * tokenizations (no transcendental functions), so Spark and DuckDB
+  * produce bit-identical doubles.
+  *
+  * Scale notes: every operator here is a narrow map + one hash
+  * aggregation — no joins, no skew; regex work happens scan-side
+  * inside whole-stage codegen.
+  */
+object TextOps {
+
+  private val stop = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("de", "shi", "le", "wo", "bu"))
+  private val langs = Seq("en", "de", "es", "fr", "zh")
+
+  private val punctRe = "[.,!?;:]"
+  private val upperRe = "[A-Z]"
+  private val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_lang_id" -> ((s, dir) => {
+      // Stopword-hit language ID: count per-language stopword hits over
+      // the token stream, argmax with fixed priority order.
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+      val hitAggs = langs.map(l =>
+        sum(when(col("tok").isin(stop(l): _*), 1).otherwise(0)).as(s"c_$l"))
+      val scored = toks.groupBy(col("doc_id"), col("lang"))
+        .agg(hitAggs.head, hitAggs.tail: _*)
+      val pred = langs.init.foldRight(lit(langs.last)) { (l, e) =>
+        val c = col(s"c_$l")
+        val ge = langs.filter(_ != l).map(o => c >= col(s"c_$o")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(e)
+      }
+      scored
+        .withColumn("pred_lang", pred)
+        .withColumn("is_correct", (col("pred_lang") === col("lang")).cast("int"))
+        .select(col("doc_id"), col("lang"), col("pred_lang"), col("is_correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q38_quality_score" -> ((s, dir) => {
+      // Composite quality: token count saturation x (1 - punct ratio)
+      // x (1 - uppercase ratio). Pure rational arithmetic.
+      table(s, dir, "documents")
+        .withColumn("len_c", length(col("text")).cast("double"))
+        .withColumn("n_tok", size(split(col("text"), "\\s+")).cast("double"))
+        .withColumn("punct_ratio",
+          (col("len_c") - length(regexp_replace(col("text"), punctRe, ""))) / col("len_c"))
+        .withColumn("upper_ratio",
+          (col("len_c") - length(regexp_replace(col("text"), upperRe, ""))) / col("len_c"))
+        .withColumn("score", round(
+          (col("n_tok") / (col("n_tok") + lit(100.0)))
+            * (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("upper_ratio")), 6))
+        .select(col("doc_id"), col("lang"), col("n_tok").cast("long").as("n_tok"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("upper_ratio"), 6).as("upper_ratio"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q39_token_count" -> ((s, dir) => {
+      // Whitespace + BPE-ish regex token counts, rolled up per language.
+      table(s, dir, "documents")
+        .withColumn("n_ws", size(split(col("text"), "\\s+")).cast("long"))
+        .withColumn("n_bpe", regexp_count(col("text"), lit(bpeRe)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("total_ws_tokens"),
+          sum(col("n_bpe")).as("total_bpe_tokens"),
+          round(sum(col("n_ws")).cast("double") / count(lit(1)), 6).as("avg_ws_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "q40_fingerprint" -> ((s, dir) => {
+      // Canonicalize (lower, collapse whitespace) then fingerprint the
+      // whole doc + a 64-char prefix window (cheap near-head rolling id).
+      table(s, dir, "documents")
+        .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .select(col("doc_id"),
+          md5(col("norm")).as("fp_full"),
+          md5(substring(col("norm"), 1, 64)).as("fp_prefix"),
+          length(col("norm")).as("norm_len"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q37_lang_id" -> {
+      val hits = langs.map { l =>
+        val set = stop(l).map(w => s"'$w'").mkString(", ")
+        s"SUM(CASE WHEN tok IN ($set) THEN 1 ELSE 0 END) AS c_$l"
+      }.mkString(", ")
+      val pred = {
+        def clause(l: String) = {
+          val ge = langs.filter(_ != l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+          s"WHEN $ge THEN '$l'"
+        }
+        s"CASE ${langs.init.map(clause).mkString(" ")} ELSE '${langs.last}' END"
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |scored AS (SELECT doc_id, lang, $hits FROM toks GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, $pred AS pred_lang,
+         | CAST(($pred = lang) AS INT) AS is_correct
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "q38_quality_score" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(LENGTH(text) AS DOUBLE) AS len_c,
+         |    CAST(LEN(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tok,
+         |    (CAST(LENGTH(text) AS DOUBLE) - LENGTH(regexp_replace(text, '$punctRe', '', 'g')))
+         |      / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio,
+         |    (CAST(LENGTH(text) AS DOUBLE) - LENGTH(regexp_replace(text, '$upperRe', '', 'g')))
+         |      / CAST(LENGTH(text) AS DOUBLE) AS upper_ratio
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+         | ROUND(punct_ratio, 6) AS punct_ratio,
+         | ROUND(upper_ratio, 6) AS upper_ratio,
+         | ROUND((n_tok / (n_tok + 100.0)) * (1.0 - punct_ratio) * (1.0 - upper_ratio), 6) AS score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q39_token_count" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(LEN(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_ws_tokens,
+         | CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
+         | ROUND(CAST(SUM(LEN(regexp_split_to_array(text, '\\s+'))) AS DOUBLE) / COUNT(*), 6) AS avg_ws_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q40_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, TRIM(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_full,
+        | md5(substr(norm, 1, 64)) AS fp_prefix,
+        | LENGTH(norm) AS norm_len
+        |FROM n ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("exact dedup collapses injected duplicates to one survivor") {
+    val res = SparkEntry.queries("q30_exact_dedup")(spark, sf).collect()
+    val dups = res.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(dups.length == 50, s"expected 50 duplicated docs, got ${dups.length}")
+    // survivor is always the original (lower doc_id), never the clone
+    assert(dups.forall(_.getAs[Long]("keep_id") < 100000L))
+  }
+
+  test("minhash signature: identical docs get identical signatures") {
+    val sig = SparkEntry.queries("q31_minhash_signatures")(spark, sf)
+    assert(sig.count() > 0)
+    // signature values are 32-bit portable hashes
+    val row = sig.collect().head
+    (0 until 8).foreach { j =>
+      val v = row.getAs[Long](s"mh$j")
+      assert(v >= 0L && v <= 0xffffffffL)
+    }
+  }
+
+  test("lsh near-dup candidates are orderable distinct pairs") {
+    val pairs = SparkEntry.queries("q32_lsh_near_dup")(spark, sf).collect()
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length == pairs.length)
+  }
+
+  test("jaccard is within [0,1] and exact for self-similarity shape") {
+    val j = SparkEntry.queries("q33_ngram_jaccard")(spark, sf).collect()
+    assert(j.forall { r =>
+      val v = r.getAs[Double]("jaccard"); v >= 0.0 && v <= 1.0
+    })
+  }
+
+  test("brute-force cosine top-k is ordered and bounded") {
+    val top = SparkEntry.queries("q35_cosine_topk")(spark, sf).collect()
+    assert(top.length == 10)
+    val cs = top.map(_.getAs[Double]("cos"))
+    assert(cs.sameElements(cs.sorted(Ordering[Double].reverse)))
+    assert(cs.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
+  test("IVF kNN recall: probed-cell top-5 overlaps brute-force top-5") {
+    val brute = SparkEntry.queries("q35_cosine_topk")(spark, sf)
+      .limit(5).collect().map(_.getAs[Long]("vec_id")).toSet
+    val ivf = SparkEntry.queries("q36_knn_bucketed")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // nprobe=2 of ~10 cells: expect meaningful overlap, not exactness
+    assert(ivf.nonEmpty)
+    assert((brute intersect ivf).nonEmpty,
+      s"IVF recall is zero: brute=$brute ivf=$ivf")
+  }
+
+  test("lang_id emits one prediction per doc from the fixed label set") {
+    val res = SparkEntry.queries("q37_lang_id")(spark, sf).collect()
+    assert(res.length == 500)
+    val langs = Set("en", "de", "es", "fr", "zh")
+    assert(res.forall(r => langs.contains(r.getAs[String]("pred_lang"))))
+  }
+
+  test("multimodal decodeBatch: per-partition decode keeps schema and count") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val decoded = Multimodal.decodeBatch(media)
+    assert(decoded.schema == Multimodal.decodedSchema)
+    val rows = decoded.collect()
+    assert(rows.length == media.count().toInt)
+    // images/videos got plausible dims; audio got sample counts
+    assert(rows.filter(_.getAs[String]("media_type") == "image")
+      .forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("n_frames") == 1))
+    assert(rows.filter(_.getAs[String]("media_type") == "audio")
+      .forall(r => r.getAs[Int]("n_frames") >= 1))
+    // deterministic: same payload -> same fake decode
+    val again = Multimodal.decodeBatch(media).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+}
