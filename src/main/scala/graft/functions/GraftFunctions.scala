@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-function facade for library users (the Scala-side mirror of
+  * the SQL functions registered by [[graft.GraftExtensions]]).
+  */
+object GraftFunctions {
+
+  /** Cosine similarity over two vector columns (array<float> or
+    * array<double>) via the native codegen'd Catalyst expression.
+    * Requires a session built with GraftExtensions (GraftSession.build
+    * does this). */
+  def cosine_sim(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  /** Pure-builtin fallback with identical semantics (usable on sessions
+    * without the extension; not codegen-fused). */
+  def cosine_sim_builtin(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val d = dot(a, b)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Portable 32-bit content hash (md5-derived; identical in DuckDB as
+    * `('0x'||substr(md5(s),1,8))::BIGINT`). */
+  def portable_hash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Canonical document fingerprint: lowercase, collapsed whitespace,
+    * md5. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** 3-word shingles of a token-array column (empty if < 3 tokens). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array())
+}

@@ -21,10 +21,26 @@ import graft.GraftSession.table
   */
 object Dedup {
 
-  /** Portable seeded 32-bit hash (matches DuckDB
-    * `('0x'||substr(md5(seed||':'||s),1,8))::BIGINT`). */
-  def seededHash(seed: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 8), 16, 10).cast("long")
+  /** Base portable 32-bit hash (matches DuckDB
+    * `('0x'||substr(md5(s),1,8))::BIGINT`). */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  // Universal-hash family over the single base hash: one md5 per
+  // shingle instead of K — 8x less hashing on the scan (the md5 IS the
+  // minhash hot loop at corpus scale). (a*h + b) mod 2^32, a prime
+  // < 2^28 so a*h stays below 2^62 (no BIGINT overflow in either
+  // engine).
+  private val HASH_A = Seq(15485863L, 32452843L, 49979687L, 67867967L,
+    86028121L, 104395301L, 122949823L, 141650939L)
+  private val HASH_B = Seq(7L, 101L, 1009L, 10007L, 100003L, 1000003L,
+    10000019L, 100000007L)
+  private val M32 = 4294967296L
+
+  def seededHash(seed: Int, h: Column): Column =
+    (h * lit(HASH_A(seed)) + lit(HASH_B(seed))) % lit(M32)
+  private def seededHashSql(seed: Int, h: String): String =
+    s"($h * ${HASH_A(seed)} + ${HASH_B(seed)}) % $M32"
 
   private val K = 8          // minhash signature length
   private val BANDS = 4      // LSH bands (2 rows each)
@@ -61,15 +77,20 @@ object Dedup {
       |  UNNEST(generate_series(1, len(toks)-2)) AS u(i)
       |WHERE len(toks) >= 3""".stripMargin
 
-  /** doc_id, mh0..mh7 minhash signature. */
+  /** doc_id, mh0..mh7 minhash signature (one md5 per shingle, K derived
+    * hashes via the universal family). */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until K).map(j => min(seededHash(j, col("sh"))).as(s"mh$j"))
-    shingles(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val aggs = (0 until K).map(j => min(seededHash(j, col("h"))).as(s"mh$j"))
+    shingles(s, dir)
+      .withColumn("h", baseHash(col("sh")))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
   private val signaturesSql = {
     val mhs = (0 until K).map(j =>
-      s"MIN(('0x'||substr(md5('$j:'||sh),1,8))::BIGINT) AS mh$j").mkString(", ")
-    s"SELECT doc_id, $mhs FROM sh GROUP BY doc_id"
+      s"MIN(${seededHashSql(j, "h")}) AS mh$j").mkString(", ")
+    s"""SELECT doc_id, $mhs
+       |FROM (SELECT doc_id, ('0x'||substr(md5(sh),1,8))::BIGINT AS h FROM sh) hs
+       |GROUP BY doc_id""".stripMargin
   }
 
   /** (doc_id, band, bkey): the banded signature for LSH bucketing. */

@@ -33,15 +33,17 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_lang_id" -> ((s, dir) => {
-      // Stopword-hit language ID: count per-language stopword hits over
-      // the token stream, argmax with fixed priority order.
-      val toks = table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          explode(split(lower(col("text")), "\\s+")).as("tok"))
-      val hitAggs = langs.map(l =>
-        sum(when(col("tok").isin(stop(l): _*), 1).otherwise(0)).as(s"c_$l"))
-      val scored = toks.groupBy(col("doc_id"), col("lang"))
-        .agg(hitAggs.head, hitAggs.tail: _*)
+      // Stopword-hit language ID, shuffle-free: per-language hit counts
+      // via higher-order array functions on the token array (pure
+      // scan-side map — an explode+groupBy would shuffle the whole
+      // token stream), then argmax with fixed priority order.
+      val hitCols = langs.map { l =>
+        val set = stop(l).map(w => s"'$w'").mkString(", ")
+        expr(s"size(filter(toks, t -> t IN ($set)))").as(s"c_$l")
+      }
+      val scored = table(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .select(col("doc_id") +: col("lang") +: hitCols: _*)
       val pred = langs.init.foldRight(lit(langs.last)) { (l, e) =>
         val c = col(s"c_$l")
         val ge = langs.filter(_ != l).map(o => c >= col(s"c_$o")).reduce(_ && _)
@@ -103,7 +105,7 @@ object TextOps {
     "q37_lang_id" -> {
       val hits = langs.map { l =>
         val set = stop(l).map(w => s"'$w'").mkString(", ")
-        s"SUM(CASE WHEN tok IN ($set) THEN 1 ELSE 0 END) AS c_$l"
+        s"len(list_filter(toks, t -> t IN ($set))) AS c_$l"
       }.mkString(", ")
       val pred = {
         def clause(l: String) = {
@@ -112,11 +114,11 @@ object TextOps {
         }
         s"CASE ${langs.init.map(clause).mkString(" ")} ELSE '${langs.last}' END"
       }
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang,
-         |    UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS tok
-         |  FROM documents),
-         |scored AS (SELECT doc_id, lang, $hits FROM toks GROUP BY doc_id, lang)
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $hits
+         |  FROM (SELECT doc_id, lang,
+         |          regexp_split_to_array(lower(text), '\\s+') AS toks
+         |        FROM documents))
          |SELECT doc_id, lang, $pred AS pred_lang,
          | CAST(($pred = lang) AS INT) AS is_correct
          |FROM scored ORDER BY doc_id""".stripMargin
