@@ -1,0 +1,29 @@
+package graft.log
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.concurrent.TrieMap
+
+/** 1:1 face of the reference's `Connection` (kafkaish
+  * `src/connection.js`): a root under which topics are prepared and
+  * cached. `connect()` is establishing the SparkSession + storage root;
+  * `prepareTopic` returns the cached topic or creates its
+  * infrastructure (connection.js:40-56).
+  */
+final class GraftConnection(val spark: SparkSession, val root: String) {
+  private val topics = TrieMap.empty[String, TopicLog]
+
+  /** prepareTopic: idempotent create-or-get (connection.js:42-55). */
+  def prepareTopic(name: String, numPartitions: Int = 8): TopicLog =
+    topics.getOrElseUpdate(name,
+      TopicLog.prepare(spark, s"$root/$name", numPartitions))
+
+  /** The reference's close() drops the db handle; here topics are
+    * just paths — clear the cache. */
+  def close(): Unit = topics.clear()
+}
+
+object GraftConnection {
+  /** kafkaish(uri).connect() analogue. */
+  def connect(spark: SparkSession, root: String): GraftConnection =
+    new GraftConnection(spark, root)
+}

@@ -125,6 +125,28 @@ object EventOps {
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
+    "q42_asof_join" -> ((s, dir) => {
+      // As-of join: each event enriched with the customer's most recent
+      // order at event time. Composed Spark-first: equi hash join on the
+      // key (never a cartesian range join) + per-event argmax window.
+      // At scale both sides co-partition on the key; the range predicate
+      // filters inside the join.
+      val e = eventsTable(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, col("user_id") === col("o_custkey")
+          && col("o_orderdate") <= col("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     "q29_event_dedup" -> ((s, dir) => {
       // At-least-once -> exactly-once: redelivered events (union with
       // itself simulates redelivery) deduped on the offset before stats.
@@ -212,6 +234,17 @@ object EventOps {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "q42_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q29_event_dedup" ->
       """SELECT user_id, COUNT(*) AS n_events,

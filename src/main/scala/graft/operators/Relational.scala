@@ -241,6 +241,18 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q43_percentiles" -> ((s, dir) => {
+      // Exact interpolated percentiles (DuckDB quantile_cont twin).
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q19_approx_distinct" -> ((s, dir) => {
       // HLL++ sketch — rows-only oracle (DuckDB's approx sketch differs).
       table(s, dir, "lineitem")
@@ -387,6 +399,14 @@ object Relational {
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q43_percentiles" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        | ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q18_stats" ->
       """SELECT l_returnflag,

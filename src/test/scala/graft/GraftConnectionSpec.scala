@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log.GraftConnection
+
+class GraftConnectionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def mkRecords(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (s"evt-${i % 3}", s"key-${i % 7}", s"""{"i":$i}""",
+        new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }.toDF("event", "key", "message", "ts")
+  }
+
+  test("prepareTopic is idempotent create-or-get per connection") {
+    val root = Files.createTempDirectory("conn").toString
+    val conn = GraftConnection.connect(spark, root)
+    val t1 = conn.prepareTopic("orders")
+    val t2 = conn.prepareTopic("orders")
+    assert(t1 eq t2)
+    val other = conn.prepareTopic("shipments")
+    assert(!(t1 eq other))
+    t1.publish(mkRecords(20))
+    assert(conn.prepareTopic("orders").read().count() == 20)
+    assert(conn.prepareTopic("shipments").read().count() == 0)
+  }
+
+  test("replay scan prunes log partitions (PartitionFilters on log_part)") {
+    val root = Files.createTempDirectory("conn").toString
+    val conn = GraftConnection.connect(spark, root)
+    val topic = conn.prepareTopic("t", numPartitions = 4)
+    topic.publish(mkRecords(100))
+    val somePart = topic.heads().keys.head
+    val onePart = topic.read().filter(col("log_part") === somePart)
+    val plan = onePart.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(log_part"), plan)
+    assert(onePart.count() > 0)
+  }
+}
