@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.log.TopicLog
+
+/** Scale smoke: drives TopicLog well past the unit-test sizes to check
+  * that the design holds as volume grows — append throughput, replay
+  * tail-scan cost vs full-scan, compaction. Run manually:
+  *   sbt "runMain graft.ScaleSmoke [nRecords] [nBatches] [nPartitions]"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000000)
+    val batches = args.lift(1).map(_.toInt).getOrElse(4)
+    val parts = args.lift(2).map(_.toInt).getOrElse(32)
+    val spark = GraftSession.build(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Files.createTempDirectory("scale-topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = parts)
+    val perBatch = n / batches
+
+    def mkBatch(b: Int) =
+      spark.range(perBatch.toLong)
+        .select(
+          (col("id") + b * perBatch).as("i"),
+          concat(lit("evt-"), pmod(col("id"), lit(5))).as("event"),
+          concat(lit("key-"), pmod(col("id"), lit(100000))).as("key"),
+          concat(lit("""{"seq":"""), col("id"), lit("}")).as("message"),
+          timestamp_micros(lit(1700000000000000L) + col("id") * 1000L).as("ts"))
+        .drop("i")
+
+    var t0 = System.nanoTime()
+    (0 until batches).foreach(b => topic.publish(mkBatch(b)))
+    val publishSec = (System.nanoTime() - t0) / 1e9
+
+    t0 = System.nanoTime()
+    val total = topic.read().count()
+    val fullScanSec = (System.nanoTime() - t0) / 1e9
+
+    // ack ~99% of each partition, then time the tail replay
+    val heads = topic.heads()
+    topic.ack("tail-reader", heads.map { case (p, h) => p -> (h - h / 100) })
+    t0 = System.nanoTime()
+    val tail = topic.replay("tail-reader").count()
+    val tailSec = (System.nanoTime() - t0) / 1e9
+
+    t0 = System.nanoTime()
+    topic.compact()
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val compacted = topic.read().count()
+
+    println(f"""{"records":$total,"publish_sec":$publishSec%.2f,""" +
+      f""""full_scan_sec":$fullScanSec%.2f,"tail_replay_rows":$tail,""" +
+      f""""tail_replay_sec":$tailSec%.2f,"compact_sec":$compactSec%.2f,""" +
+      f""""compacted_rows":$compacted}""")
+    spark.stop()
+  }
+}
