@@ -125,6 +125,19 @@ object EventOps {
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
+    "q47_json_extract" -> ((s, dir) => {
+      // Semi-structured payload extraction (the props JSON column),
+      // aggregated per event type — the "message is opaque JSON" face
+      // of the topic model.
+      eventsTable(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q42_asof_join" -> ((s, dir) => {
       // As-of join: each event enriched with the customer's most recent
       // order at event time. Composed Spark-first: equi hash join on the
@@ -234,6 +247,13 @@ object EventOps {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "q47_json_extract" ->
+      """SELECT event_type,
+        | COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q42_asof_join" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice

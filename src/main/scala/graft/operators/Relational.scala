@@ -241,6 +241,33 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q44_grouping_sets" -> ((s, dir) => {
+      // GROUPING SETS ((returnflag),(linestatus)) via cube + grouping_id
+      // filter (bit set = column aggregated away).
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"),
+          grouping_id().as("gid"))
+        .filter(col("gid").isin(1, 2))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    "q48_ntile_rank" -> ((s, dir) => {
+      // Quartile + relative-rank windows per order status.
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    }),
+
     "q43_percentiles" -> ((s, dir) => {
       // Exact interpolated percentiles (DuckDB quantile_cont twin).
       table(s, dir, "lineitem")
@@ -399,6 +426,25 @@ object Relational {
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q44_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q48_ntile_rank" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | NTILE(4) OVER w AS quartile,
+        | PERCENT_RANK() OVER w AS pct_rank,
+        | CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
 
     "q43_percentiles" ->
       """SELECT l_returnflag,
