@@ -268,6 +268,23 @@ object Relational {
         .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
     }),
 
+    "q49_full_outer" -> ((s, dir) => {
+      // Full-outer reconciliation of two partial per-nation aggregates
+      // (each side only covers some nations -> nulls on both sides).
+      val orders = table(s, dir, "orders")
+      val customer = table(s, dir, "customer")
+      val left = customer.filter(col("c_nationkey") < 13)
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val right = customer.filter(col("c_nationkey") >= 7)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      left.join(right, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"), col("n_orders"), col("n_customers"))
+        .orderBy(col("nationkey"))
+    }),
+
     "q43_percentiles" -> ((s, dir) => {
       // Exact interpolated percentiles (DuckDB quantile_cont twin).
       table(s, dir, "lineitem")
@@ -445,6 +462,19 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+
+    "q49_full_outer" ->
+      """SELECT COALESCE(l.nationkey, r.nationkey) AS nationkey,
+        | l.n_orders, r.n_customers
+        |FROM (
+        |  SELECT c_nationkey AS nationkey, COUNT(*) AS n_orders
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE c_nationkey < 13 GROUP BY 1) l
+        |FULL OUTER JOIN (
+        |  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        |  FROM customer WHERE c_nationkey >= 7 GROUP BY 1) r
+        |ON l.nationkey = r.nationkey
+        |ORDER BY nationkey""".stripMargin,
 
     "q43_percentiles" ->
       """SELECT l_returnflag,

@@ -68,40 +68,54 @@ object TopicStream {
 
   /** Custom stateful sessionization via flatMapGroupsWithState: a
     * session closes (and is emitted) when a later event for the same key
-    * arrives more than `gapMs` after the session's last event.
+    * arrives more than `gapMs` after the session's last event; with
+    * `eventTimeFlush`, quiet keys are additionally flushed when the
+    * watermark passes their gap (the cluster-idiomatic EventTimeTimeout).
     *
-    * NoTimeout by design: a quiet key keeps its open session in state
-    * until the next event. (A timeout-flush variant with
-    * ProcessingTimeTimeout makes the no-data stream spin empty
-    * micro-batches continuously — and deadlocks Spark 4.1's checksum
-    * checkpoint writer on small local rigs. On a cluster the idiomatic
-    * flush is EventTimeTimeout against the watermark.) */
-  def sessionize(spark: SparkSession, stream: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    * Default is NoTimeout: a quiet key keeps its open session in state
+    * until the next event. (A ProcessingTimeTimeout variant would spin
+    * empty micro-batches continuously on an idle stream — and deadlocks
+    * Spark 4.1's checksum checkpoint writer on small local rigs.) */
+  def sessionize(spark: SparkSession, stream: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L,
+      eventTimeFlush: Boolean = false,
+      watermark: String = "1 hour"): DataFrame = {
     import spark.implicits._
-    val typed = stream
+    val src = if (eventTimeFlush) stream.withWatermark("ts", watermark) else stream
+    val typed = src
       .select(coalesce(col("key"), lit("")).as("key"), col("ts"))
       .as[SessionEvent]
+    val timeoutConf =
+      if (eventTimeFlush) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     typed
       .groupByKey(_.key)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: String, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = events.map(_.ts.getTime).toSeq.sorted
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption.getOrElse(
-              SessionState(sorted.head, sorted.head, 0))
-            sorted.foreach { t =>
-              if (t - cur.last > gapMs) {
-                closed ::= SessionOut(key, cur.start, cur.last, cur.n)
-                cur = SessionState(t, t, 1)
-              } else {
-                cur = SessionState(cur.start, t, cur.n + 1)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(key, s.start, s.last, s.n))
+          } else {
+            val sorted = events.map(_.ts.getTime).toSeq.sorted
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var closed = List.empty[SessionOut]
+              var cur = state.getOption.getOrElse(
+                SessionState(sorted.head, sorted.head, 0))
+              sorted.foreach { t =>
+                if (t - cur.last > gapMs) {
+                  closed ::= SessionOut(key, cur.start, cur.last, cur.n)
+                  cur = SessionState(t, t, 1)
+                } else {
+                  cur = SessionState(cur.start, t, cur.n + 1)
+                }
               }
+              state.update(cur)
+              if (eventTimeFlush) state.setTimeoutTimestamp(cur.last + gapMs)
+              closed.reverseIterator
             }
-            state.update(cur)
-            closed.reverseIterator
           }
       }.toDF()
   }
