@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, HammingDistance}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist"),
+      (exprs: Seq[Expression]) => HammingDistance(exprs.head, exprs(1))))
   }
 }

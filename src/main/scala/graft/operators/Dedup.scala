@@ -109,6 +109,23 @@ object Dedup {
        |FROM sig""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** doc_id, simhash16, bucket: 16-bit SimHash over tokens (weight =
+    * term frequency): per bit, sum +-1 by the portable hash's bit, then
+    * reassemble; bucket = top 8 bits (near-dup blocking key). */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val bitAggs = (0 until 16).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val fp = (0 until 16).map(i =>
+      when(col(s"b$i") > 0, 1L << i).otherwise(0L)).reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn("simhash16", fp)
+      .select(col("doc_id"), col("simhash16"),
+        expr("simhash16 div 256").as("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> ((s, dir) => {
       // Exact dedup: hash-groupBy on content hash; survivor = min doc_id.
@@ -154,21 +171,22 @@ object Dedup {
         .orderBy(col("doc_a"))
     }),
 
-    "q34_simhash" -> ((s, dir) => {
-      // 16-bit SimHash over tokens (weight = term frequency): per bit,
-      // sum +-1 by the portable hash's bit, then reassemble.
-      val toks = table(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
-        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      val bitAggs = (0 until 16).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-      val fp = (0 until 16).map(i =>
-        when(col(s"b$i") > 0, 1L << i).otherwise(0L)).reduce(_ + _)
-      toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-        .withColumn("simhash16", fp)
-        .select(col("doc_id"), col("simhash16"),
-          expr("simhash16 div 256").as("bucket"))
-        .orderBy(col("doc_id"))
+    "q34_simhash" -> ((s, dir) =>
+      simhashDf(s, dir).orderBy(col("doc_id"))),
+
+    "q50_simhash_pairs" -> ((s, dir) => {
+      // SimHash near-dup candidates: bucket on the top 8 bits (block
+      // index), compare within buckets via the native hamming_dist
+      // expression (popcount stays inside codegen).
+      val sh = simhashDf(s, dir)
+      sh.as("a").join(sh.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          call_function("hamming_dist", col("a.simhash16"), col("b.simhash16")))
+        .filter(col("hamming") <= 4)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -208,6 +226,25 @@ object Dedup {
          |FROM cnts ca JOIN cnts cb ON cb.doc_id = ca.doc_id + 1
          |LEFT JOIN inter i ON ca.doc_id = i.doc_a
          |ORDER BY doc_a""".stripMargin,
+
+    "q50_simhash_pairs" -> {
+      val bits = (0 until 16).map(i =>
+        s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+      val fp = (0 until 16).map(i =>
+        s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS h FROM toks),
+         |bits AS (SELECT doc_id, $bits FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash16,
+         |         CAST(($fp) // 256 AS BIGINT) AS bucket FROM bits)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q34_simhash" -> {
       val bits = (0 until 16).map(i =>

@@ -22,6 +22,14 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("hamming_dist via SQL extension: popcount of xor") {
+    val r = spark.sql(
+      "SELECT hamming_dist(CAST(12 AS BIGINT), CAST(10 AS BIGINT)) AS a, " +
+        "hamming_dist(CAST(-1 AS BIGINT), CAST(0 AS BIGINT)) AS b, " +
+        "hamming_dist(CAST(5 AS BIGINT), CAST(5 AS BIGINT)) AS c").collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 64 && r.getInt(2) == 0)
+  }
+
   test("cosine_sim null and zero-norm handling") {
     val r = spark.sql(
       "SELECT cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS a, " +
