@@ -149,14 +149,17 @@ object EventOps {
       val o = table(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"))
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      // argmax as hash aggregation (max of a lexicographic struct) —
+      // no per-event sort, one map-side-combinable shuffle.
       e.join(o, col("user_id") === col("o_custkey")
           && col("o_orderdate") <= col("ts"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))).as("best"))
+        .select(col("event_id"), col("user_id"),
+          col("best.o_orderkey").as("o_orderkey"),
+          col("best.o_orderdate").as("o_orderdate"),
+          col("best.o_totalprice").as("o_totalprice"))
         .orderBy(col("event_id"))
     }),
 

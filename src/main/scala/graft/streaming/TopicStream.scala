@@ -53,6 +53,23 @@ object TopicStream {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
 
+  /** Stream-stream correlation join of two live topics: records with
+    * the same key where the right event lands within `within` after the
+    * left event. Watermarks on both sides bound the join state (Spark
+    * drops buffered rows older than watermark + interval).
+    */
+  def streamJoin(left: DataFrame, right: DataFrame,
+      within: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("key").as("l_key"), col("ts").as("l_ts"),
+        col("event").as("l_event"), col("message").as("l_message"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("key").as("r_key"), col("ts").as("r_ts"),
+        col("event").as("r_event"), col("message").as("r_message"))
+    l.join(r, expr(
+      s"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $within"))
+  }
+
   /** Watermarked tumbling-window aggregation over a live topic. */
   def windowedCounts(stream: DataFrame, windowLen: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =

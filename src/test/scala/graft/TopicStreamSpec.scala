@@ -87,6 +87,36 @@ class TopicStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join correlates two live topics within the bound") {
+    val dirA = Files.createTempDirectory("sj-a").toString
+    val dirB = Files.createTempDirectory("sj-b").toString
+    val orders = TopicLog.prepare(spark, dirA, numPartitions = 2)
+    val ships = TopicLog.prepare(spark, dirB, numPartitions = 2)
+    val joined = TopicStream.streamJoin(
+      TopicStream.subscribe(orders, fromNow = false),
+      TopicStream.subscribe(ships, fromNow = false),
+      within = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("sj")
+      .outputMode("append").start()
+    try {
+      import spark.implicits._
+      val t0 = 1700000000000L
+      orders.publish(Seq(
+        ("order", "k1", "o1", new java.sql.Timestamp(t0)),
+        ("order", "k2", "o2", new java.sql.Timestamp(t0)))
+        .toDF("event", "key", "message", "ts"))
+      ships.publish(Seq(
+        // k1 ships within 30 min -> joins; k2 ships 2h later -> dropped
+        ("ship", "k1", "s1", new java.sql.Timestamp(t0 + 10 * 60000L)),
+        ("ship", "k2", "s2", new java.sql.Timestamp(t0 + 120 * 60000L)))
+        .toDF("event", "key", "message", "ts"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT l_key, r_message FROM sj").collect()
+      assert(rows.length == 1, s"expected 1 correlated pair, got ${rows.length}")
+      assert(rows.head.getString(0) == "k1")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     val dir = Files.createTempDirectory("stream").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
