@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextOps.queries ++ Multimodal.queries
+      Similarity.queries ++ Similarity.queries2 ++ TextOps.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ EventOps.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextOps.oracle ++ Multimodal.oracle
+      Similarity.oracle ++ Similarity.oracle2 ++ TextOps.oracle ++
+      Multimodal.oracle
 }

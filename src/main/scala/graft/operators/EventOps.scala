@@ -125,6 +125,20 @@ object EventOps {
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
+    "q52_partition_stats" -> ((s, dir) => {
+      // Topic partition-assignment math (SURVEY §3: log_part =
+      // portable_hash(key) % N), applied to the events key space —
+      // shows the assignment is deterministic, portable, and balanced.
+      eventsTable(s, dir)
+        .withColumn("part",
+          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(8)))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(col("user_id")).as("n_keys"))
+        .orderBy(col("part"))
+    }),
+
     "q47_json_extract" -> ((s, dir) => {
       // Semi-structured payload extraction (the props JSON column),
       // aggregated per event type — the "message is opaque JSON" face
@@ -250,6 +264,11 @@ object EventOps {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "q52_partition_stats" ->
+      """SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 8 AS part,
+        | COUNT(*) AS n_records, COUNT(DISTINCT user_id) AS n_keys
+        |FROM events GROUP BY 1 ORDER BY part""".stripMargin,
 
     "q47_json_extract" ->
       """SELECT event_type,

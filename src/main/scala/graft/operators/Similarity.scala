@@ -67,6 +67,36 @@ object Similarity {
     })
   )
 
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_embedding_stats" -> ((s, dir) => {
+      // Per-cell embedding geometry: vector norms computed scan-side
+      // (higher-order fold, no shuffle), one agg shuffle for the stats.
+      table(s, dir, "embeddings")
+        .withColumn("norm", sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("norm")), 6).as("avg_norm"),
+          round(min(col("norm")), 6).as("min_norm"),
+          round(max(col("norm")), 6).as("max_norm"))
+        .orderBy(col("label"))
+    })
+  )
+
+  val oracle2: Map[String, String] = Map(
+    "q51_embedding_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    SQRT((SELECT SUM(CAST(x.a AS DOUBLE)*CAST(x.a AS DOUBLE))
+        |          FROM (SELECT UNNEST(e.embedding) AS a) x)) AS norm
+        |  FROM embeddings e)
+        |SELECT label, COUNT(*) AS n_vecs,
+        | ROUND(AVG(norm), 6) AS avg_norm,
+        | ROUND(MIN(norm), 6) AS min_norm,
+        | ROUND(MAX(norm), 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin
+  )
+
   // The dot/norm subqueries unnest both lists positionally (DuckDB zips
   // parallel UNNESTs) and accumulate left-to-right in double — the same
   // order as the native expression's loop, so round(6) is bit-stable.

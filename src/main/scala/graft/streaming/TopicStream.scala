@@ -53,6 +53,20 @@ object TopicStream {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
 
+  /** Use a topic as a streaming SINK: each micro-batch is published
+    * through the topic's offset-assigning append path (foreachBatch), so
+    * a streaming pipeline can terminate in a durable, replayable topic.
+    * Expects the canonical record columns (event, key, message, ts). */
+  def publishSink(records: DataFrame, topic: TopicLog,
+      checkpointDir: String): DataStreamWriter[Row] =
+    records.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        topic.publish(batch.select(col("event"), col("key"),
+          col("message"), col("ts")))
+      }
+
   /** Stream-stream correlation join of two live topics: records with
     * the same key where the right event lands within `within` after the
     * left event. Watermarks on both sides bound the join state (Spark

@@ -117,6 +117,23 @@ class TopicStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("publishSink: a streaming pipeline terminates in a replayable topic") {
+    val dirIn = Files.createTempDirectory("ps-in").toString
+    val dirOut = Files.createTempDirectory("ps-out").toString
+    val ckpt = Files.createTempDirectory("ps-ckpt").toString
+    val src = TopicLog.prepare(spark, dirIn, numPartitions = 2)
+    val dst = TopicLog.prepare(spark, dirOut, numPartitions = 2)
+    src.publish(mkRecords(30))
+    // stream src -> filter one event type -> publish into dst
+    val filtered = TopicStream.subscribe(src, event = Some("evt-0"), fromNow = false)
+    val q = TopicStream.publishSink(filtered, dst, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    // dst is a real topic: offsets assigned, replayable
+    assert(dst.replay("reader").count() == 10)
+    val offs = dst.read().select("log_part", "offset").collect()
+    assert(offs.map(r => (r.getInt(0), r.getLong(1))).distinct.length == 10)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     val dir = Files.createTempDirectory("stream").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
