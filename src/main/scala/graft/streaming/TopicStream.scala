@@ -33,14 +33,34 @@ object TopicStream {
   def subscribe(topic: TopicLog, event: Option[String] = None,
       fromNow: Boolean = true): DataFrame = {
     val heads = if (fromNow) topic.heads() else Map.empty[Int, Long]
+    subscribeAfter(topic, heads, event)
+  }
+
+  /** The reference's full `replay` semantics (topic.js:118-197) in ONE
+    * streaming query: a named durable subscriber drains its backlog
+    * (everything after its acked watermark — or from the beginning for
+    * a new subscriber) and then keeps tailing live, with the sink
+    * checkpoint carrying the position from there on. */
+  def replayThenLive(topic: TopicLog, name: String,
+      event: Option[String] = None): DataFrame = {
+    val marks = topic.subscribers()
+      .filter(col("name") === name)
+      .select(col("log_part"), col("last_offset"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    subscribeAfter(topic, marks, event)
+  }
+
+  private def subscribeAfter(topic: TopicLog, watermarks: Map[Int, Long],
+      event: Option[String]): DataFrame = {
     val base = topic.spark.readStream
       .schema(TopicLog.SCHEMA)
       .option("maxFilesPerTrigger", "32")
       .parquet(s"${topic.path}/log")
-    val afterHead = heads.foldLeft(base) { case (df, (p, h)) =>
+    val afterMark = watermarks.foldLeft(base) { case (df, (p, h)) =>
       df.filter(!(col("log_part") === p) || col("offset") > h)
     }
-    event.fold(afterHead)(e => afterHead.filter(col("event") === e))
+    event.fold(afterMark)(e => afterMark.filter(col("event") === e))
   }
 
   /** Durable subscription: checkpointed parquet sink. The checkpoint

@@ -134,6 +134,26 @@ class TopicStreamSpec extends AnyFunSuite {
     assert(offs.map(r => (r.getInt(0), r.getLong(1))).distinct.length == 10)
   }
 
+  test("replayThenLive drains the backlog past the ack, then tails live") {
+    val dir = Files.createTempDirectory("rtl").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(20))
+    // subscriber has acked half of each partition
+    topic.ack("sub", topic.heads().map { case (p, h) => p -> h / 2 })
+    val expectedBacklog = topic.replay("sub").count()
+    assert(expectedBacklog > 0 && expectedBacklog < 20)
+    val q = TopicStream.replayThenLive(topic, "sub")
+      .writeStream.format("memory").queryName("rtl").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM rtl").count() == expectedBacklog)
+      // live phase: new records keep flowing in the same query
+      topic.publish(mkRecords(6, startId = 20))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM rtl").count() == expectedBacklog + 6)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     val dir = Files.createTempDirectory("stream").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
