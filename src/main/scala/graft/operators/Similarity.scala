@@ -68,6 +68,27 @@ object Similarity {
   )
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_embedding_near_dup" -> ((s, dir) => {
+      // Embedding-cosine near-duplicate pairs, cell-blocked: candidates
+      // only within the same label cell (the IVF blocking key), scored
+      // by the native codegen'd cosine. Threshold 0.3 because this
+      // synthetic corpus is isotropic (in-label cosines top out ~0.47);
+      // a real near-dup sweep would sit at ~0.95. At corpus scale the
+      // block join replaces an all-pairs cartesian with per-cell
+      // self-joins on a uniform key.
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      emb.as("a").join(emb.as("b"),
+          col("a.label") === col("b.label")
+            && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", round(call_function("cosine_sim",
+          col("a.embedding"), col("b.embedding")), 6))
+        .filter(col("cos") >= 0.3)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     "q51_embedding_stats" -> ((s, dir) => {
       // Per-cell embedding geometry: vector norms computed scan-side
       // (higher-order fold, no shuffle), one agg shuffle for the stats.
@@ -84,6 +105,21 @@ object Similarity {
   )
 
   val oracle2: Map[String, String] = Map(
+    "q53_embedding_near_dup" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |    ROUND(
+        |     (SELECT SUM(CAST(x.u AS DOUBLE)*CAST(x.v AS DOUBLE))
+        |      FROM (SELECT UNNEST(a.embedding) AS u, UNNEST(b.embedding) AS v) x)
+        |     / (SQRT((SELECT SUM(CAST(x.u AS DOUBLE)*CAST(x.u AS DOUBLE))
+        |              FROM (SELECT UNNEST(a.embedding) AS u) x))
+        |      * SQRT((SELECT SUM(CAST(x.v AS DOUBLE)*CAST(x.v AS DOUBLE))
+        |              FROM (SELECT UNNEST(b.embedding) AS v) x))), 6) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, label, cos FROM p
+        |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
     "q51_embedding_stats" ->
       """WITH n AS (
         |  SELECT label,
