@@ -67,7 +67,39 @@ object Similarity {
     })
   )
 
+  // Random-hyperplane LSH: 16 deterministic planes over 64 dims, each
+  // coefficient derived from the portable md5 hash of "plane:dim" so
+  // Spark (Scala-side literals) and DuckDB (SQL md5) build identical
+  // planes. coef in [-1, 1).
+  private val RHP_PLANES = 16
+  private val RHP_DIMS = 64
+  private def rhpCoef(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_rhp_lsh_buckets" -> ((s, dir) => {
+      // LSH-bucketed similarity scale path: 16-bit sign sketch of each
+      // embedding (scan-side folds over literal plane vectors — zero
+      // shuffle), bucket = packed sign bits. Near-neighbors collide;
+      // a 100 TB ANN sweep joins within buckets instead of all-pairs.
+      // round(6) before the sign so engine-side 1e-16 noise can't flip
+      // a boundary bit.
+      val bitCols = (0 until RHP_PLANES).map { p =>
+        val plane = array((0 until RHP_DIMS).map(d => lit(rhpCoef(p, d))): _*)
+        val dot = aggregate(
+          zip_with(col("embedding"), plane, (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, v) => acc + v)
+        when(round(dot, 6) >= 0.0, 1L << p).otherwise(0L)
+      }
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          bitCols.reduce(_ + _).as("bucket"))
+        .orderBy(col("vec_id"))
+    }),
     "q53_embedding_near_dup" -> ((s, dir) => {
       // Embedding-cosine near-duplicate pairs, cell-blocked: candidates
       // only within the same label cell (the IVF blocking key), scored
@@ -105,6 +137,27 @@ object Similarity {
   )
 
   val oracle2: Map[String, String] = Map(
+    "q54_rhp_lsh_buckets" ->
+      """WITH planes AS (
+        |  SELECT pp.p, dd.d,
+        |    ('0x'||substr(md5(pp.p||':'||dd.d),1,8))::BIGINT / 2147483648.0 - 1.0 AS coef
+        |  FROM (SELECT UNNEST(generate_series(0,15)) AS p) pp,
+        |       (SELECT UNNEST(generate_series(0,63)) AS d) dd),
+        |ex AS (
+        |  SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS d
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT ex.vec_id, ex.label, pl.p, SUM(ex.v * pl.coef) AS dot
+        |  FROM ex JOIN planes pl ON ex.d = pl.d
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT vec_id, label,
+        |    SUM(CASE WHEN ROUND(dot, 6) >= 0.0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY 1, 2)
+        |SELECT vec_id, label, CAST(bucket AS BIGINT) AS bucket
+        |FROM bits ORDER BY vec_id""".stripMargin,
     "q53_embedding_near_dup" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         |p AS (
