@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The unification claim: the same declarative aggregation produces
+  * identical results whether the events table is read as a batch or
+  * replayed through a Structured Streaming query.
+  */
+class StreamBatchParitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("streaming tumbling-window agg equals the batch q25 result") {
+    val batch = SparkEntry.queries("q25_tumbling_window")(spark, sf)
+      .collect().map(_.toString).sorted
+
+    // file stream source wants a directory; link the table into one
+    val srcDir = java.nio.file.Files.createTempDirectory("sbp").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val raw = spark.readStream
+      .schema(GraftSession.table(spark, sf, "events").schema)
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = raw
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("sbp")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT hour, event_type, n_events, sum_value FROM sbp")
+        .collect().map(_.toString).sorted
+      assert(streamed.length == batch.length)
+      assert(streamed.sameElements(batch),
+        s"stream/batch divergence: ${streamed.take(2).mkString} vs ${batch.take(2).mkString}")
+    } finally q.stop()
+  }
+}
