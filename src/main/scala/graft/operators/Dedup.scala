@@ -60,16 +60,19 @@ object Dedup {
       |SELECT doc_id + 100000, text, lang, source, n_chars
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
-  /** 3-word shingles, one row per (doc_id, shingle), duplicates kept
-    * (min-hash is multiset-insensitive). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
+  /** 3-word shingles of a (doc_id, text) frame: one row per
+    * (doc_id, shingle), duplicates kept (min-hash is
+    * multiset-insensitive). Public df-level API. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(expr(
           "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
           .as("sh"))
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingles(table(s, dir, "documents"))
   private val shinglesSql =
     """SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
       |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
@@ -77,14 +80,17 @@ object Dedup {
       |  UNNEST(generate_series(1, len(toks)-2)) AS u(i)
       |WHERE len(toks) >= 3""".stripMargin
 
-  /** doc_id, mh0..mh7 minhash signature (one md5 per shingle, K derived
-    * hashes via the universal family). */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
+  /** doc_id, mh0..mh7 minhash signature of a (doc_id, text) frame (one
+    * md5 per shingle, K derived hashes via the universal family).
+    * Public df-level API. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
     val aggs = (0 until K).map(j => min(seededHash(j, col("h"))).as(s"mh$j"))
-    shingles(s, dir)
+    shingles(docs)
       .withColumn("h", baseHash(col("sh")))
       .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(table(s, dir, "documents"))
   private val signaturesSql = {
     val mhs = (0 until K).map(j =>
       s"MIN(${seededHashSql(j, "h")}) AS mh$j").mkString(", ")
@@ -94,14 +100,28 @@ object Dedup {
   }
 
   /** (doc_id, band, bkey): the banded signature for LSH bucketing. */
-  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
+  def bands(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until BANDS).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
     }
-    signatures(s, dir)
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+  private def bandsDf(s: SparkSession, dir: String): DataFrame =
+    bands(signatures(s, dir))
+
+  /** LSH candidate pairs of a (doc_id, text) frame: pairs sharing at
+    * least one signature band, with the shared-band count. Public
+    * df-level API (the q32 operator, reusable on any corpus). */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val b = bands(minhashSignatures(docs))
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
   }
   private val bandsSql = (0 until BANDS).map { b =>
     s"""SELECT doc_id, $b AS band,
@@ -112,8 +132,8 @@ object Dedup {
   /** doc_id, simhash16, bucket: 16-bit SimHash over tokens (weight =
     * term frequency): per bit, sum +-1 by the portable hash's bit, then
     * reassemble; bucket = top 8 bits (near-dup blocking key). */
-  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
-    val toks = table(s, dir, "documents")
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val bitAggs = (0 until 16).map(i =>
@@ -125,6 +145,8 @@ object Dedup {
       .select(col("doc_id"), col("simhash16"),
         expr("simhash16 div 256").as("bucket"))
   }
+  private def simhashDf(s: SparkSession, dir: String): DataFrame =
+    simhash(table(s, dir, "documents"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> ((s, dir) => {

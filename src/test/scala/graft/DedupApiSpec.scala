@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Functional quality checks of the df-level dedup API on a corpus
+  * with KNOWN near-duplicates (not just determinism/parity). */
+class DedupApiSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the deep green forest tonight"
+    Seq(
+      (1L, base),
+      (2L, base.replace("tonight", "forever")),      // near-dup of 1 (tail edit)
+      (3L, base),                                    // exact dup of 1
+      (4L, "completely different words about spark catalyst optimizer plans and shuffle exchange partitioning strategy here"),
+      (5L, "yet another unrelated document mentioning parquet files columnar storage compression encodings and row groups")
+    ).toDF("doc_id", "text")
+  }
+
+  test("identical docs share the full minhash signature") {
+    val sig = Dedup.minhashSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toSeq).toMap
+    assert(sig(1L) == sig(3L))
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("LSH finds the exact and near pair, not the unrelated ones") {
+    val pairs = Dedup.lshCandidates(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 3L)), s"exact dup pair missed: $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 3L)),
+      s"near-dup pair missed: $pairs")
+    assert(!pairs.contains((4L, 5L)), s"false positive on unrelated docs: $pairs")
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated far") {
+    val sh = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash16")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)),
+      s"near-dup ${ham(sh(1L), sh(2L))} not closer than unrelated ${ham(sh(1L), sh(4L))}")
+  }
+}
