@@ -23,6 +23,30 @@ object Similarity {
   private def cosine(a: String, b: String) =
     call_function("cosine_sim", col(a), col(b))
 
+  /** Brute-force cosine top-k of a (vec_id, label, embedding) frame
+    * against a query vector. Public df-level API (the q35 operator,
+    * reusable on any corpus): broadcast query, fused codegen scan,
+    * TakeOrdered — no shuffle. */
+  def cosineTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame =
+    emb
+      .withColumn("cos", call_function("cosine_sim",
+        col("embedding"), typedlit(query)))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+
+  /** RHP-LSH bucket assignment (the q54 operator) for any
+    * (vec_id, embedding) frame. */
+  def rhpBuckets(emb: DataFrame): DataFrame = {
+    val bitCols = (0 until RHP_PLANES).map { p =>
+      val plane = array((0 until RHP_DIMS).map(d => lit(rhpCoef(p, d))): _*)
+      val dot = aggregate(
+        zip_with(col("embedding"), plane, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+      when(round(dot, 6) >= 0.0, 1L << p).otherwise(0L)
+    }
+    emb.withColumn("bucket", bitCols.reduce(_ + _))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_cosine_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -88,16 +112,8 @@ object Similarity {
       // a 100 TB ANN sweep joins within buckets instead of all-pairs.
       // round(6) before the sign so engine-side 1e-16 noise can't flip
       // a boundary bit.
-      val bitCols = (0 until RHP_PLANES).map { p =>
-        val plane = array((0 until RHP_DIMS).map(d => lit(rhpCoef(p, d))): _*)
-        val dot = aggregate(
-          zip_with(col("embedding"), plane, (x, c) => x.cast("double") * c),
-          lit(0.0), (acc, v) => acc + v)
-        when(round(dot, 6) >= 0.0, 1L << p).otherwise(0L)
-      }
-      table(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          bitCols.reduce(_ + _).as("bucket"))
+      rhpBuckets(table(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), col("bucket"))
         .orderBy(col("vec_id"))
     }),
     "q53_embedding_near_dup" -> ((s, dir) => {

@@ -31,6 +31,27 @@ object TextOps {
   private val upperRe = "[A-Z]"
   private val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Quality features for any (doc_id, text) frame. Public df-level API
+    * (the q38 operator): pure rational arithmetic, scan-side. */
+  def qualityScores(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("len_c", length(col("text")).cast("double"))
+      .withColumn("n_tok", size(split(col("text"), "\\s+")).cast("double"))
+      .withColumn("punct_ratio",
+        (col("len_c") - length(regexp_replace(col("text"), punctRe, ""))) / col("len_c"))
+      .withColumn("upper_ratio",
+        (col("len_c") - length(regexp_replace(col("text"), upperRe, ""))) / col("len_c"))
+      .withColumn("score", round(
+        (col("n_tok") / (col("n_tok") + lit(100.0)))
+          * (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("upper_ratio")), 6))
+
+  /** Canonical fingerprints for any (doc_id, text) frame (q40). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("fp_full", md5(col("norm")))
+      .withColumn("fp_prefix", md5(substring(col("norm"), 1, 64)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_lang_id" -> ((s, dir) => {
       // Stopword-hit language ID, shuffle-free: per-language hit counts
@@ -59,16 +80,7 @@ object TextOps {
     "q38_quality_score" -> ((s, dir) => {
       // Composite quality: token count saturation x (1 - punct ratio)
       // x (1 - uppercase ratio). Pure rational arithmetic.
-      table(s, dir, "documents")
-        .withColumn("len_c", length(col("text")).cast("double"))
-        .withColumn("n_tok", size(split(col("text"), "\\s+")).cast("double"))
-        .withColumn("punct_ratio",
-          (col("len_c") - length(regexp_replace(col("text"), punctRe, ""))) / col("len_c"))
-        .withColumn("upper_ratio",
-          (col("len_c") - length(regexp_replace(col("text"), upperRe, ""))) / col("len_c"))
-        .withColumn("score", round(
-          (col("n_tok") / (col("n_tok") + lit(100.0)))
-            * (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("upper_ratio")), 6))
+      qualityScores(table(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_tok").cast("long").as("n_tok"),
           round(col("punct_ratio"), 6).as("punct_ratio"),
           round(col("upper_ratio"), 6).as("upper_ratio"), col("score"))
@@ -91,11 +103,8 @@ object TextOps {
     "q40_fingerprint" -> ((s, dir) => {
       // Canonicalize (lower, collapse whitespace) then fingerprint the
       // whole doc + a 64-char prefix window (cheap near-head rolling id).
-      table(s, dir, "documents")
-        .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-        .select(col("doc_id"),
-          md5(col("norm")).as("fp_full"),
-          md5(substring(col("norm"), 1, 64)).as("fp_prefix"),
+      fingerprints(table(s, dir, "documents"))
+        .select(col("doc_id"), col("fp_full"), col("fp_prefix"),
           length(col("norm")).as("norm_len"))
         .orderBy(col("doc_id"))
     })

@@ -45,6 +45,18 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineTopK df-level API returns the same heads as q35") {
+    val emb = GraftSession.table(spark, sf, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val api = graft.operators.Similarity.cosineTopK(
+      emb.filter(col("vec_id") =!= 0), qv, 10)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val q35 = SparkEntry.queries("q35_cosine_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(api.sameElements(q35))
+  }
+
   test("query plans: replay pushes the offset predicate into the scan") {
     val plan = SparkEntry.queries("q20_replay_from_offset")(spark, sf)
       .queryExecution.executedPlan.toString
