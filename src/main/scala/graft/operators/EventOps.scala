@@ -125,6 +125,40 @@ object EventOps {
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
+    "q55_funnel" -> ((s, dir) => {
+      // Conversion funnel over the event log: per-user first times of
+      // view -> click -> purchase, then ordered-stage counts. One
+      // shuffle (user_id), conditional mins map-side.
+      eventsTable(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+        .agg(
+          count(col("tv")).as("n_viewed"),
+          sum(when(col("tv").isNotNull && col("tc").isNotNull
+            && col("tc") > col("tv"), 1).otherwise(0)).as("n_click_after_view"),
+          sum(when(col("tv").isNotNull && col("tc").isNotNull
+            && col("tp").isNotNull && col("tc") > col("tv")
+            && col("tp") > col("tc"), 1).otherwise(0)).as("n_full_funnel"))
+    }),
+
+    "q56_cohort_retention" -> ((s, dir) => {
+      // Cohort retention: users grouped by first-seen day, distinct
+      // active users per (cohort_day, day_offset) for the first week.
+      val e = eventsTable(s, dir)
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).cast("date").as("cohort_day"))
+      e.join(broadcast(firstSeen), Seq("user_id"))
+        .withColumn("day_offset",
+          datediff(date_trunc("day", col("ts")).cast("date"), col("cohort_day")))
+        .filter(col("day_offset").between(0, 7))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     "q52_partition_stats" -> ((s, dir) => {
       // Topic partition-assignment math (SURVEY §3: log_part =
       // portable_hash(key) % N), applied to the events key space —
@@ -264,6 +298,33 @@ object EventOps {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "q55_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(tv) AS n_viewed,
+        | CAST(SUM(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tc > tv
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+        | CAST(SUM(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+        |   AND tc > tv AND tp > tc THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM u""".stripMargin,
+
+    "q56_cohort_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |j AS (
+        |  SELECT e.user_id, fs.cohort_day,
+        |    CAST(date_diff('day', fs.cohort_day, DATE_TRUNC('day', e.ts)) AS INT) AS day_offset
+        |  FROM events e JOIN fs ON e.user_id = fs.user_id)
+        |SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_users
+        |FROM j WHERE day_offset BETWEEN 0 AND 7
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q52_partition_stats" ->
       """SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 8 AS part,

@@ -100,6 +100,16 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    "q57_vocab_topk" -> ((s, dir) => {
+      // Corpus vocabulary head: token frequencies -> top 20. Explode is
+      // scan-side; partial aggregation collapses the token stream
+      // before the single shuffle; TakeOrdered for the head.
+      table(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)
+    }),
+
     "q40_fingerprint" -> ((s, dir) => {
       // Canonicalize (lower, collapse whitespace) then fingerprint the
       // whole doc + a 64-char prefix window (cheap near-head rolling id).
@@ -155,6 +165,12 @@ object TextOps {
          | CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
          | ROUND(CAST(SUM(LEN(regexp_split_to_array(text, '\\s+'))) AS DOUBLE) / COUNT(*), 6) AS avg_ws_tokens
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q57_vocab_topk" ->
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "q40_fingerprint" ->
       """WITH n AS (
