@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HammingDistance}
+import graft.functions.{CosineSimilarity, HammingDistance, SimHashAgg}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist"),
       (exprs: Seq[Expression]) => HammingDistance(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head).toAggregateExpression()))
   }
 }

@@ -148,6 +148,17 @@ object Dedup {
   private def simhashDf(s: SparkSession, dir: String): DataFrame =
     simhash(table(s, dir, "documents"))
 
+  /** Same fingerprint via the custom one-buffer TypedImperativeAggregate
+    * (`simhash_agg`): one pass per token, 64-byte partial state vs 16
+    * sum columns. Spec-verified equal to [[simhash]]. */
+  def simhashFast(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .withColumn("h", baseHash(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(call_function("simhash_agg", col("h")).as("simhash16"))
+      .withColumn("bucket", expr("simhash16 div 256"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> ((s, dir) => {
       // Exact dedup: hash-groupBy on content hash; survivor = min doc_id.

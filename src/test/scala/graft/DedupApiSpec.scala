@@ -38,6 +38,18 @@ class DedupApiSpec extends AnyFunSuite {
     assert(!pairs.contains((4L, 5L)), s"false positive on unrelated docs: $pairs")
   }
 
+  test("simhash_agg custom aggregate equals the declarative 16-column simhash") {
+    val docs = GraftSession.table(spark, sf, "documents")
+    val declarative = Dedup.simhash(docs)
+      .select("doc_id", "simhash16").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val imperative = Dedup.simhashFast(docs)
+      .select("doc_id", "simhash16").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(imperative.size == declarative.size)
+    assert(imperative == declarative)
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated far") {
     val sh = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("simhash16")).toMap
