@@ -44,7 +44,10 @@ object Relational {
           && col("l_discount") > 0.05)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("l_discount"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // total order over the output columns ((orderkey, linenumber)
+        // alone is not unique in the synthetic data)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
     }),
 
     "q03_topk" -> ((s, dir) => {
@@ -159,8 +162,12 @@ object Relational {
       // Running sum in decimal: window accumulation order is fixed by the
       // ORDER BY, and decimal keeps it exact (DuckDB's segment-tree window
       // aggregation would otherwise differ in double rounding).
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data at
+      // sf0.1 — l_quantity completes a total order (verified unique at
+      // every sf), keeping the running sum deterministic in both engines.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
       table(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
           col("l_linenumber"), col("l_quantity"))
@@ -170,7 +177,7 @@ object Relational {
             .cast("double"))
         .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
         .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
-          col("l_linenumber"))
+          col("l_linenumber"), col("l_quantity"))
     }),
 
     "q13_rollup" -> ((s, dir) => {
@@ -330,7 +337,7 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
         |  AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount""".stripMargin,
 
     "q03_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
@@ -397,12 +404,12 @@ object Relational {
     "q12_window_running" ->
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
         | LAG(l_quantity, 1) OVER (
-        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q13_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
