@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Trained IVF (inverted-file) ANN index over an embedding column
+  * (SURVEY.md §2.C7 scale path, trained variant): k-means cells are
+  * learned from the data, vectors are stored by cell, and a query
+  * probes only the `nprobe` nearest cells — the scan shrinks from the
+  * corpus to nprobe/nCells of it. On a cluster the assignment dataframe
+  * is written partitioned by `cell`, so the probe is partition pruning.
+  */
+object IvfIndex {
+
+  final case class Index(assignments: DataFrame, centroids: Array[Array[Double]])
+
+  /** Train k-means cells and assign every vector (one extra `cell`
+    * column on the input frame). */
+  def build(emb: DataFrame, nCells: Int = 16, maxIter: Int = 10): Index = {
+    val withVec = emb.withColumn("__features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(maxIter)
+      .setFeaturesCol("__features").setPredictionCol("cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("__features")
+    Index(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Cosine top-k probing the `nprobe` cells whose centroids are
+    * nearest the query (centroids are driver-side — they are the
+    * index's tiny metadata, like any ANN library). */
+  def search(index: Index, query: Seq[Float], k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(c.length, q.length)) {
+        dot += c(i) * q(i); na += c(i) * c(i); nb += q(i) * q(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, cos(c)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(nprobe).map(_._1)
+    Similarity.cosineTopK(
+      index.assignments.filter(col("cell").isin(probes.toSeq: _*)), query, k)
+  }
+}
