@@ -13,6 +13,18 @@ class BucketingSpec extends AnyFunSuite {
       .select("l_orderkey", "l_quantity", "l_extendedprice")
     val o = GraftSession.table(spark, sf, "orders")
       .select("o_orderkey", "o_totalprice")
+    // drop any prior table AND its orphaned warehouse dir (a fresh
+    // in-memory catalog won't know the table, but the dir survives)
+    Seq("li_bkt", "o_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) rm(dir)
+    }
     Bucketing.materializeBucketed(li, "li_bkt", "l_orderkey", buckets = 8)
     Bucketing.materializeBucketed(o, "o_bkt", "o_orderkey", buckets = 8)
 
