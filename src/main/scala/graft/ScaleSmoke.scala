@@ -47,6 +47,18 @@ object ScaleSmoke {
     val tail = topic.replay("tail-reader").count()
     val tailSec = (System.nanoTime() - t0) / 1e9
 
+    // streaming phase: drain the whole log through a watermarked
+    // windowed aggregation (the live-subscription path at volume)
+    t0 = System.nanoTime()
+    val stream = graft.streaming.TopicStream.subscribe(topic, fromNow = false)
+    val agg = graft.streaming.TopicStream.windowedCounts(stream, "1 hour", "2 hours")
+    val sq = agg.writeStream.format("memory").queryName("scale_win")
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    val streamSec = (System.nanoTime() - t0) / 1e9
+    val streamedRows = spark.sql("SELECT SUM(n_events) FROM scale_win")
+      .collect().head.getLong(0)
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -54,8 +66,9 @@ object ScaleSmoke {
 
     println(f"""{"records":$total,"publish_sec":$publishSec%.2f,""" +
       f""""full_scan_sec":$fullScanSec%.2f,"tail_replay_rows":$tail,""" +
-      f""""tail_replay_sec":$tailSec%.2f,"compact_sec":$compactSec%.2f,""" +
-      f""""compacted_rows":$compacted}""")
+      f""""tail_replay_sec":$tailSec%.2f,""" +
+      f""""stream_drain_rows":$streamedRows,"stream_drain_sec":$streamSec%.2f,""" +
+      f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }
 }
