@@ -143,6 +143,13 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     stageSwap(compacted, logDir, partitioned = true)
   }
 
+  /** Time-based retention: drop records older than `minTs` (the
+    * wall-clock face of the capped collection, topic.js:8-10). At
+    * cluster scale the log would also be date-partitioned so this is a
+    * partition drop, not a rewrite. */
+  def retainAfter(minTs: java.sql.Timestamp): Unit =
+    stageSwap(read().filter(col("ts") >= lit(minTs)), logDir, partitioned = true)
+
   /** Retention trim (the reference's capped-collection analogue,
     * topic.js:8-10): drop records at or below the given per-partition
     * offset watermarks. */

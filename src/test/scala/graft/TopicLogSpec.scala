@@ -82,6 +82,17 @@ class TopicLogSpec extends AnyFunSuite {
     assert(topic.replay("fresh").count() == 5)
   }
 
+  test("time-based retention drops records older than the cutoff") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(40)) // ts = base + i*1000ms
+    val cutoff = new java.sql.Timestamp(1700000000000L + 20 * 1000L)
+    topic.retainAfter(cutoff)
+    val left = topic.read().collect()
+    assert(left.length == 20, s"expected 20 surviving records, got ${left.length}")
+    assert(left.forall(!_.getAs[java.sql.Timestamp]("ts").before(cutoff)))
+  }
+
   test("retention trims below the watermark, like a capped collection") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
