@@ -125,6 +125,31 @@ object EventOps {
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
+    "q58_range_join_binned" -> ((s, dir) => {
+      // Interval join at scale: promo windows (7 days per region,
+      // staggered) joined to events by DAY BIN equi-key + in-window
+      // filter — the binning turns an O(events x windows) range probe
+      // into a hash join on the bin. The oracle states the same join
+      // as a plain range predicate.
+      val windows = table(s, dir, "region")
+        .withColumn("w_start",
+          date_add(lit("2024-01-01").cast("date"),
+            (col("r_regionkey") * 5).cast("int")).cast("timestamp"))
+        .withColumn("w_end",
+          date_add(lit("2024-01-01").cast("date"),
+            (col("r_regionkey") * 5 + 7).cast("int")).cast("timestamp"))
+      val expanded = windows.withColumn("day",
+        explode(sequence(col("w_start").cast("date"),
+          date_add(col("w_end").cast("date"), -1))))
+      eventsTable(s, dir)
+        .withColumn("day", col("ts").cast("date"))
+        .join(broadcast(expanded), Seq("day"))
+        .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("r_name"))
+    }),
+
     "q55_funnel" -> ((s, dir) => {
       // Conversion funnel over the event log: per-user first times of
       // view -> click -> purchase, then ordered-stage counts. One
@@ -298,6 +323,17 @@ object EventOps {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "q58_range_join_binned" ->
+      """WITH w AS (
+        |  SELECT r_name,
+        |    CAST(DATE '2024-01-01' + (r_regionkey*5) * INTERVAL '1 day' AS TIMESTAMP) AS w_start,
+        |    CAST(DATE '2024-01-01' + (r_regionkey*5 + 7) * INTERVAL '1 day' AS TIMESTAMP) AS w_end
+        |  FROM region)
+        |SELECT w.r_name, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY w.r_name ORDER BY w.r_name""".stripMargin,
 
     "q55_funnel" ->
       """WITH u AS (
