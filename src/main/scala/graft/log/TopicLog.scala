@@ -74,6 +74,15 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   def read(): DataFrame =
     spark.read.schema(TopicLog.SCHEMA).parquet(logDir)
 
+  /** Typed view of the log for callers that want compile-time field
+    * checks on record handling. */
+  def readTyped(): org.apache.spark.sql.Dataset[TopicRecord] = {
+    implicit val enc: org.apache.spark.sql.Encoder[TopicRecord] =
+      org.apache.spark.sql.Encoders.product[TopicRecord]
+    read().select(col("offset"), col("ts"), col("event"), col("key"),
+      col("message"), col("log_part")).as[TopicRecord]
+  }
+
   /** Head offset info, the reference's `latest()` (topic.js:224-250). */
   def latest(): DataFrame =
     read().groupBy(col("log_part"))
@@ -163,6 +172,15 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     stageSwap(read().filter(untouched || trimmed), logDir, partitioned = true)
   }
 }
+
+/** One record of a topic log (typed face of TopicLog.SCHEMA). */
+case class TopicRecord(
+    offset: Long,
+    ts: java.sql.Timestamp,
+    event: String,
+    key: String,
+    message: String,
+    log_part: Int)
 
 object TopicLog {
   import org.apache.spark.sql.types._

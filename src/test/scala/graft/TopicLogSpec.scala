@@ -82,6 +82,19 @@ class TopicLogSpec extends AnyFunSuite {
     assert(topic.replay("fresh").count() == 5)
   }
 
+  test("typed read: Dataset[TopicRecord] round-trips the log") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(10))
+    val ds = topic.readTyped()
+    val recs = ds.collect()
+    assert(recs.length == 10)
+    assert(recs.forall(r => r.event.startsWith("evt-") && r.offset >= 0))
+    // typed transformations compile and behave
+    assert(ds.filter(_.event == "evt-0").count() ==
+      topic.read().filter(col("event") === "evt-0").count())
+  }
+
   test("time-based retention drops records older than the cutoff") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)

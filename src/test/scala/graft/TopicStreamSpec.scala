@@ -154,6 +154,24 @@ class TopicStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: redelivered records collapse within the watermark") {
+    val dir = Files.createTempDirectory("sdd").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    val deduped = TopicStream.subscribe(topic, fromNow = false)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("key", "message")
+    val q = deduped.writeStream.format("memory").queryName("sdd")
+      .outputMode("append").start()
+    try {
+      val batch = mkRecords(10)
+      topic.publish(batch)   // original delivery
+      topic.publish(batch)   // redelivery (at-least-once)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sdd").count() == 10,
+        "redelivered records were not deduped")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     val dir = Files.createTempDirectory("stream").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
