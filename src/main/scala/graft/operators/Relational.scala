@@ -292,6 +292,31 @@ object Relational {
         .orderBy(col("nationkey"))
     }),
 
+    "q59_set_ops" -> ((s, dir) => {
+      // INTERSECT / EXCEPT set semantics: BUILDING-segment customers
+      // split by whether they have a finalized order.
+      val building = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val finalized = table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(finalized).withColumn("tag", lit("both"))
+        .union(building.except(finalized).withColumn("tag", lit("building_only")))
+        .orderBy(col("tag"), col("c_custkey"))
+    }),
+
+    "q60_string_agg" -> ((s, dir) => {
+      // Ordered string aggregation: deterministic via
+      // collect_set -> array_sort -> array_join (partial-agg friendly).
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q43_percentiles" -> ((s, dir) => {
       // Exact interpolated percentiles (DuckDB quantile_cont twin).
       table(s, dir, "lineitem")
@@ -482,6 +507,24 @@ object Relational {
         |  FROM customer WHERE c_nationkey >= 7 GROUP BY 1) r
         |ON l.nationkey = r.nationkey
         |ORDER BY nationkey""".stripMargin,
+
+    "q59_set_ops" ->
+      """SELECT c_custkey, 'both' AS tag FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT c_custkey, 'building_only' AS tag FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY tag, c_custkey""".stripMargin,
+
+    "q60_string_agg" ->
+      """SELECT o_orderstatus,
+        | string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q43_percentiles" ->
       """SELECT l_returnflag,
