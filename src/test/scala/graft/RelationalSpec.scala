@@ -15,6 +15,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("driver contract integrity: no pack key collisions, oracle keys subset") {
+    val q = SparkEntry.queries
+    val o = SparkEntry.oracleSql
+    assert(q.size >= 58, s"query map shrank (collision?): ${q.size}")
+    val orphans = o.keySet -- q.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+    val weak = q.keySet -- o.keySet
+    assert(weak == Set("q19_approx_distinct"),
+      s"unexpected rows-only queries: $weak")
+  }
+
   test("every declared query has matching oracle alias coverage and runs") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
