@@ -204,6 +204,32 @@ object Dedup {
         .orderBy(col("doc_a"))
     }),
 
+    "q61_lsh_verified" -> ((s, dir) => {
+      // The full near-dup pipeline: LSH candidates -> exact shingle-set
+      // Jaccard verification. Only candidate pairs (not the corpus
+      // cross-product) reach the verification join.
+      val docs = table(s, dir, "documents")
+      val cand = lshCandidates(docs)
+      val sh = shingles(docs).distinct()
+      val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = cand
+        .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sh.as("y"), col("doc_b") === col("y.doc_id")
+          && col("x.sh") === col("y.sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      cand
+        .join(cnts.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(cnts.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q34_simhash" -> ((s, dir) =>
       simhashDf(s, dir).orderBy(col("doc_id"))),
 
@@ -278,6 +304,35 @@ object Dedup {
          |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "q61_lsh_verified" ->
+      s"""WITH sh0 AS ($shinglesSql),
+         |sh AS (SELECT DISTINCT * FROM sh0),
+         |sig AS ($signaturesSql),
+         |bands AS ($bandsSql),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS n_shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+         | ca.n_sh AS n_a, cb.n_sh AS n_b,
+         | COALESCE(i.n_inter, 0) AS n_inter,
+         | ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |   / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+         |FROM cand c
+         |JOIN cnts ca ON c.doc_a = ca.doc_id
+         |JOIN cnts cb ON c.doc_b = cb.doc_id
+         |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
     "q34_simhash" -> {
       val bits = (0 until 16).map(i =>
