@@ -100,6 +100,18 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    "q62_source_stats" -> ((s, dir) => {
+      // Per-source corpus profile (provenance analytics): doc counts,
+      // size stats, language spread.
+      table(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+    }),
+
     "q57_vocab_topk" -> ((s, dir) => {
       // Corpus vocabulary head: token frequencies -> top 20. Explode is
       // scan-side; partial aggregation collapses the token stream
@@ -165,6 +177,13 @@ object TextOps {
          | CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
          | ROUND(CAST(SUM(LEN(regexp_split_to_array(text, '\\s+'))) AS DOUBLE) / COUNT(*), 6) AS avg_ws_tokens
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q62_source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        | COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q57_vocab_topk" ->
       """SELECT tok, COUNT(*) AS n FROM (
