@@ -59,6 +59,29 @@ def main():
             print(f"  FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             n_fail += 1
             continue
+        # Typed compare (the driver hashes typed values): an oracle that
+        # yields HUGEINT where Spark wrote BIGINT fails the driver's gate
+        # even when the values coerce equal — so it must fail here too.
+        stypes = {c: str(t) for c, t in zip(scols, sdf.types)}
+        otypes = {c: str(t) for c, t in zip(ocols, odf.types)}
+        # Widths <= 64 bits all land in the driver's int64 hash lane —
+        # only HUGEINT (int128) escapes it (that's what broke q27 in r1).
+        I64 = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER"}
+        def same(a, b):
+            if a == b:
+                return True
+            if a in I64 and b in I64:
+                return True
+            # TIMESTAMP vs TIMESTAMP_NS is a storage-granularity split
+            # the driver normalizes (both sides parquet-nanos); allow.
+            return a.startswith("TIMESTAMP") and b.startswith("TIMESTAMP")
+        tmis = {c: (stypes[c], otypes[c]) for c in stypes
+                if not same(stypes[c], otypes[c])}
+        if tmis:
+            print(f"  FAIL  {name}: dtype mismatch (spark,oracle): {tmis}")
+            n_fail += 1
+            continue
         sidx = [scols.index(c) for c in sorted(scols)]
         oidx = [ocols.index(c) for c in sorted(ocols)]
         s = [tuple(norm(r[i]) for i in sidx) for r in srows]
