@@ -33,7 +33,13 @@ object ScaleSmoke {
         .drop("i")
 
     var t0 = System.nanoTime()
-    (0 until batches).foreach(b => topic.publish(mkBatch(b)))
+    // per-batch timings expose whether append cost grows with log size
+    // (it must not: offset bases come from the sidecar, not a scan)
+    val batchSecs = (0 until batches).map { b =>
+      val tb = System.nanoTime()
+      topic.publish(mkBatch(b))
+      (System.nanoTime() - tb) / 1e9
+    }
     val publishSec = (System.nanoTime() - t0) / 1e9
 
     t0 = System.nanoTime()
@@ -64,7 +70,9 @@ object ScaleSmoke {
     val compactSec = (System.nanoTime() - t0) / 1e9
     val compacted = topic.read().count()
 
+    val batchJson = batchSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
     println(f"""{"records":$total,"publish_sec":$publishSec%.2f,""" +
+      s""""publish_batch_secs":$batchJson,""" +
       f""""full_scan_sec":$fullScanSec%.2f,"tail_replay_rows":$tail,""" +
       f""""tail_replay_sec":$tailSec%.2f,""" +
       f""""stream_drain_rows":$streamedRows,"stream_drain_sec":$streamSec%.2f,""" +

@@ -1,6 +1,7 @@
 package graft.log
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,46 +9,117 @@ import org.apache.spark.sql.functions._
   * (kafkaish `src/topic.js`): an append-only, partitioned log with
   * monotonic per-partition offsets, named durable subscribers with
   * acked watermarks, replay-from-offset, head lookup, compaction and
-  * retention.
+  * retention (offset-, time- and size-capped).
   *
   * Mapping from the reference (cited file:line):
   *  - topic = capped collection            -> partitioned parquet log dir
-  *    (`topic.js:266-296` create)             `<path>/log/log_part=N/`
+  *    (`topic.js:266-296` create)             `<path>/log/log_part=N/log_date=D/`
   *  - `_id` monotonic ObjectId             -> `offset` long, monotonic per
   *                                            `log_part` (Kafka-style)
-  *  - publish (`topic.js:26-41`)           -> [[publish]] batch append
+  *  - publish w/ confirm (`topic.js:26-41`)-> [[publish]] batch append,
+  *    returns the assigned per-partition offset ranges (the reference's
+  *    insert callback returning the stored doc)
   *  - ack upsert (`topic.js:198-223`)      -> [[ack]] subscriber watermark
   *  - replay from last ack                 -> [[replay]] offset-predicate
   *    (`topic.js:142-197` replayFrom)         scan, pushed to parquet
-  *  - latest() head (`topic.js:224-250`)   -> [[latest]]
-  *  - capped-size retention (`topic.js:8`) -> [[retainFrom]] trim by offset
+  *  - latest() head (`topic.js:224-250`)   -> [[latest]] / [[heads]]
+  *  - capped-size retention (`topic.js:8`) -> [[retainToSize]] oldest-file
+  *    drop; plus [[retainAfter]] (time) and [[retainFrom]] (offset)
   *  - (Kafka analogue, not in reference)   -> [[compact]] latest-per-key
   *
-  * Scale design: offsets need no global coordination — each log_part
-  * numbers independently (base = current per-partition head, read from
-  * a head aggregate that is O(partitions) via parquet column stats, not
-  * O(log)). Appends are new files only; compaction/retention rewrite a
-  * partition at a time. Replay is `offset > watermark` + event filter,
-  * both pushed into the parquet scan, so a subscriber reading the tail
-  * of a 100 TB topic scans only the tail row groups.
+  * Scale design:
+  *  - Offsets need no global coordination — each log_part numbers
+  *    independently. Current heads live in a tiny `_offsets.json`
+  *    sidecar maintained by every mutation, so [[heads]] and therefore
+  *    [[publish]] are O(partitions) metadata reads — the log itself is
+  *    NEVER scanned to assign offsets (a cold sidecar falls back to a
+  *    one-time scan and writes the sidecar).
+  *  - [[publish]]'s per-partition record counts are collected with an
+  *    [[org.apache.spark.sql.Observation]] piggybacked on the write
+  *    job — no second pass over the batch, no read-back.
+  *  - The log is laid out `log_part=N/log_date=D`, so time retention is
+  *    a DIRECTORY DROP for whole days (plus a rewrite of the single
+  *    boundary date), and compaction/offset-retention swap only the
+  *    affected `log_part` subtrees; untouched partitions' files are
+  *    byte-identical afterwards.
+  *  - Directory swaps are crash-safe: live dirs are renamed aside
+  *    before the staged result moves in, and [[recover]] (run on open)
+  *    rolls a torn swap back, so a crash never leaves the log absent.
+  *    Single writer per topic assumed (same as the reference).
+  *  - Replay is `offset > watermark` + event filter, both pushed into
+  *    the parquet scan, so a subscriber reading the tail of a 100 TB
+  *    topic scans only the tail row groups.
   */
 final class TopicLog(val spark: SparkSession, val path: String, val numPartitions: Int = 8) {
 
   private val logDir = s"$path/log"
   private val subsDir = s"$path/subscribers"
+  private val headsPath = s"$path/_offsets.json"
+
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  recover()
   new java.io.File(logDir).mkdirs() // prepareTopic creates the topic infra
 
-  /** Current per-partition head offsets (−1 when empty). O(partitions)
-    * work: min/max come from parquet footer stats, no data scan. */
-  def heads(): Map[Int, Long] =
+  // ---------------------------------------------------------------- heads
+
+  /** Current per-partition head offsets (−1 when empty): an
+    * O(partitions) read of the `_offsets.json` sidecar — no log scan.
+    * A missing sidecar (e.g. a pre-sidecar log) is rebuilt once from a
+    * full scan and persisted. Heads survive retention: a fully-trimmed
+    * partition keeps its head so offsets stay monotonic forever (Kafka's
+    * log-end-offset semantics). */
+  def heads(): Map[Int, Long] = readSidecar().getOrElse {
+    val scanned = scanHeads()
+    writeSidecar(scanned)
+    scanned
+  }
+
+  private def scanHeads(): Map[Int, Long] =
     read().groupBy(col("log_part")).agg(max(col("offset")).as("head"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Sidecar format: one `p:head` pair per line — trivially parseable,
+    * atomically replaced via tmp+rename. */
+  private def writeSidecar(heads: Map[Int, Long]): Unit = {
+    val tmp = new Path(headsPath + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(heads.toSeq.sorted.map { case (p, h) => s"$p:$h" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(new Path(headsPath), false)
+    fs.rename(tmp, new Path(headsPath))
+  }
+
+  private def readSidecar(): Option[Map[Int, Long]] = {
+    val p = new Path(headsPath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split(":")
+        k.toInt -> v.toLong
+      }.toMap)
+    }
+  }
+
+  // -------------------------------------------------------------- publish
 
   /** Publish a batch of records: columns (event, key, message, ts).
     * Assigns log_part = pmod(hash(key)) and per-partition monotonic
     * offsets continuing from the current heads. The whole batch is
-    * appended atomically-enough for a single writer (new files only). */
-  def publish(records: DataFrame): Unit = {
+    * appended atomically-enough for a single writer (new files only).
+    *
+    * Returns the assigned offsets as log_part -> (base, count): the
+    * batch's records in partition p received offsets
+    * (base, base+count] — the reference's publish-confirm callback
+    * (`topic.js:25-40` returns the inserted doc). Counts come from an
+    * Observation on the write job itself — publishing does zero reads
+    * of the log. */
+  def publish(records: DataFrame): Map[Int, TopicLog.OffsetRange] = {
     val base = heads()
     val baseDf = spark.createDataFrame(
       java.util.Arrays.asList(
@@ -58,16 +130,31 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
         org.apache.spark.sql.types.StructField("base_offset", org.apache.spark.sql.types.LongType))))
     val w = Window.partitionBy(col("log_part"))
       .orderBy(col("ts"), col("event"), col("key"), col("message"))
+    val obs = Observation()
+    val counts = (0 until numPartitions).map(p =>
+      sum(when(col("log_part") === p, 1L).otherwise(0L)).as(s"n_$p"))
     records
       .withColumn("log_part",
         pmod(hash(coalesce(col("key"), col("message"))), lit(numPartitions)).cast("int"))
       .withColumn("seq", row_number().over(w).cast("long"))
       .join(broadcast(baseDf), Seq("log_part"))
       .withColumn("offset", col("base_offset") + col("seq"))
+      .withColumn("log_date", to_date(col("ts")))
       .select(col("offset"), col("ts"), col("event"), col("key"),
-        col("message"), col("log_part"))
-      .write.mode(SaveMode.Append).partitionBy("log_part").parquet(logDir)
+        col("message"), col("log_part"), col("log_date"))
+      .observe(obs, counts.head, counts.tail: _*)
+      .write.mode(SaveMode.Append)
+      .partitionBy("log_part", "log_date").parquet(logDir)
+    val got = obs.get
+    val ranges = (0 until numPartitions).flatMap { p =>
+      val n = got(s"n_$p") match { case null => 0L; case x: Number => x.longValue() }
+      if (n > 0) Some(p -> TopicLog.OffsetRange(base.getOrElse(p, -1L), n)) else None
+    }.toMap
+    writeSidecar(base ++ ranges.map { case (p, r) => p -> (r.base + r.count) })
+    ranges
   }
+
+  // ---------------------------------------------------------------- reads
 
   /** The full log as a DataFrame (partition-pruned reads downstream).
     * Explicit schema so empty (just-prepared) topics read as 0 rows. */
@@ -83,7 +170,9 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       col("message"), col("log_part")).as[TopicRecord]
   }
 
-  /** Head offset info, the reference's `latest()` (topic.js:224-250). */
+  /** Head offset info, the reference's `latest()` (topic.js:224-250).
+    * Includes live record counts, so this one scans (it's an analytics
+    * query; use [[heads]] for the O(partitions) offset-only path). */
   def latest(): DataFrame =
     read().groupBy(col("log_part"))
       .agg(max(col("offset")).as("head_offset"), count(lit(1)).as("n_records"))
@@ -110,20 +199,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     val merged = subscribers()
       .filter(!(col("name") === name && col("log_part").isin(watermarks.keys.toSeq: _*)))
       .union(newDf)
-    stageSwap(merged.coalesce(1), subsDir, partitioned = false)
-  }
-
-  /** Rewrite a directory we are also reading from: write to a staging
-    * dir, then atomically swap. Never materializes data on the driver. */
-  private def stageSwap(df: DataFrame, dir: String, partitioned: Boolean): Unit = {
-    val tmp = s"$dir.staging"
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (partitioned) writer.partitionBy("log_part") else writer).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    stageSwap(merged.coalesce(1), subsDir)
   }
 
   /** Replay for a durable subscriber (reference `replay`/`replayFrom`,
@@ -141,35 +217,169 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       .orderBy(col("log_part"), col("offset"))
   }
 
-  /** Kafka-style log compaction: keep only the latest record per key
-    * (per partition). Rewrites the log in place. */
-  def compact(): Unit = {
+  // ----------------------------------------------- compaction / retention
+
+  /** Kafka-style log compaction: keep only the latest record per key.
+    * Rewrites ONLY the given partitions' `log_part=N` subtrees (default
+    * all); other partitions' files are untouched (byte-identical). The
+    * head record of every partition is its key's latest, so heads are
+    * unchanged. */
+  def compact(partitions: Seq[Int] = 0 until numPartitions): Unit = {
+    val affected = partitions.distinct.filter(p =>
+      fs.exists(new Path(s"$logDir/log_part=$p")))
+    if (affected.isEmpty) return
     val w = Window.partitionBy(col("log_part"), col("key"))
       .orderBy(col("offset").desc)
     val compacted = read()
+      .filter(col("log_part").isin(affected: _*))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    stageSwap(compacted, logDir, partitioned = true)
+    swapLogSubdirs(compacted, affected.map(p => s"log_part=$p"))
   }
 
-  /** Time-based retention: drop records older than `minTs` (the
-    * wall-clock face of the capped collection, topic.js:8-10). At
-    * cluster scale the log would also be date-partitioned so this is a
-    * partition drop, not a rewrite. */
-  def retainAfter(minTs: java.sql.Timestamp): Unit =
-    stageSwap(read().filter(col("ts") >= lit(minTs)), logDir, partitioned = true)
+  /** Time-based retention: drop records with ts < minTs (the wall-clock
+    * face of the capped collection, topic.js:8-10). Whole days older
+    * than minTs's date are DIRECTORY DROPS (no read, no rewrite); only
+    * the single boundary `log_date` partition is rewritten, and only in
+    * partitions that have it. Heads (sidecar) are unchanged, so offsets
+    * stay monotonic even if a partition empties. */
+  def retainAfter(minTs: java.sql.Timestamp): Unit = {
+    heads() // materialize the sidecar before trimming (fallback = scan)
+    val cutoff = minTs.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val boundaryHasOlder =
+      minTs.toInstant != cutoff.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    var boundaryParts = List.empty[String]
+    listSubdirs(logDir, "log_part=").foreach { partDir =>
+      listSubdirs(partDir.toString, "log_date=").foreach { dateDir =>
+        val d = java.time.LocalDate.parse(
+          dateDir.getName.stripPrefix("log_date="))
+        if (d.isBefore(cutoff)) fs.delete(dateDir, true) // directory drop
+        else if (d == cutoff && boundaryHasOlder)
+          boundaryParts ::= s"${partDir.getName}/${dateDir.getName}"
+      }
+    }
+    if (boundaryParts.nonEmpty) {
+      val kept = read()
+        .filter(col("log_date") === lit(java.sql.Date.valueOf(cutoff.toString)))
+        .filter(col("ts") >= lit(minTs))
+      swapLogSubdirs(kept, boundaryParts)
+    }
+  }
 
-  /** Retention trim (the reference's capped-collection analogue,
-    * topic.js:8-10): drop records at or below the given per-partition
-    * offset watermarks. */
+  /** Offset-based retention trim: drop records strictly BELOW the given
+    * per-partition offset watermarks (records with offset >= the
+    * watermark survive). Rewrites only the named partitions' subtrees.
+    * Heads (sidecar) are unchanged. */
   def retainFrom(minOffsets: Map[Int, Long]): Unit = {
-    val trimmed = minOffsets.map { case (p, o) =>
-      col("log_part") === p && col("offset") >= o
-    }.reduceOption(_ || _).getOrElse(lit(false))
-    val untouched =
-      if (minOffsets.isEmpty) lit(true)
-      else !col("log_part").isin(minOffsets.keys.toSeq: _*)
-    stageSwap(read().filter(untouched || trimmed), logDir, partitioned = true)
+    heads() // materialize the sidecar before trimming
+    val affected = minOffsets.keys.toSeq.distinct.filter(p =>
+      fs.exists(new Path(s"$logDir/log_part=$p")))
+    if (affected.isEmpty) return
+    val keep = affected.map { p =>
+      col("log_part") === p && col("offset") >= minOffsets(p)
+    }.reduce(_ || _)
+    swapLogSubdirs(read().filter(keep), affected.map(p => s"log_part=$p"))
+  }
+
+  /** Size-capped retention — the reference's ONLY retention semantic
+    * (capped collection, default 5 MiB, oldest-drop; `topic.js:8-10`):
+    * delete oldest data files (by log_date, then file mtime) until the
+    * log's total size fits maxBytes. Pure file-listing metadata work —
+    * NO data is read or rewritten, newest records always survive, and
+    * offsets/heads are stable (sidecar untouched). */
+  def retainToSize(maxBytes: Long): Unit = {
+    heads() // materialize the sidecar before trimming
+    case class DataFile(p: Path, date: String, mtime: Long, size: Long)
+    val files = listSubdirs(logDir, "log_part=").flatMap { partDir =>
+      listSubdirs(partDir.toString, "log_date=").flatMap { dateDir =>
+        fs.listStatus(dateDir).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .map(st => DataFile(st.getPath, dateDir.getName,
+            st.getModificationTime, st.getLen))
+      }
+    }
+    var excess = files.map(_.size).sum - maxBytes
+    files.sortBy(f => (f.date, f.mtime, f.p.toString)).foreach { f =>
+      if (excess > 0) { fs.delete(f.p, false); excess -= f.size }
+    }
+    // drop now-empty date/part dirs so future listings stay tight
+    listSubdirs(logDir, "log_part=").foreach { partDir =>
+      listSubdirs(partDir.toString, "log_date=").foreach { dateDir =>
+        if (fs.listStatus(dateDir).forall(st =>
+          st.isFile && st.getPath.getName.startsWith("_")))
+          fs.delete(dateDir, true)
+      }
+    }
+  }
+
+  // ------------------------------------------------------ swap machinery
+
+  private def listSubdirs(dir: String, prefix: String): Seq[Path] = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+  }
+
+  /** Rewrite exactly the given partition subdirs (relative to logDir)
+    * with df's output; everything else is untouched. Crash-safe per
+    * subdir: live is renamed to `<dir>.old` before staging moves in;
+    * [[recover]] rolls back any torn swap. */
+  private def swapLogSubdirs(df: DataFrame, subdirs: Seq[String]): Unit = {
+    val tmp = s"$logDir.staging"
+    fs.delete(new Path(tmp), true)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy("log_part", "log_date").parquet(tmp)
+    subdirs.foreach { rel =>
+      val live = new Path(s"$logDir/$rel")
+      val stag = new Path(s"$tmp/$rel")
+      val old = new Path(s"$logDir/$rel.old")
+      fs.delete(old, true)
+      if (fs.exists(live)) fs.rename(live, old)
+      if (fs.exists(stag)) { fs.mkdirs(live.getParent); fs.rename(stag, live) }
+      fs.delete(old, true)
+    }
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** Rewrite a whole directory we are also reading from (subscribers):
+    * stage, rename live aside, move staging in, drop the old copy.
+    * A crash mid-swap leaves `<dir>.old` for [[recover]] to roll back —
+    * the target is only ever absent inside the two-rename window that
+    * recovery repairs. */
+  private def stageSwap(df: DataFrame, dir: String): Unit = {
+    val tmp = new Path(s"$dir.staging")
+    fs.delete(tmp, true)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val target = new Path(dir)
+    val old = new Path(s"$dir.old")
+    fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
+  }
+
+  /** Roll back any swap a crash tore mid-flight: a `<dir>.old` (or
+    * `log_part=N.old` / `log_date=D.old`) whose live twin is missing is
+    * renamed back; leftover `.old`/`.staging` dirs with a healthy live
+    * twin are droppable garbage. Compaction/retention are idempotent,
+    * so rolling BACK is always safe — the caller just re-runs. */
+  private def recover(): Unit = {
+    def heal(dir: Path): Unit = {
+      if (!fs.exists(dir)) return
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".old")) {
+          val live = new Path(dir, n.stripSuffix(".old"))
+          if (!fs.exists(live)) fs.rename(st.getPath, live)
+          else fs.delete(st.getPath, true)
+        } else if (n.endsWith(".staging")) fs.delete(st.getPath, true)
+      }
+    }
+    heal(new Path(path))                 // log.old / subscribers.old
+    heal(new Path(logDir))               // log_part=N.old
+    listSubdirs(logDir, "log_part=").foreach(heal) // log_date=D.old
   }
 }
 
@@ -185,17 +395,27 @@ case class TopicRecord(
 object TopicLog {
   import org.apache.spark.sql.types._
 
-  /** Canonical log record schema (SURVEY.md §3). `log_part` is the
-    * physical partition directory column — it must come LAST: the
-    * streaming file source emits rows as dataSchema ++ partitionSchema,
-    * and a user schema in any other order silently misaligns columns. */
+  /** The offsets a publish assigned in one partition: records got
+    * offsets (base, base + count] — base is the partition's previous
+    * head (−1 for a fresh partition). */
+  case class OffsetRange(base: Long, count: Long) {
+    def first: Long = base + 1
+    def last: Long = base + count
+  }
+
+  /** Canonical log record schema (SURVEY.md §3). `log_part`/`log_date`
+    * are the physical partition directory columns — they must come LAST
+    * and in partitionBy order: the streaming file source emits rows as
+    * dataSchema ++ partitionSchema, and a user schema in any other
+    * order silently misaligns columns. */
   val SCHEMA: StructType = StructType(Seq(
     StructField("offset", LongType),
     StructField("ts", TimestampType),
     StructField("event", StringType),
     StructField("key", StringType),
     StructField("message", StringType),
-    StructField("log_part", IntegerType)))
+    StructField("log_part", IntegerType),
+    StructField("log_date", DateType)))
 
   /** prepareTopic (reference connection.js:40-56). */
   def prepare(spark: SparkSession, path: String, numPartitions: Int = 8): TopicLog =

@@ -85,6 +85,7 @@ object TopicStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         topic.publish(batch.select(col("event"), col("key"),
           col("message"), col("ts")))
+        ()
       }
 
   /** Stream-stream correlation join of two live topics: records with

@@ -106,6 +106,161 @@ class TopicLogSpec extends AnyFunSuite {
     assert(left.forall(!_.getAs[java.sql.Timestamp]("ts").before(cutoff)))
   }
 
+  // ---- round-2: sidecar, publish-confirm, partition-scoped rewrites ----
+
+  /** Snapshot of a subtree's data files: path -> (size, mtime). */
+  private def fileSnapshot(dir: java.io.File): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    if (!dir.exists()) Map.empty
+    else walk(dir).filterNot(_.getName.startsWith("_"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("publish returns the assigned offset ranges (publish-confirm)") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    val h0 = topic.heads()
+    assert(h0.isEmpty)
+    val r1 = topic.publish(mkRecords(50))
+    assert(r1.values.map(_.count).sum == 50)
+    r1.foreach { case (p, r) => assert(r.base == -1L && r.first == 0L) }
+    val h1 = topic.heads()
+    assert(h1 == r1.map { case (p, r) => p -> r.last })
+    val r2 = topic.publish(mkRecords(30, startId = 50))
+    assert(r2.values.map(_.count).sum == 30)
+    // ranges continue exactly from the prior heads
+    r2.foreach { case (p, r) => assert(r.base == h1(p), s"part $p base") }
+    assert(topic.heads() == h1 ++ r2.map { case (p, r) => p -> r.last })
+  }
+
+  test("heads and publish use the sidecar, not a log scan") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(40))
+    val h1 = topic.heads()
+    // hide the entire log: a scanning implementation now sees 0 records
+    // and would restart offsets at 0; the sidecar keeps the real heads.
+    val log = new java.io.File(s"$dir/log")
+    val hidden = new java.io.File(s"$dir/log-hidden")
+    assert(log.renameTo(hidden))
+    assert(topic.heads() == h1, "heads() must come from the sidecar")
+    val r = topic.publish(mkRecords(10, startId = 40))
+    r.foreach { case (p, rng) =>
+      assert(rng.base == h1(p), s"publish must base offsets on the sidecar (part $p)")
+    }
+  }
+
+  test("cold sidecar is rebuilt from a one-time scan") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(20))
+    val h = topic.heads()
+    // simulate a pre-sidecar log (or lost sidecar)
+    assert(new java.io.File(s"$dir/_offsets.json").delete())
+    assert(topic.heads() == h)
+    assert(new java.io.File(s"$dir/_offsets.json").exists(), "sidecar rebuilt")
+  }
+
+  test("recover() heals a swap torn between the two renames") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(20))
+    val n = topic.read().count()
+    // crash state: live renamed aside, staging never moved in
+    val log = new java.io.File(s"$dir/log")
+    assert(log.renameTo(new java.io.File(s"$dir/log.old")))
+    val reopened = TopicLog.prepare(spark, dir, numPartitions = 2)
+    assert(reopened.read().count() == n, "rolled back from log.old")
+    // partition-level tear
+    val parts = new java.io.File(s"$dir/log").listFiles()
+      .filter(_.getName.startsWith("log_part=")).sortBy(_.getName)
+    val p0 = parts.head
+    assert(p0.renameTo(new java.io.File(p0.getPath + ".old")))
+    val again = TopicLog.prepare(spark, dir, numPartitions = 2)
+    assert(again.read().count() == n, "rolled back log_part .old")
+  }
+
+  test("compact touches only the requested partitions") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publish(mkRecords(100))
+    val partsDir = new java.io.File(s"$dir/log")
+    val others = partsDir.listFiles().filter(f =>
+      f.getName.startsWith("log_part=") && f.getName != "log_part=0")
+    val before = others.map(f => f.getName -> fileSnapshot(f)).toMap
+    topic.compact(Seq(0))
+    others.foreach { f =>
+      assert(fileSnapshot(f) == before(f.getName),
+        s"${f.getName} files must be byte-identical after compact(Seq(0))")
+    }
+    // partition 0 is compacted: one record per key
+    val p0 = topic.read().filter(col("log_part") === 0)
+    assert(p0.count() == p0.select("key").distinct().count())
+    // other partitions still hold their full history
+    assert(topic.read().filter(col("log_part") =!= 0).count() > 5)
+  }
+
+  test("time retention drops whole old days, rewrites only the boundary") {
+    import spark.implicits._
+    val day = 86400000L
+    val base = 1700000000000L // 2023-11-14 22:13:20 UTC
+    val recs = (0 until 90).map { i =>
+      (s"evt-${i % 3}", s"key-${i % 5}", s"""{"i":$i}""",
+        new java.sql.Timestamp(base + (i / 30) * day + (i % 30) * 1000L))
+    }.toDF("event", "key", "message", "ts")
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(recs)
+    val dates = new java.io.File(s"$dir/log").listFiles()
+      .filter(_.getName.startsWith("log_part="))
+      .flatMap(_.listFiles()).map(_.getName).distinct.sorted
+    assert(dates.length == 3, s"expected 3 date dirs, got ${dates.mkString(",")}")
+    // snapshot the NEWEST day's files; cut mid-second-day
+    val newestSnap = fileSnapshot(new java.io.File(s"$dir/log"))
+      .filter(_._1.contains(dates.last))
+    val cutoff = new java.sql.Timestamp(base + day + 15 * 1000L)
+    topic.retainAfter(cutoff)
+    val after = fileSnapshot(new java.io.File(s"$dir/log"))
+    assert(after.filter(_._1.contains(dates.last)) == newestSnap,
+      "newest day's files must be untouched (byte-identical)")
+    assert(!after.keys.exists(_.contains(dates.head)), "oldest day dir dropped")
+    val left = topic.read().collect()
+    assert(left.forall(!_.getAs[java.sql.Timestamp]("ts").before(cutoff)))
+    assert(left.length == 15 + 30)
+    // heads survive retention (offsets stay monotonic)
+    assert(topic.heads().nonEmpty)
+  }
+
+  test("retainToSize caps the log like the reference's capped collection") {
+    import spark.implicits._
+    val day = 86400000L
+    val base = 1700000000000L
+    val recs = (0 until 300).map { i =>
+      (s"evt-${i % 3}", s"key-${i % 5}", s"""{"i":$i,"pad":"${"x" * 200}"}""",
+        new java.sql.Timestamp(base + (i / 100) * day + (i % 100) * 1000L))
+    }.toDF("event", "key", "message", "ts")
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(recs)
+    val h = topic.heads()
+    def logSize(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(logSize).sum
+      else if (f.getName.startsWith("_")) 0L else f.length()
+    val full = logSize(new java.io.File(s"$dir/log"))
+    val budget = full / 2
+    topic.retainToSize(budget)
+    assert(logSize(new java.io.File(s"$dir/log")) <= budget, "size within budget")
+    val left = topic.read()
+    // the newest records survive (oldest-drop, like the capped collection)
+    val maxI = left.select(get_json_object(col("message"), "$.i").cast("int").as("i"))
+      .agg(max("i")).head().getInt(0)
+    assert(maxI == 299, "newest record must survive")
+    assert(left.count() > 0 && left.count() < 300)
+    // offsets and heads are stable (no renumbering)
+    assert(topic.heads() == h)
+  }
+
   test("retention trims below the watermark, like a capped collection") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
