@@ -34,10 +34,11 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
 
-  /** RHP-LSH bucket assignment (the q54 operator) for any
-    * (vec_id, embedding) frame. */
-  def rhpBuckets(emb: DataFrame): DataFrame = {
-    val bitCols = (0 until RHP_PLANES).map { p =>
+  /** RHP-LSH sign-sketch assignment (the q54 operator) for any
+    * (vec_id, embedding) frame: `planes` sign bits packed in a long.
+    * Scan-side folds over literal plane vectors — zero shuffle. */
+  def rhpBuckets(emb: DataFrame, planes: Int = RHP_PLANES): DataFrame = {
+    val bitCols = (0 until planes).map { p =>
       val plane = array((0 until RHP_DIMS).map(d => lit(rhpCoef(p, d))): _*)
       val dot = aggregate(
         zip_with(col("embedding"), plane, (x, c) => x.cast("double") * c),
@@ -45,6 +46,38 @@ object Similarity {
       when(round(dot, 6) >= 0.0, 1L << p).otherwise(0L)
     }
     emb.withColumn("bucket", bitCols.reduce(_ + _))
+  }
+
+  /** LSH band-blocking keys for near-dup search: a `planes`-bit RHP
+    * sketch split into `bands` equal bit-blocks; output one
+    * (vec_id, band, bv) row per band. Two vectors are candidates iff
+    * they agree on ALL bits of at least one band — the classic
+    * banding trade: P(candidate) = 1-(1-s^r)^b for per-plane sign
+    * agreement s and r = planes/bands bits per band. With 32 planes in
+    * 4×8-bit bands, true near-dups (cos >= 0.9, s ~ 0.86) collide with
+    * p ~ 0.9 while random isotropic pairs (s ~ 0.5) collide with
+    * p ~ 4/256 — candidates are ~n²/64, not n². */
+  def rhpBandBlocks(emb: DataFrame, planes: Int = 32, bands: Int = 4): DataFrame = {
+    val bits = planes / bands
+    val mask = (1L << bits) - 1
+    rhpBuckets(emb, planes).select(col("vec_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("bucket"), bits * b).bitwiseAND(mask).as("bv"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
+  /** Band-blocked candidate pairs (vec_a < vec_b), deduped across
+    * bands. The self-join key (band, bv) is uniform over
+    * bands × 2^bits values — no skew, and the join touches only
+    * colliding pairs. */
+  def rhpCandidatePairs(emb: DataFrame, planes: Int = 32, bands: Int = 4): DataFrame = {
+    val bb = rhpBandBlocks(emb, planes, bands)
+    bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -117,23 +150,27 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
     "q53_embedding_near_dup" -> ((s, dir) => {
-      // Embedding-cosine near-duplicate pairs, cell-blocked: candidates
-      // only within the same label cell (the IVF blocking key), scored
-      // by the native codegen'd cosine. Threshold 0.3 because this
-      // synthetic corpus is isotropic (in-label cosines top out ~0.47);
-      // a real near-dup sweep would sit at ~0.95. At corpus scale the
-      // block join replaces an all-pairs cartesian with per-cell
-      // self-joins on a uniform key.
+      // Embedding-cosine near-duplicate pairs, LSH-band-blocked:
+      // candidates come from 4×8-bit bands of a 32-plane RHP sketch
+      // (NOT from a low-cardinality attribute key), then only the
+      // colliding pairs are scored by the native codegen'd cosine.
+      // Candidate volume is ~n²/64 with a uniform join key, so the
+      // sweep survives a 100× corpus; an attribute-blocked self-join
+      // (e.g. on the 10-value label) would be near-quadratic and
+      // skewed. Threshold 0.3 because this synthetic corpus is
+      // isotropic (pair cosines top out ~0.5); a real near-dup sweep
+      // sits at ~0.95, where band recall is ~0.9.
       val emb = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding"))
-      emb.as("a").join(emb.as("b"),
-          col("a.label") === col("b.label")
-            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      rhpCandidatePairs(emb)
+        .join(emb.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea")), Seq("vec_a"))
+        .join(emb.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb")), Seq("vec_b"))
         .withColumn("cos", round(call_function("cosine_sim",
-          col("a.embedding"), col("b.embedding")), 6))
+          col("ea"), col("eb")), 6))
         .filter(col("cos") >= 0.3)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.label").as("label"), col("cos"))
+        .select(col("vec_a"), col("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -175,18 +212,42 @@ object Similarity {
         |SELECT vec_id, label, CAST(bucket AS BIGINT) AS bucket
         |FROM bits ORDER BY vec_id""".stripMargin,
     "q53_embedding_near_dup" ->
-      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      """WITH planes AS (
+        |  SELECT pp.p, dd.d,
+        |    ('0x'||substr(md5(pp.p||':'||dd.d),1,8))::BIGINT / 2147483648.0 - 1.0 AS coef
+        |  FROM (SELECT UNNEST(generate_series(0,31)) AS p) pp,
+        |       (SELECT UNNEST(generate_series(0,63)) AS d) dd),
+        |ex AS (
+        |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS d
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT ex.vec_id, pl.p, SUM(ex.v * pl.coef) AS dot
+        |  FROM ex JOIN planes pl ON ex.d = pl.d GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN ROUND(dot, 6) >= 0.0
+        |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1),
+        |bands AS (
+        |  SELECT vec_id, bb.band, (bucket >> (8 * bb.band)) & 255 AS bv
+        |  FROM sk, (SELECT UNNEST(generate_series(0,3)) AS band) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
         |p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  SELECT c.vec_a, c.vec_b,
         |    ROUND(
         |     (SELECT SUM(CAST(x.u AS DOUBLE)*CAST(x.v AS DOUBLE))
-        |      FROM (SELECT UNNEST(a.embedding) AS u, UNNEST(b.embedding) AS v) x)
+        |      FROM (SELECT UNNEST(ea.embedding) AS u, UNNEST(eb.embedding) AS v) x)
         |     / (SQRT((SELECT SUM(CAST(x.u AS DOUBLE)*CAST(x.u AS DOUBLE))
-        |              FROM (SELECT UNNEST(a.embedding) AS u) x))
+        |              FROM (SELECT UNNEST(ea.embedding) AS u) x))
         |      * SQRT((SELECT SUM(CAST(x.v AS DOUBLE)*CAST(x.v AS DOUBLE))
-        |              FROM (SELECT UNNEST(b.embedding) AS v) x))), 6) AS cos
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, label, cos FROM p
+        |              FROM (SELECT UNNEST(eb.embedding) AS v) x))), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+        |SELECT vec_a, vec_b, cos FROM p
         |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q51_embedding_stats" ->

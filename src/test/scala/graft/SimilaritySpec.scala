@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Scale-shape and recall guarantees of the RHP-band blocking behind
+  * q53_embedding_near_dup (VERDICT round-1 item 4: the near-dup sweep
+  * must not block on a low-cardinality attribute key).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("q53 candidate pairs are far below an attribute-blocked self-join") {
+    val emb = GraftSession.table(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Similarity.rhpCandidatePairs(emb).count()
+    // the old label-blocked plan produced ~n^2/10 candidates; band
+    // blocking must beat that by a wide margin (theory: ~n^2/64)
+    assert(cands < allPairs / 20,
+      s"candidates $cands not << n^2/10 = ${allPairs / 10} (n=$n)")
+    assert(cands > 0, "blocking must still produce candidates")
+  }
+
+  test("band blocking recalls planted near-duplicates (cos >= 0.95)") {
+    import spark.implicits._
+    // deterministic corpus: 200 seeded random base vectors, plus a
+    // small-perturbation twin for the first 40 (true near-dups)
+    val rnd = new scala.util.Random(42)
+    val bases = (0 until 200).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val twins = bases.take(40).map { case (i, v) =>
+      (1000 + i, v.map(x => x + (rnd.nextDouble() * 0.04 - 0.02).toFloat))
+    }
+    val emb = (bases ++ twins).toDF("vec_id", "embedding")
+    // confirm the planted pairs really are near-dups
+    val planted = bases.take(40).map(_._1).toSet
+    val pairCos = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") + 1000 === col("b.vec_id"))
+      .selectExpr("a.vec_id AS vec_a", "cosine_sim(a.embedding, b.embedding) AS c")
+      .collect()
+    assert(pairCos.forall(_.getDouble(1) > 0.95), "planted twins must be near-dups")
+    val cands = Similarity.rhpCandidatePairs(emb)
+      .filter(col("vec_b") === col("vec_a") + 1000)
+      .filter(col("vec_a").isin(planted.toSeq: _*))
+      .count()
+    // banding theory at s~0.95 sign agreement: P(collide) ~ 0.95^8 per
+    // band, 1-(1-p)^4 ~ 0.93 overall; assert a safe 80%
+    assert(cands >= 32, s"recall too low: $cands/40 planted pairs collided")
+  }
+}
