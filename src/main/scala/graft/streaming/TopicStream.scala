@@ -2,10 +2,34 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.Row
 
 import graft.log.TopicLog
+
+/** Handle for a named live subscription — the reference's subscription
+  * object (`topic.js:110-116` unsubscribe, `topic.js:20-24` close).
+  * The acked watermarks are written per micro-batch AFTER the user's
+  * processing function runs (at-least-once), so [[unsubscribe]] only
+  * has to stop the query: the batch-path [[graft.log.TopicLog.replay]]
+  * and the streaming [[TopicStream.replayThenLive]] both resume
+  * exactly after the last processed record. */
+final class Subscription private[streaming] (
+    val topic: TopicLog, val name: String, val query: StreamingQuery) {
+
+  def isActive: Boolean = query.isActive
+
+  /** Block until every record published so far has been processed and
+    * acked (test/drain aid; the reference's flush-before-unsubscribe). */
+  def drain(): Unit = query.processAllAvailable()
+
+  /** Stop tailing. Acks already persisted stay; a later subscribe or
+    * replay under the same name continues after them. */
+  def unsubscribe(): Unit = {
+    if (query.isActive) query.stop()
+    query.awaitTermination()
+  }
+}
 
 /** Structured-Streaming face of a [[graft.log.TopicLog]] — the live
   * half of the reference's subscribe semantics (kafkaish
@@ -87,6 +111,35 @@ object TopicStream {
           col("message"), col("ts")))
         ()
       }
+
+  /** The reference's `subscribe(event, name, callback)` in full
+    * (topic.js:89-117): drain the named subscriber's backlog, keep
+    * tailing live, run `process` on every micro-batch, and ack the
+    * batch's max offsets per partition AFTER processing succeeds
+    * (at-least-once — a crash between process and ack redelivers).
+    * Returns a [[Subscription]] handle; its `unsubscribe()` stops the
+    * tail and the persisted acks let `replay(name)` pick up exactly
+    * where processing stopped. */
+  def subscribeDurable(topic: TopicLog, name: String,
+      checkpointDir: String, event: Option[String] = None)
+      (process: DataFrame => Unit): Subscription = {
+    val stream = replayThenLive(topic, name, event)
+    val query = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          process(b.toDF())
+          val marks = b.groupBy(col("log_part"))
+            .agg(max(col("offset")).as("o"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          if (marks.nonEmpty) topic.ack(name, marks)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+    new Subscription(topic, name, query)
+  }
 
   /** Stream-stream correlation join of two live topics: records with
     * the same key where the right event lands within `within` after the

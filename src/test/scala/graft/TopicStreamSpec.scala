@@ -197,4 +197,42 @@ class TopicStreamSpec extends AnyFunSuite {
       assert(rows.head.getAs[Int]("nEvents") == 5)
     } finally q.stop()
   }
+
+  test("subscription handle: unsubscribe acks, replay resumes exactly after") {
+    val dir = Files.createTempDirectory("stream").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publish(mkRecords(50))
+    val processed = new java.util.concurrent.atomic.AtomicLong(0)
+    val sub = TopicStream.subscribeDurable(topic, "worker", ckpt) { batch =>
+      processed.addAndGet(batch.count()); ()
+    }
+    try {
+      sub.drain()
+      assert(sub.isActive)
+      assert(processed.get() == 50, s"backlog drained: ${processed.get()}")
+      // live tail still delivers (and acks) post-subscribe publishes
+      topic.publish(mkRecords(10, startId = 50))
+      sub.drain()
+      assert(processed.get() == 60)
+    } finally sub.unsubscribe()
+    assert(!sub.isActive)
+    // post-unsubscribe publishes are NOT processed...
+    topic.publish(mkRecords(30, startId = 60))
+    assert(processed.get() == 60)
+    // ...and the batch-path replay returns EXACTLY those records
+    val replayed = topic.replay("worker").collect()
+    assert(replayed.length == 30, s"replay rows: ${replayed.length}")
+    val got = topic.replay("worker")
+      .select(get_json_object(col("message"), "$.i").cast("int").as("i"))
+      .collect().map(_.getInt(0)).sorted
+    assert(got.sameElements(60 until 90), "exactly the post-unsubscribe ids")
+    // a fresh subscription under the same name resumes after the acks
+    val ckpt2 = Files.createTempDirectory("ckpt").toString
+    val n2 = new java.util.concurrent.atomic.AtomicLong(0)
+    val sub2 = TopicStream.subscribeDurable(topic, "worker", ckpt2) { b =>
+      n2.addAndGet(b.count()); ()
+    }
+    try { sub2.drain(); assert(n2.get() == 30) } finally sub2.unsubscribe()
+  }
 }
