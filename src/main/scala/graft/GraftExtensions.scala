@@ -25,5 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (exprs: Seq[Expression]) => SimHashAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash64_agg"),
+      (exprs: Seq[Expression]) =>
+        SimHashAgg(exprs.head, bits = 64).toAggregateExpression()))
   }
 }

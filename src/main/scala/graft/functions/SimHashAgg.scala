@@ -8,22 +8,26 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** Custom Catalyst aggregate: 16-bit SimHash of a stream of 32-bit
-  * token hashes, accumulated in ONE mutable 16-counter buffer instead
-  * of 16 separate SUM(CASE...) columns — a single pass per row, compact
+/** Custom Catalyst aggregate: `bits`-wide SimHash of a stream of token
+  * hashes, accumulated in ONE mutable counter buffer instead of `bits`
+  * separate SUM(CASE...) columns — a single pass per row, compact
   * partial-aggregation state, and mergeable across partitions
   * (map-side combine works as usual).
   *
-  * `simhash_agg(hash_col)` == the declarative 16-column formulation
-  * (see Dedup.simhash); the equivalence is spec-verified.
+  * Registered twice: `simhash_agg(hash_col)` (16-bit, over the 32-bit
+  * portable hash) and `simhash64_agg(hash_col)` (64-bit, over the
+  * packed 64-bit portable hash). Each == its declarative SUM-column
+  * formulation (see Dedup.simhash / Dedup.simhash64); the equivalences
+  * are spec-verified.
   */
 case class SimHashAgg(
     child: Expression,
+    bits: Int = 16,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]] {
 
-  private val BITS = 16
+  private val BITS = bits
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -84,5 +88,6 @@ case class SimHashAgg(
       newChildren: IndexedSeq[Expression]): SimHashAgg =
     copy(child = newChildren.head)
 
-  override def prettyName: String = "simhash_agg"
+  override def prettyName: String =
+    if (bits == 64) "simhash64_agg" else "simhash_agg"
 }

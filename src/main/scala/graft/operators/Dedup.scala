@@ -159,6 +159,70 @@ object Dedup {
       .agg(call_function("simhash_agg", col("h")).as("simhash16"))
       .withColumn("bucket", expr("simhash16 div 256"))
 
+  /** Upper 32 bits of the portable hash (md5 hex chars 9-16) — together
+    * with [[baseHash]] this gives 64 independent portable bits. */
+  def baseHashHi(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  /** doc_id, simhash64, band0..band3: 64-bit SimHash (corpus-scale
+    * fingerprint — 16 bits saturates at ~10^5 docs; 64 bits keeps
+    * near-dup hamming gaps meaningful at 10^9+) plus 4x16-bit band
+    * blocking keys. A pair within hamming distance 3 ALWAYS shares at
+    * least one clean band (pigeonhole over 4 bands), so band blocking
+    * has recall 1 for tight near-dups without an all-pairs pass.
+    * Band keys are built from the bit votes directly (values in
+    * [0, 65535]) so neither engine shifts into the sign bit. */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .withColumn("lo", baseHash(col("tok")))
+      .withColumn("hi", baseHashHi(col("tok")))
+    val bitAggs = (0 until 64).map { i =>
+      val src = if (i < 32) shiftright(col("lo"), i)
+                else shiftright(col("hi"), i - 32)
+      sum(when(src.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    // Ascending bit order: positives (bits 0-62) accumulate to at most
+    // Long.MaxValue before the bit-63 term (Long.MinValue) lands, so the
+    // sum never overflows under ANSI semantics in either engine.
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val bandCols = (0 until 4).map { b =>
+      (0 until 16).map(j =>
+        when(col(s"b${16 * b + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"band$b")
+    }
+    toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id") +: fp.as("simhash64") +: bandCols: _*)
+  }
+
+  /** Same 64-bit fingerprint via `simhash64_agg` (one 64-counter buffer
+    * instead of 64 SUM columns); bands unpacked from the fingerprint.
+    * Spec-verified equal to [[simhash64]]. */
+  def simhash64Fast(docs: DataFrame): DataFrame = {
+    val packed = shiftleft(baseHashHi(col("tok")), 32)
+      .bitwiseOR(baseHash(col("tok")))
+    val withFp = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .withColumn("h", packed)
+      .groupBy(col("doc_id"))
+      .agg(call_function("simhash64_agg", col("h")).as("simhash64"))
+    val bandCols = (0 until 4).map(b =>
+      shiftrightunsigned(col("simhash64"), 16 * b).bitwiseAND(0xFFFFL)
+        .as(s"band$b"))
+    withFp.select(col("doc_id") +: col("simhash64") +: bandCols: _*)
+  }
+
+  /** (doc_id, simhash64, band, bval) exploded band view for blocking. */
+  private def simhash64Bands(sh: DataFrame): DataFrame = {
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"), col(s"band$b").as("bval")))
+    sh.select(col("doc_id"), col("simhash64"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash64"),
+        col("bs.band").as("band"), col("bs.bval").as("bval"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> ((s, dir) => {
       // Exact dedup: hash-groupBy on content hash; survivor = min doc_id.
@@ -246,8 +310,53 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q63_simhash64" -> ((s, dir) =>
+      simhash64(table(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "q64_simhash64_pairs" -> ((s, dir) => {
+      // Corpus-scale SimHash near-dup: 64-bit fingerprints blocked on
+      // 4x16-bit bands (multi-table blocking). Candidates = pairs
+      // sharing >= 1 band — a uniform-key self-join, never all-pairs;
+      // the hamming filter runs only on candidates, inside codegen.
+      val b = simhash64Bands(simhash64(docsWithDups(s, dir)))
+      b.as("a").join(b.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"),
+          min(call_function("hamming_dist",
+            col("a.simhash64"), col("b.simhash64"))).as("hamming"))
+        .filter(col("hamming") <= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
+
+  // ---- 64-bit simhash oracle SQL (shared by q63/q64) -------------------
+  private val bits64Sql = (0 until 64).map { i =>
+    val src = if (i < 32) s"(lo >> $i)" else s"(hi >> ${i - 32})"
+    s"SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
+  }.mkString(", ")
+  private val fp64Sql = (0 until 64).map(i =>
+    s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+  private def band64Sql(b: Int): String = (0 until 16).map(j =>
+    s"CASE WHEN b${16 * b + j} > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString(" + ")
+  private def simhash64CteSql(docsSrc: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+       |  FROM $docsSrc),
+       |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS lo,
+       |        ('0x'||substr(md5(tok),9,8))::BIGINT AS hi FROM toks),
+       |bits AS (SELECT doc_id, $bits64Sql FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($fp64Sql AS BIGINT) AS simhash64,
+       |  CAST(${band64Sql(0)} AS BIGINT) AS band0,
+       |  CAST(${band64Sql(1)} AS BIGINT) AS band1,
+       |  CAST(${band64Sql(2)} AS BIGINT) AS band2,
+       |  CAST(${band64Sql(3)} AS BIGINT) AS band3
+       |  FROM bits)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q30_exact_dedup" ->
@@ -347,6 +456,27 @@ object Dedup {
          |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16,
          | CAST(($fp) // 256 AS BIGINT) AS bucket
          |FROM bits ORDER BY doc_id""".stripMargin
+    },
+
+    "q63_simhash64" ->
+      s"""WITH ${simhash64CteSql("documents")}
+         |SELECT doc_id, simhash64, band0, band1, band2, band3
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q64_simhash64_pairs" -> {
+      val bandsUnion = (0 until 4).map(b =>
+        s"SELECT doc_id, simhash64, $b AS band, band$b AS bval FROM sh")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${simhash64CteSql(s"($dupSql)")},
+         |bands AS ($bandsUnion)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | COUNT(*) AS n_shared_bands,
+         | MIN(CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INT)) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING MIN(bit_count(xor(a.simhash64, b.simhash64))) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin
     }
   )
 }

@@ -50,6 +50,40 @@ class DedupApiSpec extends AnyFunSuite {
     assert(imperative == declarative)
   }
 
+  test("simhash64_agg custom aggregate equals the declarative 64-column simhash64") {
+    val docs = GraftSession.table(spark, sf, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (1 to 5).map(r.getLong).toSeq
+    val declarative = Dedup.simhash64(docs).collect().map(key).toMap
+    val imperative = Dedup.simhash64Fast(docs).collect().map(key).toMap
+    assert(imperative.size == declarative.size)
+    assert(imperative == declarative)
+  }
+
+  test("simhash64 band blocking: recall 1 for hamming<=3, prunes the pair space") {
+    val d = GraftSession.table(spark, sf, "documents")
+    // Inject exact dups (like q64) so tight near-dup pairs exist.
+    val docs = d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    val rows = Dedup.simhash64(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), (2 to 5).map(r.getLong).toSeq))
+    val pairs = for {
+      (ia, fa, ba) <- rows; (ib, fb, bb) <- rows if ia < ib
+    } yield {
+      val hamming = java.lang.Long.bitCount(fa ^ fb)
+      val shared = ba.zip(bb).exists { case (x, y) => x == y }
+      (hamming, shared)
+    }
+    val tight = pairs.filter(_._1 <= 3)
+    assert(tight.nonEmpty, "no tight near-dup pairs — dup injection broken")
+    // Pigeonhole: <=3 differing bits across 4 bands leaves a clean band.
+    assert(tight.forall(_._2), "a hamming<=3 pair missed band blocking")
+    val candRatio = pairs.count(_._2).toDouble / pairs.length
+    assert(candRatio < 0.2,
+      f"band blocking barely prunes: $candRatio%.3f of all pairs are candidates")
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated far") {
     val sh = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("simhash16")).toMap
