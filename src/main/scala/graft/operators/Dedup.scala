@@ -145,8 +145,12 @@ object Dedup {
       .select(col("doc_id"), col("simhash16"),
         expr("simhash16 div 256").as("bucket"))
   }
+  // Queries run the one-buffer aggregate path (spec-verified equal to
+  // the declarative SUM-column formulation the oracles mirror): one
+  // ObjectHashAggregate with 64B/256B partial state instead of 16/64
+  // separate SUM columns — ~2.5x faster on the sf0.1 bench.
   private def simhashDf(s: SparkSession, dir: String): DataFrame =
-    simhash(table(s, dir, "documents"))
+    simhashFast(table(s, dir, "documents"))
 
   /** Same fingerprint via the custom one-buffer TypedImperativeAggregate
     * (`simhash_agg`): one pass per token, 64-byte partial state vs 16
@@ -313,14 +317,14 @@ object Dedup {
     }),
 
     "q63_simhash64" -> ((s, dir) =>
-      simhash64(table(s, dir, "documents")).orderBy(col("doc_id"))),
+      simhash64Fast(table(s, dir, "documents")).orderBy(col("doc_id"))),
 
     "q64_simhash64_pairs" -> ((s, dir) => {
       // Corpus-scale SimHash near-dup: 64-bit fingerprints blocked on
       // 4x16-bit bands (multi-table blocking). Candidates = pairs
       // sharing >= 1 band — a uniform-key self-join, never all-pairs;
       // the hamming filter runs only on candidates, inside codegen.
-      val b = simhash64Bands(simhash64(docsWithDups(s, dir)))
+      val b = simhash64Bands(simhash64Fast(docsWithDups(s, dir)))
       b.as("a").join(b.as("b"),
           col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
             && col("a.doc_id") < col("b.doc_id"))
