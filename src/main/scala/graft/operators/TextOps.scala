@@ -52,6 +52,49 @@ object TextOps {
       .withColumn("fp_full", md5(col("norm")))
       .withColumn("fp_prefix", md5(substring(col("norm"), 1, 64)))
 
+  /** Gopher-style repetition signals for any (doc_id, text) frame (q65):
+    * distinct-token ratio, duplicate 2/3-gram fractions, and immediate
+    * token repeats. All computed per row with higher-order array
+    * functions — scan-side, shuffle-free (an explode+groupBy formulation
+    * would shuffle the whole gram stream to compute a per-doc stat).
+    * Pure rational arithmetic + round(6) keeps DuckDB parity exact.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      // slice guards keep 0/1-token docs from producing negative lengths
+      .withColumn("grams2", expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (x, i) -> concat(x, ' ', toks[i + 1]))"))
+      .withColumn("grams3", expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), (x, i) -> concat(x, ' ', toks[i + 1], ' ', toks[i + 2]))"))
+      .withColumn("adj_repeats", expr(
+        "cast(size(filter(slice(toks, 1, greatest(size(toks) - 1, 0)), (x, i) -> x = toks[i + 1])) as bigint)"))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 6))
+      // (total - distinct)/max(total,1): equals 1 - distinct/total for
+      // non-empty gram arrays, 0 (not 1) for 0/1-token docs
+      .withColumn("dup_2gram_ratio",
+        round((size(col("grams2")) - size(array_distinct(col("grams2")))).cast("double")
+          / greatest(size(col("grams2")), lit(1)), 6))
+      .withColumn("dup_3gram_ratio",
+        round((size(col("grams3")) - size(array_distinct(col("grams3")))).cast("double")
+          / greatest(size(col("grams3")), lit(1)), 6))
+
+  /** Deterministic stratified sampling (q66): keep a row iff a portable
+    * md5-hex prefix of its id clears the stratum's rate threshold
+    * (`"4000"` of `0x10000` = 1/4). Scan-side and shuffle-free — the
+    * 100 TB story is "sampling is a filter", not a window/quota per
+    * stratum (which would shuffle everything onto few stratum keys).
+    * Rerun-stable across engines: same md5, same sample.
+    */
+  def stratifiedSample(docs: DataFrame,
+      rateHex: org.apache.spark.sql.Column, salt: String = "strat"): DataFrame =
+    docs
+      .withColumn("h4",
+        substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 4))
+      .filter(col("h4") < rateHex)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_lang_id" -> ((s, dir) => {
       // Stopword-hit language ID, shuffle-free: per-language hit counts
@@ -129,6 +172,26 @@ object TextOps {
         .select(col("doc_id"), col("fp_full"), col("fp_prefix"),
           length(col("norm")).as("norm_len"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q65_repetition" -> ((s, dir) => {
+      // Gopher-style repetition filters: low distinct-token ratio or a
+      // high duplicate-n-gram fraction marks boilerplate/spam for
+      // removal before training.
+      repetitionSignals(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tok"), col("distinct_ratio"),
+          col("dup_2gram_ratio"), col("dup_3gram_ratio"), col("adj_repeats"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q66_stratified_sample" -> ((s, dir) => {
+      // Deterministic stratified downsample: keep en at 1/4 and every
+      // other language at 1/8, by portable hash threshold (no RNG, no
+      // shuffle; the same rows survive on every engine and every run).
+      val rate = when(col("lang") === "en", lit("4000")).otherwise(lit("2000"))
+      stratifiedSample(table(s, dir, "documents"), rate)
+        .select(col("doc_id"), col("lang"), col("source"), col("h4"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -198,6 +261,34 @@ object TextOps {
         |SELECT doc_id, md5(norm) AS fp_full,
         | md5(substr(norm, 1, 64)) AS fp_prefix,
         | LENGTH(norm) AS norm_len
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q65_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, len(toks) AS n_tok,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS grams2,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams3,
+        |    len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) AS adj_repeats
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        | ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok, 6) AS distinct_ratio,
+        | ROUND(CAST(len(grams2) - len(list_distinct(grams2)) AS DOUBLE) / greatest(len(grams2), 1), 6) AS dup_2gram_ratio,
+        | ROUND(CAST(len(grams3) - len(list_distinct(grams3)) AS DOUBLE) / greatest(len(grams3), 1), 6) AS dup_3gram_ratio,
+        | CAST(adj_repeats AS BIGINT) AS adj_repeats
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q66_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h4,
+        |    CASE WHEN lang = 'en' THEN '4000' ELSE '2000' END AS rate_hex
+        |  FROM documents)
+        |SELECT doc_id, lang, source, h4
+        |FROM h WHERE h4 < rate_hex ORDER BY doc_id""".stripMargin
   )
 }

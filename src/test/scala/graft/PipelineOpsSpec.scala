@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, TextOps}
 
 class PipelineOpsSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -80,5 +80,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     // deterministic: same payload -> same fake decode
     val again = Multimodal.decodeBatch(media).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("repetition signals: degenerate doc flagged, clean doc passes") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "w x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    val rep = r(1L)
+    assert(rep.getAs[Long]("n_tok") == 4L)
+    assert(rep.getAs[Double]("distinct_ratio") == 0.25)
+    assert(rep.getAs[Long]("adj_repeats") == 3L)
+    // 3 bigrams, 1 distinct ("a a") -> dup fraction 2/3
+    assert(rep.getAs[Double]("dup_2gram_ratio") == 0.666667)
+    val clean = r(2L)
+    assert(clean.getAs[Double]("distinct_ratio") == 1.0)
+    assert(clean.getAs[Double]("dup_2gram_ratio") == 0.0)
+    assert(clean.getAs[Long]("adj_repeats") == 0L)
+    // single-token doc: empty gram arrays, zero ratios, no errors
+    val solo = r(3L)
+    assert(solo.getAs[Long]("n_tok") == 1L)
+    assert(solo.getAs[Double]("dup_2gram_ratio") == 0.0)
+    assert(solo.getAs[Double]("dup_3gram_ratio") == 0.0)
+  }
+
+  test("stratified sample is deterministic and tracks per-stratum rates") {
+    val a = SparkEntry.queries("q66_stratified_sample")(spark, sf).collect()
+    val b = SparkEntry.queries("q66_stratified_sample")(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    val totals = GraftSession.table(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val kept = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong)
+    kept.foreach { case (lang, n) =>
+      val rate = n.toDouble / totals(lang)
+      val want = if (lang == "en") 0.25 else 0.125
+      assert(math.abs(rate - want) < 0.15,
+        s"$lang sampled at $rate, wanted ~$want of ${totals(lang)}")
+    }
   }
 }
