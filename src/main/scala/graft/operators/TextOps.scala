@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession.table
@@ -94,6 +95,29 @@ object TextOps {
       .withColumn("h4",
         substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 4))
       .filter(col("h4") < rateHex)
+
+  /** Sequence packing for training (q67): assign each doc to a
+    * fixed-token-budget context window by running token count
+    * (concat-then-chunk at doc granularity: pack = floor(tokens-before
+    * / budget)).
+    *
+    * Packing is order-sensitive, so the stream is SHARDED first
+    * (`doc_id % shards`): each (lang, shard) packs independently. A
+    * bare `PARTITION BY lang` window would funnel 100 TB through ~5
+    * partitions — the same low-cardinality-key mistake as the old q53
+    * blocking. Shards keep window state bounded and the shuffle uniform;
+    * at cluster scale you raise `shards`, not the partition count.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 2048, shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tok", size(split(col("text"), "\\s+")).cast("long"))
+      .withColumn("shard", col("doc_id") % shards)
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / budget))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_lang_id" -> ((s, dir) => {
@@ -192,6 +216,16 @@ object TextOps {
       stratifiedSample(table(s, dir, "documents"), rate)
         .select(col("doc_id"), col("lang"), col("source"), col("h4"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q67_sequence_pack" -> ((s, dir) => {
+      // Pack docs into 2048-token training windows per (lang, shard)
+      // stream; report per-pack occupancy. Doc order inside a stream is
+      // doc_id (deterministic); shards keep the windows parallel.
+      packSequences(table(s, dir, "documents"))
+        .groupBy(col("lang"), col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+        .orderBy(col("lang"), col("shard"), col("pack_id"))
     })
   )
 
@@ -289,6 +323,22 @@ object TextOps {
         |    CASE WHEN lang = 'en' THEN '4000' ELSE '2000' END AS rate_hex
         |  FROM documents)
         |SELECT doc_id, lang, source, h4
-        |FROM h WHERE h4 < rate_hex ORDER BY doc_id""".stripMargin
+        |FROM h WHERE h4 < rate_hex ORDER BY doc_id""".stripMargin,
+
+    "q67_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, shard, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT lang, CAST(shard AS BIGINT) AS shard,
+        | CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+        | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY lang, shard, pack_id
+        |ORDER BY lang, shard, pack_id""".stripMargin
   )
 }

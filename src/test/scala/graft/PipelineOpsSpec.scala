@@ -105,6 +105,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(solo.getAs[Double]("dup_3gram_ratio") == 0.0)
   }
 
+  test("sequence packing: exact greedy boundaries and token conservation") {
+    import spark.implicits._
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (0L, "en", txt(4)), (1L, "en", txt(4)), (2L, "en", txt(4)),
+      (3L, "en", txt(5)), (4L, "en", txt(1))).toDF("doc_id", "lang", "text")
+    val packed = TextOps.packSequences(docs, budget = 10, shards = 1)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    // cum_before: 0,4,8,12,17 -> floor(/10): 0,0,0,1,1
+    assert(packed == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // on real data: per-stream pack_ids contiguous from 0, tokens conserved
+    val out = SparkEntry.queries("q67_sequence_pack")(spark, sf).collect()
+    val streams = out.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+    streams.foreach { case (k, rows) =>
+      val ids = rows.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head == 0L && ids.sameElements(0L until ids.length),
+        s"non-contiguous packs in $k: ${ids.toSeq}")
+      // every non-final pack crosses its budget boundary
+      val ordered = rows.sortBy(_.getAs[Long]("pack_id"))
+      var cum = 0L
+      ordered.init.foreach { r =>
+        cum += r.getAs[Long]("pack_tokens")
+        assert(cum >= (r.getAs[Long]("pack_id") + 1) * 2048,
+          s"pack ${r.getAs[Long]("pack_id")} in $k under-filled")
+      }
+    }
+  }
+
   test("stratified sample is deterministic and tracks per-stratum rates") {
     val a = SparkEntry.queries("q66_stratified_sample")(spark, sf).collect()
     val b = SparkEntry.queries("q66_stratified_sample")(spark, sf).collect()
