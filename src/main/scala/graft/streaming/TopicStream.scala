@@ -158,6 +158,29 @@ object TopicStream {
       s"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $within"))
   }
 
+  /** Back this session's streaming state with RocksDB instead of the
+    * default in-memory HDFS-backed store. At corpus scale the state for
+    * windowed aggs / sessionization / dedup outgrows executor heap
+    * (HDFSBackedStateStoreProvider keeps every key in memory); RocksDB
+    * spills to local disk and, with changelog checkpointing, uploads
+    * only per-batch deltas instead of full snapshots. Returns an undo
+    * handle restoring the previous provider (state store choice is fixed
+    * per checkpoint — never flip providers mid-checkpoint).
+    */
+  def useRocksDBState(spark: SparkSession): () => Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val changelog =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelog, "true")
+    () => prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Watermarked tumbling-window aggregation over a live topic. */
   def windowedCounts(stream: DataFrame, windowLen: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =

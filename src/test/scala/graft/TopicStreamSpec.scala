@@ -235,4 +235,50 @@ class TopicStreamSpec extends AnyFunSuite {
     }
     try { sub2.drain(); assert(n2.get() == 30) } finally sub2.unsubscribe()
   }
+
+  test("RocksDB state store: stateful streams produce identical results") {
+    val dir = Files.createTempDirectory("stream").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publish(mkRecords(60))
+
+    def runWindowed(name: String): Array[(java.sql.Timestamp, String, Long)] = {
+      val agg = TopicStream.windowedCounts(
+        TopicStream.subscribe(topic, fromNow = false), "1 hour", "2 hours")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        spark.sql(s"SELECT * FROM $name").collect()
+          .map(r => (r.getAs[java.sql.Timestamp]("win_start"),
+            r.getAs[String]("event"), r.getAs[Long]("n_events")))
+          .sortBy(_.toString)
+      } finally q.stop()
+    }
+
+    val baseline = runWindowed("rocks_base")
+    val undo = TopicStream.useRocksDBState(spark)
+    try {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+      val rocks = runWindowed("rocks_on")
+      assert(rocks.sameElements(baseline),
+        s"RocksDB-backed results diverged: ${rocks.toSeq} vs ${baseline.toSeq}")
+      // sessionization (flatMapGroupsWithState state) also runs on RocksDB
+      import spark.implicits._
+      val sess = TopicStream.sessionize(spark,
+        TopicStream.subscribe(topic, fromNow = false), gapMs = 10 * 60 * 1000L)
+      val q = sess.writeStream.format("memory").queryName("rocks_sess")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // one more burst 30 min later closes the open sessions
+        topic.publish(mkRecords(5, startId = 200).withColumn("ts",
+          lit(new java.sql.Timestamp(1700000000000L + 90 * 60000L))))
+        q.processAllAvailable()
+        assert(spark.sql("SELECT * FROM rocks_sess").count() > 0)
+      } finally q.stop()
+    } finally undo()
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
 }
