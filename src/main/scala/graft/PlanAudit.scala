@@ -11,8 +11,21 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        // Execute to a noop sink first: AQE only finalizes join
+        // strategies and codegen stages at runtime, so the pre-execution
+        // plan under-reports both. The final plan renders codegen stages
+        // as "*(k)" prefixes — count distinct stage ids.
+        // Execute THIS QueryExecution (df.write would plan a fresh one,
+        // leaving this plan's AQE un-finalized).
+        val df = fn(spark, dir)
+        df.queryExecution.toRdd.foreachPartition(_ => ())
+        // The finalized AQE string echoes the initial plan below the
+        // final one; audit only the final section.
+        val plan =
+          df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
         def n(p: String) = p.r.findAllIn(plan).length
+        val codegenStages =
+          "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
         val flags = Seq(
           "cartesian" -> n("CartesianProduct"),
           "bnlj" -> n("BroadcastNestedLoopJoin"),
@@ -22,7 +35,7 @@ object PlanAudit {
           "exchange" -> n("Exchange (hashpartitioning|rangepartitioning|SinglePartition)"),
           "scans" -> n("FileScan parquet"),
           "pushed" -> n("PushedFilters: \\[[^\\]]"),
-          "codegen" -> n("WholeStageCodegen"))
+          "codegen" -> codegenStages)
           .filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(" ")
         println(s"[audit] $name :: $flags")
       } catch {
