@@ -80,6 +80,25 @@ object Dedup {
       |  UNNEST(generate_series(1, len(toks)-2)) AS u(i)
       |WHERE len(toks) >= 3""".stripMargin
 
+  /** Distinct shingle *hash* set of a (doc_id, text) frame: doc_id with
+    * the two independent 32-bit halves of md5(shingle). Fixed-width
+    * numeric keys — the distinct and every downstream join shuffle 16
+    * bytes per shingle instead of the shingle string, which is the
+    * dominant shuffle cost of exact-Jaccard verification at corpus
+    * scale. 64 collision bits keep "exact" honest; a collision perturbs
+    * both engines identically (same md5), so oracle parity holds.
+    * Public df-level API. */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), baseHash(col("sh")).as("h1"),
+        baseHashHi(col("sh")).as("h2"))
+      .distinct()
+  private val shingleHashSql =
+    s"""SELECT DISTINCT doc_id,
+       | ('0x'||substr(md5(sh),1,8))::BIGINT AS h1,
+       | ('0x'||substr(md5(sh),9,8))::BIGINT AS h2
+       |FROM sh""".stripMargin
+
   /** doc_id, mh0..mh7 minhash signature of a (doc_id, text) frame (one
     * md5 per shingle, K derived hashes via the universal family).
     * Public df-level API. */
@@ -99,34 +118,33 @@ object Dedup {
        |GROUP BY doc_id""".stripMargin
   }
 
-  /** (doc_id, band, bkey): the banded signature for LSH bucketing. */
+  /** (doc_id, band, k1, k2): the banded signature for LSH bucketing.
+    * Band identity is the two minhash values as numeric columns — a
+    * fixed-width 20-byte shuffle key instead of a concatenated string. */
   def bands(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until BANDS).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
+        col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))
     }
     sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.k1").as("k1"), col("bs.k2").as("k2"))
   }
-  private def bandsDf(s: SparkSession, dir: String): DataFrame =
-    bands(signatures(s, dir))
-
   /** LSH candidate pairs of a (doc_id, text) frame: pairs sharing at
     * least one signature band, with the shared-band count. Public
     * df-level API (the q32 operator, reusable on any corpus). */
   def lshCandidates(docs: DataFrame): DataFrame = {
     val b = bands(minhashSignatures(docs))
     b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1")
+          && col("a.k2") === col("b.k2")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
   private val bandsSql = (0 until BANDS).map { b =>
-    s"""SELECT doc_id, $b AS band,
-       | CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS bkey
-       |FROM sig""".stripMargin
+    s"SELECT doc_id, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig"
   }.mkString("\nUNION ALL\n")
 
   /** doc_id, simhash16, bucket: 16-bit SimHash over tokens (weight =
@@ -240,24 +258,21 @@ object Dedup {
       signatures(s, dir).orderBy(col("doc_id"))),
 
     "q32_lsh_near_dup" -> ((s, dir) => {
-      // Candidate pairs sharing >= 1 of 4 bands. Join key (band, bkey)
-      // is a hash bucket -> uniform, skew-free shuffle.
-      val b = bandsDf(s, dir)
-      b.as("a").join(b.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared_bands"))
+      // Candidate pairs sharing >= 1 of 4 bands. Join key
+      // (band, k1, k2) is a hash bucket -> uniform, skew-free shuffle.
+      lshCandidates(table(s, dir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     "q33_ngram_jaccard" -> ((s, dir) => {
       // Exact shingle-set Jaccard for consecutive-doc pairs (the
       // deterministic verification stage downstream of LSH candidates).
-      val sh = shingles(s, dir).distinct()
+      // Sets are 64-bit shingle hashes: fixed-width join/distinct keys,
+      // not shingle strings (see shingleHashes).
+      val sh = shingleHashes(table(s, dir, "documents"))
       val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val inter = sh.as("x").join(sh.as("y"),
-          col("x.sh") === col("y.sh") &&
+          col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2") &&
             col("y.doc_id") === col("x.doc_id") + 1)
         .groupBy(col("x.doc_id").as("doc_a"))
         .agg(count(lit(1)).as("n_inter"))
@@ -278,12 +293,12 @@ object Dedup {
       // cross-product) reach the verification join.
       val docs = table(s, dir, "documents")
       val cand = lshCandidates(docs)
-      val sh = shingles(docs).distinct()
+      val sh = shingleHashes(docs)
       val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val inter = cand
         .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
         .join(sh.as("y"), col("doc_b") === col("y.doc_id")
-          && col("x.sh") === col("y.sh"))
+          && col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_inter"))
       cand
@@ -380,15 +395,18 @@ object Dedup {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | COUNT(*) AS n_shared_bands
          |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |    AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q33_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT DISTINCT * FROM ($shinglesSql)),
-         |cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      s"""WITH sh AS ($shinglesSql),
+         |shh AS ($shingleHashSql),
+         |cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT x.doc_id AS doc_a, COUNT(*) AS n_inter
-         |  FROM sh x JOIN sh y ON x.sh = y.sh AND y.doc_id = x.doc_id + 1
+         |  FROM shh x JOIN shh y
+         |    ON x.h1 = y.h1 AND x.h2 = y.h2 AND y.doc_id = x.doc_id + 1
          |  GROUP BY 1)
          |SELECT ca.doc_id AS doc_a, cb.doc_id AS doc_b,
          | ca.n_sh AS n_a, cb.n_sh AS n_b,
@@ -419,22 +437,24 @@ object Dedup {
     },
 
     "q61_lsh_verified" ->
-      s"""WITH sh0 AS ($shinglesSql),
-         |sh AS (SELECT DISTINCT * FROM sh0),
+      s"""WITH sh AS ($shinglesSql),
+         |shh AS ($shingleHashSql),
          |sig AS ($signaturesSql),
          |bands AS ($bandsSql),
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    COUNT(*) AS n_shared_bands
          |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |      AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
          |  FROM cand c
-         |  JOIN sh x ON x.doc_id = c.doc_a
-         |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |  JOIN shh x ON x.doc_id = c.doc_a
+         |  JOIN shh y ON y.doc_id = c.doc_b
+         |    AND y.h1 = x.h1 AND y.h2 = x.h2
          |  GROUP BY 1, 2)
          |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
          | ca.n_sh AS n_a, cb.n_sh AS n_b,
