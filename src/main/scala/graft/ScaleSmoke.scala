@@ -65,6 +65,26 @@ object ScaleSmoke {
     val streamedRows = spark.sql("SELECT SUM(n_events) FROM scale_win")
       .collect().head.getLong(0)
 
+    // RocksDB-state phase: same drain but through a HIGH-cardinality
+    // stateful agg (per-key hourly windows -> ~100k state rows) on the
+    // RocksDB provider — the state path for key spaces that outgrow
+    // executor heap. Changelog checkpointing is on (commit cost stays
+    // proportional to the delta, not the store size).
+    t0 = System.nanoTime()
+    val restore = graft.streaming.TopicStream.useRocksDBState(spark)
+    val rocksRows =
+      try {
+        val st = graft.streaming.TopicStream.subscribe(topic, fromNow = false)
+        val keyed = st.withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("key"))
+          .agg(count(lit(1)).as("n"))
+        val sq2 = keyed.writeStream.format("memory").queryName("scale_rocks")
+          .outputMode("complete").start()
+        try sq2.processAllAvailable() finally sq2.stop()
+        spark.sql("SELECT SUM(n) FROM scale_rocks").collect().head.getLong(0)
+      } finally restore()
+    val rocksSec = (System.nanoTime() - t0) / 1e9
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -76,6 +96,7 @@ object ScaleSmoke {
       f""""full_scan_sec":$fullScanSec%.2f,"tail_replay_rows":$tail,""" +
       f""""tail_replay_sec":$tailSec%.2f,""" +
       f""""stream_drain_rows":$streamedRows,"stream_drain_sec":$streamSec%.2f,""" +
+      f""""rocksdb_drain_rows":$rocksRows,"rocksdb_drain_sec":$rocksSec%.2f,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }
