@@ -313,6 +313,24 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "q69_contamination" -> ((s, dir) => {
+      // Benchmark-contamination screen: flag corpus docs sharing any
+      // 3-gram shingle with a held-out benchmark set (every 97th doc
+      // stands in for the eval suite). The benchmark gram set is tiny
+      // relative to the corpus, so it BROADCASTS — the corpus-side
+      // gram stream is filtered where it is scanned, never shuffled
+      // against itself. That is the 100 TB shape: contamination is a
+      // broadcast-semi-join, not a corpus-corpus join.
+      val docs = table(s, dir, "documents")
+      val bench = shingleHashes(docs.filter(col("doc_id") % 97 === 0))
+        .select(col("h1"), col("h2")).distinct()
+      shingleHashes(docs.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(bench), Seq("h1", "h2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bench_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q34_simhash" -> ((s, dir) =>
       simhashDf(s, dir).orderBy(col("doc_id"))),
 
@@ -416,6 +434,16 @@ object Dedup {
          |FROM cnts ca JOIN cnts cb ON cb.doc_id = ca.doc_id + 1
          |LEFT JOIN inter i ON ca.doc_id = i.doc_a
          |ORDER BY doc_a""".stripMargin,
+
+    "q69_contamination" ->
+      s"""WITH sh AS ($shinglesSql),
+         |shh AS ($shingleHashSql),
+         |bench AS (
+         |  SELECT DISTINCT h1, h2 FROM shh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, COUNT(*) AS n_bench_grams
+         |FROM shh s JOIN bench b ON s.h1 = b.h1 AND s.h2 = b.h2
+         |WHERE s.doc_id % 97 <> 0
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
 
     "q50_simhash_pairs" -> {
       val bits = (0 until 16).map(i =>

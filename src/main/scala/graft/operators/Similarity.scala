@@ -174,6 +174,33 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    "q70_embedding_quantize" -> ((s, dir) => {
+      // Int8 scalar quantization: per-vector absmax scale, code =
+      // floor(x*127/scale + 0.5). Codes and their stats are pure
+      // scan-side higher-order folds — zero shuffle, and at 100 TB
+      // quantization is exactly this: a map that shrinks the vector
+      // column 4x before it ever moves. Integer code stats are exact
+      // cross-engine; the FP reconstruction error rounds to 6.
+      table(s, dir, "embeddings")
+        .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("amax", expr(
+          "aggregate(emb, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"))
+        // all-zero vector guard: scale 1 quantizes zeros to zeros
+        .withColumn("sc",
+          when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax")))
+        .withColumn("n_dims", size(col("emb")).cast("long"))
+        .withColumn("sum_abs_code", expr(
+          "aggregate(emb, cast(0 as bigint), (a, x) -> a + abs(cast(floor(x * 127.0 / sc + 0.5) as bigint)))"))
+        .withColumn("max_abs_code", expr(
+          "aggregate(emb, cast(0 as bigint), (a, x) -> greatest(a, abs(cast(floor(x * 127.0 / sc + 0.5) as bigint))))"))
+        .withColumn("recon_err", round(expr(
+          "aggregate(emb, cast(0.0 as double), (a, x) -> a + abs(x - floor(x * 127.0 / sc + 0.5) * sc / 127.0))"), 6))
+        .select(col("vec_id"), col("label"), col("n_dims"),
+          round(col("amax"), 6).as("amax"),
+          col("sum_abs_code"), col("max_abs_code"), col("recon_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q51_embedding_stats" -> ((s, dir) => {
       // Per-cell embedding geometry: vector norms computed scan-side
       // (higher-order fold, no shuffle), one agg shuffle for the stats.
@@ -249,6 +276,29 @@ object Similarity {
         |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
         |SELECT vec_a, vec_b, cos FROM p
         |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q70_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, label, emb,
+        |    list_max(list_transform(emb, x -> abs(x))) AS amax
+        |  FROM e),
+        |sc AS (
+        |  SELECT vec_id, label, emb, amax,
+        |    CASE WHEN amax = 0 THEN 1.0 ELSE amax END AS s
+        |  FROM m)
+        |SELECT vec_id, label, CAST(len(emb) AS BIGINT) AS n_dims,
+        | ROUND(amax, 6) AS amax,
+        | CAST(list_aggregate(list_transform(emb,
+        |   x -> abs(CAST(floor(x * 127.0 / s + 0.5) AS BIGINT))), 'sum') AS BIGINT) AS sum_abs_code,
+        | CAST(list_max(list_transform(emb,
+        |   x -> abs(CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)))) AS BIGINT) AS max_abs_code,
+        | ROUND(list_aggregate(list_transform(emb,
+        |   x -> abs(x - floor(x * 127.0 / s + 0.5) * s / 127.0)), 'sum'), 6) AS recon_err
+        |FROM sc ORDER BY vec_id""".stripMargin,
 
     "q51_embedding_stats" ->
       """WITH n AS (

@@ -82,6 +82,57 @@ object TextOps {
         round((size(col("grams3")) - size(array_distinct(col("grams3")))).cast("double")
           / greatest(size(col("grams3")), lit(1)), 6))
 
+  // PII patterns kept RE2-simple (no lookaround) so Spark's Java regex
+  // and DuckDB's RE2 agree byte-for-byte.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "[0-9]{1,3}(\\.[0-9]{1,3}){3}"
+  private val phoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII detection + redaction for any (doc_id, text) frame (q68):
+    * count emails/IPv4s/phone-shaped spans, then redact in a fixed
+    * order (email, ip, phone) to typed placeholders. Scan-side regex
+    * inside codegen — the 100 TB shape is "scrub is a map", one pass,
+    * no shuffle. Public df-level API. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).cast("long"))
+      .withColumn("clean", regexp_replace(regexp_replace(
+        col("text"), emailRe, "[EMAIL]"), ipRe, "[IP]"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("clean"), lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("clean", regexp_replace(col("clean"), phoneRe, "[PHONE]"))
+      .withColumn("clean_fp", md5(col("clean")))
+      .withColumn("clean_len", length(col("clean")).cast("long"))
+
+  /** documents with a deterministic PII footer appended to every 7th
+    * doc — the synthetic corpus is PII-free, so q68 injects its own
+    * (mirrored in the oracle) to give the scrubber real work. */
+  private def docsWithPii(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    val footer = concat(lit(" Contact user"), col("doc_id").cast("string"),
+      lit("@mail"), pmod(col("doc_id"), lit(10)).cast("string"),
+      lit(".example.com or call +1-555-"),
+      (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"),
+      lit(" from 192.168."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id"), lit(100)).cast("string"), lit("."))
+    d.withColumn("text",
+      when(col("doc_id") % 7 === 0, concat(col("text"), footer))
+        .otherwise(col("text")))
+  }
+  // NB: no line may BEGIN with '||' — this snippet is re-embedded in a
+  // stripMargin'd oracle string, which would eat the first pipe.
+  private val piiDocsSql =
+    """SELECT doc_id, lang, source,
+      | CASE WHEN doc_id % 7 = 0 THEN text ||
+      |   ' Contact user' || doc_id || '@mail' || (doc_id % 10) ||
+      |   '.example.com or call +1-555-' || (doc_id % 9000 + 1000) ||
+      |   ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100) || '.'
+      | ELSE text END AS text
+      |FROM documents""".stripMargin
+
   /** Deterministic stratified sampling (q66): keep a row iff a portable
     * md5-hex prefix of its id clears the stratum's rate threshold
     * (`"4000"` of `0x10000` = 1/4). Scan-side and shuffle-free — the
@@ -226,6 +277,42 @@ object TextOps {
         .groupBy(col("lang"), col("shard"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
         .orderBy(col("lang"), col("shard"), col("pack_id"))
+    }),
+
+    "q68_pii_scrub" -> ((s, dir) => {
+      // PII scrub before training: count + redact emails/IPs/phones.
+      // One scan-side regex pass per doc; no shuffle but the final sort.
+      piiScrub(docsWithPii(s, dir))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          col("n_phones"), col("clean_len"), col("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q71_domain_mix" -> ((s, dir) => {
+      // Target-mixture resampling: uniform share per source. Keep rate
+      // per source = min(1, total/num_sources/n_source); the keep
+      // decision is a portable-hash threshold (sampling stays a FILTER;
+      // the only shuffle is the 20-row source-count aggregate that gets
+      // broadcast back).
+      val docs = table(s, dir, "documents")
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+      val withTotal = counts
+        .withColumn("total", sum(col("n_src")).over(Window.partitionBy()))
+        .withColumn("n_sources",
+          count(lit(1)).over(Window.partitionBy()).cast("double"))
+        .withColumn("keep_rate", least(lit(1.0),
+          col("total") / col("n_sources") / col("n_src")))
+        .select(col("source"), col("n_src"), col("keep_rate"))
+      docs.join(broadcast(withTotal), "source")
+        .withColumn("h", conv(substring(
+          md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"))
+        .filter(col("h").cast("double") < col("keep_rate") * 4294967296.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          max(round(col("keep_rate"), 6)).as("keep_rate"))
+        .orderBy(col("source"))
     })
   )
 
@@ -324,6 +411,39 @@ object TextOps {
         |  FROM documents)
         |SELECT doc_id, lang, source, h4
         |FROM h WHERE h4 < rate_hex ORDER BY doc_id""".stripMargin,
+
+    "q68_pii_scrub" ->
+      s"""WITH pii AS ($piiDocsSql),
+         |r AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+         |    len(regexp_extract_all(text, '$ipRe')) AS n_ips,
+         |    regexp_replace(regexp_replace(text,
+         |      '$emailRe', '[EMAIL]', 'g'), '$ipRe', '[IP]', 'g') AS clean0
+         |  FROM pii)
+         |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+         | CAST(n_ips AS BIGINT) AS n_ips,
+         | CAST(len(regexp_extract_all(clean0, '$phoneRe')) AS BIGINT) AS n_phones,
+         | CAST(LENGTH(regexp_replace(clean0, '$phoneRe', '[PHONE]', 'g')) AS BIGINT) AS clean_len,
+         | md5(regexp_replace(clean0, '$phoneRe', '[PHONE]', 'g')) AS clean_fp
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q71_domain_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, n_src,
+        |    LEAST(1.0, (SELECT SUM(n_src) FROM c)
+        |      / (SELECT CAST(COUNT(*) AS DOUBLE) FROM c) / n_src) AS keep_rate
+        |  FROM c),
+        |k AS (
+        |  SELECT d.source, r.keep_rate
+        |  FROM documents d JOIN r ON d.source = r.source
+        |  WHERE CAST(('0x'||substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT AS DOUBLE)
+        |    < r.keep_rate * 4294967296.0)
+        |SELECT source, COUNT(*) AS n_kept,
+        | ROUND(MAX(keep_rate), 6) AS keep_rate
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q67_sequence_pack" ->
       """WITH d AS (

@@ -134,6 +134,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pii scrub: injected PII is counted and fully redacted") {
+    val res = SparkEntry.queries("q68_pii_scrub")(spark, sf).collect()
+    val (hit, clean) = res.partition(_.getAs[Long]("doc_id") % 7 == 0)
+    // every injected footer yields exactly one email, one IP, one phone
+    assert(hit.nonEmpty)
+    assert(hit.forall(r => r.getAs[Long]("n_emails") == 1L
+      && r.getAs[Long]("n_ips") == 1L && r.getAs[Long]("n_phones") == 1L))
+    assert(clean.forall(r => r.getAs[Long]("n_emails") == 0L
+      && r.getAs[Long]("n_ips") == 0L && r.getAs[Long]("n_phones") == 0L))
+    // redaction is complete: re-scrubbing the cleaned text finds nothing
+    val docs = GraftSession.table(spark, sf, "documents")
+    val once = TextOps.piiScrub(docs.withColumn("text",
+      concat(col("text"), lit(" a@b.co 10.0.0.1 call +1-555-123-4567"))))
+      .select(col("doc_id"), col("clean").as("text"))
+    val twice = TextOps.piiScrub(once)
+    assert(twice.filter(col("n_emails") > 0 || col("n_ips") > 0
+      || col("n_phones") > 0).count() == 0L)
+  }
+
+  test("contamination screen only flags docs that share a benchmark gram") {
+    val flagged = SparkEntry.queries("q69_contamination")(spark, sf).collect()
+    assert(flagged.nonEmpty)
+    // no benchmark doc flags itself, and every hit count is positive
+    assert(flagged.forall(_.getAs[Long]("doc_id") % 97 != 0))
+    assert(flagged.forall(_.getAs[Long]("n_bench_grams") > 0))
+    // spot-check one flagged doc truly shares a 3-gram with the bench set
+    val docs = GraftSession.table(spark, sf, "documents")
+    val sh = graft.operators.Dedup.shingles(docs)
+    val benchGrams = sh.filter(col("doc_id") % 97 === 0)
+      .select("sh").distinct()
+    val id = flagged.head.getAs[Long]("doc_id")
+    val shared = sh.filter(col("doc_id") === id)
+      .join(benchGrams, "sh").count()
+    assert(shared > 0, s"doc $id flagged but shares no gram")
+  }
+
+  test("int8 quantization: codes bounded and reconstruction error tight") {
+    val q = SparkEntry.queries("q70_embedding_quantize")(spark, sf).collect()
+    assert(q.forall(_.getAs[Long]("max_abs_code") <= 127L))
+    // absmax scaling: per-dim error <= scale/(2*127) + fp slop, so the
+    // per-vector L1 error is bounded by n_dims * amax / 254
+    assert(q.forall { r =>
+      r.getAs[Double]("recon_err") <=
+        r.getAs[Long]("n_dims") * r.getAs[Double]("amax") / 254.0 + 1e-6
+    })
+  }
+
+  test("domain mix: kept counts track the uniform target mixture") {
+    val mix = SparkEntry.queries("q71_domain_mix")(spark, sf).collect()
+    val docs = GraftSession.table(spark, sf, "documents")
+    val total = docs.count().toDouble
+    val target = total / mix.length
+    mix.foreach { r =>
+      val kept = r.getAs[Long]("n_kept").toDouble
+      // hash-threshold sampling: expect the per-source target within
+      // generous binomial slack at sf0.001 sizes
+      assert(kept <= target * 1.5 + 10,
+        s"${r.getAs[String]("source")} kept $kept, target $target")
+    }
+  }
+
   test("stratified sample is deterministic and tracks per-stratum rates") {
     val a = SparkEntry.queries("q66_stratified_sample")(spark, sf).collect()
     val b = SparkEntry.queries("q66_stratified_sample")(spark, sf).collect()
