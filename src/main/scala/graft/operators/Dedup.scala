@@ -131,6 +131,44 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.k1").as("k1"), col("bs.k2").as("k2"))
   }
+  /** Connected components over an undirected pair list
+    * (doc_a, doc_b): every node gets the MINIMUM doc_id reachable from
+    * it (the cluster id / dedup survivor). Pregel-style min-label
+    * propagation: each round joins labels to edges and takes the
+    * neighborhood min; rounds needed = graph diameter (near-dup
+    * clusters are shallow — dups of a common source — so this is a
+    * handful of uniform-key shuffles, each O(|edges|)). At
+    * trillion-edge scale you'd switch to large-star/small-star
+    * (alternating halving, O(log n) rounds); the per-round join shape
+    * is identical. Early-exits when a round changes no label.
+    * Public df-level API. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mdst"))
+      .select(col("node"), least(col("node"), col("mdst")).as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighborhood min: my label vs the labels of all my neighbors
+      val next = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+        .join(labels, "node")
+        .select(col("node"),
+          least(col("label"), col("nbr_label")).as("label"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") < col("o.label")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** LSH candidate pairs of a (doc_id, text) frame: pairs sharing at
     * least one signature band, with the shared-band count. Public
     * df-level API (the q32 operator, reusable on any corpus). */
@@ -313,6 +351,18 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "q72_dedup_clusters" -> ((s, dir) => {
+      // The stage after pair generation: group near-dup pairs into
+      // clusters (connected components), survivor = min doc_id. Each
+      // propagation round is a uniform-key shuffle over the PAIR list
+      // (tiny vs the corpus), never the corpus itself.
+      val cand = lshCandidates(table(s, dir, "documents"))
+      connectedComponents(cand.select(col("doc_a"), col("doc_b")))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+        .orderBy(col("cluster_id"))
+    }),
+
     "q69_contamination" -> ((s, dir) => {
       // Benchmark-contamination screen: flag corpus docs sharing any
       // 3-gram shingle with a held-out benchmark set (every 97th doc
@@ -434,6 +484,28 @@ object Dedup {
          |FROM cnts ca JOIN cnts cb ON cb.doc_id = ca.doc_id + 1
          |LEFT JOIN inter i ON ca.doc_id = i.doc_a
          |ORDER BY doc_a""".stripMargin,
+
+    "q72_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS ($shinglesSql),
+         |sig AS ($signaturesSql),
+         |bands AS ($bandsSql),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |      AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS node, r.label
+         |  FROM edges e JOIN reach r ON r.node = e.dst),
+         |comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+         |SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
+         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q69_contamination" ->
       s"""WITH sh AS ($shinglesSql),

@@ -38,6 +38,26 @@ class DedupApiSpec extends AnyFunSuite {
     assert(!pairs.contains((4L, 5L)), s"false positive on unrelated docs: $pairs")
   }
 
+  test("connected components cluster transitive near-dups under the min id") {
+    import spark.implicits._
+    // path graph 1-2-3 plus isolated pair 7-9: min-label must cross the
+    // full path (transitivity), and separate components stay separate
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // on the real corpus: both endpoints of every LSH pair share a label
+    val cand = Dedup.lshCandidates(corpus)
+    val labels = Dedup.connectedComponents(cand)
+    val broken = cand
+      .join(labels.withColumnRenamed("node", "doc_a")
+        .withColumnRenamed("label", "la"), "doc_a")
+      .join(labels.withColumnRenamed("node", "doc_b")
+        .withColumnRenamed("label", "lb"), "doc_b")
+      .filter(col("la") =!= col("lb"))
+    assert(broken.isEmpty, "pair endpoints landed in different clusters")
+  }
+
   test("simhash_agg custom aggregate equals the declarative 16-column simhash") {
     val docs = GraftSession.table(spark, sf, "documents")
     val declarative = Dedup.simhash(docs)
