@@ -170,6 +170,22 @@ object TextOps {
       .withColumn("pack_id", floor(col("cum_before") / budget))
   }
 
+  /** Composite C4/Gopher-style keep/drop filter (q73): length,
+    * punctuation, distinct-token and duplicate-2-gram gates evaluated
+    * in ONE scan pass — [[repetitionSignals]] chained over
+    * [[qualityScores]] adds columns to the same projection, so the
+    * whole decision is a map with per-rule reject flags (no join of
+    * two document scans, no shuffle). Public df-level API. */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    repetitionSignals(qualityScores(docs))
+      .withColumn("r_short", (col("n_tok") < 30).cast("int"))
+      .withColumn("r_punct", (col("punct_ratio") > 0.08).cast("int"))
+      .withColumn("r_repeat", (col("distinct_ratio") < 0.40).cast("int"))
+      .withColumn("r_dup2", (col("dup_2gram_ratio") > 0.06).cast("int"))
+      .withColumn("keep",
+        (col("r_short") + col("r_punct") + col("r_repeat") + col("r_dup2") === 0)
+          .cast("int"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_lang_id" -> ((s, dir) => {
       // Stopword-hit language ID, shuffle-free: per-language hit counts
@@ -277,6 +293,15 @@ object TextOps {
         .groupBy(col("lang"), col("shard"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
         .orderBy(col("lang"), col("shard"), col("pack_id"))
+    }),
+
+    "q73_quality_filter" -> ((s, dir) => {
+      // The pipeline's last gate: per-rule reject flags + the keep
+      // decision, one scan-side pass, no shuffle but the output sort.
+      qualityFilter(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tok"), col("r_short"),
+          col("r_punct"), col("r_repeat"), col("r_dup2"), col("keep"))
+        .orderBy(col("doc_id"))
     }),
 
     "q68_pii_scrub" -> ((s, dir) => {
@@ -411,6 +436,34 @@ object TextOps {
         |  FROM documents)
         |SELECT doc_id, lang, source, h4
         |FROM h WHERE h4 < rate_hex ORDER BY doc_id""".stripMargin,
+
+    "q73_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, toks, len(toks) AS n_tok,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS grams2
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, n_tok,
+        |    ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok, 6) AS distinct_ratio,
+        |    ROUND(CAST(len(grams2) - len(list_distinct(grams2)) AS DOUBLE)
+        |      / greatest(len(grams2), 1), 6) AS dup_2gram_ratio,
+        |    (CAST(LENGTH(text) AS DOUBLE)
+        |      - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |      / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio
+        |  FROM g)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        | CAST(n_tok < 30 AS INT) AS r_short,
+        | CAST(punct_ratio > 0.08 AS INT) AS r_punct,
+        | CAST(distinct_ratio < 0.40 AS INT) AS r_repeat,
+        | CAST(dup_2gram_ratio > 0.06 AS INT) AS r_dup2,
+        | CAST(n_tok >= 30 AND punct_ratio <= 0.08
+        |   AND distinct_ratio >= 0.40 AND dup_2gram_ratio <= 0.06 AS INT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q68_pii_scrub" ->
       s"""WITH pii AS ($piiDocsSql),

@@ -195,6 +195,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality filter: keep iff no reject flag fires, and both classes exist") {
+    val rows = SparkEntry.queries("q73_quality_filter")(spark, sf).collect()
+    assert(rows.forall { r =>
+      val flags = Seq("r_short", "r_punct", "r_repeat", "r_dup2")
+        .map(r.getAs[Int](_)).sum
+      r.getAs[Int]("keep") == (if (flags == 0) 1 else 0)
+    })
+    val kept = rows.count(_.getAs[Int]("keep") == 1)
+    assert(kept > 0 && kept < rows.length,
+      s"degenerate filter: kept $kept of ${rows.length}")
+  }
+
   test("stratified sample is deterministic and tracks per-stratum rates") {
     val a = SparkEntry.queries("q66_stratified_sample")(spark, sf).collect()
     val b = SparkEntry.queries("q66_stratified_sample")(spark, sf).collect()
