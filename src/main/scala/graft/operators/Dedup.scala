@@ -143,8 +143,12 @@ object Dedup {
     * is identical. Early-exits when a round changes no label.
     * Public df-level API. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: every round (and every
+    // convergence check) re-reads it, and without this the whole
+    // upstream pair-generation pipeline would re-execute per round.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mdst"))
       .select(col("node"), least(col("node"), col("mdst")).as("label"))
