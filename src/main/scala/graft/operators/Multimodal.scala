@@ -86,6 +86,47 @@ object Multimodal {
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           col("content_hash"), col("meta_width"), col("meta_height"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q74_frame_sample" -> ((s, dir) => {
+      // Frame sampling plumbing for video payloads: frame count comes
+      // from the (portable) decoded metadata, the sample is every 30th
+      // frame as (doc_id, frame_idx, frame_ts) rows. explode(sequence)
+      // is the Spark shape: the payload column is NOT carried through
+      // the explode — at 100 TB only the tiny frame index fans out, and
+      // the actual pixel fetch joins back by doc_id inside the decode
+      // batch. Timestamps are exact 24fps rationals rounded to 6.
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      table(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 2) // the 'video' rows
+        .withColumn("n_frames", pmod(h, lit(240)) + 1)
+        .withColumn("frame_idx",
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(30L))))
+        .withColumn("frame_ts", round(col("frame_idx") / 24.0, 6))
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          col("frame_ts"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    "q75_resize_plan" -> ((s, dir) => {
+      // Resize planning: fit each image into a 512-box preserving
+      // aspect ratio, integer arithmetic only (the pixel work is the
+      // stubbed decode; the PLAN — target dims per payload — is what
+      // the pipeline schedules and is exact cross-engine). Upscaling
+      // is clamped: media already inside the box keeps its dims.
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      table(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the 'image' rows
+        .withColumn("h", h)
+        .withColumn("w", pmod(col("h"), lit(1920)) + 1)
+        .withColumn("ht", pmod(expr("h div 1920"), lit(1080)) + 1)
+        .withColumn("long_side", greatest(col("w"), col("ht")))
+        .withColumn("tw", when(col("long_side") <= 512, col("w"))
+          .otherwise(expr("w * 512 div long_side")))
+        .withColumn("th", when(col("long_side") <= 512, col("ht"))
+          .otherwise(expr("ht * 512 div long_side")))
+        .select(col("doc_id"), col("w"), col("ht"), col("tw"), col("th"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -101,6 +142,35 @@ object Multimodal {
         |  FROM documents)
         |SELECT doc_id, media_type, n_bytes, content_hash,
         | h % 1920 AS meta_width, (h // 1920) % 1080 AS meta_height
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q74_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(text),1,8))::BIGINT % 240 + 1 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, n_frames,
+        |    UNNEST(generate_series(0, n_frames - 1, 30)) AS frame_idx
+        |  FROM v)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        | CAST(frame_idx AS BIGINT) AS frame_idx,
+        | ROUND(CAST(frame_idx AS DOUBLE) / CAST(24 AS DOUBLE), 6) AS frame_ts
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q75_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id, ('0x'||substr(md5(text),1,8))::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |d AS (
+        |  SELECT doc_id, h % 1920 + 1 AS w, (h // 1920) % 1080 + 1 AS ht,
+        |    GREATEST(h % 1920 + 1, (h // 1920) % 1080 + 1) AS long_side
+        |  FROM m)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(ht AS BIGINT) AS ht,
+        | CAST(CASE WHEN long_side <= 512 THEN w
+        |   ELSE w * 512 // long_side END AS BIGINT) AS tw,
+        | CAST(CASE WHEN long_side <= 512 THEN ht
+        |   ELSE ht * 512 // long_side END AS BIGINT) AS th
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }
