@@ -85,6 +85,20 @@ object ScaleSmoke {
       } finally restore()
     val rocksSec = (System.nanoTime() - t0) / 1e9
 
+    // Connected-components phase: cluster a 2M-edge near-dup pair
+    // graph (mixed stars and 8-deep chains — chains force multi-round
+    // label propagation, stars exercise the high-degree agg).
+    t0 = System.nanoTime()
+    val pairEdges = spark.range(2000000L).select(
+      when(col("id") % 2 === 0, col("id") / 8 * 8)          // star center
+        .otherwise((col("id") / 8 * 8) + (col("id") % 8) - 1) // chain link
+        .cast("long").as("doc_a"),
+      ((col("id") / 8 * 8) + (col("id") % 8)).cast("long").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    val nClusters = graft.operators.Dedup.connectedComponents(pairEdges)
+      .select(countDistinct(col("label"))).collect().head.getLong(0)
+    val ccSec = (System.nanoTime() - t0) / 1e9
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -97,6 +111,7 @@ object ScaleSmoke {
       f""""tail_replay_sec":$tailSec%.2f,""" +
       f""""stream_drain_rows":$streamedRows,"stream_drain_sec":$streamSec%.2f,""" +
       f""""rocksdb_drain_rows":$rocksRows,"rocksdb_drain_sec":$rocksSec%.2f,""" +
+      f""""cc_clusters":$nClusters,"cc_sec":$ccSec%.2f,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }
