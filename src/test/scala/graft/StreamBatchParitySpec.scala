@@ -39,4 +39,31 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"stream/batch divergence: ${streamed.take(2).mkString} vs ${batch.take(2).mkString}")
     } finally q.stop()
   }
+
+  test("pipeline ops run unchanged on the streaming path (quality filter + pii)") {
+    // Stateless scan-side operators (quality gates, PII scrub) must
+    // compose with a streaming source exactly as with a batch scan —
+    // that's what makes the batch pipeline reusable as a live filter
+    // in front of a topic.
+    val docs = GraftSession.table(spark, sf, "documents")
+    val batch = graft.operators.TextOps.qualityFilter(docs)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val srcDir = java.nio.file.Files.createTempDirectory("sbp2").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "documents.parquet"),
+      java.nio.file.Paths.get(s"$sf/documents.parquet"))
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val filtered = graft.operators.TextOps.qualityFilter(stream)
+      .select(col("doc_id"), col("keep"))
+    val q = filtered.writeStream.format("memory").queryName("sbp2")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, keep FROM sbp2").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch, "streaming quality filter diverged from batch")
+    } finally q.stop()
+  }
 }
