@@ -202,6 +202,20 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q76_unpivot" -> ((s, dir) => {
+      // The inverse of q14: melt the per-priority pivot back into
+      // (status, priority, n) rows with Spark's native unpivot
+      // (Expand node — one pass, no join, no shuffle beyond the agg's).
+      queries("q14_conditional_pivot")(s, dir)
+        .drop("n_total")
+        .unpivot(
+          Array(col("o_orderstatus")),
+          Array(col("n_urgent"), col("n_high"), col("n_medium"),
+            col("n_notspec"), col("n_low")),
+          "priority", "n")
+        .orderBy(col("o_orderstatus"), col("priority"))
+    }),
+
     "q15_scalar_subquery" -> ((s, dir) => {
       // Scalar subquery as broadcast-cross-join of a 1-row aggregate —
       // the fact table is scanned once, never shuffled.
@@ -453,6 +467,19 @@ object Relational {
         | CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         | COUNT(*) AS n_total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q76_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderstatus,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, priority, n
+        |FROM p UNPIVOT (n FOR priority IN (n_urgent, n_high, n_medium, n_notspec, n_low))
+        |ORDER BY o_orderstatus, priority""".stripMargin,
 
     "q15_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
