@@ -263,13 +263,14 @@ object Relational {
     }),
 
     "q44_grouping_sets" -> ((s, dir) => {
-      // GROUPING SETS ((returnflag),(linestatus)) via cube + grouping_id
-      // filter (bit set = column aggregated away).
+      // Native GROUPING SETS ((returnflag),(linestatus)): the Expand node
+      // emits exactly the 2 requested sets per row (a cube would emit 4
+      // and post-filter half the aggregation work away).
       table(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"),
-          grouping_id().as("gid"))
-        .filter(col("gid").isin(1, 2))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),

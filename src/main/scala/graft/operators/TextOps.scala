@@ -58,6 +58,15 @@ object TextOps {
     * token repeats. All computed per row with higher-order array
     * functions — scan-side, shuffle-free (an explode+groupBy formulation
     * would shuffle the whole gram stream to compute a per-doc stat).
+    *
+    * Tokens and n-grams are hashed to 64-bit xxhash64 values (codegen'd,
+    * no string concat or digest allocation) before the distinct counts,
+    * so `array_distinct` runs on primitive longs (OpenHashSet codegen
+    * path) instead of pairwise string equality, and no gram string is
+    * ever materialized. The oracle counts distinct gram STRINGS (ground
+    * truth); the two agree unless a doc has an intra-document 64-bit
+    * collision (~g²/2⁶⁵ ≈ 1e-9 for the corpus) — deterministic either
+    * way, and the parity gate verifies equality on the actual data.
     * Pure rational arithmetic + round(6) keeps DuckDB parity exact.
     */
   def repetitionSignals(docs: DataFrame): DataFrame =
@@ -65,22 +74,25 @@ object TextOps {
       .withColumn("toks", split(lower(col("text")), "\\s+"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       // slice guards keep 0/1-token docs from producing negative lengths
-      .withColumn("grams2", expr(
-        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (x, i) -> concat(x, ' ', toks[i + 1]))"))
-      .withColumn("grams3", expr(
-        "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), (x, i) -> concat(x, ' ', toks[i + 1], ' ', toks[i + 2]))"))
+      .withColumn("tok_h", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("grams2_h", expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(x, i) -> xxhash64(x, toks[i + 1]))"))
+      .withColumn("grams3_h", expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), " +
+          "(x, i) -> xxhash64(x, toks[i + 1], toks[i + 2]))"))
       .withColumn("adj_repeats", expr(
         "cast(size(filter(slice(toks, 1, greatest(size(toks) - 1, 0)), (x, i) -> x = toks[i + 1])) as bigint)"))
       .withColumn("distinct_ratio",
-        round(size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 6))
+        round(size(array_distinct(col("tok_h"))).cast("double") / col("n_tok"), 6))
       // (total - distinct)/max(total,1): equals 1 - distinct/total for
       // non-empty gram arrays, 0 (not 1) for 0/1-token docs
       .withColumn("dup_2gram_ratio",
-        round((size(col("grams2")) - size(array_distinct(col("grams2")))).cast("double")
-          / greatest(size(col("grams2")), lit(1)), 6))
+        round((size(col("grams2_h")) - size(array_distinct(col("grams2_h")))).cast("double")
+          / greatest(size(col("grams2_h")), lit(1)), 6))
       .withColumn("dup_3gram_ratio",
-        round((size(col("grams3")) - size(array_distinct(col("grams3")))).cast("double")
-          / greatest(size(col("grams3")), lit(1)), 6))
+        round((size(col("grams3_h")) - size(array_distinct(col("grams3_h")))).cast("double")
+          / greatest(size(col("grams3_h")), lit(1)), 6))
 
   // PII patterns kept RE2-simple (no lookaround) so Spark's Java regex
   // and DuckDB's RE2 agree byte-for-byte.
