@@ -90,10 +90,10 @@ object ScaleSmoke {
     // label propagation, stars exercise the high-degree agg).
     t0 = System.nanoTime()
     val pairEdges = spark.range(2000000L).select(
-      when(col("id") % 2 === 0, col("id") / 8 * 8)          // star center
-        .otherwise((col("id") / 8 * 8) + (col("id") % 8) - 1) // chain link
+      when(col("id") % 2 === 0, expr("id div 8 * 8"))          // star center
+        .otherwise(expr("id div 8 * 8") + (col("id") % 8) - 1) // chain link
         .cast("long").as("doc_a"),
-      ((col("id") / 8 * 8) + (col("id") % 8)).cast("long").as("doc_b"))
+      (expr("id div 8 * 8") + (col("id") % 8)).cast("long").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
     val nClusters = graft.operators.Dedup.connectedComponents(pairEdges)
       .select(countDistinct(col("label"))).collect().head.getLong(0)

@@ -45,7 +45,17 @@ import org.apache.spark.sql.functions._
   *  - Directory swaps are crash-safe: live dirs are renamed aside
   *    before the staged result moves in, and [[recover]] (run on open)
   *    rolls a torn swap back, so a crash never leaves the log absent.
-  *    Single writer per topic assumed (same as the reference).
+  *  - CONCURRENT PUBLISHERS are safe (the reference gets this from
+  *    MongoDB's atomic inserts, `topic.js:26-41`): [[publish]] runs
+  *    under a `_publish.lock` lease file acquired with an atomic
+  *    create-if-absent, so two producers serialize and assign disjoint,
+  *    gapless offset ranges. The lock doubles as the crash marker: a
+  *    publisher that died mid-append leaves its lock behind, and
+  *    whoever breaks the stale lease first reconciles the sidecar
+  *    against a log scan (elementwise max — correct both for a crashed
+  *    append, where the scan is ahead, and for a fully-trimmed
+  *    partition, where the sidecar is ahead). Compaction/retention
+  *    still assume a single MAINTENANCE actor at a time.
   *  - Replay is `offset > watermark` + event filter, both pushed into
   *    the parquet scan, so a subscriber reading the tail of a 100 TB
   *    topic scans only the tail row groups.
@@ -55,6 +65,12 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   private val logDir = s"$path/log"
   private val subsDir = s"$path/subscribers"
   private val headsPath = s"$path/_offsets.json"
+  private val lockPath = new Path(s"$path/_publish.lock")
+
+  /** How long a publish lock is honored before it is presumed dead and
+    * broken (with a sidecar reconcile). A publish job that legitimately
+    * runs longer than this must raise it. */
+  var publishLeaseMs: Long = 5 * 60 * 1000L
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -120,6 +136,12 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * Observation on the write job itself — publishing does zero reads
     * of the log. */
   def publish(records: DataFrame): Map[Int, TopicLog.OffsetRange] = {
+    acquirePublishLock()
+    try publishLocked(records)
+    finally releasePublishLock()
+  }
+
+  private def publishLocked(records: DataFrame): Map[Int, TopicLog.OffsetRange] = {
     val base = heads()
     val baseDf = spark.createDataFrame(
       java.util.Arrays.asList(
@@ -245,9 +267,15 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * stay monotonic even if a partition empties. */
   def retainAfter(minTs: java.sql.Timestamp): Unit = {
     heads() // materialize the sidecar before trimming (fallback = scan)
-    val cutoff = minTs.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    // log_date was written via to_date(ts), which resolves in the SESSION
+    // timezone — derive the whole-day cutoff in the same zone, or the
+    // directory drops would misalign with the ts >= minTs predicate.
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    val cutoff = minTs.toInstant.atZone(zone).toLocalDate
     val boundaryHasOlder =
-      minTs.toInstant != cutoff.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      minTs.toInstant != cutoff.atStartOfDay(zone).toInstant
     var boundaryParts = List.empty[String]
     listSubdirs(logDir, "log_part=").foreach { partDir =>
       listSubdirs(partDir.toString, "log_date=").foreach { dateDir =>
@@ -310,6 +338,62 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
           fs.delete(dateDir, true)
       }
     }
+  }
+
+  // ------------------------------------------------- publish lock / lease
+
+  /** Acquire the topic's publish lease via atomic create-if-absent
+    * (atomic on HDFS and object-store committers; effectively so on the
+    * local FS). A lease older than [[publishLeaseMs]] belongs to a dead
+    * publisher: break it, reconciling the sidecar first — the crashed
+    * writer may have appended data without recording the new heads, and
+    * publishing against the stale sidecar would re-issue the same
+    * offsets. */
+  private def acquirePublishLock(timeoutMs: Long = 60 * 1000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lockPath, false) // throws if the lock exists
+        try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val age =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lockPath).getModificationTime
+            catch { case _: java.io.IOException => -1L } // just released
+          if (age > publishLeaseMs) breakStaleLock()
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"timed out after ${timeoutMs}ms waiting for publish lock on $path")
+          else Thread.sleep(25)
+      }
+    }
+  }
+
+  private def releasePublishLock(): Unit = fs.delete(lockPath, false)
+
+  /** A stale lock means a publisher died somewhere between append and
+    * sidecar write: reconcile, THEN free the lock (reconcile-first keeps
+    * the invariant that a lock-free topic has a trustworthy sidecar). */
+  private def breakStaleLock(): Unit = {
+    reconcileHeads()
+    fs.delete(lockPath, false)
+  }
+
+  /** Heal the sidecar against the log itself: elementwise max of the
+    * sidecar and a one-time scan. Max is correct in both failure
+    * directions — a crashed publish leaves the SCAN ahead (data landed,
+    * sidecar stale); a fully-trimmed partition leaves the SIDECAR ahead
+    * (heads outlive retention by design). */
+  private def reconcileHeads(): Unit = {
+    val sidecar = readSidecar().getOrElse(Map.empty[Int, Long])
+    val scanned = scanHeads()
+    writeSidecar((sidecar.keySet ++ scanned.keySet).map { p =>
+      p -> math.max(sidecar.getOrElse(p, -1L), scanned.getOrElse(p, -1L))
+    }.toMap)
   }
 
   // ------------------------------------------------------ swap machinery
@@ -380,6 +464,14 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     heal(new Path(path))                 // log.old / subscribers.old
     heal(new Path(logDir))               // log_part=N.old
     listSubdirs(logDir, "log_part=").foreach(heal) // log_date=D.old
+    // A leftover publish lock past its lease = a publisher died between
+    // append and sidecar write; reconcile so heads() never re-issues
+    // offsets. A FRESH lock is a live publisher in another process —
+    // leave it alone (it will complete its own sidecar update).
+    if (fs.exists(lockPath) &&
+      System.currentTimeMillis() -
+        fs.getFileStatus(lockPath).getModificationTime > publishLeaseMs)
+      breakStaleLock()
   }
 }
 

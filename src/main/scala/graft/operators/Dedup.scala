@@ -131,17 +131,24 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.k1").as("k1"), col("bs.k2").as("k2"))
   }
+  private val ccLog = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Rounds the most recent connectedComponents* call took to converge
+    * (diagnostics for ScaleSmoke's algorithm comparison). */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
   /** Connected components over an undirected pair list
     * (doc_a, doc_b): every node gets the MINIMUM doc_id reachable from
     * it (the cluster id / dedup survivor). Pregel-style min-label
     * propagation: each round joins labels to edges and takes the
     * neighborhood min; rounds needed = graph diameter (near-dup
     * clusters are shallow — dups of a common source — so this is a
-    * handful of uniform-key shuffles, each O(|edges|)). At
-    * trillion-edge scale you'd switch to large-star/small-star
-    * (alternating halving, O(log n) rounds); the per-round join shape
-    * is identical. Early-exits when a round changes no label.
-    * Public df-level API. */
+    * handful of uniform-key shuffles, each O(|edges|)). For deep graphs
+    * use [[connectedComponentsStar]] (O(log n) rounds). Early-exits
+    * when a round changes no label; if `maxIters` rounds pass without
+    * convergence the returned labels may still be split across a
+    * component — a warning is logged (raise `maxIters`, or switch to
+    * the star variant). Public df-level API. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // Materialize the edge list ONCE: every round (and every
     // convergence check) re-reads it, and without this the whole
@@ -170,7 +177,67 @@ object Dedup {
       labels = next
       i += 1
     }
+    lastCcRounds = i
+    if (!converged) ccLog.warn(
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "labels may split components; raise maxIters or use connectedComponentsStar")
     labels
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): O(log n) rounds regardless of component diameter,
+    * where min-label propagation needs diameter rounds. Same contract
+    * as [[connectedComponents]] — (node, label) with label = component
+    * minimum — and the same per-round shape (uniform-key groupBy over
+    * the edge list), so it drops in wherever chains/deep graphs make
+    * min-label slow. Each round strictly shrinks edge count toward the
+    * star form, so later rounds get cheaper. Public df-level API. */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    var edges = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: every node x links its LARGER neighbors to the min
+      // of its closed neighborhood (strictly-larger guard keeps the
+      // step acyclic)
+      val nbrs = edges.select(col("hi").as("x"), col("lo").as("y"))
+        .union(edges.select(col("lo").as("x"), col("hi").as("y")))
+      val lmins = nbrs.groupBy(col("x")).agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val afterLarge = nbrs.join(lmins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star: every node x links its smaller neighbors (and
+      // itself) to the min of those
+      val smins = afterLarge.groupBy(col("hi").as("x")).agg(min(col("lo")).as("m"))
+      val next = afterLarge.join(smins, col("hi") === col("x"))
+        .select(col("lo").as("node"), col("m"))
+        .union(smins.select(col("x").as("node"), col("m")))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint = identical edge set (stars centered at component mins)
+      converged = next.as("n").join(edges.as("o"),
+          col("n.hi") === col("o.hi") && col("n.lo") === col("o.lo"),
+          "full_outer")
+        .filter(col("n.hi").isNull || col("o.hi").isNull).isEmpty
+      edges = next
+      i += 1
+    }
+    lastCcRounds = i
+    if (!converged) ccLog.warn(
+      s"connectedComponentsStar did not converge in $maxIters rounds — " +
+        "labels may split components; raise maxIters")
+    edges.select(col("hi").as("node"), col("lo").as("label"))
+      .union(edges.select(col("lo").as("node"), col("lo").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
   }
 
   /** LSH candidate pairs of a (doc_id, text) frame: pairs sharing at

@@ -172,12 +172,19 @@ object TopicStream {
     val changelog =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = spark.conf.getOption(key)
+    val prevChangelog = spark.conf.getOption(changelog)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set(changelog, "true")
-    () => prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    () => {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      prevChangelog match {
+        case Some(v) => spark.conf.set(changelog, v)
+        case None => spark.conf.unset(changelog)
+      }
     }
   }
 
