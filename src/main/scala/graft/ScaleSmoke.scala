@@ -85,19 +85,28 @@ object ScaleSmoke {
       } finally restore()
     val rocksSec = (System.nanoTime() - t0) / 1e9
 
-    // Connected-components phase: cluster a 2M-edge near-dup pair
-    // graph (mixed stars and 8-deep chains — chains force multi-round
-    // label propagation, stars exercise the high-degree agg).
-    t0 = System.nanoTime()
-    val pairEdges = spark.range(2000000L).select(
-      when(col("id") % 2 === 0, expr("id div 8 * 8"))          // star center
-        .otherwise(expr("id div 8 * 8") + (col("id") % 8) - 1) // chain link
+    // Connected-components phase: cluster a 10M-edge near-dup pair
+    // graph (alternating 32-node stars and 32-deep chains — chains are
+    // the min-label worst case, diameter rounds; stars exercise the
+    // high-degree agg). Runs BOTH algorithms on the same edge list to
+    // compare rounds-to-convergence and wall clock.
+    val pairEdges = spark.range(10000000L).select(
+      when(expr("id div 32 % 2 = 0"), expr("id div 32 * 32"))   // star center
+        .otherwise(expr("id div 32 * 32") + (col("id") % 32) - 1) // chain link
         .cast("long").as("doc_a"),
-      (expr("id div 8 * 8") + (col("id") % 8)).cast("long").as("doc_b"))
+      (expr("id div 32 * 32") + (col("id") % 32)).cast("long").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-    val nClusters = graft.operators.Dedup.connectedComponents(pairEdges)
+      .localCheckpoint() // both algorithms read the same materialized edges
+    t0 = System.nanoTime()
+    val nClusters = graft.operators.Dedup.connectedComponents(pairEdges, maxIters = 100)
       .select(countDistinct(col("label"))).collect().head.getLong(0)
     val ccSec = (System.nanoTime() - t0) / 1e9
+    val ccRounds = graft.operators.Dedup.lastCcRounds
+    t0 = System.nanoTime()
+    val nClustersStar = graft.operators.Dedup.connectedComponentsStar(pairEdges)
+      .select(countDistinct(col("label"))).collect().head.getLong(0)
+    val ccStarSec = (System.nanoTime() - t0) / 1e9
+    val ccStarRounds = graft.operators.Dedup.lastCcRounds
 
     t0 = System.nanoTime()
     topic.compact()
@@ -111,7 +120,9 @@ object ScaleSmoke {
       f""""tail_replay_sec":$tailSec%.2f,""" +
       f""""stream_drain_rows":$streamedRows,"stream_drain_sec":$streamSec%.2f,""" +
       f""""rocksdb_drain_rows":$rocksRows,"rocksdb_drain_sec":$rocksSec%.2f,""" +
-      f""""cc_clusters":$nClusters,"cc_sec":$ccSec%.2f,""" +
+      f""""cc_clusters":$nClusters,"cc_sec":$ccSec%.2f,"cc_rounds":$ccRounds,""" +
+      f""""cc_star_clusters":$nClustersStar,"cc_star_sec":$ccStarSec%.2f,""" +
+      f""""cc_star_rounds":$ccStarRounds,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }

@@ -434,6 +434,18 @@ object Dedup {
         .orderBy(col("cluster_id"))
     }),
 
+    "q77_dedup_clusters_star" -> ((s, dir) => {
+      // Same clustering contract as q72, via large-star/small-star
+      // contraction — O(log n) rounds instead of diameter rounds, for
+      // corpora whose dup graphs have deep chains. Oracle-identical
+      // output proves the two algorithms agree end to end.
+      val cand = lshCandidates(table(s, dir, "documents"))
+      connectedComponentsStar(cand.select(col("doc_a"), col("doc_b")))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+        .orderBy(col("cluster_id"))
+    }),
+
     "q69_contamination" -> ((s, dir) => {
       // Benchmark-contamination screen: flag corpus docs sharing any
       // 3-gram shingle with a held-out benchmark set (every 97th doc
@@ -516,6 +528,31 @@ object Dedup {
        |  CAST(${band64Sql(3)} AS BIGINT) AS band3
        |  FROM bits)""".stripMargin
 
+  /** Ground truth for near-dup clustering (q72 + q77): LSH candidate
+    * pairs, then components via a recursive reachability CTE. Shared by
+    * both algorithm variants — they must agree byte-for-byte. */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |sig AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |      AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach AS (
+       |  SELECT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS node, r.label
+       |  FROM edges e JOIN reach r ON r.node = e.dst),
+       |comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+       |SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
+       |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q30_exact_dedup" ->
       s"""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
@@ -556,27 +593,11 @@ object Dedup {
          |LEFT JOIN inter i ON ca.doc_id = i.doc_a
          |ORDER BY doc_a""".stripMargin,
 
-    "q72_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS ($shinglesSql),
-         |sig AS ($signaturesSql),
-         |bands AS ($bandsSql),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-         |      AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION ALL SELECT doc_b, doc_a FROM cand),
-         |reach AS (
-         |  SELECT src AS node, src AS label FROM edges
-         |  UNION
-         |  SELECT e.src AS node, r.label
-         |  FROM edges e JOIN reach r ON r.node = e.dst),
-         |comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
-         |SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
-         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "q72_dedup_clusters" -> dedupClustersSql,
+
+    // identical ground truth: the star-contraction variant must produce
+    // byte-identical clusters to min-label propagation
+    "q77_dedup_clusters_star" -> dedupClustersSql,
 
     "q69_contamination" ->
       s"""WITH sh AS ($shinglesSql),

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2.C7 scale path, trained variant): k-means cells are
   * learned from the data, vectors are stored by cell, and a query
   * probes only the `nprobe` nearest cells — the scan shrinks from the
-  * corpus to nprobe/nCells of it. On a cluster the assignment dataframe
-  * is written partitioned by `cell`, so the probe is partition pruning.
+  * corpus to nprobe/nCells of it. [[save]] writes the assignments
+  * partitioned by `cell`, so a probe against a [[load]]ed index is
+  * PARTITION PRUNING: the scan lists only the nprobe `cell=N`
+  * directories (the 100 TB story — probe cost is data-proportional to
+  * the probed cells, not the corpus).
   */
 object IvfIndex {
 
@@ -26,6 +29,29 @@ object IvfIndex {
       .fit(withVec)
     val assigned = model.transform(withVec).drop("__features")
     Index(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Persist the index: assignments laid out by cell (`cell=N/` dirs —
+    * the inverted file), centroids as the tiny metadata table. */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.assignments.sparkSession
+    index.assignments.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assignments")
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reopen a persisted index. [[search]] on the result partition-prunes:
+    * its `cell IN (probes)` filter hits the directory layout, so only
+    * the probed cells' files are listed and read. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    Index(spark.read.parquet(s"$path/assignments"), cents)
   }
 
   /** Cosine top-k probing the `nprobe` cells whose centroids are

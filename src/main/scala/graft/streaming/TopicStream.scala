@@ -19,6 +19,37 @@ final class Subscription private[streaming] (
 
   def isActive: Boolean = query.isActive
 
+  /** Register a callback fired exactly once when the underlying query
+    * terminates — `None` for a clean stop, `Some(error)` when the query
+    * died. The reference surfaces tailable-cursor errors through the
+    * subscriber callback (`topic.js:49-88` error paths); this is the
+    * Spark-native equivalent via StreamingQueryListener. Safe to call
+    * on an already-dead subscription (fires immediately). */
+  def onTerminated(callback: Option[String] => Unit): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val streams = topic.spark.streams
+    lazy val listener: StreamingQueryListener = new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id && fired.compareAndSet(false, true)) {
+          try callback(e.exception) finally streams.removeListener(listener)
+        }
+    }
+    streams.addListener(listener)
+    // the query may have died before the listener registered — its
+    // terminated event is gone; fire from the query's own state (the
+    // AtomicBoolean keeps the two paths once-only)
+    if (!query.isActive && fired.compareAndSet(false, true)) {
+      streams.removeListener(listener)
+      callback(Option(query.exception.orNull).map(_.getMessage))
+    }
+  }
+
   /** Block until every record published so far has been processed and
     * acked (test/drain aid; the reference's flush-before-unsubscribe). */
   def drain(): Unit = query.processAllAvailable()
@@ -75,14 +106,32 @@ object TopicStream {
     subscribeAfter(topic, marks, event)
   }
 
+  /** Backlog cut: records strictly after the per-partition watermarks.
+    * The watermark table rides a BROADCAST stream-static left join (the
+    * same shape as batch [[graft.log.TopicLog.replay]]) — one hash probe
+    * per record regardless of partition count, where a per-partition
+    * filter disjunction would be O(partitions) predicate evaluations per
+    * row and an O(partitions)-node plan. File-source LISTING stays
+    * incremental either way (append-only log); partition-directory
+    * pruning is not available to a streaming source for either shape,
+    * which is why the cut is per-row in the first place. */
   private def subscribeAfter(topic: TopicLog, watermarks: Map[Int, Long],
       event: Option[String]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val base = topic.spark.readStream
       .schema(TopicLog.SCHEMA)
       .option("maxFilesPerTrigger", "32")
       .parquet(s"${topic.path}/log")
-    val afterMark = watermarks.foldLeft(base) { case (df, (p, h)) =>
-      df.filter(!(col("log_part") === p) || col("offset") > h)
+    val afterMark = if (watermarks.isEmpty) base else {
+      val wm = topic.spark.createDataFrame(
+        java.util.Arrays.asList(watermarks.toSeq.sorted.map { case (p, h) =>
+          Row(p, h)
+        }: _*),
+        StructType(Seq(StructField("wm_part", IntegerType),
+          StructField("wm_off", LongType))))
+      base.join(broadcast(wm), col("log_part") === col("wm_part"), "left")
+        .filter(col("wm_off").isNull || col("offset") > col("wm_off"))
+        .drop("wm_part", "wm_off")
     }
     event.fold(afterMark)(e => afterMark.filter(col("event") === e))
   }

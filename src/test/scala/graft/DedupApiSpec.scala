@@ -58,6 +58,36 @@ class DedupApiSpec extends AnyFunSuite {
     assert(broken.isEmpty, "pair endpoints landed in different clusters")
   }
 
+  test("star contraction matches min-label propagation, in fewer rounds on chains") {
+    import spark.implicits._
+    // 3 components: a 60-node chain (diameter 59 — the min-label worst
+    // case), a star, and a pair
+    val chain = (1000L until 1059L).map(i => (i, i + 1))
+    val star = Seq((1L, 5000L), (1L, 5001L), (1L, 5002L))
+    val pair = Seq((7L, 9L))
+    val pairs = (chain ++ star ++ pair).toDF("doc_a", "doc_b")
+    val minLabel = Dedup.connectedComponents(pairs, maxIters = 100).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val mlRounds = Dedup.lastCcRounds
+    val starLabels = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val starRounds = Dedup.lastCcRounds
+    assert(starLabels == minLabel, "algorithms disagree on labels")
+    assert(starLabels(1059L) == 1000L && starLabels(5002L) == 1L && starLabels(9L) == 7L)
+    assert(starRounds < mlRounds,
+      s"star should converge in O(log n) rounds ($starRounds) vs diameter ($mlRounds)")
+  }
+
+  test("star contraction matches min-label on the q72 LSH-pair corpus") {
+    val docs = GraftSession.table(spark, sf, "documents")
+    val cand = Dedup.lshCandidates(docs).localCheckpoint()
+    val a = Dedup.connectedComponents(cand).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val b = Dedup.connectedComponentsStar(cand).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(a.nonEmpty && a == b)
+  }
+
   test("simhash_agg custom aggregate equals the declarative 16-column simhash") {
     val docs = GraftSession.table(spark, sf, "documents")
     val declarative = Dedup.simhash(docs)

@@ -261,6 +261,95 @@ class TopicLogSpec extends AnyFunSuite {
     assert(topic.heads() == h)
   }
 
+  // ---- round-3: concurrent publishers + crash reconcile ----
+
+  test("two interleaved publishers assign disjoint, gapless offset ranges") {
+    val dir = Files.createTempDirectory("topic").toString
+    // two independent handles on the SAME topic (two producer processes)
+    val a = TopicLog.prepare(spark, dir, numPartitions = 2)
+    val b = TopicLog.prepare(spark, dir, numPartitions = 2)
+    val ranges = new java.util.concurrent.ConcurrentLinkedQueue[Map[Int, TopicLog.OffsetRange]]()
+    val threads = Seq((a, 0), (b, 200)).map { case (topic, start) =>
+      new Thread(() => (0 until 3).foreach { i =>
+        ranges.add(topic.publish(mkRecords(20, startId = start + i * 20)))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val all = ranges.asScala.toSeq
+    assert(all.map(_.values.map(_.count).sum).sum == 120)
+    // per partition: the 6 publishes' (first..last] ranges never overlap
+    (0 until 2).foreach { p =>
+      val rs = all.flatMap(_.get(p)).map(r => (r.first, r.last)).sortBy(_._1)
+      rs.sliding(2).foreach {
+        case Seq((_, lastA), (firstB, _)) =>
+          assert(firstB == lastA + 1, s"part $p ranges overlap or gap: $rs")
+        case _ => ()
+      }
+    }
+    // and the log itself is dense from 0 in every partition
+    val byPart = a.read().groupBy(col("log_part"))
+      .agg(min("offset").as("lo"), max("offset").as("hi"), count(lit(1)).as("n"))
+      .collect()
+    assert(byPart.map(_.getAs[Long]("n")).sum == 120)
+    byPart.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L)
+      assert(r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1 == r.getAs[Long]("n"),
+        s"offsets not dense in part ${r.getInt(0)}")
+    }
+  }
+
+  test("stale publish lock: reopen reconciles the sidecar against the log") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(20))
+    val staleSidecar = Files.readString(
+      java.nio.file.Paths.get(s"$dir/_offsets.json"))
+    topic.publish(mkRecords(20, startId = 20))
+    val trueHeads = topic.heads()
+    // crash simulation: second publish's data landed, but the sidecar
+    // "never got written" (restore the stale copy) and the dead
+    // publisher's lock is still lying around, past its lease
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_offsets.json"), staleSidecar)
+    // drop the Hadoop LocalFS checksum twin — we bypassed it on purpose
+    new java.io.File(s"$dir/._offsets.json.crc").delete()
+    val lock = new java.io.File(s"$dir/_publish.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000L))
+    val reopened = TopicLog.prepare(spark, dir, numPartitions = 2)
+    assert(!lock.exists(), "stale lock must be broken on recover")
+    assert(reopened.heads() == trueHeads,
+      "sidecar must be reconciled to the max of sidecar and scan")
+    // next publish continues from the true heads — no duplicate offsets
+    val r = reopened.publish(mkRecords(10, startId = 40))
+    r.foreach { case (p, rng) => assert(rng.base == trueHeads(p)) }
+    val dense = reopened.read().groupBy(col("log_part"))
+      .agg(max("offset").as("hi"), count(lit(1)).as("n")).collect()
+    dense.foreach(r => assert(r.getAs[Long]("hi") + 1 == r.getAs[Long]("n")))
+  }
+
+  test("fresh lock from a live publisher is honored, then acquirable") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(10))
+    // a FRESH foreign lock: publish must wait, then time out (we never
+    // release it) — proving it does not break a live writer's lease
+    val lock = new java.io.File(s"$dir/_publish.lock")
+    assert(lock.createNewFile())
+    val ex = intercept[IllegalStateException] {
+      val impatient = TopicLog.prepare(spark, dir, numPartitions = 2)
+      val m = impatient.getClass.getDeclaredMethod(
+        "acquirePublishLock", classOf[Long])
+      m.setAccessible(true)
+      try m.invoke(impatient, java.lang.Long.valueOf(300L))
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+    assert(ex.getMessage.contains("publish lock"))
+    assert(lock.delete())
+    // once released, publish proceeds normally
+    assert(topic.publish(mkRecords(10, startId = 10)).values.map(_.count).sum == 10)
+  }
+
   test("retention trims below the watermark, like a capped collection") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)

@@ -281,4 +281,59 @@ class TopicStreamSpec extends AnyFunSuite {
     assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDB")))
   }
+
+  // ---- round-3: termination callback + backlog-join plan shape ----
+
+  test("onTerminated fires once on unsubscribe; late registration fires immediately") {
+    val dir = Files.createTempDirectory("stream").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(10))
+    val sub = TopicStream.subscribeDurable(topic, "cb", ckpt)(_ => ())
+    val seen = new java.util.concurrent.LinkedBlockingQueue[Option[String]]()
+    sub.onTerminated(e => seen.put(e))
+    sub.drain()
+    sub.unsubscribe()
+    val fired = seen.poll(15, java.util.concurrent.TimeUnit.SECONDS)
+    assert(fired != null, "callback never fired")
+    assert(fired.isEmpty, s"clean stop must report no error, got $fired")
+    assert(!sub.isActive)
+    // registering on an already-dead subscription fires immediately
+    val late = new java.util.concurrent.LinkedBlockingQueue[Option[String]]()
+    sub.onTerminated(e => late.put(e))
+    assert(late.poll(5, java.util.concurrent.TimeUnit.SECONDS) != null)
+  }
+
+  test("onTerminated surfaces a processing error; isActive flips") {
+    val dir = Files.createTempDirectory("stream").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(10))
+    val sub = TopicStream.subscribeDurable(topic, "boom", ckpt) { _ =>
+      throw new RuntimeException("subscriber exploded")
+    }
+    val seen = new java.util.concurrent.LinkedBlockingQueue[Option[String]]()
+    sub.onTerminated(e => seen.put(e))
+    intercept[Throwable] { sub.drain() }
+    val fired = seen.poll(15, java.util.concurrent.TimeUnit.SECONDS)
+    assert(fired != null, "callback never fired")
+    assert(fired.exists(_.contains("subscriber exploded")),
+      s"error must reach the callback, got $fired")
+    assert(!sub.isActive)
+  }
+
+  test("backlog cut is one broadcast watermark join, not a filter chain") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val dir = Files.createTempDirectory("stream").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 32)
+    topic.publish(mkRecords(64))
+    // fromNow=true: 32 per-partition watermarks feed the backlog cut
+    val stream = TopicStream.subscribe(topic, fromNow = true)
+    val plan = stream.queryExecution.analyzed
+    val joins = plan.collect { case j: Join => j }
+    val filters = plan.collect { case f: Filter => f }
+    assert(joins.size == 1, s"expected the broadcast watermark join, got $joins")
+    assert(filters.size <= 2,
+      s"per-partition filter chain is back (${filters.size} Filter nodes)")
+  }
 }
