@@ -25,14 +25,22 @@ object Bench {
     }
     // noop sink executes the FULL plan (sorts, projections) — a bare
     // .count() lets Catalyst delete global sorts and prune most columns,
-    // under-measuring ORDER-BY-heavy queries.
+    // under-measuring ORDER-BY-heavy queries. Each query is timed TWICE
+    // and the min reported: one GC pause or page-cache miss otherwise
+    // reads as a phantom 10-20x regression on a sub-second query (this
+    // is exactly what round 2's q47 artifact showed — 4.4 s for a query
+    // that steady-states at 0.7 s).
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => errors += s"$name: ${e.getMessage}"; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best =
+        try math.min(once(), once())
+        catch { case e: Throwable => errors += s"$name: ${e.getMessage}"; -1.0 }
+      name -> best
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -58,4 +58,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: ["), plan)
     assert(plan.contains("l_discount"), plan)
   }
+
+  test("q44 grouping sets expand each row exactly twice (no cube x4)") {
+    val df = SparkEntry.queries("q44_grouping_sets")(spark, sf)
+    val expands = df.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.nonEmpty, "grouping sets should plan an Expand")
+    assert(expands.forall(_.projections.size == 2),
+      s"Expand factor ${expands.map(_.projections.size)} — asked for 2 sets")
+  }
 }
