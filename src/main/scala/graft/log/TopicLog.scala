@@ -96,20 +96,20 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     read().groupBy(col("log_part")).agg(max(col("offset")).as("head"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-  /** Sidecar format: one `p:head` pair per line — trivially parseable,
-    * atomically replaced via tmp+rename. */
-  private def writeSidecar(heads: Map[Int, Long]): Unit = {
-    val tmp = new Path(headsPath + ".tmp")
+  /** Sidecar format (heads + per-subscriber watermarks): one
+    * `int:long` pair per line — trivially parseable, atomically
+    * replaced via tmp+rename. */
+  private def writeKv(target: Path, kv: Map[Int, Long]): Unit = {
+    val tmp = new Path(target.toString + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(heads.toSeq.sorted.map { case (p, h) => s"$p:$h" }
+    try out.write(kv.toSeq.sorted.map { case (p, h) => s"$p:$h" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(new Path(headsPath), false)
-    fs.rename(tmp, new Path(headsPath))
+    fs.delete(target, false)
+    fs.rename(tmp, target)
   }
 
-  private def readSidecar(): Option[Map[Int, Long]] = {
-    val p = new Path(headsPath)
+  private def readKv(p: Path): Option[Map[Int, Long]] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -120,7 +120,12 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
         k.toInt -> v.toLong
       }.toMap)
     }
-  }
+
+  private def writeSidecar(heads: Map[Int, Long]): Unit =
+    writeKv(new Path(headsPath), heads)
+
+  private def readSidecar(): Option[Map[Int, Long]] =
+    readKv(new Path(headsPath))
 
   // -------------------------------------------------------------- publish
 
@@ -199,29 +204,45 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     read().groupBy(col("log_part"))
       .agg(max(col("offset")).as("head_offset"), count(lit(1)).as("n_records"))
 
-  /** Durable subscriber watermarks (name, log_part, last_offset). */
-  def subscribers(): DataFrame =
-    if (new java.io.File(subsDir).exists()) spark.read.parquet(subsDir)
-    else spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("log_part", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("last_offset", org.apache.spark.sql.types.LongType))))
+  private val subsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("log_part", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("last_offset", org.apache.spark.sql.types.LongType)))
+
+  private def subFile(name: String): Path = new Path(subsDir,
+    java.net.URLEncoder.encode(name, "UTF-8") + ".json")
+
+  /** Durable subscriber watermarks (name, log_part, last_offset): one
+    * tiny `subscribers/<name>.json` sidecar per subscriber, parsed
+    * driver-side (subscriber counts are human-scale; the frame is only
+    * ever broadcast). */
+  def subscribers(): DataFrame = {
+    val d = new Path(subsDir)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+        .flatMap { st =>
+          val name = java.net.URLDecoder.decode(
+            st.getPath.getName.stripSuffix(".json"), "UTF-8")
+          readKv(st.getPath).toSeq.flatten.map { case (p, o) =>
+            org.apache.spark.sql.Row(name, p, o)
+          }
+        }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), subsSchema)
+  }
 
   /** Upsert a subscriber's acked watermark (reference `ack`,
-    * topic.js:198-223): last-write-wins per (name, log_part). */
+    * topic.js:198-223): merge per (name, log_part), last write wins —
+    * the reference's per-subscriber document upsert. PURE METADATA: one
+    * tmp+rename of the subscriber's own sidecar, no Spark job (this
+    * sits on the per-micro-batch ack hot path), and different
+    * subscribers never touch each other's files, so concurrent acks
+    * across subscribers cannot lose updates. */
   def ack(name: String, watermarks: Map[Int, Long]): Unit = {
-    val rows = watermarks.toSeq.map { case (p, o) =>
-      org.apache.spark.sql.Row(name, p, o)
-    }
-    val newDf = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*),
-      subscribers().schema)
-    val merged = subscribers()
-      .filter(!(col("name") === name && col("log_part").isin(watermarks.keys.toSeq: _*)))
-      .union(newDf)
-    stageSwap(merged.coalesce(1), subsDir)
+    val f = subFile(name)
+    val merged = readKv(f).getOrElse(Map.empty) ++ watermarks
+    writeKv(f, merged)
   }
 
   /** Replay for a durable subscriber (reference `replay`/`replayFrom`,
@@ -425,23 +446,6 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       fs.delete(old, true)
     }
     fs.delete(new Path(tmp), true)
-  }
-
-  /** Rewrite a whole directory we are also reading from (subscribers):
-    * stage, rename live aside, move staging in, drop the old copy.
-    * A crash mid-swap leaves `<dir>.old` for [[recover]] to roll back —
-    * the target is only ever absent inside the two-rename window that
-    * recovery repairs. */
-  private def stageSwap(df: DataFrame, dir: String): Unit = {
-    val tmp = new Path(s"$dir.staging")
-    fs.delete(tmp, true)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val target = new Path(dir)
-    val old = new Path(s"$dir.old")
-    fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
-    fs.delete(old, true)
   }
 
   /** Roll back any swap a crash tore mid-flight: a `<dir>.old` (or

@@ -350,6 +350,34 @@ class TopicLogSpec extends AnyFunSuite {
     assert(topic.publish(mkRecords(10, startId = 10)).values.map(_.count).sum == 10)
   }
 
+  test("concurrent acks from different subscribers never lose updates") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(20))
+    // two subscribers ack in parallel, repeatedly; per-subscriber
+    // sidecars mean there is no shared file to clobber
+    val threads = Seq("alpha", "beta").map { name =>
+      new Thread(() => (1 to 25).foreach { i =>
+        topic.ack(name, Map(0 -> i.toLong, 1 -> i.toLong))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val marks = topic.subscribers().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(marks == Map(
+      ("alpha", 0) -> 25L, ("alpha", 1) -> 25L,
+      ("beta", 0) -> 25L, ("beta", 1) -> 25L), s"lost acks: $marks")
+    // partial ack merges with the subscriber's existing marks
+    topic.ack("alpha", Map(0 -> 30L))
+    val after = topic.subscribers().filter(col("name") === "alpha").collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(after == Map(0 -> 30L, 1 -> 25L))
+    // the layout is one tiny sidecar per subscriber (ack = no Spark job)
+    val files = new java.io.File(s"$dir/subscribers").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(files.sameElements(Array("alpha.json", "beta.json")), files.toSeq)
+  }
+
   test("retention trims below the watermark, like a capped collection") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
