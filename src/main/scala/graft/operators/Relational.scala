@@ -334,13 +334,19 @@ object Relational {
 
     "q43_percentiles" -> ((s, dir) => {
       // Exact interpolated percentiles (DuckDB quantile_cont twin).
+      // Both quantity quantiles come from ONE percentile buffer (array
+      // form) — a per-quantile aggregate would build and sort the same
+      // per-group counts map twice.
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+          expr("percentile(l_quantity, array(0.5, 0.95))").as("qp"),
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          round(col("qp")(0), 6).as("p50_qty"),
+          round(col("qp")(1), 6).as("p95_qty"),
+          col("p50_price"), col("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
 
