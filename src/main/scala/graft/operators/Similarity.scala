@@ -213,6 +213,24 @@ object Similarity {
           round(min(col("norm")), 6).as("min_norm"),
           round(max(col("norm")), 6).as("max_norm"))
         .orderBy(col("label"))
+    }),
+
+    "q78_embedding_pool" -> ((s, dir) => {
+      // Feature pooling (the extract-then-pool step of a multimodal /
+      // chunked-document pipeline): mean-pool every 10 consecutive
+      // chunk embeddings into one 64-dim parent feature. Columnar
+      // shape: 64 position-wise avg aggregates with scan-side partials
+      // and ONE shuffle on the parent key — never an explode of the
+      // vector column (that would fan the corpus ×64 through the
+      // shuffle). round(6): 10-element double avgs are order-noisy at
+      // 1e-15, far below the rounding.
+      val avgs = (0 until RHP_DIMS).map(i =>
+        round(avg(col("embedding")(i).cast("double")), 6))
+      table(s, dir, "embeddings")
+        .groupBy(expr("vec_id div 10").as("parent_id"))
+        .agg(count(lit(1)).as("n_chunks"), array(avgs: _*).as("pooled"))
+        .select(col("parent_id"), col("n_chunks"), col("pooled"))
+        .orderBy(col("parent_id"))
     })
   )
 
@@ -310,7 +328,24 @@ object Similarity {
         | ROUND(AVG(norm), 6) AS avg_norm,
         | ROUND(MIN(norm), 6) AS min_norm,
         | ROUND(MAX(norm), 6) AS max_norm
-        |FROM n GROUP BY label ORDER BY label""".stripMargin
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q78_embedding_pool" ->
+      """WITH ex AS (
+        |  SELECT vec_id // 10 AS parent_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT parent_id, i, ROUND(AVG(x), 6) AS v
+        |  FROM ex GROUP BY parent_id, i),
+        |c AS (
+        |  SELECT vec_id // 10 AS parent_id, COUNT(*) AS n_chunks
+        |  FROM embeddings GROUP BY 1)
+        |SELECT p.parent_id, c.n_chunks, LIST(p.v ORDER BY p.i) AS pooled
+        |FROM p JOIN c ON p.parent_id = c.parent_id
+        |GROUP BY p.parent_id, c.n_chunks
+        |ORDER BY p.parent_id""".stripMargin
   )
 
   // The dot/norm subqueries unnest both lists positionally (DuckDB zips
