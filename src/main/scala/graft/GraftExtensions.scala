@@ -9,10 +9,12 @@ import graft.functions.{CosineSimilarity, HammingDistance, SimHashAgg}
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
   * `call_function("cosine_sim", ...)` work on any session built with
-  * `GraftSession.build` (or `--conf spark.sql.extensions=graft.GraftExtensions`).
+  * `GraftSession.build` (or `--conf spark.sql.extensions=graft.GraftExtensions`),
+  * plus the planner strategy for the whole-operator merge as-of join.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+
+import graft.plans.AsofJoinPlan
+
+/** df-level face of the custom merge as-of join
+  * ([[graft.plans.AsofJoinExec]]): each left row + the latest right
+  * row (same key, right time <= left time, ties broken by
+  * `rightTiebreak`, last wins), LEFT OUTER. One exchange per side and
+  * a single merge pass — no join-then-argmax inflation. */
+object AsofNative {
+
+  /** `leftKey`/`rightKey`/`leftTime`/`rightTime` name integral (or
+    * castable-to-long) columns; key and time are compared as longs.
+    * Timestamps cast to epoch seconds — for sub-second as-of
+    * resolution pre-project micros yourself. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    // NTZ timestamps and dates have no direct long cast; route them
+    // through TIMESTAMP (session-TZ; graft sessions pin UTC) first.
+    def asLong(df: DataFrame, name: String): Column =
+      df.schema(name).dataType match {
+        case TimestampNTZType | DateType =>
+          col(name).cast("timestamp").cast("long")
+        case _ => col(name).cast("long")
+      }
+    val l = left
+      .withColumn("__asof_k", asLong(left, leftKey))
+      .withColumn("__asof_t", asLong(left, leftTime))
+    val r = right
+      .withColumn("__asof_k", asLong(right, rightKey))
+      .withColumn("__asof_t", asLong(right, rightTime))
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    val node = AsofJoinPlan(lp, rp,
+      attr(lp, "__asof_k"), attr(rp, "__asof_k"),
+      attr(lp, "__asof_t"), attr(rp, "__asof_t"),
+      rightTiebreak.map(attr(rp, _)))
+    // drop() removes BOTH sides' helper columns (drop-by-name is global)
+    GraftPlanBridge.ofRows(left.sparkSession, node)
+      .drop("__asof_k", "__asof_t")
+  }
+}

@@ -236,6 +236,24 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "q79_asof_native" -> ((s, dir) => {
+      // Same enrichment as q42 through the whole-operator merge as-of
+      // join ([[graft.plans.AsofJoinExec]]): one exchange per side and
+      // a single streaming merge pass — the join output is never
+      // inflated with earlier matches, and no post-join argmax
+      // aggregation exists to shuffle again.
+      val e = eventsTable(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      AsofNative.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        rightTiebreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     "q29_event_dedup" -> ((s, dir) => {
       // At-least-once -> exactly-once: redelivered events (union with
       // itself simulates redelivery) deduped on the offset before stats.
@@ -375,6 +393,17 @@ object EventOps {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q42_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q79_asof_native" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
         |FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Spark keeps `Dataset.ofRows` private[sql]; this one-liner lives in
+  * the `org.apache.spark.sql` package purely to hand graft's custom
+  * logical plans (e.g. [[graft.plans.AsofJoinPlan]]) back to the
+  * session as a DataFrame — the standard extension-library pattern. */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsofNative
+
+/** The whole-operator merge as-of join (AsofJoinPlan/Exec + the
+  * AsofNative df API): semantics on a hand-built corpus (latest
+  * at-or-before, tiebreaks, left-outer nulls, null keys/times), parity
+  * with the composed join+argmax plan of q42 on real data, and the
+  * plan-shape claim that motivates it (no aggregate after the join).
+  */
+class AsofNativeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("latest at-or-before semantics, tiebreaks, and left-outer nulls") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(5L), "a"),   // ties on right time resolved by seq
+      (1L, Option(10L), "b"),  // later event sees the t=9 state
+      (2L, Option(7L), "c"),   // exact-time match qualifies (<=)
+      (3L, Option(4L), "d"),   // key with no right rows -> nulls
+      (2L, None, "e")          // null time never matches -> nulls
+    ).toDF("k", "t", "ltag")
+    val right = Seq(
+      (1L, 5L, 1L, "r1"), (1L, 5L, 2L, "r2"), // same key+time: seq 2 wins
+      (1L, 9L, 3L, "r3"),
+      (1L, 11L, 4L, "r4"),                    // future row: never visible
+      (2L, 7L, 5L, "r5")
+    ).toDF("rk", "rt", "seq", "rtag")
+
+    val out = AsofNative.asofJoin(left, right, "k", "rk", "t", "rt", Seq("seq"))
+      .select(col("ltag"), col("rtag"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+
+    assert(out === Map(
+      "a" -> Some("r2"), "b" -> Some("r3"), "c" -> Some("r5"),
+      "d" -> None, "e" -> None))
+  }
+
+  test("parity with the composed join+argmax plan (q42) on sf0.001") {
+    val q42 = SparkEntry.queries("q42_asof_join")(spark, sf).collect()
+    val q79 = SparkEntry.queries("q79_asof_native")(spark, sf).collect()
+    assert(q79.length === q42.length)
+    assert(q79.toSeq === q42.toSeq)
+  }
+
+  test("plan is a single merge pass: no aggregate after the join") {
+    val df = SparkEntry.queries("q79_asof_native")(spark, sf)
+    df.count() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(800))
+    assert(!plan.contains("HashAggregate"),
+      "the whole point is replacing the post-join argmax aggregation")
+  }
+}
