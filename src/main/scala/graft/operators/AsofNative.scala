@@ -5,23 +5,29 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DateType, TimestampNTZType}
 
-import graft.plans.AsofJoinPlan
+import graft.plans.{AsofAuto, AsofJoinPlan, AsofStrategyHint}
 
-/** df-level face of the custom merge as-of join
-  * ([[graft.plans.AsofJoinExec]]): each left row + the latest right
-  * row (same key, right time <= left time, ties broken by
-  * `rightTiebreak`, last wins), LEFT OUTER. One exchange per side and
-  * a single merge pass — no join-then-argmax inflation. */
+/** df-level face of the custom as-of join ([[graft.plans.AsofJoinExec]]
+  * / [[graft.plans.BroadcastAsofJoinExec]]): each left row + the latest
+  * right row (same key, right time <= left time, ties broken by
+  * `rightTiebreak`, last wins), LEFT OUTER. The planner broadcasts a
+  * small right side (left then keeps its partitioning and ordering —
+  * no exchange at all); otherwise one exchange per side and a single
+  * merge pass — never a join-then-argmax inflation. */
 object AsofNative {
 
   /** `leftKey`/`rightKey`/`leftTime`/`rightTime` name integral (or
     * castable-to-long) columns; key and time are compared as longs.
     * Timestamps cast to epoch seconds — for sub-second as-of
-    * resolution pre-project micros yourself. */
+    * resolution pre-project micros yourself. `hint` pins the physical
+    * strategy ([[graft.plans.AsofMerge]]/[[graft.plans.AsofBroadcast]]);
+    * the default auto-selects by right-side size like Spark's equi-join
+    * planner. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil,
+      hint: AsofStrategyHint = AsofAuto): DataFrame = {
     // NTZ timestamps and dates have no direct long cast; route them
     // through TIMESTAMP (session-TZ; graft sessions pin UTC) first.
     def asLong(df: DataFrame, name: String): Column =
@@ -43,7 +49,7 @@ object AsofNative {
     val node = AsofJoinPlan(lp, rp,
       attr(lp, "__asof_k"), attr(rp, "__asof_k"),
       attr(lp, "__asof_t"), attr(rp, "__asof_t"),
-      rightTiebreak.map(attr(rp, _)))
+      rightTiebreak.map(attr(rp, _)), hint)
     // drop() removes BOTH sides' helper columns (drop-by-name is global)
     GraftPlanBridge.ofRows(left.sparkSession, node)
       .drop("__asof_k", "__asof_t")

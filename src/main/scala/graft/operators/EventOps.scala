@@ -248,6 +248,24 @@ object EventOps {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"))
       AsofNative.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        rightTiebreak = Seq("o_orderkey"), hint = graft.plans.AsofMerge)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q80_asof_broadcast" -> ((s, dir) => {
+      // The fact-dim face of the as-of join: right side auto-broadcast
+      // (it fits autoBroadcastJoinThreshold at test SFs), so the event
+      // side needs NO exchange and NO sort — per-row binary search
+      // against the broadcast time-sorted index, the as-of analogue of
+      // a broadcast hash join.
+      val e = eventsTable(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      AsofNative.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
         rightTiebreak = Seq("o_orderkey"))
         .select(col("event_id"), col("user_id"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"))
@@ -404,6 +422,17 @@ object EventOps {
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q79_asof_native" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q80_asof_broadcast" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
         |FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,

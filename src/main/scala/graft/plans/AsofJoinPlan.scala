@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Whole-operator as-of join — the one operator in the suite whose
@@ -29,7 +29,8 @@ case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTiebreak: Seq[Expression]) extends BinaryNode {
+    rightTiebreak: Seq[Expression],
+    strategyHint: AsofStrategyHint = AsofAuto) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -39,12 +40,35 @@ case class AsofJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Physical-strategy choice for the as-of join. [[AsofAuto]] mirrors
+  * Spark's equi-join selection: broadcast the right side when its
+  * estimated size fits `spark.sql.autoBroadcastJoinThreshold`,
+  * otherwise co-partition and merge. */
+sealed trait AsofStrategyHint
+case object AsofAuto extends AsofStrategyHint
+case object AsofMerge extends AsofStrategyHint
+case object AsofBroadcast extends AsofStrategyHint
+
 /** Planner strategy mapping the logical as-of join to its physical
-  * operator (injected by [[graft.GraftExtensions]]). */
+  * operator (injected by [[graft.GraftExtensions]]). The fact-dim
+  * shape (huge left, small right) gets the broadcast variant — the
+  * left side then needs NO exchange and NO sort, which at 100 TB is
+  * the difference between a metadata-cost enrichment and shuffling
+  * the whole fact table. */
 class AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tb, hint) =>
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val broadcast = hint match {
+        case AsofBroadcast => true
+        case AsofMerge => false
+        case AsofAuto => threshold > 0 && r.stats.sizeInBytes <= threshold
+      }
+      if (broadcast)
+        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+      else
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }
@@ -128,6 +152,92 @@ case class AsofJoinExec(
           if (haveBest && bestKey == lkL) proj(joined(l, best))
           else proj(joined(l, nullRight))
         }
+      }
+    }
+  }
+}
+
+/** Broadcast as-of join for the fact-dim shape: the right side is
+  * broadcast whole (IdentityBroadcastMode) and indexed per partition
+  * as key -> time-sorted rows; each left row binary-searches for the
+  * last right row with time <= its own. The left child keeps its
+  * partitioning AND ordering — no exchange, no sort — so a 100 TB
+  * fact scan pays only the per-row probe, exactly like a broadcast
+  * hash join. Same semantics as [[AsofJoinExec]] (left outer, null
+  * keys/times never match, tiebreaks ascending, last wins).
+  */
+case class BroadcastAsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTime, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTime, right.output)
+    // (time, tiebreaks...) ascending, pre-bound; the generated ordering
+    // itself is NOT serializable, so ship the bound SortOrders and
+    // generate per partition
+    val boundOrder = (rightTime +: rightTiebreak).map(e =>
+      SortOrder(BindReferences.bindReference(e, right.output), Ascending))
+    val rightArity = right.output.size
+    val outAttrs = output
+    left.execute().mapPartitions { lIter =>
+      // per-partition index build: bounded by the broadcast (dim) size,
+      // same cost model as Spark's own per-task HashedRelation reads
+      val ordering = RowOrdering.create(boundOrder, Nil)
+      val byKey = new java.util.HashMap[Long, (Array[Long], Array[InternalRow])]()
+      val groups = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+      bcast.value.foreach { r =>
+        val k = rkB.eval(r)
+        if (k != null && rtB.eval(r) != null) {
+          groups.computeIfAbsent(k.asInstanceOf[Long],
+            _ => scala.collection.mutable.ArrayBuffer.empty[InternalRow]) += r
+        }
+      }
+      groups.forEach { (k, buf) =>
+        val sorted = buf.sortWith((a, b) => ordering.compare(a, b) < 0).toArray
+        byKey.put(k, (sorted.map(rtB.eval(_).asInstanceOf[Long]), sorted))
+      }
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rightArity)
+      val joined = new JoinedRow
+      lIter.map { l =>
+        val lk = lkB.eval(l)
+        val lt = ltB.eval(l)
+        var best: InternalRow = null
+        if (lk != null && lt != null) {
+          val g = byKey.get(lk.asInstanceOf[Long])
+          if (g != null) {
+            val (times, rows) = g
+            val ltL = lt.asInstanceOf[Long]
+            // last index with times(i) <= ltL; ties already resolved by
+            // the sort (later tiebreaks sit later in the array)
+            var lo = 0; var hi = times.length - 1; var res = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= ltL) { res = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (res >= 0) best = rows(res)
+          }
+        }
+        if (best != null) proj(joined(l, best)) else proj(joined(l, nullRight))
       }
     }
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.AsofNative
+import graft.plans.{AsofBroadcast, AsofMerge}
 
 /** The whole-operator merge as-of join (AsofJoinPlan/Exec + the
   * AsofNative df API): semantics on a hand-built corpus (latest
@@ -14,7 +15,8 @@ import graft.operators.AsofNative
 class AsofNativeSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("latest at-or-before semantics, tiebreaks, and left-outer nulls") {
+  for (hint <- Seq(AsofMerge, AsofBroadcast))
+  test(s"latest at-or-before semantics, tiebreaks, left-outer nulls [$hint]") {
     import spark.implicits._
     val left = Seq(
       (1L, Option(5L), "a"),   // ties on right time resolved by seq
@@ -30,7 +32,8 @@ class AsofNativeSpec extends AnyFunSuite {
       (2L, 7L, 5L, "r5")
     ).toDF("rk", "rt", "seq", "rtag")
 
-    val out = AsofNative.asofJoin(left, right, "k", "rk", "t", "rt", Seq("seq"))
+    val out = AsofNative.asofJoin(left, right, "k", "rk", "t", "rt",
+        Seq("seq"), hint)
       .select(col("ltag"), col("rtag"))
       .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
 
@@ -39,19 +42,49 @@ class AsofNativeSpec extends AnyFunSuite {
       "d" -> None, "e" -> None))
   }
 
-  test("parity with the composed join+argmax plan (q42) on sf0.001") {
+  test("merge and broadcast variants both match the composed q42 plan on sf0.001") {
     val q42 = SparkEntry.queries("q42_asof_join")(spark, sf).collect()
     val q79 = SparkEntry.queries("q79_asof_native")(spark, sf).collect()
+    val q80 = SparkEntry.queries("q80_asof_broadcast")(spark, sf).collect()
     assert(q79.length === q42.length)
     assert(q79.toSeq === q42.toSeq)
+    assert(q80.toSeq === q42.toSeq)
   }
 
-  test("plan is a single merge pass: no aggregate after the join") {
+  test("merge plan is a single pass: no aggregate after the join") {
     val df = SparkEntry.queries("q79_asof_native")(spark, sf)
     df.count() // finalize AQE
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), plan.take(800))
     assert(!plan.contains("HashAggregate"),
       "the whole point is replacing the post-join argmax aggregation")
+  }
+
+  test("broadcast plan leaves the fact side exchange- and sort-free") {
+    val e = GraftSession.eventsTable(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val o = GraftSession.table(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    // no orderBy here: any exchange/sort in the plan would be the
+    // operator's own doing
+    val df = AsofNative.asofJoin(e, o, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsofJoin"),
+      "small right side must auto-select the broadcast variant: " + plan.take(800))
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Sort "),
+      "fact side must keep its scan partitioning unsorted: " + plan.take(800))
+    // auto-selection flips to merge when broadcasting is disabled
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df2 = AsofNative.asofJoin(e, o, "user_id", "o_custkey",
+        "ts", "o_orderdate", Seq("o_orderkey"))
+      df2.count()
+      val plan2 = df2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("BroadcastAsofJoin") && plan2.contains("AsofJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
