@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
 import graft.functions.{CosineSimilarity, HammingDistance, SimHashAgg}
 
@@ -32,5 +32,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash64_agg"),
       (exprs: Seq[Expression]) =>
         SimHashAgg(exprs.head, bits = 64).toAggregateExpression()))
+    // Spark's internal bloom sketch pair (used by its own runtime row
+    // filters), surfaced as SQL functions: build a fixed-size filter
+    // over a long column, probe it scan-side with codegen — the
+    // shape for membership screens whose key set outgrows a broadcast
+    // hash set (SURVEY §5: contamination at 100 TB).
+    e.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[aggregate.BloomFilterAggregate].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) => (exprs match {
+        case Seq(c) => new aggregate.BloomFilterAggregate(c)
+        case Seq(c, est) => new aggregate.BloomFilterAggregate(c, est)
+        case Seq(c, est, bits) => new aggregate.BloomFilterAggregate(c, est, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg(value[, estimatedNumItems[, numBits]])")
+      }).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        BloomFilterMightContain(exprs.head, exprs(1))))
   }
 }

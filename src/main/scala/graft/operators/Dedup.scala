@@ -464,6 +464,30 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    "q81_contamination_bloom" -> ((s, dir) => {
+      // q69's scale path: when the benchmark gram SET outgrows a
+      // broadcast hash set, a fixed-size bloom filter still fits every
+      // executor. Build the filter over the bench h1 grams (one small
+      // aggregate, collected as plan metadata like the IVF centroids),
+      // probe it scan-side with Spark's codegen'd might-contain, and
+      // send only the ~fpp survivors into the exact (h1, h2) verify
+      // join — so false positives are removed and the output is
+      // byte-identical to q69 while the join input shrinks from
+      // |corpus grams| to |contaminated grams| + fpp leakage.
+      val docs = table(s, dir, "documents")
+      val bench = shingleHashes(docs.filter(col("doc_id") % 97 === 0))
+        .select(col("h1"), col("h2")).distinct()
+      val bloom = bench
+        .agg(call_function("bloom_agg", col("h1"), lit(1000000L)).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      shingleHashes(docs.filter(col("doc_id") % 97 =!= 0))
+        .filter(call_function("bloom_might_contain", lit(bloom), col("h1")))
+        .join(broadcast(bench), Seq("h1", "h2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bench_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q34_simhash" -> ((s, dir) =>
       simhashDf(s, dir).orderBy(col("doc_id"))),
 
@@ -600,6 +624,18 @@ object Dedup {
     "q77_dedup_clusters_star" -> dedupClustersSql,
 
     "q69_contamination" ->
+      s"""WITH sh AS ($shinglesSql),
+         |shh AS ($shingleHashSql),
+         |bench AS (
+         |  SELECT DISTINCT h1, h2 FROM shh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, COUNT(*) AS n_bench_grams
+         |FROM shh s JOIN bench b ON s.h1 = b.h1 AND s.h2 = b.h2
+         |WHERE s.doc_id % 97 <> 0
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical ground truth: the bloom prefilter is exact-verified,
+    // so q81 must reproduce q69 byte-for-byte
+    "q81_contamination_bloom" ->
       s"""WITH sh AS ($shinglesSql),
          |shh AS ($shingleHashSql),
          |bench AS (

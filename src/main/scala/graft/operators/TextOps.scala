@@ -182,6 +182,29 @@ object TextOps {
       .withColumn("pack_id", floor(col("cum_before") / budget))
   }
 
+  /** Sliding-window document chunking (q82): split each doc into
+    * `window`-token chunks every `stride` tokens (overlap = window -
+    * stride) — the standard long-document preprocessing ahead of
+    * embedding/training (q78 pools exactly such chunks back into
+    * parent features). Pure scan-side work: tokenize, explode the
+    * start positions, slice — no shuffle at any corpus size; chunk
+    * identity is (doc_id, chunk_idx) and `chunk_hash` is the portable
+    * content hash of the space-joined chunk. */
+  def chunkWindows(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+    docs
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("start_tok",
+        explode(sequence(lit(0L), col("n") - 1, lit(stride.toLong))))
+      .withColumn("chunk_toks",
+        slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(window)))
+      .select(col("doc_id"),
+        expr(s"start_tok div $stride").as("chunk_idx"),
+        col("start_tok"),
+        size(col("chunk_toks")).cast("long").as("n_tok"),
+        graft.GraftSession.portableHash(array_join(col("chunk_toks"), " "))
+          .as("chunk_hash"))
+
   /** Composite C4/Gopher-style keep/drop filter (q73): length,
     * punctuation, distinct-token and duplicate-2-gram gates evaluated
     * in ONE scan pass — [[repetitionSignals]] chained over
@@ -323,6 +346,14 @@ object TextOps {
         .select(col("doc_id"), col("n_emails"), col("n_ips"),
           col("n_phones"), col("clean_len"), col("clean_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q82_chunk_windows" -> ((s, dir) => {
+      // Sliding-window chunking: 64-token chunks every 48 tokens
+      // (16-token overlap) per document — scan-side tokenize + explode
+      // + slice, shuffle-free at any corpus size.
+      chunkWindows(table(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
     "q71_domain_mix" -> ((s, dir) => {
@@ -492,6 +523,25 @@ object TextOps {
          | CAST(LENGTH(regexp_replace(clean0, '$phoneRe', '[PHONE]', 'g')) AS BIGINT) AS clean_len,
          | md5(regexp_replace(clean0, '$phoneRe', '[PHONE]', 'g')) AS clean_fp
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q82_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(generate_series(0, LEN(toks) - 1, 48)) AS start_tok
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, start_tok,
+        |    list_slice(toks, start_tok + 1, start_tok + 64) AS chunk
+        |  FROM s)
+        |SELECT doc_id, start_tok // 48 AS chunk_idx,
+        | CAST(start_tok AS BIGINT) AS start_tok,
+        | CAST(LEN(chunk) AS BIGINT) AS n_tok,
+        | ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 8))::BIGINT
+        |   AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q71_domain_mix" ->
       """WITH c AS (

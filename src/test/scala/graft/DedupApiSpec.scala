@@ -142,4 +142,32 @@ class DedupApiSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)),
       s"near-dup ${ham(sh(1L), sh(2L))} not closer than unrelated ${ham(sh(1L), sh(4L))}")
   }
+
+  test("bloom sketch functions: no false negatives, filters most non-members") {
+    import spark.implicits._
+    val members = (0L until 1000L).map(_ * 7 + 3)
+    val bloom = members.toDF("v")
+      .agg(org.apache.spark.sql.functions.call_function(
+        "bloom_agg", org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.lit(1000L)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val probed = (0L until 20000L).toDF("v")
+      .filter(org.apache.spark.sql.functions.call_function(
+        "bloom_might_contain",
+        org.apache.spark.sql.functions.lit(bloom),
+        org.apache.spark.sql.functions.col("v")))
+      .collect().map(_.getLong(0)).toSet
+    val memberSet = members.toSet
+    assert(memberSet.subsetOf(probed), "bloom must never reject a member")
+    // 3% default fpp: the 19k non-members should almost all be dropped
+    assert(probed.size < memberSet.size + 2000,
+      s"bloom passed ${probed.size - memberSet.size} of 19000 non-members")
+  }
+
+  test("q81 bloom-prefiltered contamination screen equals q69 byte-for-byte") {
+    val q69 = SparkEntry.queries("q69_contamination")(spark, sf).collect()
+    val q81 = SparkEntry.queries("q81_contamination_bloom")(spark, sf).collect()
+    assert(q69.nonEmpty)
+    assert(q81.toSeq === q69.toSeq)
+  }
 }

@@ -222,4 +222,29 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"$lang sampled at $rate, wanted ~$want of ${totals(lang)}")
     }
   }
+
+  test("chunk windows: stride starts, window cap, full coverage, exact tail") {
+    import spark.implicits._
+    // 100-token doc -> starts 0,48,96: lens 64,52,4; 40-token doc -> one
+    // short chunk; 1-token doc -> one 1-token chunk
+    val docs = Seq(
+      (1L, (0 until 100).map(i => s"t$i").mkString(" ")),
+      (2L, (0 until 40).map(i => s"u$i").mkString(" ")),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.TextOps.chunkWindows(docs)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (1L, 0L, 0L, 64L), (1L, 1L, 48L, 52L), (1L, 2L, 96L, 4L),
+      (2L, 0L, 0L, 40L),
+      (3L, 0L, 0L, 1L)))
+    // coverage: with stride <= window every token index lands in a chunk
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      val covered = cs.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      val n = cs.map(c => c._3 + c._4).max
+      assert(covered === (0L until n).toSet)
+    }
+  }
 }
