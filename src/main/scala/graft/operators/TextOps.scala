@@ -356,6 +356,31 @@ object TextOps {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "q83_tfidf_keywords" -> ((s, dir) => {
+      // TF-IDF keyword extraction: top-3 terms per doc by
+      // tf * ln(N/df). Scale shape: tf is a map-side-combinable
+      // (doc, term) aggregation; df is a VOCAB-sized table (<< corpus)
+      // joined back on the uniform term key (AQE broadcasts it when
+      // small); the top-3 is a per-doc window on the uniform doc key.
+      // Scores rounded to 6 dp BEFORE ranking so rank order is
+      // cross-engine deterministic (term is the tiebreak).
+      val docs = table(s, dir, "documents")
+      val nDocs = docs.count().toDouble
+      val tf = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     "q71_domain_mix" -> ((s, dir) => {
       // Target-mixture resampling: uniform share per source. Keep rate
       // per source = min(1, total/num_sources/n_source); the keep
@@ -542,6 +567,26 @@ object TextOps {
         | ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 8))::BIGINT
         |   AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q83_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    ROUND(t.tf * LN(n.n / d.df), 6) AS score
+        |  FROM tfc t JOIN dfc d USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "q71_domain_mix" ->
       """WITH c AS (
