@@ -190,6 +190,22 @@ object TopicStream {
     new Subscription(topic, name, query)
   }
 
+  /** Stream-static as-of enrichment: each live record joined to the
+    * LATEST dim row at-or-before its event time (the "state of the
+    * world when the event happened" join, e.g. price-at-trade-time).
+    * Runs the broadcast as-of operator per micro-batch — the dim index
+    * is broadcast once per batch and the stream side keeps its scan
+    * partitioning, so the hot path adds one binary search per record
+    * and NO shuffle. A plain stream-static equi join cannot express
+    * "latest at-or-before" without a per-record argmax aggregation,
+    * which streaming append mode disallows mid-query. */
+  def enrichAsof(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String,
+      streamTime: String, dimTime: String,
+      tiebreak: Seq[String] = Nil): DataFrame =
+    graft.operators.AsofNative.asofJoin(stream, dim, streamKey, dimKey,
+      streamTime, dimTime, tiebreak, graft.plans.AsofBroadcast)
+
   /** Stream-stream correlation join of two live topics: records with
     * the same key where the right event lands within `within` after the
     * left event. Watermarks on both sides bound the join state (Spark

@@ -336,4 +336,36 @@ class TopicStreamSpec extends AnyFunSuite {
     assert(filters.size <= 2,
       s"per-partition filter chain is back (${filters.size} Filter nodes)")
   }
+
+  test("enrichAsof joins each live record to the latest dim state at event time") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val dir = Files.createTempDirectory("stream").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    // dim: per uid, a base price valid from t0 and a bumped price valid
+    // from record index 36's timestamp
+    val dim = (0 until 5).flatMap { u =>
+      Seq((u.toLong, new java.sql.Timestamp(t0), u * 10.0),
+        (u.toLong, new java.sql.Timestamp(t0 + 36 * 60000L), u * 10.0 + 1))
+    }.toDF("uid", "valid_from", "price")
+    val stream = TopicStream.subscribe(topic, event = None, fromNow = true)
+      .withColumn("uid", substring(col("key"), 5, 10).cast("long"))
+    val enriched = TopicStream.enrichAsof(
+      stream, dim, "uid", "uid", "ts", "valid_from")
+    val q = enriched.writeStream.format("memory").queryName("asof_live")
+      .outputMode("append").start()
+    try {
+      topic.publish(mkRecords(12, startId = 30)) // i = 30..41, ts = t0 + i*60000
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, ts, price FROM asof_live").collect()
+      assert(rows.length == 12)
+      rows.foreach { r =>
+        val uid = r.getString(0).stripPrefix("key-").toLong
+        val i = (r.getTimestamp(1).getTime - t0) / 60000L
+        val want = uid * 10.0 + (if (i >= 36) 1 else 0)
+        assert(r.getDouble(2) == want,
+          s"key=${r.getString(0)} i=$i got ${r.getDouble(2)}, want $want")
+      }
+    } finally q.stop()
+  }
 }
