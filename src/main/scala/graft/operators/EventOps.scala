@@ -272,6 +272,26 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "q84_ewma" -> ((s, dir) => {
+      // Rolling EWMA feature per event (alpha=0.3 over the trailing 20
+      // events per user): collect the bounded frame and FOLD the
+      // recurrence — numerically stable at any history length, unlike
+      // the closed-form (1-a)^i trick whose exponent under/overflows.
+      // Frame is 20 rows so state is bounded; the only shuffle is the
+      // per-user window, a uniform key. Same double-op sequence as the
+      // DuckDB fold -> bit-identical before the round(6).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+      eventsTable(s, dir)
+        .withColumn("xs", collect_list(col("value")).over(w))
+        .withColumn("ewma", round(expr(
+          "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1)," +
+            " (acc, v) -> 0.7D * acc + 0.3D * v)"), 6))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
     "q29_event_dedup" -> ((s, dir) => {
       // At-least-once -> exactly-once: redelivered events (union with
       // itself simulates redelivery) deduped on the offset before stats.
@@ -442,6 +462,14 @@ object EventOps {
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q84_ewma" ->
+      """SELECT event_id, user_id, ts, value,
+        | ROUND(list_reduce(
+        |   list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |   (acc, v) -> 0.7 * acc + 0.3 * v), 6) AS ewma
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q29_event_dedup" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -381,6 +381,47 @@ object TextOps {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    "q85_reservoir_topk" -> ((s, dir) => {
+      // Exact-k-per-stratum sampling (the "give me exactly 50 docs per
+      // language" ask q66's rate-threshold cannot make exact): rank by
+      // portable hash, keep the k smallest. Done in TWO phases because
+      // lang is a low-cardinality key: a (lang, partition) pre-window
+      // prunes each scan partition to its local top-k, so the final
+      // per-lang window sees <= k * numPartitions rows, not the corpus
+      // (the same sharding discipline as q67). The result is invariant
+      // to partitioning — any local top-k superset contains the global
+      // top-k.
+      val k = 50
+      val docs = table(s, dir, "documents")
+        .withColumn("hk",
+          md5(concat(lit("res:"), col("doc_id").cast("string"))))
+      val pre = Window.partitionBy(col("lang"), col("pid"))
+        .orderBy(col("hk"), col("doc_id"))
+      val fin = Window.partitionBy(col("lang"))
+        .orderBy(col("hk"), col("doc_id"))
+      docs
+        .withColumn("pid", spark_partition_id())
+        .withColumn("prk", row_number().over(pre))
+        .filter(col("prk") <= k)
+        .withColumn("rk", row_number().over(fin).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    "q86_histogram" -> ((s, dir) => {
+      // Fixed-width value histogram (profiling): single scan-side pass,
+      // bucket = floor(value / width) — no data-dependent bounds pass,
+      // map-side-combinable aggregation on a bounded key space.
+      table(s, dir, "orders")
+        .withColumn("bucket",
+          floor(col("o_totalprice") / 30000.0).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          graft.GraftSession.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("bucket"))
+    }),
+
     "q71_domain_mix" -> ((s, dir) => {
       // Target-mixture resampling: uniform share per source. Keep rate
       // per source = min(1, total/num_sources/n_source); the keep
@@ -587,6 +628,24 @@ object TextOps {
         |  FROM scored)
         |SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q85_reservoir_topk" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    md5('res:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+
+    "q86_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT) AS bucket,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q71_domain_mix" ->
       """WITH c AS (
