@@ -108,6 +108,33 @@ object ScaleSmoke {
     val ccStarSec = (System.nanoTime() - t0) / 1e9
     val ccStarRounds = graft.operators.Dedup.lastCcRounds
 
+    // As-of phase: enrich every log record with the latest dim state at
+    // its event time — n events x 500k-version dim (100k keys x 5
+    // versions), both physical variants on the same inputs. The merge
+    // variant shuffles+sorts both sides once; the broadcast variant
+    // leaves the event side entirely unshuffled.
+    val events = topic.read()
+      .select(col("offset"), col("ts"),
+        substring(col("key"), 5, 10).cast("long").as("uid"))
+    val dim = spark.range(500000L).select(
+      (col("id") % 100000).as("duid"),
+      timestamp_micros(lit(1700000000000000L) +
+        expr("id div 100000") * (n.toLong / 5) * 1000L).as("valid_from"),
+      (col("id") % 997).cast("double").as("price"))
+      .localCheckpoint()
+    def asofCount(hint: graft.plans.AsofStrategyHint): (Long, Double) = {
+      val tb = System.nanoTime()
+      val c = graft.operators.AsofNative
+        .asofJoin(events, dim, "uid", "duid", "ts", "valid_from",
+          Seq("price"), hint)
+        .filter(col("price").isNotNull).count()
+      (c, (System.nanoTime() - tb) / 1e9)
+    }
+    val (asofMergeRows, asofMergeSec) = asofCount(graft.plans.AsofMerge)
+    val (asofBcastRows, asofBcastSec) = asofCount(graft.plans.AsofBroadcast)
+    require(asofMergeRows == asofBcastRows,
+      s"as-of variants disagree: $asofMergeRows vs $asofBcastRows")
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -123,6 +150,8 @@ object ScaleSmoke {
       f""""cc_clusters":$nClusters,"cc_sec":$ccSec%.2f,"cc_rounds":$ccRounds,""" +
       f""""cc_star_clusters":$nClustersStar,"cc_star_sec":$ccStarSec%.2f,""" +
       f""""cc_star_rounds":$ccStarRounds,""" +
+      f""""asof_rows":$asofMergeRows,"asof_merge_sec":$asofMergeSec%.2f,""" +
+      f""""asof_broadcast_sec":$asofBcastSec%.2f,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }

@@ -19,10 +19,18 @@ object AsofNative {
   /** `leftKey`/`rightKey`/`leftTime`/`rightTime` name integral (or
     * castable-to-long) columns; key and time are compared as longs.
     * Timestamps cast to epoch seconds — for sub-second as-of
-    * resolution pre-project micros yourself. `hint` pins the physical
-    * strategy ([[graft.plans.AsofMerge]]/[[graft.plans.AsofBroadcast]]);
-    * the default auto-selects by right-side size like Spark's equi-join
-    * planner. */
+    * resolution pre-project micros yourself (`unix_micros`). `hint`
+    * pins the physical strategy
+    * ([[graft.plans.AsofMerge]]/[[graft.plans.AsofBroadcast]]); the
+    * default auto-selects by right-side size like Spark's equi-join
+    * planner.
+    *
+    * Skew: the merge variant clusters on the key, so a pathologically
+    * hot key concentrates in one task (AQE skew splitting does not
+    * apply to custom nodes). Prefer [[graft.plans.AsofBroadcast]] when
+    * the right side fits the broadcast threshold — it is skew-immune
+    * (no shuffle at all); otherwise pre-split hot keys upstream the
+    * same way as `operators.Skew.saltedJoin`. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,

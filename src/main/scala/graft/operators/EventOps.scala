@@ -272,6 +272,31 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "q87_attribution" -> ((s, dir) => {
+      // Last-touch attribution: every purchase joined to the same
+      // user's LATEST click at-or-before purchase time — a fact-fact
+      // self as-of where the touch side is the same event stream, so
+      // broadcasting is off the table at scale and the co-partitioned
+      // merge operator is the only shuffle-once plan (the composed
+      // alternative inflates every purchase with ALL prior clicks).
+      // event-vs-event times need sub-second resolution: compare
+      // explicit micros, not the API's default epoch-second cast
+      val ev = eventsTable(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"),
+          unix_micros(col("ts")).as("click_us"))
+      AsofNative.asofJoin(purchases, clicks, "user_id", "c_user",
+        "ts_us", "click_us", rightTiebreak = Seq("click_id"),
+        hint = graft.plans.AsofMerge)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          col("click_ts"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     "q84_ewma" -> ((s, dir) => {
       // Rolling EWMA feature per event (alpha=0.3 over the trailing 20
       // events per user): collect the bounded frame and FOLD the
@@ -461,6 +486,18 @@ object EventOps {
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q87_attribution" ->
+      """SELECT event_id, user_id, click_id, click_ts, click_value
+        |FROM (
+        |  SELECT p.event_id, p.user_id, c.event_id AS click_id,
+        |    c.ts AS click_ts, c.value AS click_value,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q84_ewma" ->

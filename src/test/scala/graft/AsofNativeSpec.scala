@@ -60,6 +60,42 @@ class AsofNativeSpec extends AnyFunSuite {
       "the whole point is replacing the post-join argmax aggregation")
   }
 
+  test("randomized differential: both variants match a driver-side oracle") {
+    import spark.implicits._
+    // heavy key/time collisions, null keys and times, keys that exist
+    // on only one side — 6 seeded corpora, both physical variants,
+    // ground truth computed independently in plain Scala
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      def mk(n: Int): Seq[(Option[Long], Option[Long], Long)] =
+        (0 until n).map { i =>
+          val k = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(8).toLong)
+          val t = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(30).toLong)
+          (k, t, i.toLong)
+        }
+      val lRows = mk(150)
+      val rRows = mk(150)
+      val expected: Map[Long, Option[Long]] = lRows.map { case (lk, lt, id) =>
+        id -> (for { k <- lk; t <- lt } yield {
+          val cands = rRows.filter(r => r._1.contains(k) && r._2.exists(_ <= t))
+          if (cands.isEmpty) None
+          else Some(cands.maxBy(c => (c._2.get, c._3))._3)
+        }).flatten
+      }.toMap
+      val left = lRows.toDF("k", "t", "lid")
+      val right = rRows.toDF("rk", "rt", "seq")
+      for (hint <- Seq(AsofMerge, AsofBroadcast)) {
+        val got = AsofNative
+          .asofJoin(left, right, "k", "rk", "t", "rt", Seq("seq"), hint)
+          .select(col("lid"), col("seq"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(got === expected, s"seed=$seed hint=$hint")
+      }
+    }
+  }
+
   test("broadcast plan leaves the fact side exchange- and sort-free") {
     val e = GraftSession.eventsTable(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"))
