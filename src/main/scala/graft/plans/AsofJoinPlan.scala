@@ -158,14 +158,35 @@ case class AsofJoinExec(
 }
 
 /** Broadcast as-of join for the fact-dim shape: the right side is
-  * broadcast whole (IdentityBroadcastMode) and indexed per partition
-  * as key -> time-sorted rows; each left row binary-searches for the
-  * last right row with time <= its own. The left child keeps its
+  * broadcast whole (IdentityBroadcastMode) and indexed ONCE PER
+  * EXECUTOR as key -> time-sorted rows; each left row binary-searches
+  * for the last right row with time <= its own. The left child keeps its
   * partitioning AND ordering — no exchange, no sort — so a 100 TB
   * fact scan pays only the per-row probe, exactly like a broadcast
   * hash join. Same semantics as [[AsofJoinExec]] (left outer, null
   * keys/times never match, tiebreaks ascending, last wins).
   */
+object BroadcastAsofJoinExec {
+  private type Index = java.util.HashMap[Long, (Array[Long], Array[InternalRow])]
+  // Keyed by broadcast id — each task deserializes its own Broadcast
+  // WRAPPER, so object identity never repeats but the id does. Small
+  // LRU bound: an entry outliving its broadcast costs one dim index;
+  // read-only after construction so concurrent tasks share it safely.
+  private val indexCache =
+    new java.util.LinkedHashMap[Long, Index](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Index]): Boolean = size() > 8
+    }
+
+  private[plans] def indexFor(
+      bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]])(
+      build: => Index): Index = indexCache.synchronized {
+    val cached = indexCache.get(bc.id)
+    if (cached != null) cached
+    else { val idx = build; indexCache.put(bc.id, idx); idx }
+  }
+}
+
 case class BroadcastAsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
@@ -199,21 +220,26 @@ case class BroadcastAsofJoinExec(
     val rightArity = right.output.size
     val outAttrs = output
     left.execute().mapPartitions { lIter =>
-      // per-partition index build: bounded by the broadcast (dim) size,
-      // same cost model as Spark's own per-task HashedRelation reads
-      val ordering = RowOrdering.create(boundOrder, Nil)
-      val byKey = new java.util.HashMap[Long, (Array[Long], Array[InternalRow])]()
-      val groups = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[InternalRow]]()
-      bcast.value.foreach { r =>
-        val k = rkB.eval(r)
-        if (k != null && rtB.eval(r) != null) {
-          groups.computeIfAbsent(k.asInstanceOf[Long],
-            _ => scala.collection.mutable.ArrayBuffer.empty[InternalRow]) += r
+      // index built ONCE PER EXECUTOR per broadcast (weak-keyed cache,
+      // entries die with the broadcast) — the same lifecycle as
+      // Spark's own executor-side HashedRelation, so a thousand tasks
+      // against a large dim don't re-sort it a thousand times
+      val byKey = BroadcastAsofJoinExec.indexFor(bcast) {
+        val ordering = RowOrdering.create(boundOrder, Nil)
+        val idx = new java.util.HashMap[Long, (Array[Long], Array[InternalRow])]()
+        val groups = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+        bcast.value.foreach { r =>
+          val k = rkB.eval(r)
+          if (k != null && rtB.eval(r) != null) {
+            groups.computeIfAbsent(k.asInstanceOf[Long],
+              _ => scala.collection.mutable.ArrayBuffer.empty[InternalRow]) += r
+          }
         }
-      }
-      groups.forEach { (k, buf) =>
-        val sorted = buf.sortWith((a, b) => ordering.compare(a, b) < 0).toArray
-        byKey.put(k, (sorted.map(rtB.eval(_).asInstanceOf[Long]), sorted))
+        groups.forEach { (k, buf) =>
+          val sorted = buf.sortWith((a, b) => ordering.compare(a, b) < 0).toArray
+          idx.put(k, (sorted.map(rtB.eval(_).asInstanceOf[Long]), sorted))
+        }
+        idx
       }
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rightArity)
