@@ -370,8 +370,12 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * writer may have appended data without recording the new heads, and
     * publishing against the stale sidecar would re-issue the same
     * offsets. */
-  private def acquirePublishLock(timeoutMs: Long = 60 * 1000L): Unit = {
-    val deadline = System.currentTimeMillis() + timeoutMs
+  // default wait outlasts a LIVE holder's entire lease (plus margin):
+  // giving up earlier than the lease can expire means a slow-but-alive
+  // publisher ahead of us turns into a spurious failure
+  private def acquirePublishLock(timeoutMs: Long = -1L): Unit = {
+    val waitMs = if (timeoutMs > 0) timeoutMs else publishLeaseMs + 60 * 1000L
+    val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
       try {
@@ -388,7 +392,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
           if (age > publishLeaseMs) breakStaleLock()
           else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
-              s"timed out after ${timeoutMs}ms waiting for publish lock on $path")
+              s"timed out after ${waitMs}ms waiting for publish lock on $path")
           else Thread.sleep(25)
       }
     }

@@ -297,6 +297,25 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "q88_hll_rollup" -> ((s, dir) => {
+      // Mergeable-sketch rollup — the incremental distinct-count
+      // pattern at 100 TB: per-DAY HLL sketches of the user set are
+      // small persistent state (one buffer per day, built map-side);
+      // any date range's distinct count is a UNION of sketches, never
+      // a re-scan of raw events. Here: daily sketches -> weekly
+      // distinct-user estimates. Sketch estimates have no DuckDB
+      // mirror -> rows-only gate (like q19); HllRollupSpec bounds the
+      // estimate against exact counts instead.
+      eventsTable(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+        .groupBy(weekofyear(col("day")).as("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+          sum(col("n_events")).as("n_events"))
+        .orderBy(col("week"))
+    }),
+
     "q84_ewma" -> ((s, dir) => {
       // Rolling EWMA feature per event (alpha=0.3 over the trailing 20
       // events per user): collect the bounded frame and FOLD the

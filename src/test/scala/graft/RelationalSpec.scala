@@ -21,8 +21,10 @@ class RelationalSpec extends AnyFunSuite {
     assert(q.size >= 58, s"query map shrank (collision?): ${q.size}")
     val orphans = o.keySet -- q.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+    // sketch queries have no DuckDB mirror by design (estimates, not
+    // exact values) -> rows-only gate
     val weak = q.keySet -- o.keySet
-    assert(weak == Set("q19_approx_distinct"),
+    assert(weak == Set("q19_approx_distinct", "q88_hll_rollup"),
       s"unexpected rows-only queries: $weak")
   }
 

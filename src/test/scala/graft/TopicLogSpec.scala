@@ -269,12 +269,17 @@ class TopicLogSpec extends AnyFunSuite {
     val a = TopicLog.prepare(spark, dir, numPartitions = 2)
     val b = TopicLog.prepare(spark, dir, numPartitions = 2)
     val ranges = new java.util.concurrent.ConcurrentLinkedQueue[Map[Int, TopicLog.OffsetRange]]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = Seq((a, 0), (b, 200)).map { case (topic, start) =>
-      new Thread(() => (0 until 3).foreach { i =>
-        ranges.add(topic.publish(mkRecords(20, startId = start + i * 20)))
-      })
+      new Thread(() =>
+        try (0 until 3).foreach { i =>
+          ranges.add(topic.publish(mkRecords(20, startId = start + i * 20)))
+        } catch { case t: Throwable => failures.add(t) })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    // a swallowed publisher death would otherwise surface as a baffling
+    // record-count mismatch below
+    assert(failures.isEmpty, s"publisher thread died: ${failures.peek()}")
     import scala.jdk.CollectionConverters._
     val all = ranges.asScala.toSeq
     assert(all.map(_.values.map(_.count).sum).sum == 120)
