@@ -142,9 +142,38 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * of the log. */
   def publish(records: DataFrame): Map[Int, TopicLog.OffsetRange] = {
     acquirePublishLock()
+    val renewer = startLeaseRenewal()
     try publishLocked(records)
-    finally releasePublishLock()
+    finally { renewer.stop(); releasePublishLock() }
   }
+
+  /** Keep the lease fresh while a long append runs: without renewal, a
+    * publish slower than [[publishLeaseMs]] looks dead to a waiting
+    * publisher, which would break the lock mid-append and re-issue the
+    * same offsets. A daemon rewrites the lock (bumping its modtime)
+    * every leaseMs/3 until stopped. Stop signalling is a latch, NOT
+    * thread interruption — Hadoop's local-FS create (Shell-based chmod
+    * when native IO is absent) can swallow the interrupt flag, which
+    * would leave the renewer immortal and the stopper joined forever. */
+  private final class LeaseRenewer {
+    private val done = new java.util.concurrent.CountDownLatch(1)
+    private val t = new Thread(() => {
+      val interval = math.max(publishLeaseMs / 3, 50L)
+      while (!done.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try {
+          val out = fs.create(lockPath, true) // overwrite refreshes modtime
+          try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+          finally out.close()
+        } catch { case _: java.io.IOException => () } // transient: retry next tick
+      }
+    })
+    t.setDaemon(true)
+    t.setName(s"graft-lease-renewal-$path")
+    t.start()
+    def stop(): Unit = { done.countDown(); t.join() }
+  }
+
+  private def startLeaseRenewal(): LeaseRenewer = new LeaseRenewer
 
   private def publishLocked(records: DataFrame): Map[Int, TopicLog.OffsetRange] = {
     val base = heads()

@@ -304,6 +304,40 @@ class TopicLogSpec extends AnyFunSuite {
     }
   }
 
+  test("lease renewal keeps a slow publish safe from a waiting publisher") {
+    import org.apache.spark.sql.functions.udf
+    val dir = Files.createTempDirectory("topic").toString
+    val a = TopicLog.prepare(spark, dir, numPartitions = 2)
+    val b = TopicLog.prepare(spark, dir, numPartitions = 2)
+    // lease far shorter than A's publish: without renewal, B declares A
+    // dead mid-append, breaks the lock, and re-issues A's offsets
+    a.publishLeaseMs = 500L
+    b.publishLeaseMs = 500L
+    val crawl = udf((s: String) => { Thread.sleep(25); s })
+    val slow = mkRecords(100).repartition(1)
+      .withColumn("message", crawl(col("message"))) // ~2.5 s publish
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tA = new Thread(() =>
+      try { a.publish(slow); () } catch { case t: Throwable => failures.add(t) })
+    val tB = new Thread(() =>
+      try {
+        Thread.sleep(700) // past A's un-renewed lease age
+        b.publish(mkRecords(40, startId = 100)); ()
+      } catch { case t: Throwable => failures.add(t) })
+    tA.start(); tB.start(); tA.join(); tB.join()
+    assert(failures.isEmpty, s"publisher died: ${failures.peek()}")
+    // no duplicate offsets: dense 0..n-1 per partition, total exact
+    val byPart = a.read().groupBy(col("log_part"))
+      .agg(min("offset").as("lo"), max("offset").as("hi"), count(lit(1)).as("n"))
+      .collect()
+    assert(byPart.map(_.getAs[Long]("n")).sum == 140)
+    byPart.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L)
+      assert(r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1 == r.getAs[Long]("n"),
+        s"duplicate or gapped offsets in part ${r.getInt(0)}")
+    }
+  }
+
   test("stale publish lock: reopen reconciles the sidecar against the log") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
