@@ -160,11 +160,11 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     private val t = new Thread(() => {
       val interval = math.max(publishLeaseMs / 3, 50L)
       while (!done.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        try {
-          val out = fs.create(lockPath, true) // overwrite refreshes modtime
-          try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-          finally out.close()
-        } catch { case _: java.io.IOException => () } // transient: retry next tick
+        // refresh modtime IN PLACE: a delete-and-recreate overwrite
+        // opens a just-released window in which a waiting publisher's
+        // create-if-absent succeeds -> two live holders
+        try fs.setTimes(lockPath, System.currentTimeMillis(), -1L)
+        catch { case _: java.io.IOException => () } // transient: retry next tick
       }
     })
     t.setDaemon(true)
@@ -402,27 +402,42 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   // default wait outlasts a LIVE holder's entire lease (plus margin):
   // giving up earlier than the lease can expire means a slow-but-alive
   // publisher ahead of us turns into a spurious failure
+  /** One atomic create-if-absent attempt. Hadoop's LOCAL
+    * `create(path, overwrite=false)` is check-then-create (TOCTOU):
+    * two racing publishers can both "win" and corrupt the sidecar —
+    * observed as concurrent `_offsets.json.tmp` writes. On the local
+    * scheme use `File.createNewFile` (O_EXCL, genuinely atomic); HDFS
+    * and object-store committers make `create(_, false)` itself atomic. */
+  private def tryCreateLock(): Boolean =
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(lockPath.toUri.getPath)
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+    } else {
+      try {
+        val out = fs.create(lockPath, false) // throws if the lock exists
+        try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
   private def acquirePublishLock(timeoutMs: Long = -1L): Unit = {
     val waitMs = if (timeoutMs > 0) timeoutMs else publishLeaseMs + 60 * 1000L
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
-      try {
-        val out = fs.create(lockPath, false) // throws if the lock exists
-        try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-        finally out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          val age =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(lockPath).getModificationTime
-            catch { case _: java.io.IOException => -1L } // just released
-          if (age > publishLeaseMs) breakStaleLock()
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"timed out after ${waitMs}ms waiting for publish lock on $path")
-          else Thread.sleep(25)
+      if (tryCreateLock()) acquired = true
+      else {
+        val age =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lockPath).getModificationTime
+          catch { case _: java.io.IOException => -1L } // just released
+        if (age > publishLeaseMs) breakStaleLock()
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"timed out after ${waitMs}ms waiting for publish lock on $path")
+        else Thread.sleep(25)
       }
     }
   }

@@ -297,6 +297,22 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "q89_event_deltas" -> ((s, dir) => {
+      // Per-user lag/lead features: gap to the previous event (micros),
+      // value change, and the next event type — one per-user window
+      // (uniform key), no other shuffle.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      eventsTable(s, dir)
+        .withColumn("us_since_prev",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("value_delta", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("us_since_prev"),
+          col("value_delta"), col("next_type"))
+        .orderBy(col("event_id"))
+    }),
+
     "q88_hll_rollup" -> ((s, dir) => {
       // Mergeable-sketch rollup — the incremental distinct-count
       // pattern at 100 TB: per-DAY HLL sketches of the user set are
@@ -518,6 +534,15 @@ object EventOps {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q89_event_deltas" ->
+      """SELECT event_id, user_id,
+        | epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS us_since_prev,
+        | value - LAG(value, 1) OVER w AS value_delta,
+        | LEAD(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q84_ewma" ->
       """SELECT event_id, user_id, ts, value,
