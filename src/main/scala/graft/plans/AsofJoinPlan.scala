@@ -114,7 +114,13 @@ case class AsofJoinExec(
     val rtB = BindReferences.bindReference(rightTime, right.output)
     val rightArity = right.output.size
     val outAttrs = output
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"as-of merge children diverged to ${lRdd.getNumPartitions} vs " +
+        s"${rRdd.getNumPartitions} partitions (asymmetric AQE coalescing?); " +
+        "disable spark.sql.adaptive.coalescePartitions.enabled or use AsofBroadcast")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rightArity)
       val joined = new JoinedRow

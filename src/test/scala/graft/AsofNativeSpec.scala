@@ -96,6 +96,45 @@ class AsofNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed fact-fact as-of join plans with ZERO exchanges") {
+    // both sides materialized bucketed on the join key: the merge
+    // exec's ClusteredDistribution is satisfied straight off the scans
+    // (alias-aware through the cast projection) — a 100 TB fact-fact
+    // as-of with no shuffle at all, only the per-bucket sorts
+    val ev = GraftSession.eventsTable(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val o = GraftSession.table(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    Seq("ev_bkt", "ord_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) rm(dir)
+    }
+    graft.operators.Bucketing.materializeBucketed(ev, "ev_bkt", "user_id", buckets = 8)
+    graft.operators.Bucketing.materializeBucketed(o, "ord_bkt", "o_custkey", buckets = 8)
+    val df = AsofNative.asofJoin(
+      spark.table("ev_bkt"), spark.table("ord_bkt"),
+      "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey"), AsofMerge)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(500))
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of still shuffles:\n${plan.take(1200)}")
+    // and the result matches the unbucketed run
+    val expected = AsofNative.asofJoin(ev, o, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey"), AsofMerge)
+      .select(col("event_id"), col("o_orderkey")).collect().toSet
+    val got = df.select(col("event_id"), col("o_orderkey")).collect().toSet
+    assert(got === expected)
+  }
+
   test("broadcast plan leaves the fact side exchange- and sort-free") {
     val e = GraftSession.eventsTable(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"))
