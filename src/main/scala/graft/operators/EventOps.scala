@@ -297,6 +297,38 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "q90_autocorr" -> ((s, dir) => {
+      // Time-series feature: lag-1 autocorrelation of each user's
+      // value series (is behavior trending or mean-reverting?). One
+      // per-user window for the lag + one map-side-combinable corr
+      // aggregation; round(6) for cross-engine float accumulation.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      eventsTable(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(corr(col("value"), col("prev_value")), 6).as("lag1_corr"))
+        .filter(col("n_events") >= 3)
+        .orderBy(col("user_id"))
+    }),
+
+    "q91_zscore" -> ((s, dir) => {
+      // Per-group feature normalization: z-score of value within its
+      // event type — the standard scaling step before training. Group
+      // stats ride a window over the uniform event_type key (5 groups
+      // x tiny state; at 100 TB compute the 5-row stats table and
+      // broadcast-join it instead — same result, either plan is one
+      // shuffle).
+      val w = Window.partitionBy(col("event_type"))
+      eventsTable(s, dir)
+        .withColumn("z", round(
+          (col("value") - avg(col("value")).over(w)) /
+            stddev_samp(col("value")).over(w), 6))
+        .select(col("event_id"), col("event_type"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
     "q89_event_deltas" -> ((s, dir) => {
       // Per-user lag/lead features: gap to the previous event (micros),
       // value change, and the next event type — one per-user window
@@ -534,6 +566,24 @@ object EventOps {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q90_autocorr" ->
+      """WITH l AS (
+        |  SELECT user_id, value,
+        |    LAG(value, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | ROUND(CORR(value, prev_value), 6) AS lag1_corr
+        |FROM l GROUP BY user_id HAVING COUNT(*) >= 3
+        |ORDER BY user_id""".stripMargin,
+
+    "q91_zscore" ->
+      """SELECT event_id, event_type,
+        | ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6) AS z
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q89_event_deltas" ->
       """SELECT event_id, user_id,
