@@ -137,7 +137,46 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
   }
 
+  /** Per-user 24-hour activity profile as a mean-centered 64-dim vector
+    * (hours 24-63 zero-padded to the RHP plane width). Hourly sums are
+    * decimal-exact and every entry rounds at 6 dp, so the vectors are
+    * bit-identical cross-engine before any similarity math. */
+  private def behaviorSeries(s: SparkSession, dir: String): DataFrame = {
+    val hours = graft.GraftSession.eventsTable(s, dir)
+      .withColumn("h", hour(col("ts")))
+      .groupBy(col("user_id"), col("h"))
+      .agg(graft.GraftSession.dsum(col("value")).as("s"))
+    val wide = hours.groupBy(col("user_id")).agg(
+      sum(col("s")).as("tot"),
+      (0 until 24).map(d => max(when(col("h") === d, col("s"))).as(s"h$d")): _*)
+    wide.select(col("user_id").as("vec_id"),
+      array((0 until 64).map(d =>
+        if (d < 24)
+          round(coalesce(col(s"h$d"), lit(0.0)) - col("tot") / 24.0, 6)
+        else lit(0.0).cast("double")): _*).as("embedding"))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_behavior_similarity" -> ((s, dir) => {
+      // Time-series similarity search over user behavior (the EDBT'19
+      // streaming-similarity shape, Spark-first): each user's
+      // mean-centered hourly activity profile is a vector, candidate
+      // pairs come from the SAME 4x8-bit RHP band blocking as q53 —
+      // never a quadratic user-user self-join — and only colliding
+      // pairs are scored by the codegen'd cosine.
+      val series = behaviorSeries(s, dir)
+      rhpCandidatePairs(series)
+        .join(series.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea")), Seq("vec_a"))
+        .join(series.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb")), Seq("vec_b"))
+        .withColumn("cos", round(call_function("cosine_sim",
+          col("ea"), col("eb")), 6))
+        .filter(col("cos") >= 0.3)
+        .select(col("vec_a").as("user_a"), col("vec_b").as("user_b"),
+          col("cos"))
+        .orderBy(col("user_a"), col("user_b"))
+    }),
     "q54_rhp_lsh_buckets" -> ((s, dir) => {
       // LSH-bucketed similarity scale path: 16-bit sign sketch of each
       // embedding (scan-side folds over literal plane vectors — zero
@@ -234,7 +273,64 @@ object Similarity {
     })
   )
 
+  // q92's oracle rebuilds the behavior vectors (24 entries; the Spark
+  // side's 40 zero-pad dims add nothing to dots or norms) and then
+  // mirrors the exact q53 RHP pipeline over them.
+  private val behaviorSeriesSql: String = {
+    val hcols = (0 until 24)
+      .map(d => s"MAX(CASE WHEN h = $d THEN s END) AS h$d").mkString(", ")
+    val entries = (0 until 24)
+      .map(d => s"ROUND(COALESCE(h$d, 0.0) - tot / 24.0, 6)").mkString(", ")
+    s"""SELECT user_id AS vec_id, [$entries] AS embedding
+       |FROM (
+       |  SELECT user_id, SUM(s) AS tot, $hcols
+       |  FROM (
+       |    SELECT user_id, EXTRACT(hour FROM ts) AS h,
+       |      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+       |    FROM events GROUP BY 1, 2)
+       |  GROUP BY user_id)""".stripMargin
+  }
+
   val oracle2: Map[String, String] = Map(
+    "q92_behavior_similarity" ->
+      s"""WITH series AS ($behaviorSeriesSql),
+        |planes AS (
+        |  SELECT pp.p, dd.d,
+        |    ('0x'||substr(md5(pp.p||':'||dd.d),1,8))::BIGINT / 2147483648.0 - 1.0 AS coef
+        |  FROM (SELECT UNNEST(generate_series(0,31)) AS p) pp,
+        |       (SELECT UNNEST(generate_series(0,63)) AS d) dd),
+        |ex AS (
+        |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS d
+        |  FROM series),
+        |dots AS (
+        |  SELECT ex.vec_id, pl.p, SUM(ex.v * pl.coef) AS dot
+        |  FROM ex JOIN planes pl ON ex.d = pl.d GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN ROUND(dot, 6) >= 0.0
+        |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1),
+        |bands AS (
+        |  SELECT vec_id, bb.band, (bucket >> (8 * bb.band)) & 255 AS bv
+        |  FROM sk, (SELECT UNNEST(generate_series(0,3)) AS band) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    ROUND(
+        |     (SELECT SUM(CAST(x.u AS DOUBLE)*CAST(x.v AS DOUBLE))
+        |      FROM (SELECT UNNEST(ea.embedding) AS u, UNNEST(eb.embedding) AS v) x)
+        |     / (SQRT((SELECT SUM(CAST(x.u AS DOUBLE)*CAST(x.u AS DOUBLE))
+        |              FROM (SELECT UNNEST(ea.embedding) AS u) x))
+        |      * SQRT((SELECT SUM(CAST(x.v AS DOUBLE)*CAST(x.v AS DOUBLE))
+        |              FROM (SELECT UNNEST(eb.embedding) AS v) x))), 6) AS cos
+        |  FROM cand c
+        |  JOIN series ea ON ea.vec_id = c.vec_a
+        |  JOIN series eb ON eb.vec_id = c.vec_b)
+        |SELECT vec_a AS user_a, vec_b AS user_b, cos FROM p
+        |WHERE cos >= 0.3 ORDER BY user_a, user_b""".stripMargin,
     "q54_rhp_lsh_buckets" ->
       """WITH planes AS (
         |  SELECT pp.p, dd.d,
