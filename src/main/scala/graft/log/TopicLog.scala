@@ -54,8 +54,10 @@ import org.apache.spark.sql.functions._
   *    whoever breaks the stale lease first reconciles the sidecar
   *    against a log scan (elementwise max — correct both for a crashed
   *    append, where the scan is ahead, and for a fully-trimmed
-  *    partition, where the sidecar is ahead). Compaction/retention
-  *    still assume a single MAINTENANCE actor at a time.
+  *    partition, where the sidecar is ahead). Compaction and retention
+  *    take the SAME lease, so a maintenance swap can never race a
+  *    concurrent publish (which would silently drop the appended
+  *    batch); the lease renews itself for the duration of long jobs.
   *  - Replay is `offset > watermark` + event filter, both pushed into
   *    the parquet scan, so a subscriber reading the tail of a 100 TB
   *    topic scans only the tail row groups.
@@ -140,12 +142,19 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * (`topic.js:25-40` returns the inserted doc). Counts come from an
     * Observation on the write job itself — publishing does zero reads
     * of the log. */
-  def publish(records: DataFrame): Map[Int, TopicLog.OffsetRange] = {
+  /** Run `body` holding the topic's exclusive writer lease, renewed
+    * for the duration. Publish, compaction, and retention all take it:
+    * a compactor swapping a partition directory while a publisher
+    * appends into it would silently drop the concurrent batch. */
+  private def withPublishLock[T](body: => T): T = {
     acquirePublishLock()
     val renewer = startLeaseRenewal()
-    try publishLocked(records)
+    try body
     finally { renewer.stop(); releasePublishLock() }
   }
+
+  def publish(records: DataFrame): Map[Int, TopicLog.OffsetRange] =
+    withPublishLock { publishLocked(records) }
 
   /** Keep the lease fresh while a long append runs: without renewal, a
     * publish slower than [[publishLeaseMs]] looks dead to a waiting
@@ -296,18 +305,20 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * all); other partitions' files are untouched (byte-identical). The
     * head record of every partition is its key's latest, so heads are
     * unchanged. */
-  def compact(partitions: Seq[Int] = 0 until numPartitions): Unit = {
-    val affected = partitions.distinct.filter(p =>
-      fs.exists(new Path(s"$logDir/log_part=$p")))
-    if (affected.isEmpty) return
-    val w = Window.partitionBy(col("log_part"), col("key"))
-      .orderBy(col("offset").desc)
-    val compacted = read()
-      .filter(col("log_part").isin(affected: _*))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-    swapLogSubdirs(compacted, affected.map(p => s"log_part=$p"))
-  }
+  def compact(partitions: Seq[Int] = 0 until numPartitions): Unit =
+    withPublishLock {
+      val affected = partitions.distinct.filter(p =>
+        fs.exists(new Path(s"$logDir/log_part=$p")))
+      if (affected.nonEmpty) {
+        val w = Window.partitionBy(col("log_part"), col("key"))
+          .orderBy(col("offset").desc)
+        val compacted = read()
+          .filter(col("log_part").isin(affected: _*))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        swapLogSubdirs(compacted, affected.map(p => s"log_part=$p"))
+      }
+    }
 
   /** Time-based retention: drop records with ts < minTs (the wall-clock
     * face of the capped collection, topic.js:8-10). Whole days older
@@ -315,7 +326,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * the single boundary `log_date` partition is rewritten, and only in
     * partitions that have it. Heads (sidecar) are unchanged, so offsets
     * stay monotonic even if a partition empties. */
-  def retainAfter(minTs: java.sql.Timestamp): Unit = {
+  def retainAfter(minTs: java.sql.Timestamp): Unit = withPublishLock {
     heads() // materialize the sidecar before trimming (fallback = scan)
     // log_date was written via to_date(ts), which resolves in the SESSION
     // timezone — derive the whole-day cutoff in the same zone, or the
@@ -348,15 +359,16 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * per-partition offset watermarks (records with offset >= the
     * watermark survive). Rewrites only the named partitions' subtrees.
     * Heads (sidecar) are unchanged. */
-  def retainFrom(minOffsets: Map[Int, Long]): Unit = {
+  def retainFrom(minOffsets: Map[Int, Long]): Unit = withPublishLock {
     heads() // materialize the sidecar before trimming
     val affected = minOffsets.keys.toSeq.distinct.filter(p =>
       fs.exists(new Path(s"$logDir/log_part=$p")))
-    if (affected.isEmpty) return
-    val keep = affected.map { p =>
-      col("log_part") === p && col("offset") >= minOffsets(p)
-    }.reduce(_ || _)
-    swapLogSubdirs(read().filter(keep), affected.map(p => s"log_part=$p"))
+    if (affected.nonEmpty) {
+      val keep = affected.map { p =>
+        col("log_part") === p && col("offset") >= minOffsets(p)
+      }.reduce(_ || _)
+      swapLogSubdirs(read().filter(keep), affected.map(p => s"log_part=$p"))
+    }
   }
 
   /** Size-capped retention — the reference's ONLY retention semantic
@@ -365,7 +377,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * log's total size fits maxBytes. Pure file-listing metadata work —
     * NO data is read or rewritten, newest records always survive, and
     * offsets/heads are stable (sidecar untouched). */
-  def retainToSize(maxBytes: Long): Unit = {
+  def retainToSize(maxBytes: Long): Unit = withPublishLock {
     heads() // materialize the sidecar before trimming
     case class DataFile(p: Path, date: String, mtime: Long, size: Long)
     val files = listSubdirs(logDir, "log_part=").flatMap { partDir =>

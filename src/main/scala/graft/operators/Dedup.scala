@@ -434,6 +434,30 @@ object Dedup {
         .orderBy(col("cluster_id"))
     }),
 
+    "q93_cluster_representatives" -> ((s, dir) => {
+      // Survivor selection UPGRADE over min-id: per near-dup cluster,
+      // keep the best-CONNECTED doc (highest degree in the pair graph,
+      // ties to the smaller id) — the exemplar most representative of
+      // the cluster, which min-id survivorship cannot promise. Degree
+      // is one uniform-key agg over the pair list; the argmax is a
+      // max(struct) per cluster — no windows, all map-side-combinable.
+      val cand = lshCandidates(table(s, dir, "documents"))
+        .select(col("doc_a"), col("doc_b"))
+      val degree = cand.select(col("doc_a").as("node"))
+        .union(cand.select(col("doc_b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      connectedComponents(cand)
+        .join(degree, "node")
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("degree"), (-col("node")).as("neg")))
+            .as("best"))
+        .select(col("cluster_id"), col("n_docs"),
+          (-col("best.neg")).as("rep_doc"),
+          col("best.degree").as("rep_degree"))
+        .orderBy(col("cluster_id"))
+    }),
+
     "q77_dedup_clusters_star" -> ((s, dir) => {
       // Same clustering contract as q72, via large-star/small-star
       // contraction — O(log n) rounds instead of diameter rounds, for
@@ -622,6 +646,35 @@ object Dedup {
     // identical ground truth: the star-contraction variant must produce
     // byte-identical clusters to min-label propagation
     "q77_dedup_clusters_star" -> dedupClustersSql,
+
+    "q93_cluster_representatives" ->
+      s"""WITH RECURSIVE sh AS ($shinglesSql),
+         |sig AS ($signaturesSql),
+         |bands AS ($bandsSql),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |      AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS node, r.label
+         |  FROM edges e JOIN reach r ON r.node = e.dst),
+         |comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+         |deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src),
+         |ranked AS (
+         |  SELECT c.cluster_id, c.node, d.degree,
+         |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY d.degree DESC, c.node ASC) AS rk,
+         |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+         |  FROM comp c JOIN deg d ON d.node = c.node)
+         |SELECT cluster_id, n_docs, node AS rep_doc, degree AS rep_degree
+         |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
     "q69_contamination" ->
       s"""WITH sh AS ($shinglesSql),
