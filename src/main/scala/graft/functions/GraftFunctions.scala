@@ -46,4 +46,26 @@ object GraftFunctions {
       transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i, lit(3)))))
       .otherwise(array())
+
+  /** Hamming distance of two integral columns (codegen'd popcount).
+    * Requires GraftExtensions. */
+  def hamming_dist(a: Column, b: Column): Column =
+    call_function("hamming_dist", a, b)
+
+  /** SimHash aggregate over a string column (16-bit default, one
+    * mergeable buffer). Requires GraftExtensions. */
+  def simhash_agg(c: Column): Column = call_function("simhash_agg", c)
+
+  /** 64-bit SimHash aggregate. Requires GraftExtensions. */
+  def simhash64_agg(c: Column): Column = call_function("simhash64_agg", c)
+
+  /** Bloom filter aggregate over a long column -> binary sketch
+    * (Spark's sketch pair, registered by GraftExtensions). */
+  def bloom_agg(c: Column, estimatedNumItems: Long = 1000000L): Column =
+    call_function("bloom_agg", c, lit(estimatedNumItems))
+
+  /** Membership probe against a bloom_agg sketch (codegen'd; false
+    * positives at the sketch's fpp, never false negatives). */
+  def bloom_might_contain(bloom: Column, value: Column): Column =
+    call_function("bloom_might_contain", bloom, value)
 }
