@@ -52,11 +52,13 @@ object GraftFunctions {
   def hamming_dist(a: Column, b: Column): Column =
     call_function("hamming_dist", a, b)
 
-  /** SimHash aggregate over a string column (16-bit default, one
-    * mergeable buffer). Requires GraftExtensions. */
+  /** SimHash aggregate over a pre-hashed feature column (bigint, e.g.
+    * xxhash64 of each token); 16-bit, one mergeable buffer. Requires
+    * GraftExtensions. */
   def simhash_agg(c: Column): Column = call_function("simhash_agg", c)
 
-  /** 64-bit SimHash aggregate. Requires GraftExtensions. */
+  /** 64-bit SimHash aggregate over a pre-hashed feature column.
+    * Requires GraftExtensions. */
   def simhash64_agg(c: Column): Column = call_function("simhash64_agg", c)
 
   /** Bloom filter aggregate over a long column -> binary sketch

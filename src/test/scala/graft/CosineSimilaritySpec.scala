@@ -38,4 +38,24 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(r.isNullAt(0))
     assert(r.getDouble(1) == 0.0)
   }
+
+  test("GraftFunctions facade wrappers delegate to the registered functions") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions._
+    // hamming: 0b1011 vs 0b0010 -> bits {0,3} differ
+    val h = Seq((11L, 2L)).toDF("a", "b")
+      .select(hamming_dist(col("a"), col("b"))).head.getInt(0)
+    assert(h == 2)
+    val sh = Seq("alpha", "beta").toDF("t")
+      .select(xxhash64(col("t")).as("f"))
+      .agg(simhash_agg(col("f")), simhash64_agg(col("f"))).head
+    assert(!sh.isNullAt(0) && !sh.isNullAt(1))
+    val members = Seq(3L, 10L, 17L).toDF("v")
+    val bloom = members.agg(bloom_agg(col("v"), 100L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val probed = (0L until 100L).toDF("v")
+      .filter(bloom_might_contain(lit(bloom), col("v")))
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(3L, 10L, 17L).subsetOf(probed))
+  }
 }
