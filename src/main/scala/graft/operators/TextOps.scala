@@ -422,6 +422,22 @@ object TextOps {
         .orderBy(col("bucket"))
     }),
 
+    "q94_inverted_index" -> ((s, dir) => {
+      // Inverted-index materialization (search over the corpus): term
+      // -> document frequency + the first 5 posting doc_ids. One
+      // uniform term-key shuffle; posting lists are built per term
+      // with bounded output (head of the sorted postings), so no
+      // term's row explodes. Terms with df < 3 dropped (hapax noise).
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          slice(array_sort(collect_list(col("doc_id"))), 1, 5).as("postings_head"))
+        .filter(col("df") >= 3)
+        .orderBy(col("term"))
+    }),
+
     "q71_domain_mix" -> ((s, dir) => {
       // Target-mixture resampling: uniform share per source. Keep rate
       // per source = min(1, total/num_sources/n_source); the keep
@@ -646,6 +662,16 @@ object TextOps {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q94_inverted_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, COUNT(*) AS df,
+        | (LIST(doc_id ORDER BY doc_id))[1:5] AS postings_head
+        |FROM t GROUP BY term HAVING COUNT(*) >= 3
+        |ORDER BY term""".stripMargin,
 
     "q71_domain_mix" ->
       """WITH c AS (

@@ -41,4 +41,25 @@ class EventTimeSessionSpec extends AnyFunSuite {
       assert(rows.head.getAs[Int]("nEvents") == 4)
     } finally q.stop()
   }
+
+  test("batch session_window agrees with q27's gap-based sessions") {
+    import org.apache.spark.sql.functions._
+    // Spark's declarative session_window (gap >= 30 min closes, micro
+    // precision) vs q27's lag-based rule (gap > 1800 s, second
+    // precision): boundary semantics differ only at EXACT 30-minute
+    // gaps, which this corpus doesn't contain — so session counts and
+    // size multisets must line up, cross-validating both encodings.
+    val ev = GraftSession.eventsTable(spark, sf)
+    def perUser(sessions: org.apache.spark.sql.DataFrame) = sessions
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sort_array(collect_list(col("n_events"))).as("sizes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Long](2))).toMap
+    val declarative = perUser(ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events")))
+    val gapBased = perUser(SparkEntry.queries("q27_sessionize")(spark, sf))
+    assert(declarative === gapBased)
+  }
 }
