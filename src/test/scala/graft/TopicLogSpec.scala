@@ -304,6 +304,35 @@ class TopicLogSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction cannot race a concurrent publish (shared writer lease)") {
+    import org.apache.spark.sql.functions.udf
+    val dir = Files.createTempDirectory("topic").toString
+    val a = TopicLog.prepare(spark, dir, numPartitions = 2)
+    val b = TopicLog.prepare(spark, dir, numPartitions = 2)
+    a.publish(mkRecords(60)) // base data with duplicate keys to compact
+    val crawl = udf((s: String) => { Thread.sleep(20); s })
+    val slow = mkRecords(60, startId = 60).repartition(1)
+      .withColumn("message", crawl(col("message"))) // ~1.2 s publish
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tPub = new Thread(() =>
+      try { a.publish(slow); () } catch { case t: Throwable => failures.add(t) })
+    val tCompact = new Thread(() =>
+      try { Thread.sleep(300); b.compact() } // lands mid-publish
+      catch { case t: Throwable => failures.add(t) })
+    tPub.start(); tCompact.start(); tPub.join(); tCompact.join()
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    // nothing lost: every key's LATEST record (by offset) survives, and
+    // in particular the batch published concurrently with the compactor
+    // was not dropped by the directory swap
+    val latest = a.read().groupBy(col("key"))
+      .agg(max(col("offset")).as("o")).count()
+    assert(latest == 5, s"expected 5 distinct keys, got $latest")
+    val maxI = a.read()
+      .select(get_json_object(col("message"), "$.i").cast("int").as("i"))
+      .agg(max("i")).head().getInt(0)
+    assert(maxI == 119, "the concurrently-published batch must survive compaction")
+  }
+
   test("lease renewal keeps a slow publish safe from a waiting publisher") {
     import org.apache.spark.sql.functions.udf
     val dir = Files.createTempDirectory("topic").toString
