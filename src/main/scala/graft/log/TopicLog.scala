@@ -298,6 +298,26 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       .orderBy(col("log_part"), col("offset"))
   }
 
+  /** Time-based replay: records with ts >= since, oldest first. The
+    * `log_date` predicate PARTITION-PRUNES the `log_date=D` directory
+    * tree, so replaying the last hour of a 100 TB topic lists and scans
+    * only the tail date partitions — the ts predicate then trims the
+    * boundary date via parquet row-group stats. (The reference can only
+    * replay by id; time travel is the Spark-native bonus the layout
+    * gives for free.) */
+  def replaySince(since: java.sql.Timestamp,
+      event: Option[String] = None): DataFrame = {
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    val day = java.sql.Date.valueOf(
+      since.toInstant.atZone(zone).toLocalDate.toString)
+    val base = read()
+      .filter(col("log_date") >= lit(day) && col("ts") >= lit(since))
+    event.fold(base)(e => base.filter(col("event") === e))
+      .orderBy(col("log_part"), col("offset"))
+  }
+
   // ----------------------------------------------- compaction / retention
 
   /** Kafka-style log compaction: keep only the latest record per key.

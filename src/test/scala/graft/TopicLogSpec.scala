@@ -304,6 +304,27 @@ class TopicLogSpec extends AnyFunSuite {
     }
   }
 
+  test("replaySince partition-prunes old log_date directories") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    // 6 records across 3 days (2 per day)
+    val t0 = java.sql.Timestamp.valueOf("2026-03-01 12:00:00").getTime
+    topic.publish((0 until 6).map { i =>
+      (s"evt-${i % 2}", s"key-$i", s"""{"i":$i}""",
+        new java.sql.Timestamp(t0 + (i / 2) * 86400000L + i))
+    }.toDF("event", "key", "message", "ts"))
+    val since = java.sql.Timestamp.valueOf("2026-03-02 00:00:00")
+    val df = topic.replaySince(since)
+    assert(df.count() == 4) // days 2 and 3 only
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*log_date".r.findFirstIn(plan).isDefined,
+      s"log_date not in PartitionFilters:\n${plan.take(1000)}")
+    // boundary precision: a mid-day cutoff keeps only later records
+    val midday = new java.sql.Timestamp(t0 + 86400000L + 3) // day-2, after rec 2
+    assert(topic.replaySince(midday).count() == 3)
+  }
+
   test("compaction cannot race a concurrent publish (shared writer lease)") {
     import org.apache.spark.sql.functions.udf
     val dir = Files.createTempDirectory("topic").toString
