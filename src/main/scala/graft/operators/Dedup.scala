@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession.table
@@ -354,7 +355,60 @@ object Dedup {
         col("bs.band").as("band"), col("bs.bval").as("bval"))
   }
 
+  /** A deterministic "re-crawl" batch for q97: every 5th doc
+    * re-fetched unchanged (exact corpus duplicate), every 5k+1 doc
+    * re-fetched with edits (" v2" suffix — genuinely new content), and
+    * the 10k+1 subset submitted TWICE under two ids (in-batch
+    * duplicate). Mirrored in the oracle. */
+  private def recrawlBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+  }
+  private val recrawlSql =
+    """SELECT doc_id + 200000 AS doc_id, text FROM documents
+      |WHERE doc_id % 5 = 0
+      |UNION ALL
+      |SELECT doc_id + 200000, text || ' v2' FROM documents
+      |WHERE doc_id % 5 = 1
+      |UNION ALL
+      |SELECT doc_id + 300000, text || ' v2' FROM documents
+      |WHERE doc_id % 10 = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_incremental_dedup" -> ((s, dir) => {
+      // Incremental (snapshot) dedup: a small re-crawl batch against
+      // the standing corpus. The 100 TB shape: the BATCH's hash set is
+      // broadcast and the corpus is left-semi pruned SCAN-SIDE — the
+      // corpus never shuffles and never builds a join table; only
+      // corpus hashes that actually collide with the batch (≈ batch-
+      // sized) survive the scan. In-batch duplicates then resolve by
+      // min doc_id with a window over the small batch alone.
+      val nb = recrawlBatch(s, dir).withColumn("text_hash", md5(col("text")))
+      val corpusHits = table(s, dir, "documents")
+        .select(md5(col("text")).as("text_hash"))
+        .join(broadcast(nb.select(col("text_hash")).distinct()),
+          Seq("text_hash"), "left_semi")
+        .distinct()
+      val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+      nb.join(broadcast(corpusHits.withColumn("in_corpus", lit(1))),
+          Seq("text_hash"), "left")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("verdict",
+          when(col("in_corpus") === 1, lit("drop_corpus"))
+            .when(col("rk") > 1, lit("drop_batch"))
+            .otherwise(lit("keep")))
+        .select(col("doc_id"), col("text_hash"),
+          coalesce(col("in_corpus"), lit(0)).as("in_corpus"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_exact_dedup" -> ((s, dir) => {
       // Exact dedup: hash-groupBy on content hash; survivor = min doc_id.
       docsWithDups(s, dir)
@@ -602,6 +656,23 @@ object Dedup {
        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q97_incremental_dedup" ->
+      s"""WITH nb AS (
+         |  SELECT doc_id, md5(text) AS text_hash FROM ($recrawlSql)),
+         |hits AS (
+         |  SELECT DISTINCT md5(text) AS text_hash FROM documents
+         |  WHERE md5(text) IN (SELECT text_hash FROM nb)),
+         |r AS (
+         |  SELECT nb.doc_id, nb.text_hash,
+         |    CASE WHEN h.text_hash IS NOT NULL THEN 1 ELSE 0 END AS in_corpus,
+         |    ROW_NUMBER() OVER (PARTITION BY nb.text_hash
+         |      ORDER BY nb.doc_id) AS rk
+         |  FROM nb LEFT JOIN hits h USING (text_hash))
+         |SELECT doc_id, text_hash, CAST(in_corpus AS INT) AS in_corpus,
+         | CASE WHEN in_corpus = 1 THEN 'drop_corpus'
+         |      WHEN rk > 1 THEN 'drop_batch' ELSE 'keep' END AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "q30_exact_dedup" ->
       s"""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
          | COUNT(*) AS n_copies

@@ -205,6 +205,43 @@ object TextOps {
         graft.GraftSession.portableHash(array_join(col("chunk_toks"), " "))
           .as("chunk_hash"))
 
+  /** Token-level Shannon entropy per doc (q95): low entropy flags
+    * templated/near-constant text that the distinct-token RATIO alone
+    * misses (a doc cycling 3 tokens has distinct_ratio≈0 but so does a
+    * doc with one rare token repeated — entropy separates them by the
+    * token DISTRIBUTION). Entropy = ln(n) − Σ c·ln(c) / n over
+    * per-distinct-token counts c; `entropy_ratio` normalizes by the
+    * max ln(n_distinct) so 1.0 = uniform usage.
+    *
+    * Scan-side higher-order array functions — a per-doc stat never
+    * shuffles the token stream (explode+groupBy would). The Σ c·ln(c)
+    * fold runs over the SORTED distinct token list in both engines
+    * (Spark `aggregate`, DuckDB `list_reduce` — both strict left
+    * folds), so the double op sequence is identical and round(6)
+    * parity is exact by construction, not by FP luck. Cost is
+    * O(distinct × n) per row, bounded by per-doc vocabulary. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      // the fold runs over PRE-TRANSFORMED c·ln(c) terms with plain
+      // addition: DuckDB's list_reduce seeds with the first ELEMENT
+      // (no initial value), so the first term must already be c·ln(c)
+      // on both sides for the op sequences to match
+      .withColumn("sum_clnc", expr(
+        "aggregate(transform(transform(array_sort(array_distinct(toks)), " +
+          "t -> cast(size(filter(toks, x -> x = t)) as double)), " +
+          "c -> c * ln(c)), " +
+          "cast(0.0 as double), (acc, t) -> acc + t)"))
+      .withColumn("entropy", round(
+        log(col("n_tok").cast("double")) - col("sum_clnc") / col("n_tok"), 6))
+      .withColumn("entropy_ratio", round(
+        when(col("n_distinct") > 1,
+          (log(col("n_tok").cast("double")) - col("sum_clnc") / col("n_tok"))
+            / log(col("n_distinct").cast("double")))
+          .otherwise(lit(0.0)), 6))
+
   /** Composite C4/Gopher-style keep/drop filter (q73): length,
     * punctuation, distinct-token and duplicate-2-gram gates evaluated
     * in ONE scan pass — [[repetitionSignals]] chained over
@@ -436,6 +473,59 @@ object TextOps {
           slice(array_sort(collect_list(col("doc_id"))), 1, 5).as("postings_head"))
         .filter(col("df") >= 3)
         .orderBy(col("term"))
+    }),
+
+    "q95_token_entropy" -> ((s, dir) => {
+      // Shannon-entropy quality signal: per-doc token distribution
+      // entropy + the uniformity ratio. Scan-side, shuffle-free but the
+      // output sort (see tokenEntropy for the cross-engine fold rules).
+      tokenEntropy(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+          col("entropy"), col("entropy_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q96_bm25" -> ((s, dir) => {
+      // BM25 ranking — the retrieval face of q94's inverted index:
+      // score every doc against a fixed 3-term query, keep the top 10.
+      // Scale shape: tf per term is a scan-side filter count (the
+      // token stream never explodes or shuffles); N / avgdl / df are
+      // ONE tiny agg row broadcast back; the ranking is a global
+      // top-k (TakeOrdered), not a full sort. Scores sum in a fixed
+      // term order and round(6) BEFORE ranking; doc_id breaks ties —
+      // rank order is cross-engine deterministic.
+      val k1 = 1.2
+      val b = 0.75
+      val terms = Seq("spark", "query", "fast")
+      val d = table(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val withTf = terms.foldLeft(d) { (df, t) =>
+        df.withColumn(s"tf_$t",
+          expr(s"cast(size(filter(toks, x -> x = '$t')) as double)"))
+      }
+      val aggCols = count(lit(1)).cast("double").as("n_docs") +:
+        (sum(col("dl").cast("long")).cast("double") / count(lit(1)))
+          .as("avgdl") +:
+        terms.map(t =>
+          sum((col(s"tf_$t") > 0).cast("long")).cast("double").as(s"df_$t"))
+      val stats = withTf.agg(aggCols.head, aggCols.tail: _*)
+      val score = terms.map { t =>
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+        // constants as decimal literals (2.2, 0.25), NOT Scala arithmetic
+        // (k1+1, 1-b): the oracle parses the same literals, and e.g.
+        // 1.2+1.0 in double can land an ulp away from parsed "2.2"
+        idf * (col(s"tf_$t") * lit(2.2)) /
+          (col(s"tf_$t") + lit(k1) * (lit(0.25) + lit(b) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      withTf.crossJoin(broadcast(stats))
+        .withColumn("score", round(score, 6))
+        .filter(col("score") > 0)
+        .select(col("doc_id") +:
+          terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
+          col("score"): _*)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
 
     "q71_domain_mix" -> ((s, dir) => {
@@ -672,6 +762,73 @@ object TextOps {
         | (LIST(doc_id ORDER BY doc_id))[1:5] AS postings_head
         |FROM t GROUP BY term HAVING COUNT(*) >= 3
         |ORDER BY term""".stripMargin,
+
+    // Mirrors tokenEntropy: the Σ c·ln(c) fold is list_reduce over the
+    // SAME sorted distinct-token list — a strict left fold like Spark's
+    // `aggregate` (DuckDB's first step t1+t2 equals Spark's (0+t1)+t2
+    // since 0+x is exact), so the double op sequence matches exactly.
+    "q95_token_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(toks) AS n_tok,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    list_reduce(list_transform(list_transform(
+        |        list_sort(list_distinct(toks)),
+        |        t -> CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)),
+        |      c -> c * ln(c)),
+        |      (acc, t) -> acc + t) AS sum_clnc
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        | CAST(n_distinct AS BIGINT) AS n_distinct,
+        | ROUND(LN(CAST(n_tok AS DOUBLE)) - sum_clnc / n_tok, 6) AS entropy,
+        | ROUND(CASE WHEN n_distinct > 1
+        |   THEN (LN(CAST(n_tok AS DOUBLE)) - sum_clnc / n_tok)
+        |     / LN(CAST(n_distinct AS DOUBLE))
+        |   ELSE 0.0 END, 6) AS entropy_ratio
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same fixed term order (spark, query, fast), same literal
+    // constants (1.2, 2.2, 0.25, 0.75), same op sequence as the Spark
+    // side — round(6) before ranking, doc_id tiebreak.
+    "q96_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_spark,
+        |    CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf_query,
+        |    CAST(len(list_filter(toks, x -> x = 'fast')) AS DOUBLE) AS tf_fast
+        |  FROM d),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_query,
+        |    CAST(SUM(CASE WHEN tf_fast > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_fast
+        |  FROM tf),
+        |scored AS (
+        |  SELECT doc_id, tf_spark, tf_query, tf_fast,
+        |    ROUND(
+        |      ((LN(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+        |          * (tf_spark * 2.2)
+        |          / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |        + LN(1.0 + (n_docs - df_query + 0.5) / (df_query + 0.5))
+        |          * (tf_query * 2.2)
+        |          / (tf_query + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |       + LN(1.0 + (n_docs - df_fast + 0.5) / (df_fast + 0.5))
+        |         * (tf_fast * 2.2)
+        |         / (tf_fast + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM tf, st)
+        |SELECT doc_id, CAST(tf_spark AS BIGINT) AS tf_spark,
+        | CAST(tf_query AS BIGINT) AS tf_query,
+        | CAST(tf_fast AS BIGINT) AS tf_fast, score
+        |FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q71_domain_mix" ->
       """WITH c AS (
