@@ -324,18 +324,32 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * Rewrites ONLY the given partitions' `log_part=N` subtrees (default
     * all); other partitions' files are untouched (byte-identical). The
     * head record of every partition is its key's latest, so heads are
-    * unchanged. */
-  def compact(partitions: Seq[Int] = 0 until numPartitions): Unit =
+    * unchanged — except under `dropTombstones`, see below.
+    *
+    * `dropTombstones = true` adds Kafka's compacted-topic delete
+    * semantics: a record whose `message` is null is a tombstone, and a
+    * key whose LATEST record is a tombstone is removed entirely (the
+    * tombstone row included). Publishing `(key, null)` therefore
+    * deletes the key from the compacted view. Since the dropped
+    * tombstone may be a partition's head record, the offset sidecar is
+    * materialized first — a later cold-rebuild scan must never
+    * under-compute heads and re-issue the tombstone's offset. */
+  def compact(partitions: Seq[Int] = 0 until numPartitions,
+      dropTombstones: Boolean = false): Unit =
     withPublishLock {
+      if (dropTombstones) heads() // pin heads before rows can vanish
       val affected = partitions.distinct.filter(p =>
         fs.exists(new Path(s"$logDir/log_part=$p")))
       if (affected.nonEmpty) {
         val w = Window.partitionBy(col("log_part"), col("key"))
           .orderBy(col("offset").desc)
-        val compacted = read()
+        val latest = read()
           .filter(col("log_part").isin(affected: _*))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
+        val compacted =
+          if (dropTombstones) latest.filter(col("message").isNotNull)
+          else latest
         swapLogSubdirs(compacted, affected.map(p => s"log_part=$p"))
       }
     }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.log.TopicLog
@@ -188,6 +188,42 @@ object TopicStream {
       }
       .start()
     new Subscription(topic, name, query)
+  }
+
+  /** Bounded catch-up drain: process the named subscriber's CURRENT
+    * backlog and stop (`Trigger.AvailableNow` — everything present at
+    * start, nothing that arrives later). Same replay source and same
+    * ack-after-process discipline as [[subscribeDurable]], but the
+    * query terminates at the backlog end instead of tailing live — the
+    * shape for scheduled consumers (nightly syncs, cron-fed
+    * compaction) that want "replay then STOP" rather than the
+    * reference's replay-then-live. Acks persist through the topic's
+    * subscriber sidecar, so interleaved [[graft.log.TopicLog.replay]]
+    * calls and later drains all resume after the last processed
+    * record, even with a fresh checkpoint per drain. Blocks until the
+    * drain completes; returns the number of micro-batches processed. */
+  def drainOnce(topic: TopicLog, name: String,
+      checkpointDir: String, event: Option[String] = None)
+      (process: DataFrame => Unit): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val stream = replayThenLive(topic, name, event)
+    val query = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          process(b.toDF())
+          val marks = b.groupBy(col("log_part"))
+            .agg(max(col("offset")).as("o"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          if (marks.nonEmpty) { topic.ack(name, marks); batches.incrementAndGet(); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+    query.awaitTermination()
+    batches.get()
   }
 
   /** Stream-static as-of enrichment: each live record joined to the

@@ -32,6 +32,20 @@ class SourcesSpec extends AnyFunSuite {
       .sameElements(region.select("r_name").collect().map(_.getString(0)).sorted))
   }
 
+  test("orc round-trip preserves rows, schema, and values") {
+    val out = Files.createTempDirectory("orc").toString + "/customer"
+    val customer = GraftSession.table(spark, sf, "customer")
+    customer.write.orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == customer.count())
+    assert(back.columns.sameElements(customer.columns))
+    // typed columns survive (ORC keeps the schema, unlike csv inference)
+    assert(back.schema == customer.schema)
+    val sums = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum("c_custkey")).collect().head.getLong(0)
+    assert(sums(back) == sums(customer))
+  }
+
   test("cosine_sim facade: native and builtin fallback agree") {
     val emb = GraftSession.table(spark, sf, "embeddings").limit(50)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))

@@ -82,6 +82,39 @@ class TopicLogSpec extends AnyFunSuite {
     assert(topic.replay("fresh").count() == 5)
   }
 
+  test("tombstone compaction deletes keys whose latest record is null") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publish(mkRecords(100)) // keys key-0..key-4, 20 records each
+    val headsBefore = topic.heads()
+    // tombstone key-1 and key-3: null message = Kafka delete marker
+    topic.publish(Seq(
+      ("evt-del", "key-1", null.asInstanceOf[String],
+        new java.sql.Timestamp(1700000200000L)),
+      ("evt-del", "key-3", null.asInstanceOf[String],
+        new java.sql.Timestamp(1700000200001L)))
+      .toDF("event", "key", "message", "ts"))
+    // plain compaction keeps tombstones as latest-per-key records
+    topic.compact()
+    assert(topic.read().count() == 5)
+    assert(topic.read().filter(col("message").isNull).count() == 2)
+    // tombstone-aware compaction removes the deleted keys entirely
+    topic.compact(dropTombstones = true)
+    val left = topic.read().select("key").as[String].collect().sorted
+    assert(left.toSeq == Seq("key-0", "key-2", "key-4"))
+    // heads survive even where the dropped tombstone was a partition
+    // head: the next publish must continue, never re-issue offsets
+    val headsAfter = topic.heads()
+    headsBefore.keys.foreach { p =>
+      assert(headsAfter(p) >= headsBefore(p), s"head of part $p regressed")
+    }
+    val ranges = topic.publish(mkRecords(20, startId = 200))
+    ranges.foreach { case (p, r) =>
+      assert(r.base >= headsAfter(p), s"part $p re-issued offsets")
+    }
+  }
+
   test("typed read: Dataset[TopicRecord] round-trips the log") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)

@@ -198,6 +198,32 @@ class TopicStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("drainOnce processes exactly the backlog, acks, then terminates") {
+    val dir = Files.createTempDirectory("stream").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publish(mkRecords(40))
+    val n1 = new java.util.concurrent.atomic.AtomicLong(0)
+    val b1 = TopicStream.drainOnce(topic, "nightly",
+      Files.createTempDirectory("ckpt").toString) { b => n1.addAndGet(b.count()); () }
+    assert(n1.get() == 40, s"first drain: ${n1.get()}")
+    assert(b1 >= 1)
+    // the drain acked: a second drain (FRESH checkpoint — position comes
+    // from the subscriber sidecar, not the old checkpoint) sees nothing
+    val n2 = new java.util.concurrent.atomic.AtomicLong(0)
+    val b2 = TopicStream.drainOnce(topic, "nightly",
+      Files.createTempDirectory("ckpt").toString) { b => n2.addAndGet(b.count()); () }
+    assert(n2.get() == 0, s"re-drain saw ${n2.get()} rows")
+    assert(b2 == 0)
+    // new publishes -> the next drain delivers exactly those
+    topic.publish(mkRecords(12, startId = 40))
+    val n3 = new java.util.concurrent.atomic.AtomicLong(0)
+    TopicStream.drainOnce(topic, "nightly",
+      Files.createTempDirectory("ckpt").toString) { b => n3.addAndGet(b.count()); () }
+    assert(n3.get() == 12, s"catch-up drain: ${n3.get()}")
+    // and the batch replay agrees the backlog is empty again
+    assert(topic.replay("nightly").count() == 0)
+  }
+
   test("subscription handle: unsubscribe acks, replay resumes exactly after") {
     val dir = Files.createTempDirectory("stream").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
