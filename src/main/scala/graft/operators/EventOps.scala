@@ -254,6 +254,28 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "q98_asof_skew" -> ((s, dir) => {
+      // The q79 enrichment through the SKEW-SAFE salted merge path
+      // ([[AsofNative.asofJoinSkewSafe]]): fact side salted 8 ways on
+      // event_id, right side replicated per salt, join key (user, salt).
+      // Same results as q79 (same oracle); what changes is the task
+      // layout — a pathologically hot user spreads over 8 reducers
+      // instead of pinning one straggler. The variant for when the
+      // right side outgrows the broadcast threshold AND keys are
+      // power-law.
+      val e = eventsTable(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      AsofNative.asofJoinSkewSafe(e, o, "user_id", "o_custkey",
+        "ts", "o_orderdate", rightTiebreak = Seq("o_orderkey"),
+        discriminator = "event_id", buckets = 8)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     "q80_asof_broadcast" -> ((s, dir) => {
       // The fact-dim face of the as-of join: right side auto-broadcast
       // (it fits autoBroadcastJoinThreshold at test SFs), so the event
@@ -315,16 +337,19 @@ object EventOps {
 
     "q91_zscore" -> ((s, dir) => {
       // Per-group feature normalization: z-score of value within its
-      // event type — the standard scaling step before training. Group
-      // stats ride a window over the uniform event_type key (5 groups
-      // x tiny state; at 100 TB compute the 5-row stats table and
-      // broadcast-join it instead — same result, either plan is one
-      // shuffle).
-      val w = Window.partitionBy(col("event_type"))
-      eventsTable(s, dir)
-        .withColumn("z", round(
-          (col("value") - avg(col("value")).over(w)) /
-            stddev_samp(col("value")).over(w), 6))
+      // event type — the standard scaling step before training. The
+      // stats table is a 5-row aggregate (one event_type per row)
+      // broadcast back onto the unshuffled fact scan: a
+      // `PARTITION BY event_type` window would funnel the whole corpus
+      // through 5 reducers at 100 TB; this plan's only fact-side agg is
+      // map-side-combinable into 5 rows, and the fact rows themselves
+      // never shuffle.
+      val ev = eventsTable(s, dir)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
         .select(col("event_id"), col("event_type"), col("z"))
         .orderBy(col("event_id"))
     }),
@@ -539,6 +564,17 @@ object EventOps {
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q79_asof_native" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q98_asof_skew" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
         |FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,

@@ -257,21 +257,37 @@ object Similarity {
     "q78_embedding_pool" -> ((s, dir) => {
       // Feature pooling (the extract-then-pool step of a multimodal /
       // chunked-document pipeline): mean-pool every 10 consecutive
-      // chunk embeddings into one 64-dim parent feature. Columnar
-      // shape: 64 position-wise avg aggregates with scan-side partials
-      // and ONE shuffle on the parent key — never an explode of the
-      // vector column (that would fan the corpus ×64 through the
-      // shuffle). round(6): 10-element double avgs are order-noisy at
-      // 1e-15, far below the rounding.
-      val avgs = (0 until RHP_DIMS).map(i =>
-        round(avg(col("embedding")(i).cast("double")), 6))
-      table(s, dir, "embeddings")
-        .groupBy(expr("vec_id div 10").as("parent_id"))
-        .agg(count(lit(1)).as("n_chunks"), array(avgs: _*).as("pooled"))
-        .select(col("parent_id"), col("n_chunks"), col("pooled"))
+      // chunk embeddings into one 64-dim parent feature — see
+      // meanPoolChunks for the plan shape. The gated output serializes
+      // the vector as comma-joined micro-units (round(v*1e6) as long):
+      // the driver's oracle harness can't hash array cells, and
+      // double→string rendering differs across engines (Spark "6.1E-5"
+      // vs DuckDB "6.1e-05") — integer strings are identical.
+      meanPoolChunks(table(s, dir, "embeddings"), 10)
+        .select(col("parent_id"), col("n_chunks"),
+          array_join(
+            transform(col("pooled"),
+              x => round(x * 1e6).cast("long").cast("string")),
+            ",").as("pooled"))
         .orderBy(col("parent_id"))
     })
   )
+
+  /** Mean-pool consecutive `groupSize` chunk embeddings into one
+    * parent vector (array<double> `pooled`, plus `n_chunks`).
+    * Columnar shape: RHP_DIMS position-wise avg aggregates with
+    * scan-side partials and ONE shuffle on the parent key — never an
+    * explode of the vector column (that would fan the corpus ×dims
+    * through the shuffle). round(6): small double avgs are order-noisy
+    * at 1e-15, far below the rounding.
+    */
+  def meanPoolChunks(embeddings: DataFrame, groupSize: Int): DataFrame = {
+    val avgs = (0 until RHP_DIMS).map(i =>
+      round(avg(col("embedding")(i).cast("double")), 6))
+    embeddings
+      .groupBy(expr(s"vec_id div $groupSize").as("parent_id"))
+      .agg(count(lit(1)).as("n_chunks"), array(avgs: _*).as("pooled"))
+  }
 
   // q92's oracle rebuilds the behavior vectors (24 entries; the Spark
   // side's 40 zero-pad dims add nothing to dots or norms) and then
@@ -433,12 +449,14 @@ object Similarity {
         |    CAST(UNNEST(embedding) AS DOUBLE) AS x
         |  FROM embeddings),
         |p AS (
-        |  SELECT parent_id, i, ROUND(AVG(x), 6) AS v
+        |  SELECT parent_id, i,
+        |    CAST(ROUND(ROUND(AVG(x), 6) * 1000000) AS BIGINT) AS v
         |  FROM ex GROUP BY parent_id, i),
         |c AS (
         |  SELECT vec_id // 10 AS parent_id, COUNT(*) AS n_chunks
         |  FROM embeddings GROUP BY 1)
-        |SELECT p.parent_id, c.n_chunks, LIST(p.v ORDER BY p.i) AS pooled
+        |SELECT p.parent_id, c.n_chunks,
+        |  ARRAY_TO_STRING(LIST(p.v ORDER BY p.i), ',') AS pooled
         |FROM p JOIN c ON p.parent_id = c.parent_id
         |GROUP BY p.parent_id, c.n_chunks
         |ORDER BY p.parent_id""".stripMargin

@@ -242,6 +242,22 @@ object TextOps {
             / log(col("n_distinct").cast("double")))
           .otherwise(lit(0.0)), 6))
 
+  /** Inverted-index materialization (q94): term → document frequency
+    * plus the first `headSize` posting doc_ids, terms with
+    * df < `minDf` dropped. ONE uniform term-key shuffle; the posting
+    * list per term is bounded (`slice` of the sorted postings), so no
+    * term's output row explodes regardless of how common the term is.
+    * Array-typed df-level API; the gated query serializes it. */
+  def invertedIndex(docs: DataFrame, headSize: Int, minDf: Long): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        slice(array_sort(collect_list(col("doc_id"))), 1, headSize)
+          .as("postings_head"))
+      .filter(col("df") >= minDf)
+
   /** Composite C4/Gopher-style keep/drop filter (q73): length,
     * punctuation, distinct-token and duplicate-2-gram gates evaluated
     * in ONE scan pass — [[repetitionSignals]] chained over
@@ -399,10 +415,12 @@ object TextOps {
       // (doc, term) aggregation; df is a VOCAB-sized table (<< corpus)
       // joined back on the uniform term key (AQE broadcasts it when
       // small); the top-3 is a per-doc window on the uniform doc key.
+      // N rides a one-row broadcast agg (as q96 does) — no separate
+      // driver-side count() action scanning the corpus twice.
       // Scores rounded to 6 dp BEFORE ranking so rank order is
       // cross-engine deterministic (term is the tiebreak).
       val docs = table(s, dir, "documents")
-      val nDocs = docs.count().toDouble
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = docs
         .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
         .groupBy(col("doc_id"), col("term"))
@@ -411,7 +429,8 @@ object TextOps {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
       tf.join(dfreq, "term")
-        .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 6))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("score"), col("rk"))
@@ -465,13 +484,14 @@ object TextOps {
       // uniform term-key shuffle; posting lists are built per term
       // with bounded output (head of the sorted postings), so no
       // term's row explodes. Terms with df < 3 dropped (hapax noise).
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
-        .groupBy(col("term"))
-        .agg(count(lit(1)).as("df"),
-          slice(array_sort(collect_list(col("doc_id"))), 1, 5).as("postings_head"))
-        .filter(col("df") >= 3)
+      // The gated output comma-joins the posting head: the driver's
+      // oracle harness can't hash array cells, and bigint→string
+      // rendering is identical across engines. invertedIndex keeps the
+      // array-typed API.
+      invertedIndex(table(s, dir, "documents"), headSize = 5, minDf = 3)
+        .select(col("term"), col("df"),
+          array_join(col("postings_head").cast("array<string>"), ",")
+            .as("postings_head"))
         .orderBy(col("term"))
     }),
 
@@ -759,7 +779,8 @@ object TextOps {
         |    UNNEST(regexp_split_to_array(lower(text), '\s+')) AS term
         |  FROM documents)
         |SELECT term, COUNT(*) AS df,
-        | (LIST(doc_id ORDER BY doc_id))[1:5] AS postings_head
+        | ARRAY_TO_STRING((LIST(doc_id ORDER BY doc_id))[1:5], ',')
+        |   AS postings_head
         |FROM t GROUP BY term HAVING COUNT(*) >= 3
         |ORDER BY term""".stripMargin,
 

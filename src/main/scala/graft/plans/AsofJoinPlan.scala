@@ -15,22 +15,31 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * the reference's "enrich each event with the most recent state at
   * event time", LEFT OUTER.
   *
+  * Keys are a SEQUENCE of long expressions compared lexicographically
+  * (a row with ANY null key component never matches). Multi-key exists
+  * for the salted skew-safe variant ([[graft.operators.AsofNative
+  * .asofJoinSkewSafe]]): (key, salt) clusters a hot key's left rows
+  * across salt buckets while the replicated right side keeps the merge
+  * semantics exact.
+  *
   * Why a custom plan: declaratively this is a (range-predicated) join
   * followed by a per-left-row argmax — at least one extra aggregation
   * shuffle after the join shuffle, with the join output inflated by
   * every EARLIER right match before argmax throws them away. The
   * physical operator instead asks EnsureRequirements for co-partitioned
-  * children sorted by (key, time): one exchange per side and a single
-  * streaming merge pass per partition, no intermediate inflation. This
-  * is the sort-merge-join shape with a "remember the last qualifying
-  * right row" cursor instead of a buffered equi-match.
+  * children sorted by (keys..., time): one exchange per side and a
+  * single streaming merge pass per partition, no intermediate
+  * inflation. This is the sort-merge-join shape with a "remember the
+  * last qualifying right row" cursor instead of a buffered equi-match.
   */
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression],
     strategyHint: AsofStrategyHint = AsofAuto) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+    s"as-of key arity mismatch: ${leftKeys.size} vs ${rightKeys.size}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -57,7 +66,7 @@ case object AsofBroadcast extends AsofStrategyHint
   * the whole fact table. */
 class AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tb, hint) =>
+    case AsofJoinPlan(l, r, lks, rks, lt, rt, tb, hint) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val broadcast = hint match {
@@ -66,24 +75,64 @@ class AsofJoinStrategy extends SparkStrategy {
         case AsofAuto => threshold > 0 && r.stats.sizeInBytes <= threshold
       }
       if (broadcast)
-        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+        BroadcastAsofJoinExec(planLater(l), planLater(r), lks, rks, lt, rt, tb) :: Nil
       else
-        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+        AsofJoinExec(planLater(l), planLater(r), lks, rks, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }
 
+private[plans] object AsofKeys {
+  /** Evaluate bound key expressions into `out`; false if any is null. */
+  def eval(bound: Array[Expression], row: InternalRow, out: Array[Long]): Boolean = {
+    var i = 0
+    while (i < bound.length) {
+      val v = bound(i).eval(row)
+      if (v == null) return false
+      out(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    true
+  }
+
+  /** Lexicographic compare of equal-length key vectors. */
+  def compare(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0
+    while (i < a.length) {
+      if (a(i) < b(i)) return -1
+      if (a(i) > b(i)) return 1
+      i += 1
+    }
+    0
+  }
+
+  /** Hashable key object for the broadcast index: a boxed Long for the
+    * common single-key case, an element-wise-equal IndexedSeq otherwise. */
+  def keyObject(k: Array[Long]): AnyRef =
+    if (k.length == 1) java.lang.Long.valueOf(k(0))
+    else scala.collection.immutable.ArraySeq.unsafeWrapArray(k.clone())
+}
+
 /** Physical merge as-of join. Requires both children clustered on the
-  * key (EnsureRequirements co-partitions them, exactly as for a
-  * sort-merge join) and sorted by (key, time [, tiebreaks]); emits one
-  * output row per left row in left order. Key and time expressions
+  * keys (EnsureRequirements co-partitions them, exactly as for a
+  * sort-merge join) and sorted by (keys..., time [, tiebreaks]); emits
+  * one output row per left row in left order. Key and time expressions
   * must be LongType (the df-level API casts); null key or time on
   * either side never matches (left rows still emit, right-padded with
   * nulls — left-outer semantics).
+  *
+  * AQE note (spec-verified, and confirmed against Spark 4.1's
+  * CoalesceShufflePartitions.childrenNeedCompatiblePartitioning —
+  * true for every multi-child node except Union / CartesianProduct /
+  * broadcast joins): both child shuffles land in ONE coalesce group,
+  * so AQE either coalesces them with identical partition specs or
+  * leaves both alone — coalescing never needs disabling and the
+  * children always arrive with equal partition counts. The require()
+  * below is an invariant assertion, not an expected path.
   */
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression]) extends BinaryExecNode {
 
@@ -91,14 +140,15 @@ case class AsofJoinExec(
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
   // right side additionally sorts by the tiebreaks so "last qualifying
   // row" IS the argmax of (time, tiebreaks...)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    SortOrder(rightKey, Ascending) +: SortOrder(rightTime, Ascending) +:
-      rightTiebreak.map(SortOrder(_, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTime, Ascending) +:
+        rightTiebreak.map(SortOrder(_, Ascending))))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
@@ -108,54 +158,58 @@ case class AsofJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val lkB = leftKeys.map(BindReferences.bindReference(_, left.output)).toArray
     val ltB = BindReferences.bindReference(leftTime, left.output)
-    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rkB = rightKeys.map(BindReferences.bindReference(_, right.output)).toArray
     val rtB = BindReferences.bindReference(rightTime, right.output)
+    val arity = leftKeys.size
     val rightArity = right.output.size
     val outAttrs = output
     val lRdd = left.execute()
     val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
       s"as-of merge children diverged to ${lRdd.getNumPartitions} vs " +
-        s"${rRdd.getNumPartitions} partitions (asymmetric AQE coalescing?); " +
-        "disable spark.sql.adaptive.coalescePartitions.enabled or use AsofBroadcast")
+        s"${rRdd.getNumPartitions} partitions — EnsureRequirements should " +
+        "have co-partitioned them and AQE never coalesces beneath a " +
+        "distribution-requiring custom node (AsofNativeSpec pins this); " +
+        "an injected or hand-built physical plan is violating the contract")
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rightArity)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      val lk = new Array[Long](arity)
+      val rk = new Array[Long](arity)
       // cursor state: the best (= latest-so-far) right row for bestKey
       var best: InternalRow = null
-      var bestKey = 0L
+      var bestKey: Array[Long] = null
       var haveBest = false
       lIter.map { l =>
-        val lk = lkB.eval(l)
         val lt = ltB.eval(l)
-        if (lk == null || lt == null) proj(joined(l, nullRight))
+        if (!AsofKeys.eval(lkB, l, lk) || lt == null) proj(joined(l, nullRight))
         else {
-          val lkL = lk.asInstanceOf[Long]
           val ltL = lt.asInstanceOf[Long]
-          if (haveBest && bestKey != lkL) { haveBest = false; best = null }
+          if (haveBest && AsofKeys.compare(bestKey, lk) != 0) {
+            haveBest = false; best = null
+          }
           var advancing = true
           while (advancing && rBuf.hasNext) {
-            val rk = rkB.eval(rBuf.head)
-            if (rk == null) rBuf.next() // null keys never match
+            if (!AsofKeys.eval(rkB, rBuf.head, rk)) rBuf.next() // null key never matches
             else {
-              val rkL = rk.asInstanceOf[Long]
-              if (rkL < lkL) rBuf.next() // stale key: discard
-              else if (rkL == lkL) {
+              val c = AsofKeys.compare(rk, lk)
+              if (c < 0) rBuf.next() // stale key: discard
+              else if (c == 0) {
                 val rt = rtB.eval(rBuf.head)
                 if (rt == null) rBuf.next() // null time never matches
                 else if (rt.asInstanceOf[Long] <= ltL) {
                   // qualifying and sorted ascending -> later rows are
                   // better; keep overwriting (copy: source rows reused)
-                  best = rBuf.next().copy(); bestKey = lkL; haveBest = true
+                  best = rBuf.next().copy(); bestKey = lk.clone(); haveBest = true
                 } else advancing = false // future right row: stop here
               } else advancing = false // right is past this key
             }
           }
-          if (haveBest && bestKey == lkL) proj(joined(l, best))
+          if (haveBest && AsofKeys.compare(bestKey, lk) == 0) proj(joined(l, best))
           else proj(joined(l, nullRight))
         }
       }
@@ -173,7 +227,7 @@ case class AsofJoinExec(
   * keys/times never match, tiebreaks ascending, last wins).
   */
 object BroadcastAsofJoinExec {
-  private type Index = java.util.HashMap[Long, (Array[Long], Array[InternalRow])]
+  private type Index = java.util.HashMap[AnyRef, (Array[Long], Array[InternalRow])]
   // Keyed by broadcast id — each task deserializes its own Broadcast
   // WRAPPER, so object identity never repeats but the id does. Small
   // LRU bound: an entry outliving its broadcast costs one dim index;
@@ -195,7 +249,7 @@ object BroadcastAsofJoinExec {
 
 case class BroadcastAsofJoinExec(
     left: SparkPlan, right: SparkPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression]) extends BinaryExecNode {
 
@@ -214,15 +268,16 @@ case class BroadcastAsofJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val bcast = right.executeBroadcast[Array[InternalRow]]()
-    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val lkB = leftKeys.map(BindReferences.bindReference(_, left.output)).toArray
     val ltB = BindReferences.bindReference(leftTime, left.output)
-    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rkB = rightKeys.map(BindReferences.bindReference(_, right.output)).toArray
     val rtB = BindReferences.bindReference(rightTime, right.output)
     // (time, tiebreaks...) ascending, pre-bound; the generated ordering
     // itself is NOT serializable, so ship the bound SortOrders and
     // generate per partition
     val boundOrder = (rightTime +: rightTiebreak).map(e =>
       SortOrder(BindReferences.bindReference(e, right.output), Ascending))
+    val arity = leftKeys.size
     val rightArity = right.output.size
     val outAttrs = output
     left.execute().mapPartitions { lIter =>
@@ -232,12 +287,12 @@ case class BroadcastAsofJoinExec(
       // against a large dim don't re-sort it a thousand times
       val byKey = BroadcastAsofJoinExec.indexFor(bcast) {
         val ordering = RowOrdering.create(boundOrder, Nil)
-        val idx = new java.util.HashMap[Long, (Array[Long], Array[InternalRow])]()
-        val groups = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+        val idx = new java.util.HashMap[AnyRef, (Array[Long], Array[InternalRow])]()
+        val groups = new java.util.HashMap[AnyRef, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+        val kbuf = new Array[Long](arity)
         bcast.value.foreach { r =>
-          val k = rkB.eval(r)
-          if (k != null && rtB.eval(r) != null) {
-            groups.computeIfAbsent(k.asInstanceOf[Long],
+          if (AsofKeys.eval(rkB, r, kbuf) && rtB.eval(r) != null) {
+            groups.computeIfAbsent(AsofKeys.keyObject(kbuf),
               _ => scala.collection.mutable.ArrayBuffer.empty[InternalRow]) += r
           }
         }
@@ -250,12 +305,12 @@ case class BroadcastAsofJoinExec(
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rightArity)
       val joined = new JoinedRow
+      val kbuf = new Array[Long](arity)
       lIter.map { l =>
-        val lk = lkB.eval(l)
         val lt = ltB.eval(l)
         var best: InternalRow = null
-        if (lk != null && lt != null) {
-          val g = byKey.get(lk.asInstanceOf[Long])
+        if (lt != null && AsofKeys.eval(lkB, l, kbuf)) {
+          val g = byKey.get(AsofKeys.keyObject(kbuf))
           if (g != null) {
             val (times, rows) = g
             val ltL = lt.asInstanceOf[Long]

@@ -135,6 +135,118 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("composite keys: same user under a different tenant never matches") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, 1L, 100L, "t10u1"), // tenant 10: has right history
+      (20L, 1L, 100L, "t20u1"), // tenant 20, same user id: no history
+      (10L, 2L, 100L, "t10u2")  // tenant 10, other user: no history
+    ).toDF("tenant", "user", "t", "ltag")
+    val right = Seq((10L, 1L, 50L, "state_a"), (10L, 1L, 90L, "state_b"))
+      .toDF("rtenant", "ruser", "rt", "rtag")
+    for (hint <- Seq(AsofMerge, AsofBroadcast)) {
+      val out = AsofNative.asofJoinMulti(left, right,
+          Seq("tenant", "user"), Seq("rtenant", "ruser"), "t", "rt", Nil, hint)
+        .select(col("ltag"), col("rtag"))
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+      assert(out === Map(
+        "t10u1" -> Some("state_b"), "t20u1" -> None, "t10u2" -> None),
+        s"hint=$hint")
+    }
+  }
+
+  test("skew-safe salted merge matches unsalted on a 90%-hot-key corpus and spreads the hot key") {
+    // one key owns 90% of the fact side — the pathological straggler
+    // shape for a key-clustered merge. The salted variant must return
+    // byte-identical matches while spreading the hot key over multiple
+    // output partitions (the unsalted plan pins it to exactly one).
+    val hotKey = (idCol: org.apache.spark.sql.Column) =>
+      when(idCol % 10 < 9, lit(1L)).otherwise(pmod(idCol, lit(50)) + 2)
+    val left = spark.range(20000).select(
+      hotKey(col("id")).as("k"), (col("id") % 1000).as("t"), col("id").as("lid"))
+    val right = spark.range(2000).select(
+      hotKey(col("id")).as("rk"), ((col("id") * 7) % 1000).as("rt"),
+      col("id").as("seq"))
+    def matches(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("lid"), col("seq")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    // coalescing off for the spread measurement: this corpus is tiny,
+    // so AQE would (symmetrically) merge the 4 partitions into 1 and
+    // hide the spread; at real scale partitions exceed the advisory
+    // size and keep their salt-spread layout
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val plain = AsofNative.asofJoin(left, right, "k", "rk", "t", "rt",
+        Seq("seq"), AsofMerge)
+      val salted = AsofNative.asofJoinSkewSafe(left, right, "k", "rk", "t", "rt",
+        Seq("seq"), discriminator = "lid", buckets = 16)
+      assert(matches(salted) === matches(plain))
+      def hotSpread(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.filter(col("k") === 1L).withColumn("pid", spark_partition_id())
+          .groupBy("pid").count().collect().map(_.getAs[Long]("count")).toSeq
+      val plainSpread = hotSpread(plain)
+      assert(plainSpread.size === 1,
+        s"unsalted hot key should sit in one task: $plainSpread")
+      val saltedSpread = hotSpread(salted)
+      assert(saltedSpread.size >= 3,
+        s"salted hot key should spread over tasks: $saltedSpread")
+      assert(saltedSpread.max.toDouble / saltedSpread.sum < 0.7,
+        s"salted hot key still concentrated: $saltedSpread")
+    } finally spark.conf.set(coalesceKey, saved)
+  }
+
+  test("AQE coalescing is all-or-nothing-symmetric across the merge children") {
+    // Spark 4.1's CoalesceShufflePartitions puts BOTH child shuffles of
+    // any multi-child node (childrenNeedCompatiblePartitioning — only
+    // Union/CartesianProduct/broadcast joins are exempt) into ONE
+    // coalesce group with uniform partition specs. So coalescing never
+    // needs disabling for the merge as-of: either both sides coalesce
+    // identically or neither does. Pin both cases; in each, divergence
+    // would fire the exec's invariant require().
+    val confs = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1024",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.shuffle.partitions" -> "16")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // Case 1: asymmetric sizes — left partitions exceed the advisory
+      // size, right alone could coalesce to 1. Independent coalescing
+      // would diverge the counts; the group rule coalesces NEITHER.
+      val left = spark.range(200000)
+        .select((col("id") % 50).as("k"), (col("id") % 1000).as("t"),
+          concat(lit("payload_payload_payload_payload_"), col("id")).as("pad"))
+      val right = spark.range(500)
+        .select((col("id") % 50).as("rk"), (col("id") % 900).as("rt"),
+          col("id").as("seq"))
+      val df = AsofNative.asofJoin(left, right, "k", "rk", "t", "rt",
+        Seq("seq"), AsofMerge)
+      assert(df.collect().length === 200000)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsofJoin"), plan.take(500))
+      assert(!plan.contains("AQEShuffleRead"),
+        s"one-side coalescing should have been vetoed by the group rule:\n${plan.take(1500)}")
+      // Case 2: both sides tiny — both coalesce, with IDENTICAL specs.
+      val small = AsofNative.asofJoin(
+        spark.range(2000).select((col("id") % 20).as("k"), (col("id") % 100).as("t")),
+        spark.range(200).select((col("id") % 20).as("rk"), (col("id") % 90).as("rt"),
+          col("id").as("seq")),
+        "k", "rk", "t", "rt", Seq("seq"), AsofMerge)
+      assert(small.collect().length === 2000)
+      val smallPlan = small.queryExecution.executedPlan.toString
+      assert(smallPlan.contains("AQEShuffleRead"),
+        s"expected symmetric coalescing on tiny sides:\n${smallPlan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("broadcast plan leaves the fact side exchange- and sort-free") {
     val e = GraftSession.eventsTable(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"))
