@@ -319,6 +319,58 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "q99_resample" -> ((s, dir) => {
+      // Time-series resampling: per-user HOURLY grid over the user's
+      // own [min, max] span, forward-filled with the latest event
+      // at-or-before each grid point — the gap-fill step before
+      // training on regular sequences. The grid explode is bounded by
+      // each user's time span (never the corpus); the fill itself is
+      // the native merge as-of (one exchange per side, no
+      // join-then-argmax inflation). Grid points before the user's
+      // first event (the truncated first hour) keep left-outer nulls.
+      // Micros comparison: an event 0.5 s after the hour must NOT fill
+      // that hour's point, so epoch-second casts are too coarse.
+      val ev = eventsTable(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("interval 1 hour")))
+            .as("grid_ts"))
+        .withColumn("grid_us", unix_micros(col("grid_ts")))
+      val evm = ev.select(col("user_id").as("e_user"),
+        unix_micros(col("ts")).as("e_us"), col("event_id"), col("value"))
+      AsofNative.asofJoin(grid, evm, "user_id", "e_user", "grid_us", "e_us",
+        rightTiebreak = Seq("event_id"), hint = graft.plans.AsofMerge)
+        .select(col("user_id"), col("grid_ts"),
+          col("value").as("ffill_value"), col("event_id").as("src_event"))
+        .orderBy(col("user_id"), col("grid_ts"))
+    }),
+
+    "q101_robust_outliers" -> ((s, dir) => {
+      // Robust per-type outlier detection: modified z-score
+      // 0.6745*(x - median)/MAD — the median/MAD version of q91 that
+      // heavy-tailed values don't poison. Two 5-row aggregates (median,
+      // then MAD of the residuals) broadcast back onto the unshuffled
+      // fact scan — the same never-shuffle-the-corpus shape as q91;
+      // exact percentile on the tiny per-type groups, round(6) before
+      // the threshold so the kept set is cross-engine deterministic.
+      val ev = eventsTable(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val withMed = ev.join(broadcast(med), "event_type")
+      val mad = withMed.groupBy(col("event_type").as("m_type"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), col("event_type") === col("m_type"))
+        .withColumn("robust_z",
+          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+        .filter(abs(col("robust_z")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
     "q90_autocorr" -> ((s, dir) => {
       // Time-series feature: lag-1 autocorrelation of each user's
       // value series (is behavior trending or mean-reverting?). One
@@ -607,6 +659,35 @@ object EventOps {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q99_resample" ->
+      """WITH spans AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+        |  FROM events GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+        |  FROM spans),
+        |j AS (
+        |  SELECT g.user_id, g.grid_ts, e.value, e.event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY g.user_id, g.grid_ts
+        |      ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM grid g LEFT JOIN events e
+        |    ON g.user_id = e.user_id AND e.ts <= g.grid_ts)
+        |SELECT user_id, grid_ts, value AS ffill_value, event_id AS src_event
+        |FROM j WHERE rn = 1 ORDER BY user_id, grid_ts""".stripMargin,
+
+    "q101_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  ROUND(0.6745 * (e.value - m.med) / d.mad, 6) AS robust_z
+        |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |WHERE ABS(ROUND(0.6745 * (e.value - m.med) / d.mad, 6)) > 3.5
+        |ORDER BY event_id""".stripMargin,
 
     "q90_autocorr" ->
       """WITH l AS (

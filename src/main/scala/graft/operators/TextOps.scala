@@ -548,6 +548,23 @@ object TextOps {
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
 
+    "q100_domain_cap" -> ((s, dir) => {
+      // Per-source quota curation: each source keeps at most its 30
+      // best documents (longest first — the stand-in quality rank —
+      // doc_id as the deterministic tiebreak). One window over the
+      // uniform 20-value source key; the cap means per-reducer output
+      // is bounded by quota, and at 100 TB the same rank-then-cap runs
+      // per source partition without a global sort. rank emitted so
+      // the oracle pins ordering, not just membership.
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 30)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     "q71_domain_mix" -> ((s, dir) => {
       // Target-mixture resampling: uniform share per source. Keep rate
       // per source = min(1, total/num_sources/n_source); the keep
@@ -850,6 +867,14 @@ object TextOps {
         | CAST(tf_fast AS BIGINT) AS tf_fast, score
         |FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q100_domain_cap" ->
+      """SELECT source, doc_id, n_chars, rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 30 ORDER BY source, rk""".stripMargin,
 
     "q71_domain_mix" ->
       """WITH c AS (
