@@ -7,9 +7,13 @@ package graft
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional second arg: regex filter over query names
+    val nameFilter = args.lift(1).map(_.r)
     val spark = GraftSession.build(s"local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
+      .foreach { case (name, fn) =>
       try {
         // Execute to a noop sink first: AQE only finalizes join
         // strategies and codegen stages at runtime, so the pre-execution

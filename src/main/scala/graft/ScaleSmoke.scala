@@ -135,6 +135,48 @@ object ScaleSmoke {
     require(asofMergeRows == asofBcastRows,
       s"as-of variants disagree: $asofMergeRows vs $asofBcastRows")
 
+    // Skew phase: 90% of the fact rows carry ONE key — the merge
+    // variant's pathological layout (the whole hot key lands in one
+    // task; AQE skew-split skips custom nodes). Same inputs through
+    // the plain merge and the salted skew-safe path: row counts must
+    // agree, and the salted run must spread the hot key's output
+    // across tasks (max-share reported) instead of pinning one.
+    val skewFact = spark.range(n.toLong).select(
+      when(col("id") % 10 < 9, lit(7L))
+        .otherwise(pmod(col("id"), lit(100000)) + 10L).as("uid"),
+      (col("id") % 1000000).as("t"), col("id").as("fid"))
+    val skewDim = spark.range(500000L).select(
+      (col("id") % 100000).as("duid"),
+      ((col("id") * 3) % 1000000).as("valid_from"),
+      (col("id") % 997).cast("double").as("price"))
+      .localCheckpoint()
+    def skewRun(salted: Boolean): (Long, Double, Double) = {
+      val tb = System.nanoTime()
+      val joined =
+        if (salted)
+          graft.operators.AsofNative.asofJoinSkewSafe(
+            skewFact, skewDim, "uid", "duid", "t", "valid_from",
+            Seq("price"), discriminator = "fid", buckets = 32)
+        else
+          graft.operators.AsofNative.asofJoin(
+            skewFact, skewDim, "uid", "duid", "t", "valid_from",
+            Seq("price"), graft.plans.AsofMerge)
+      // one pass: per-output-partition totals + hot-key rows
+      val perPid = joined
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("uid") === 7L, 1L).otherwise(0L)).as("hot"))
+        .collect()
+      val totalRows = perPid.map(_.getAs[Long]("rows")).sum
+      val hotCounts = perPid.map(_.getAs[Long]("hot")).filter(_ > 0)
+      val maxHotShare = hotCounts.max.toDouble / hotCounts.sum
+      (totalRows, maxHotShare, (System.nanoTime() - tb) / 1e9)
+    }
+    val (skewPlainRows, skewPlainShare, skewPlainSec) = skewRun(salted = false)
+    val (skewSaltRows, skewSaltShare, skewSaltSec) = skewRun(salted = true)
+    require(skewPlainRows == skewSaltRows,
+      s"skew-safe changed the row count: $skewPlainRows vs $skewSaltRows")
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -152,6 +194,10 @@ object ScaleSmoke {
       f""""cc_star_rounds":$ccStarRounds,""" +
       f""""asof_rows":$asofMergeRows,"asof_merge_sec":$asofMergeSec%.2f,""" +
       f""""asof_broadcast_sec":$asofBcastSec%.2f,""" +
+      f""""skew_rows":$skewPlainRows,"skew_plain_sec":$skewPlainSec%.2f,""" +
+      f""""skew_plain_hot_share":$skewPlainShare%.3f,""" +
+      f""""skew_salted_sec":$skewSaltSec%.2f,""" +
+      f""""skew_salted_hot_share":$skewSaltShare%.3f,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** The one-call curation composition (quality → exact dedup → near-dup
+  * → contamination → per-source quota): verdicts partition the corpus,
+  * each injected pathology is caught by the RIGHT stage, precedence
+  * follows pipeline order, and the program is deterministic.
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = GraftSession.table(spark, sf, "documents")
+
+  // corpus with injected pathologies:
+  //  - doc_id+200000: byte-identical clones of every 10th doc (exact dup)
+  //  - doc_id 900001: a junk two-token doc (quality reject)
+  private lazy val corpus = {
+    import spark.implicits._
+    docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+      .unionByName(Seq((900001L, "tiny junk", "xx", "srcX", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  // every 97th doc stands in for the benchmark (q69's convention);
+  // those docs remain IN the corpus, so they must flag as contaminated
+  private lazy val bench = docs.filter(col("doc_id") % 97 === 0)
+
+  private lazy val verdicts: Map[Long, String] =
+    Curation.curate(corpus, bench, capPerSource = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+
+  test("every doc gets exactly one verdict from the known set") {
+    assert(verdicts.size === corpus.count())
+    val allowed = (Curation.Stages :+ "keep").toSet
+    assert(verdicts.values.forall(allowed))
+  }
+
+  test("clones drop as exact_dup; their originals never do") {
+    val cloneIds = verdicts.keySet.filter(_ >= 200000L).filter(_ < 900000L)
+    assert(cloneIds.nonEmpty)
+    cloneIds.foreach { id =>
+      val orig = id - 200000L
+      // the clone may fail quality first (precedence), but must never
+      // survive while its original was dropped as a dup
+      assert(verdicts(id) === "exact_dup" || verdicts(id) === "quality" ||
+        verdicts(id) === "contaminated" && verdicts(orig) == "contaminated",
+        s"clone $id: ${verdicts(id)}")
+      assert(verdicts(orig) !== "exact_dup", s"original $orig lost to its clone")
+    }
+  }
+
+  test("the junk doc drops at the quality stage") {
+    assert(verdicts(900001L) === "quality")
+  }
+
+  test("bench-member docs flag as contaminated (unless dropped earlier)") {
+    val benchIds = bench.collect().map(_.getAs[Long]("doc_id"))
+    assert(benchIds.nonEmpty)
+    val earlier = Set("quality", "exact_dup", "near_dup")
+    benchIds.foreach { id =>
+      assert(verdicts(id) === "contaminated" || earlier(verdicts(id)),
+        s"bench doc $id leaked through: ${verdicts(id)}")
+    }
+  }
+
+  test("kept docs respect the per-source quota") {
+    val kept = Curation.curate(corpus, bench, capPerSource = 20)
+      .filter(col("verdict") === "keep")
+      .groupBy(col("source")).count().collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r => assert(r.getAs[Long]("count") <= 20L,
+      s"${r.getAs[String]("source")} over quota: ${r.getAs[Long]("count")}"))
+    // and with a tight quota, source_cap verdicts actually appear
+    val tight = Curation.curate(corpus, bench, capPerSource = 5)
+      .groupBy(col("verdict")).count().collect()
+      .map(r => r.getAs[String]("verdict") -> r.getAs[Long]("count")).toMap
+    assert(tight.getOrElse("source_cap", 0L) > 0L, tight.toString)
+  }
+
+  test("deterministic: a second run produces identical verdicts") {
+    val again = Curation.curate(corpus, bench, capPerSource = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(again === verdicts)
+  }
+}
