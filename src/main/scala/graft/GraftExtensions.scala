@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HammingDistance, SimHashAgg}
+import graft.functions.{CosineSimilarity, FreqTopKAgg, HammingDistance, SimHashAgg}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -32,6 +32,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash64_agg"),
       (exprs: Seq[Expression]) =>
         SimHashAgg(exprs.head, bits = 64).toAggregateExpression()))
+    // Misra-Gries heavy hitters: `freq_topk_agg(item[, capacity])` —
+    // capacity counters per partial buffer instead of a token-key
+    // shuffle of the whole stream; mergeable under any merge tree
+    // (see FreqTopKAgg for the bounds the spec asserts).
+    e.injectFunction((
+      new FunctionIdentifier("freq_topk_agg"),
+      new ExpressionInfo(classOf[FreqTopKAgg].getName, "freq_topk_agg"),
+      (exprs: Seq[Expression]) => (exprs match {
+        case Seq(c) => FreqTopKAgg(c)
+        case Seq(c, k) if k.foldable =>
+          FreqTopKAgg(c, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "freq_topk_agg(item[, capacity literal])")
+      }).toAggregateExpression()))
     // Spark's internal bloom sketch pair (used by its own runtime row
     // filters), surfaced as SQL functions: build a fixed-size filter
     // over a long column, probe it scan-side with codegen — the

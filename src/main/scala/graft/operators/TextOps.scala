@@ -548,6 +548,24 @@ object TextOps {
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
 
+    "q102_heavy_hitters" -> ((s, dir) => {
+      // One-pass sketch top-10 tokens via the Misra-Gries aggregate:
+      // unlike q57's exact groupBy+rank (which shuffles the WHOLE
+      // token stream on the token key), the sketch shuffles 64
+      // counters per map task — the q88-style sketch rung of the vocab
+      // ladder. Rows-only gate BY DESIGN: borderline counter values
+      // are merge-order-dependent (the error bounds are not —
+      // FreqTopKAggSpec asserts them against exact counts); the top-10
+      // emission is a stable 10-row surface.
+      table(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+        .agg(expr("freq_topk_agg(term, 64)").as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("term"), col("e.est_count").as("est_count"))
+        .orderBy(col("est_count").desc, col("term"))
+        .limit(10)
+    }),
+
     "q100_domain_cap" -> ((s, dir) => {
       // Per-source quota curation: each source keeps at most its 30
       // best documents (longest first — the stand-in quality rank —

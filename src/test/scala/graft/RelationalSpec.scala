@@ -24,7 +24,8 @@ class RelationalSpec extends AnyFunSuite {
     // sketch queries have no DuckDB mirror by design (estimates, not
     // exact values) -> rows-only gate
     val weak = q.keySet -- o.keySet
-    assert(weak == Set("q19_approx_distinct", "q88_hll_rollup"),
+    assert(weak == Set("q19_approx_distinct", "q88_hll_rollup",
+      "q102_heavy_hitters"),
       s"unexpected rows-only queries: $weak")
   }
 
