@@ -495,12 +495,17 @@ object Dedup {
       // the cluster, which min-id survivorship cannot promise. Degree
       // is one uniform-key agg over the pair list; the argmax is a
       // max(struct) per cluster — no windows, all map-side-combinable.
+      // The pair list is checkpointed ONCE so the LSH pipeline doesn't
+      // re-execute for the degree branch, and the components come from
+      // the O(log n) star contraction (label contract identical to
+      // min-label — q77 proves it against the same oracle).
       val cand = lshCandidates(table(s, dir, "documents"))
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       val degree = cand.select(col("doc_a").as("node"))
         .union(cand.select(col("doc_b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      connectedComponents(cand)
+      connectedComponentsStar(cand)
         .join(degree, "node")
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
