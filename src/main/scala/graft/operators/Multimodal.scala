@@ -108,6 +108,22 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    "q104_patch_grid" -> ((s, dir) => {
+      // ViT patch-grid planning on top of the q75 resize plan: a
+      // vision-language pipeline budgets VISUAL TOKENS per image =
+      // ceil(tw/16)·ceil(th/16) — needed before batch packing the same
+      // way q67 packs text tokens. Integer arithmetic only
+      // ((x+15) div 16), exact cross-engine; builds on q75's df the
+      // way q76 builds on q14.
+      queries("q75_resize_plan")(s, dir)
+        .withColumn("px", expr("(tw + 15) div 16"))
+        .withColumn("py", expr("(th + 15) div 16"))
+        .withColumn("n_visual_tokens", col("px") * col("py"))
+        .select(col("doc_id"), col("tw"), col("th"),
+          col("px"), col("py"), col("n_visual_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q75_resize_plan" -> ((s, dir) => {
       // Resize planning: fit each image into a 512-box preserving
       // aspect ratio, integer arithmetic only (the pixel work is the
@@ -157,6 +173,28 @@ object Multimodal {
         | CAST(frame_idx AS BIGINT) AS frame_idx,
         | ROUND(CAST(frame_idx AS DOUBLE) / CAST(24 AS DOUBLE), 6) AS frame_ts
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q104_patch_grid" ->
+      """WITH m AS (
+        |  SELECT doc_id, ('0x'||substr(md5(text),1,8))::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |d AS (
+        |  SELECT doc_id, h % 1920 + 1 AS w, (h // 1920) % 1080 + 1 AS ht,
+        |    GREATEST(h % 1920 + 1, (h // 1920) % 1080 + 1) AS long_side
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN long_side <= 512 THEN w
+        |      ELSE w * 512 // long_side END AS tw,
+        |    CASE WHEN long_side <= 512 THEN ht
+        |      ELSE ht * 512 // long_side END AS th
+        |  FROM d)
+        |SELECT doc_id, CAST(tw AS BIGINT) AS tw, CAST(th AS BIGINT) AS th,
+        | CAST((tw + 15) // 16 AS BIGINT) AS px,
+        | CAST((th + 15) // 16 AS BIGINT) AS py,
+        | CAST(((tw + 15) // 16) * ((th + 15) // 16) AS BIGINT)
+        |   AS n_visual_tokens
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q75_resize_plan" ->
       """WITH m AS (

@@ -350,6 +350,55 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q103_percentile_dist" -> ((s, dir) => {
+      // q43's percentiles WITHOUT per-group value buffers: Spark's
+      // `percentile` holds a value→count map per aggregation buffer —
+      // bounded for 50-value l_quantity, but ~every distinct price for
+      // l_extendedprice, which at 100 TB with 3 groups is an executor
+      // OOM. Here the distribution is materialized as a
+      // (group, value, count) aggregate (map-side combinable, uniform
+      // keys), cumulated with a per-group ordered window (sort-based,
+      // SPILLABLE — memory-bounded where the hashmap buffer is not),
+      // and the interpolated quantile is read off the cumulative
+      // counts: value_at(k) = min value with cum > k, so
+      // q(p) = v_lo + frac·(v_hi − v_lo) at h=(n−1)p. Byte-identical
+      // to q43 (same oracle): exactness is not traded for scale.
+      def dist(valueCol: String, ps: Seq[(String, Double)]) = {
+        val counts = table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col(valueCol).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        val cum = counts.withColumn("cum", sum(col("c")).over(w))
+        val n = counts.groupBy(col("l_returnflag"))
+          .agg(sum(col("c")).as("n_rows"))
+        val t = cum.join(broadcast(n), "l_returnflag")
+        val aggs = ps.flatMap { case (name, p) =>
+          val h = (col("n_rows") - 1) * lit(p)
+          val lo = floor(h)
+          Seq(
+            min(when(col("cum") > lo, col("v"))).as(s"${name}_vlo"),
+            min(when(col("cum") > ceil(h), col("v"))).as(s"${name}_vhi"),
+            first(h - lo).as(s"${name}_frac"))
+        }
+        val g = t.groupBy(col("l_returnflag"))
+          .agg(aggs.head, aggs.tail: _*)
+        ps.foldLeft(g) { case (df, (name, _)) =>
+          df.withColumn(name, round(
+            col(s"${name}_vlo") +
+              col(s"${name}_frac") * (col(s"${name}_vhi") - col(s"${name}_vlo")),
+            6))
+        }.select(col("l_returnflag") +: ps.map(p => col(p._1)): _*)
+      }
+      val qty = dist("l_quantity", Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95))
+      val price = dist("l_extendedprice", Seq("p50_price" -> 0.5))
+      val nr = table(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"))
+      qty.join(price, "l_returnflag").join(nr, "l_returnflag")
+        .select(col("l_returnflag"), col("p50_qty"), col("p95_qty"),
+          col("p50_price"), col("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q19_approx_distinct" -> ((s, dir) => {
       // HLL++ sketch — rows-only oracle (DuckDB's approx sketch differs).
       table(s, dir, "lineitem")
@@ -561,6 +610,16 @@ object Relational {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q43_percentiles" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        | ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical ground truth: the distribution-based plan must
+    // reproduce the buffered-percentile answer exactly
+    "q103_percentile_dist" ->
       """SELECT l_returnflag,
         | ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
         | ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
