@@ -259,6 +259,25 @@ object TopicStream {
       s"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $within"))
   }
 
+  /** Streaming exact content dedup — the live face of the batch
+    * dedup rung (q30 exact / q97 incremental): drop records whose
+    * content was already seen, state bounded by the event-time
+    * watermark horizon (`dropDuplicatesWithinWatermark`, so late
+    * duplicates beyond the horizon are the documented trade — exactly
+    * the contract of a streaming re-crawl screen). Dedup keys on the
+    * 64-bit content hash, not the payload: state stores 8 bytes per
+    * distinct content instead of the document text. First arrival
+    * wins (arrival order, not min-id — batch dedup picks min doc_id;
+    * the KEPT CONTENT set is identical, spec-proved).
+    */
+  def dedupByContent(stream: DataFrame, contentCol: String,
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .withColumn("__content_h", xxhash64(col(contentCol)))
+      .dropDuplicatesWithinWatermark("__content_h")
+      .drop("__content_h")
+
   /** Back this session's streaming state with RocksDB instead of the
     * default in-memory HDFS-backed store. At corpus scale the state for
     * windowed aggs / sessionization / dedup outgrows executor heap

@@ -30,6 +30,32 @@ class GraftConnectionSpec extends AnyFunSuite {
     assert(conn.prepareTopic("shipments").read().count() == 0)
   }
 
+  test("prepareTopic on an unusable root fails with a clear error (reference: create fails if not connected)") {
+    // kafkaish test/topic.js: 'fails with error if not connected'.
+    // graft's connect() is the storage root: a root that cannot hold
+    // topic directories (a plain file occupies the path) must throw at
+    // prepare time, not corrupt silently at first publish.
+    val f = Files.createTempFile("not-a-dir", ".tmp")
+    val conn = GraftConnection.connect(spark, f.toString)
+    intercept[Exception] {
+      conn.prepareTopic("orders").publish(mkRecords(1))
+    }
+  }
+
+  test("close() drops cached handles; prepareTopic after close returns a fresh topic (reference: recreate when closed)") {
+    // connection.js:42-55 re-creates a topic whose cached instance is
+    // closed; graft's close() clears the cache so the next prepare
+    // builds a fresh handle over the same durable log.
+    val root = Files.createTempDirectory("conn").toString
+    val conn = GraftConnection.connect(spark, root)
+    val t1 = conn.prepareTopic("orders")
+    t1.publish(mkRecords(5))
+    conn.close()
+    val t2 = conn.prepareTopic("orders")
+    assert(!(t1 eq t2), "close() must not keep serving the old instance")
+    assert(t2.read().count() == 5, "the durable log survives close()")
+  }
+
   test("replay scan prunes log partitions (PartitionFilters on log_part)") {
     val root = Files.createTempDirectory("conn").toString
     val conn = GraftConnection.connect(spark, root)

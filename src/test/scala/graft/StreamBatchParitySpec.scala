@@ -40,6 +40,39 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming content dedup keeps exactly one survivor per distinct content (batch q30 contract)") {
+    // clone every 10th doc (the q30 corpus shape), stream it through
+    // dedupByContent: the kept CONTENT set must equal the batch
+    // distinct-content set, with exactly one survivor each (streaming
+    // keeps first-arrival where batch keeps min doc_id — same
+    // contents either way).
+    val docs = GraftSession.table(spark, sf, "documents")
+    val withDups = docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L))
+    val srcDir = java.nio.file.Files.createTempDirectory("sbp3").toString
+    withDups.withColumn("ts", timestamp_micros(lit(1700000000000000L)))
+      .coalesce(1).write.parquet(s"$srcDir/in")
+    val batchContents = withDups.select(md5(col("text"))).distinct().count()
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        withDups.withColumn("ts", timestamp_micros(lit(0L))).schema))
+      .parquet(s"$srcDir/in")
+    val deduped = graft.streaming.TopicStream
+      .dedupByContent(stream, contentCol = "text")
+      .select(col("doc_id"), md5(col("text")).as("content"))
+    val q = deduped.writeStream.format("memory").queryName("sbp3")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id, content FROM sbp3").collect()
+      assert(kept.length.toLong === batchContents,
+        s"expected one survivor per content: ${kept.length} vs $batchContents")
+      assert(kept.map(_.getString(1)).distinct.length === kept.length)
+    } finally q.stop()
+  }
+
   test("pipeline ops run unchanged on the streaming path (quality filter + pii)") {
     // Stateless scan-side operators (quality gates, PII scrub) must
     // compose with a streaming source exactly as with a batch scan —
