@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.GraftSession.{dsum, eventsTable, table}
+import graft.GraftSession.{dec, dsum, eventsTable, table}
 
 /** Pack B — event-log / kafkaish semantics over the `events` table
   * (SURVEY.md §2.B). Each query is the batch face of a reference
@@ -371,6 +371,28 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "q105_trailing_rate" -> ((s, dir) => {
+      // Trailing-window rate metering: for every event, how many
+      // events (and how much value) its user produced in the trailing
+      // hour INCLUDING it — the rate-limit / burst-detection feature,
+      // and the suite's RANGE-frame window (q12's running sum is a
+      // ROWS frame; a range frame bounds by ORDER-BY VALUE distance,
+      // so ties and gaps behave differently). Ordered by epoch micros
+      // with the frame in micros; one per-user window, no other
+      // shuffle. Value sums ride decimal for cross-engine exactness.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      eventsTable(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .withColumn("sum_trailing_1h",
+          sum(dec(col("value"))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("n_trailing_1h"), col("sum_trailing_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     "q90_autocorr" -> ((s, dir) => {
       // Time-series feature: lag-1 autocorrelation of each user's
       // value series (is behavior trending or mean-reverting?). One
@@ -687,6 +709,16 @@ object EventOps {
         |  ROUND(0.6745 * (e.value - m.med) / d.mad, 6) AS robust_z
         |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
         |WHERE ABS(ROUND(0.6745 * (e.value - m.med) / d.mad, 6)) > 3.5
+        |ORDER BY event_id""".stripMargin,
+
+    "q105_trailing_rate" ->
+      """SELECT event_id, user_id, ts,
+        | COUNT(*) OVER w AS n_trailing_1h,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
     "q90_autocorr" ->

@@ -393,7 +393,8 @@ object Relational {
       val price = dist("l_extendedprice", Seq("p50_price" -> 0.5))
       val nr = table(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"))
-      qty.join(price, "l_returnflag").join(nr, "l_returnflag")
+      qty.join(broadcast(price), "l_returnflag")
+        .join(broadcast(nr), "l_returnflag")
         .select(col("l_returnflag"), col("p50_qty"), col("p95_qty"),
           col("p50_price"), col("n_rows"))
         .orderBy(col("l_returnflag"))
