@@ -177,6 +177,31 @@ object ScaleSmoke {
     require(skewPlainRows == skewSaltRows,
       s"skew-safe changed the row count: $skewPlainRows vs $skewSaltRows")
 
+    // Heavy-hitters phase: the MG sketch vs the exact groupBy+top-k on
+    // a 20M-token heavy-tailed stream (U^8 keeps the head gaps far
+    // above the n/(cap+1) slack, so the top-5 is unambiguous). The
+    // sketch's shuffle carries 1024 counters per map task; the exact
+    // path shuffles every distinct token.
+    val tokenStream = spark.range(20000000L).select(
+      concat(lit("tok"),
+        (pow(rand(42), 8.0) * 5000).cast("long")).as("term"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val hhSketch = tokenStream
+      .agg(expr("freq_topk_agg(term, 1024)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("term"), col("e.est_count"))
+      .orderBy(col("est_count").desc, col("term")).limit(5)
+      .collect().map(_.getString(0)).toSet
+    val hhSketchSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val hhExact = tokenStream.groupBy(col("term")).count()
+      .orderBy(col("count").desc, col("term")).limit(5)
+      .collect().map(_.getString(0)).toSet
+    val hhExactSec = (System.nanoTime() - t0) / 1e9
+    require(hhSketch == hhExact,
+      s"sketch top-5 diverged from exact: $hhSketch vs $hhExact")
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -198,6 +223,7 @@ object ScaleSmoke {
       f""""skew_plain_hot_share":$skewPlainShare%.3f,""" +
       f""""skew_salted_sec":$skewSaltSec%.2f,""" +
       f""""skew_salted_hot_share":$skewSaltShare%.3f,""" +
+      f""""hh_sketch_sec":$hhSketchSec%.2f,"hh_exact_sec":$hhExactSec%.2f,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }

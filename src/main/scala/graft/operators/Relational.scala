@@ -278,6 +278,42 @@ object Relational {
         .orderBy(col("returnflag"), col("linestatus"))
     }),
 
+    "q106_cube" -> ((s, dir) => {
+      // The third member of the grouping family (q13 rollup ×3 sets,
+      // q44 grouping sets ×2): full CUBE — all 4 subsets of
+      // (returnflag, linestatus), Expand ×4. Lowercase ALL sentinels
+      // distinguish the cube's null-marked subtotal rows from q13's:
+      // same decimal-exact aggregate discipline.
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("all")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("all")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    "q107_window_nav" -> ((s, dir) => {
+      // Navigation windows (the family q11/q12 leave out): first /
+      // last / nth value of the price over each status's full
+      // order-date frame. last_value needs the explicit
+      // unbounded-following frame (the default frame ends at CURRENT
+      // ROW — the classic silent-wrong-answer); (o_orderdate,
+      // o_orderkey) makes the order total so the values are
+      // deterministic cross-engine.
+      val order = Seq(col("o_orderdate"), col("o_orderkey"))
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "orders")
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .withColumn("last_price", last(col("o_totalprice")).over(w))
+        .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(w))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("first_price"), col("last_price"), col("third_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q48_ntile_rank" -> ((s, dir) => {
       // Quartile + relative-rank windows per order status.
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -627,6 +663,25 @@ object Relational {
         | ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
         | COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q106_cube" ->
+      """SELECT COALESCE(l_returnflag, 'all') AS returnflag,
+        | COALESCE(l_linestatus, 'all') AS linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q107_window_nav" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        | LAST_VALUE(o_totalprice) OVER w AS last_price,
+        | NTH_VALUE(o_totalprice, 3) OVER w AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q18_stats" ->
       """SELECT l_returnflag,
