@@ -150,6 +150,11 @@ object Dedup {
     * convergence the returned labels may still be split across a
     * component — a warning is logged (raise `maxIters`, or switch to
     * the star variant). Public df-level API. */
+  /** Min-label propagation components. Prefer [[connectedComponentsStar]]
+    * for deep or hub-heavy graphs: besides needing diameter rounds,
+    * the per-round edges⋈labels sort-merge join buffers every match of
+    * a hub key (ScaleSmoke's 125k-degree hub OOMs a default driver
+    * heap here; the star variant does not). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // Materialize the edge list ONCE: every round (and every
     // convergence check) re-reads it, and without this the whole
