@@ -156,6 +156,41 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   def publish(records: DataFrame): Map[Int, TopicLog.OffsetRange] =
     withPublishLock { publishLocked(records) }
 
+  /** Publish AT MOST ONCE per `txnId`: a committed transaction id
+    * records its offset ranges in `txns/<txnId>` (tmp+rename, under
+    * the writer lease), and any later call with the same id returns
+    * the recorded ranges WITHOUT appending. This closes the dominant
+    * duplicate window of a checkpointed streaming sink — foreachBatch
+    * re-executes its last uncommitted batch on restart AFTER the
+    * publish itself committed (see
+    * [[graft.streaming.TopicStream.publishSinkExactlyOnce]]). A crash
+    * BETWEEN the data append and the marker write remains
+    * at-least-once (the stale-lease reconcile keeps offsets sane, the
+    * retry re-appends) — the same producer contract Kafka has without
+    * full transactions, and strictly stronger than the reference's
+    * fire-and-forget insert (topic.js:26-41). */
+  def publishIdempotent(records: DataFrame, txnId: String): Map[Int, TopicLog.OffsetRange] = {
+    require(txnId.nonEmpty && !txnId.exists(c => c == '/' || c == ':'),
+      s"txnId must be a plain token: '$txnId'")
+    withPublishLock {
+      val marker = new Path(s"$path/txns/$txnId")
+      readKv(marker) match {
+        case Some(kv) =>
+          // committed before: ranges were flattened as p -> base and
+          // (p + numPartitions) -> count
+          kv.collect { case (p, base) if p < numPartitions =>
+            p -> TopicLog.OffsetRange(base, kv(p + numPartitions))
+          }
+        case None =>
+          val ranges = publishLocked(records)
+          writeKv(marker, ranges.flatMap { case (p, r) =>
+            Seq(p -> r.base, (p + numPartitions) -> r.count)
+          })
+          ranges
+      }
+    }
+  }
+
   /** Keep the lease fresh while a long append runs: without renewal, a
     * publish slower than [[publishLeaseMs]] looks dead to a waiting
     * publisher, which would break the lock mid-append and re-issue the

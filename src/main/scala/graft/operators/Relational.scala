@@ -228,6 +228,25 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q108_correlated_subquery" -> ((s, dir) => {
+      // The correlated cousin of q15's global scalar: orders priced
+      // above THEIR OWN customer's average. Decorrelated by hand into
+      // the plan Catalyst would also pick for the SQL form: per-key
+      // aggregate + equi join on the customer key — never a per-row
+      // re-aggregation. The per-customer avg table is fact-key-sized
+      // (NOT broadcastable at 100 TB), so this is the one shape in the
+      // scalar-subquery family that legitimately shuffles both sides
+      // on the key; AQE may still broadcast it at small SFs.
+      val orders = table(s, dir, "orders")
+      val avgByCust = orders.groupBy(col("o_custkey").as("ac_key"))
+        .agg((dsum(col("o_totalprice")) / count(lit(1))).as("cust_avg"))
+      orders.join(avgByCust, col("o_custkey") === col("ac_key"))
+        .filter(col("o_totalprice") > col("cust_avg") * 1.2)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          round(col("cust_avg"), 6).as("cust_avg"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q16_case_string" -> ((s, dir) => {
       table(s, dir, "part")
         .select(
@@ -663,6 +682,18 @@ object Relational {
         | ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
         | COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q108_correlated_subquery" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS ac_key,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*) AS cust_avg
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        | ROUND(cust_avg, 6) AS cust_avg
+        |FROM orders JOIN a ON o_custkey = ac_key
+        |WHERE o_totalprice > cust_avg * 1.2
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q106_cube" ->
       """SELECT COALESCE(l_returnflag, 'all') AS returnflag,

@@ -161,6 +161,28 @@ object TopicStream {
         ()
       }
 
+  /** [[publishSink]] with exactly-once batches: the txn id derives
+    * from the checkpoint location + epoch batch id, both stable across
+    * restarts of the same query, so a foreachBatch re-execution after
+    * a crash-before-checkpoint-commit finds its marker and skips the
+    * append instead of duplicating it
+    * ([[graft.log.TopicLog.publishIdempotent]] documents the remaining
+    * at-least-once window). */
+  def publishSinkExactlyOnce(records: DataFrame, topic: TopicLog,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    val sinkId = java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes("UTF-8")).toString.replace("-", "")
+    records.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        topic.publishIdempotent(
+          batch.select(col("event"), col("key"), col("message"), col("ts")),
+          s"sink${sinkId}b$batchId")
+        ()
+      }
+  }
+
   /** The reference's `subscribe(event, name, callback)` in full
     * (topic.js:89-117): drain the named subscriber's backlog, keep
     * tailing live, run `process` on every micro-batch, and ack the

@@ -37,6 +37,30 @@ class TopicLogSpec extends AnyFunSuite {
     assert(topic.read().count() == 100)
   }
 
+  test("publishIdempotent: a replayed txn returns its recorded ranges without appending") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    val first = topic.publishIdempotent(mkRecords(40), "batch-7")
+    assert(topic.read().count() == 40)
+    // redelivery (foreachBatch restart): same txn id, same records —
+    // must be a no-op returning the SAME ranges
+    val replayed = topic.publishIdempotent(mkRecords(40), "batch-7")
+    assert(replayed === first)
+    assert(topic.read().count() == 40, "replayed txn duplicated the batch")
+    // a NEW txn id appends normally after the replay
+    topic.publishIdempotent(mkRecords(10, startId = 40), "batch-8")
+    assert(topic.read().count() == 50)
+    // offsets stayed dense per partition through the whole sequence
+    topic.read().groupBy(col("log_part"))
+      .agg(min("offset").as("lo"), max("offset").as("hi"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1 == r.getAs[Long]("n"))
+      }
+    // plain publish interleaves safely with idempotent publishes
+    topic.publish(mkRecords(5, startId = 50))
+    assert(topic.read().count() == 55)
+  }
+
   test("replay: new subscriber sees everything, acked subscriber only the tail") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 4)

@@ -134,6 +134,27 @@ class TopicStreamSpec extends AnyFunSuite {
     assert(offs.map(r => (r.getInt(0), r.getLong(1))).distinct.length == 10)
   }
 
+  test("publishSinkExactlyOnce: a re-executed foreachBatch never duplicates its batch") {
+    val dirIn = Files.createTempDirectory("px-in").toString
+    val dirOut = Files.createTempDirectory("px-out").toString
+    val ckpt = Files.createTempDirectory("px-ckpt").toString
+    val src = TopicLog.prepare(spark, dirIn, numPartitions = 2)
+    val dst = TopicLog.prepare(spark, dirOut, numPartitions = 2)
+    src.publish(mkRecords(30))
+    val stream = TopicStream.subscribe(src, fromNow = false)
+    val q = TopicStream.publishSinkExactlyOnce(stream, dst, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(dst.read().count() == 30)
+    // simulate the crash-before-checkpoint-commit redelivery: replay
+    // the SAME derived txn id by hand — the marker must make it a no-op
+    val sinkId = java.util.UUID.nameUUIDFromBytes(
+      ckpt.getBytes("UTF-8")).toString.replace("-", "")
+    dst.publishIdempotent(src.read()
+      .select(col("event"), col("key"), col("message"), col("ts")),
+      s"sink${sinkId}b0")
+    assert(dst.read().count() == 30, "redelivered batch 0 duplicated rows")
+  }
+
   test("replayThenLive drains the backlog past the ack, then tails live") {
     val dir = Files.createTempDirectory("rtl").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
