@@ -548,6 +548,70 @@ object TextOps {
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
 
+    "q109_char_lm_score" -> ((s, dir) => {
+      // Perplexity-proxy quality scoring (the KenLM-filter shape): each
+      // doc's avg log-likelihood under the CORPUS's own char-bigram
+      // distribution — junk with atypical character statistics scores
+      // low where length/punct heuristics (q38) pass it. Two-phase
+      // scale shape: the train pass is one aggregation whose map-side
+      // partials collapse to ≤|alphabet|² rows (the char stream fans
+      // out scan-side but combines before the shuffle); the collected
+      // model (like q81's bloom / IVF centroids) derives a ≤|alphabet|²
+      // log-prob table that BROADCAST-joins the scan-side bigram
+      // stream — a codegen'd hash probe per bigram (a map-literal
+      // element_at is a linear scan: 13 s vs 1.4 s at sf0.1) — and the
+      // per-doc avg re-agg is map-side-combinable, so the shuffle
+      // carries ~one partial row per doc. ln(c/total) is computed
+      // identically in both engines; round(6) absorbs the sum order.
+      val docs = table(s, dir, "documents")
+      val bigramsExpr =
+        "transform(sequence(1, length(lower(text)) - 1), " +
+          "i -> substring(lower(text), i, 2))"
+      val model = docs
+        .filter(length(col("text")) >= 2)
+        .select(explode(expr(bigramsExpr)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+        .collect()
+      val total = model.map(_.getAs[Long]("c")).sum.toDouble
+      val entries = model.map(r =>
+        r.getAs[String]("bg") -> math.log(r.getAs[Long]("c") / total))
+      // Lookup ladder, measured at sf0.1: a map-literal element_at is a
+      // LINEAR scan per probe (13.1 s); explode + broadcast hash join +
+      // re-agg is codegen'd but fans every bigram through a join
+      // (8.3 s); when the model itself proves the corpus single-byte
+      // (it contains every corpus bigram), a 128×128 dense log-prob
+      // ARRAY literal makes the fold a pure scan-side O(1)-probe pass —
+      // no explode, no join, no re-agg shuffle.
+      val allSingleByte = entries.forall(_._1.forall(_ < 128))
+      if (allSingleByte) {
+        val arr = Array.fill(128 * 128)(-20.0)
+        entries.foreach { case (bg, lp) => arr(bg(0) * 128 + bg(1)) = lp }
+        docs
+          .filter(length(col("text")) >= 2)
+          .withColumn("__lp", typedLit(arr.toSeq))
+          .withColumn("cs", split(lower(col("text")), ""))
+          .withColumn("n_bigrams", (size(col("cs")) - 1).cast("long"))
+          .withColumn("avg_logp", round(
+            expr("aggregate(sequence(1, size(cs) - 1), cast(0.0 as double), " +
+              "(a, i) -> a + element_at(__lp, " +
+              "ascii(element_at(cs, i)) * 128 + ascii(element_at(cs, i + 1)) + 1))")
+              / col("n_bigrams"), 6))
+          .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
+          .orderBy(col("doc_id"))
+      } else {
+        import s.implicits._
+        val probs = entries.toSeq.toDF("bg", "logp")
+        docs
+          .filter(length(col("text")) >= 2)
+          .select(col("doc_id"), explode(expr(bigramsExpr)).as("bg"))
+          .join(broadcast(probs), "bg")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("logp")) / count(lit(1)), 6).as("avg_logp"))
+          .orderBy(col("doc_id"))
+      }
+    }),
+
     "q102_heavy_hitters" -> ((s, dir) => {
       // One-pass sketch top-10 tokens via the Misra-Gries aggregate:
       // unlike q57's exact groupBy+rank (which shuffles the WHOLE
@@ -885,6 +949,21 @@ object TextOps {
         | CAST(tf_fast AS BIGINT) AS tf_fast, score
         |FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the fold's addition order differs from AVG's; round(6) absorbs it
+    "q109_char_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS lt FROM documents
+        |  WHERE length(text) >= 2),
+        |bgs AS (
+        |  SELECT doc_id, substr(lt, CAST(i AS INTEGER), 2) AS bg
+        |  FROM t, UNNEST(generate_series(1, length(lt) - 1)) AS u(i)),
+        |model AS (SELECT bg, COUNT(*) AS c FROM bgs GROUP BY bg),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM model)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        | ROUND(AVG(LN(m.c / t.total)), 6) AS avg_logp
+        |FROM bgs b JOIN model m USING (bg) CROSS JOIN tot t
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
 
     "q100_domain_cap" ->
       """SELECT source, doc_id, n_chars, rk FROM (
