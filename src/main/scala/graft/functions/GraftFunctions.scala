@@ -61,6 +61,15 @@ object GraftFunctions {
     * Requires GraftExtensions. */
   def simhash64_agg(c: Column): Column = call_function("simhash64_agg", c)
 
+  /** Misra-Gries heavy-hitters aggregate over a string or bigint
+    * column: array<struct<item, est_count>> sorted (est desc, item
+    * asc), at most `capacity` counters of mergeable state per partial
+    * buffer (never a token-key shuffle). Bounds: est <= true and
+    * est >= true - n/(capacity+1) under any merge tree. Requires
+    * GraftExtensions. */
+  def freq_topk_agg(c: Column, capacity: Int = 64): Column =
+    call_function("freq_topk_agg", c, lit(capacity))
+
   /** Bloom filter aggregate over a long column -> binary sketch
     * (Spark's sketch pair, registered by GraftExtensions). */
   def bloom_agg(c: Column, estimatedNumItems: Long = 1000000L): Column =

@@ -46,6 +46,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(sums(back) == sums(customer))
   }
 
+  test("freq_topk_agg facade returns the MG summary as typed rows") {
+    import spark.implicits._
+    val df = (Seq.fill(100)("a") ++ Seq.fill(60)("b") ++ Seq("c", "d")).toDF("w")
+    val rows = df.agg(GraftFunctions.freq_topk_agg(col("w"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.take(2).toSeq === Seq("a" -> 100L, "b" -> 60L))
+  }
+
   test("cosine_sim facade: native and builtin fallback agree") {
     val emb = GraftSession.table(spark, sf, "embeddings").limit(50)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
