@@ -287,16 +287,18 @@ object TopicStream {
     * watermark horizon (`dropDuplicatesWithinWatermark`, so late
     * duplicates beyond the horizon are the documented trade — exactly
     * the contract of a streaming re-crawl screen). Dedup keys on the
-    * 64-bit content hash, not the payload: state stores 8 bytes per
-    * distinct content instead of the document text. First arrival
-    * wins (arrival order, not min-id — batch dedup picks min doc_id;
-    * the KEPT CONTENT set is identical, spec-proved).
+    * 128-bit content digest, not the payload: state stores 16 bytes
+    * per distinct content instead of the document text. (NOT a 64-bit
+    * hash: at 10^11 docs a 64-bit birthday collision is ~0.3 expected
+    * — one silently dropped unique doc; 128 bits puts it at ~1e-17.)
+    * First arrival wins (arrival order, not min-id — batch dedup picks
+    * min doc_id; the KEPT CONTENT set is identical, spec-proved).
     */
   def dedupByContent(stream: DataFrame, contentCol: String,
       tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
     stream
       .withWatermark(tsCol, watermark)
-      .withColumn("__content_h", xxhash64(col(contentCol)))
+      .withColumn("__content_h", unhex(md5(col(contentCol))))
       .dropDuplicatesWithinWatermark("__content_h")
       .drop("__content_h")
 
