@@ -96,6 +96,44 @@ class AsofNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized differential: composite keys match a driver-side oracle") {
+    import spark.implicits._
+    // same harness as the single-key differential, but over (k1, k2)
+    // pairs with heavy collisions on each component — the lexicographic
+    // cursor must only match when BOTH components agree
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      def mk(n: Int): Seq[(Option[Long], Option[Long], Option[Long], Long)] =
+        (0 until n).map { i =>
+          val k1 = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(4).toLong)
+          val k2 = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(4).toLong)
+          val t = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(25).toLong)
+          (k1, k2, t, i.toLong)
+        }
+      val lRows = mk(120)
+      val rRows = mk(120)
+      val expected: Map[Long, Option[Long]] = lRows.map { case (lk1, lk2, lt, id) =>
+        id -> (for { a <- lk1; b <- lk2; t <- lt } yield {
+          val cands = rRows.filter(r =>
+            r._1.contains(a) && r._2.contains(b) && r._3.exists(_ <= t))
+          if (cands.isEmpty) None
+          else Some(cands.maxBy(c => (c._3.get, c._4))._4)
+        }).flatten
+      }.toMap
+      val left = lRows.toDF("k1", "k2", "t", "lid")
+      val right = rRows.toDF("rk1", "rk2", "rt", "seq")
+      for (hint <- Seq(AsofMerge, AsofBroadcast)) {
+        val got = AsofNative.asofJoinMulti(left, right,
+            Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt", Seq("seq"), hint)
+          .select(col("lid"), col("seq"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(got === expected, s"seed=$seed hint=$hint")
+      }
+    }
+  }
+
   test("bucketed fact-fact as-of join plans with ZERO exchanges") {
     // both sides materialized bucketed on the join key: the merge
     // exec's ClusteredDistribution is satisfied straight off the scans

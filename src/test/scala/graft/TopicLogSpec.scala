@@ -61,6 +61,24 @@ class TopicLogSpec extends AnyFunSuite {
     assert(topic.read().count() == 55)
   }
 
+  test("publishIdempotent: two publishers racing the SAME txn commit it once") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    val records = mkRecords(30)
+    records.count() // materialize the plan before the race
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Map[Int, TopicLog.OffsetRange]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => results.add(topic.publishIdempotent(records, "race-txn")))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // the writer lease serializes them; the loser must observe the
+    // winner's marker and return the SAME ranges without appending
+    assert(topic.read().count() == 30, "racing txn duplicated the batch")
+    val rs = results.toArray(Array.empty[Map[Int, TopicLog.OffsetRange]])
+    assert(rs.length == 2 && rs(0) === rs(1))
+  }
+
   test("replay: new subscriber sees everything, acked subscriber only the tail") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
