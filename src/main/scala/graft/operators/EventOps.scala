@@ -371,6 +371,40 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "q110_session_overlap" -> ((s, dir) => {
+      // Interval-INTERVAL overlap join (q58 is point-in-interval): for
+      // every gap-based session, how many OTHER users' sessions
+      // overlap it in time — co-activity, the concurrency feature.
+      // Scale shape: sessions fan out only over their own hour bins,
+      // candidates pair inside a shared bin (uniform key; never a
+      // session×session cross join), the overlap predicate verifies
+      // exactly, DISTINCT collapses multi-bin pairs, and the final
+      // count is one uniform-key agg. Pair volume is Σ_bin c² in
+      // per-bin concurrency c — the inherent output of an overlap
+      // join, contained by the binning.
+      val sess = queries("q27_sessionize")(s, dir)
+        .select(col("user_id"), col("session_id"),
+          col("t_start"), col("t_end"))
+      val binned = sess.withColumn("bin",
+        explode(sequence(date_trunc("hour", col("t_start")), col("t_end"),
+          expr("interval 1 hour"))))
+      val a = binned.select(col("bin"), col("user_id").as("u1"),
+        col("session_id").as("s1"), col("t_start").as("a_start"),
+        col("t_end").as("a_end"))
+      val b = binned.select(col("bin"), col("user_id").as("u2"),
+        col("session_id").as("s2"), col("t_start").as("b_start"),
+        col("t_end").as("b_end"))
+      val pairs = a.join(b, col("u1") < col("u2") &&
+          a("bin") === b("bin") &&
+          col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+        .select(col("u1"), col("s1"), col("u2"), col("s2")).distinct()
+      pairs.select(col("u1").as("user_id"), col("s1").as("session_id"))
+        .unionAll(pairs.select(col("u2").as("user_id"), col("s2").as("session_id")))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     "q105_trailing_rate" -> ((s, dir) => {
       // Trailing-window rate metering: for every event, how many
       // events (and how much value) its user produced in the trailing
@@ -710,6 +744,39 @@ object EventOps {
         |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
         |WHERE ABS(ROUND(0.6745 * (e.value - m.med) / d.mad, 6)) > 3.5
         |ORDER BY event_id""".stripMargin,
+
+    "q110_session_overlap" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+        |          - CAST(FLOOR(EPOCH(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |s AS (
+        |  SELECT user_id, session_id, MIN(ts) AS t_start, MAX(ts) AS t_end
+        |  FROM sess GROUP BY user_id, session_id),
+        |b AS (
+        |  SELECT user_id, session_id, t_start, t_end,
+        |    UNNEST(generate_series(date_trunc('hour', t_start), t_end,
+        |      INTERVAL 1 HOUR)) AS bin
+        |  FROM s),
+        |p AS (
+        |  SELECT DISTINCT a.user_id AS u1, a.session_id AS s1,
+        |    b2.user_id AS u2, b2.session_id AS s2
+        |  FROM b a JOIN b b2 ON a.bin = b2.bin AND a.user_id < b2.user_id
+        |    AND a.t_start <= b2.t_end AND b2.t_start <= a.t_end),
+        |dirs AS (
+        |  SELECT u1 AS user_id, s1 AS session_id FROM p
+        |  UNION ALL SELECT u2, s2 FROM p)
+        |SELECT user_id, session_id, COUNT(*) AS n_overlap
+        |FROM dirs GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q105_trailing_rate" ->
       """SELECT event_id, user_id, ts,
