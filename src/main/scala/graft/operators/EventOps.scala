@@ -385,6 +385,11 @@ object EventOps {
       val sess = queries("q27_sessionize")(s, dir)
         .select(col("user_id"), col("session_id"),
           col("t_start"), col("t_end"))
+      // both self-join sides recompute the (cheap) sessionization —
+      // measured: a localCheckpoint here costs MORE than the saved
+      // recompute (4.3 s vs 3.6 s at sf0.1; the bins materialize for
+      // ~0.6 s of window work saved). q93 is the opposite case: its
+      // shared base is the expensive LSH pipeline, so it checkpoints.
       val binned = sess.withColumn("bin",
         explode(sequence(date_trunc("hour", col("t_start")), col("t_end"),
           expr("interval 1 hour"))))
