@@ -71,4 +71,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(expands.forall(_.projections.size == 2),
       s"Expand factor ${expands.map(_.projections.size)} — asked for 2 sets")
   }
+
+  test("q106 cube expands each row exactly four times (all subsets)") {
+    val df = SparkEntry.queries("q106_cube")(spark, sf)
+    val expands = df.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.nonEmpty && expands.forall(_.projections.size == 4),
+      s"cube Expand factor ${expands.map(_.projections.size)} — expected 4")
+  }
+
+  test("q91 plans a broadcast stats join, never a low-cardinality window") {
+    // the verdict's done-criterion for the z-score fix: the 5-row
+    // per-type stats must broadcast back onto the unshuffled fact
+    // scan — a PARTITION BY event_type window would funnel the corpus
+    // through 5 reducers at 100 TB
+    val df = SparkEntry.queries("q91_zscore")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("Window"), s"q91 still plans a window:\n${plan.take(800)}")
+  }
+
+  test("q103 never buffers percentiles: no Percentile aggregate in the plan") {
+    // q103's whole point: the same exact quantiles as q43 WITHOUT
+    // Spark's percentile value-buffer (per-group counts map — an OOM
+    // on near-continuous columns at scale); the distribution + sort
+    // window must carry the computation instead
+    val df = SparkEntry.queries("q103_percentile_dist")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("percentile"),
+      s"q103 fell back to the buffered percentile:\n${plan.take(800)}")
+    val q43 = SparkEntry.queries("q43_percentiles")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(q43.contains("percentile"), "q43 is the buffered baseline")
+  }
 }
