@@ -30,6 +30,21 @@ object Curation {
   val Stages: Seq[String] =
     Seq("quality", "exact_dup", "near_dup", "contaminated", "source_cap")
 
+  /** The streaming face of the first two curation stages: the quality
+    * gate is stateless scan-side work (it applies to a stream
+    * unchanged — StreamBatchParitySpec proves batch/stream equality),
+    * and exact dedup becomes watermark-bounded streaming state
+    * ([[graft.streaming.TopicStream.dedupByContent]]). Near-dup/LSH,
+    * contamination and quotas are batch stages by nature (they need
+    * corpus-wide views); run them on the accumulated output — this is
+    * the standard lambda split for a live ingest front.
+    */
+  def curateStream(stream: DataFrame, tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    graft.streaming.TopicStream.dedupByContent(
+      TextOps.qualityFilter(stream).filter(col("keep") === 1),
+      contentCol = "text", tsCol = tsCol, watermark = watermark)
+
   def curate(docs: DataFrame, bench: DataFrame,
       capPerSource: Int = 1000): DataFrame = {
     // 1. quality: scan-side composite gate (TextOps.qualityFilter)

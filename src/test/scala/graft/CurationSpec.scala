@@ -83,6 +83,31 @@ class CurationSpec extends AnyFunSuite {
     assert(tight.getOrElse("source_cap", 0L) > 0L, tight.toString)
   }
 
+  test("curateStream keeps exactly the quality-passing distinct contents (batch parity)") {
+    // batch expectation: distinct contents among quality keepers
+    val batchKept = graft.operators.TextOps.qualityFilter(corpus)
+      .filter(col("keep") === 1)
+      .select(md5(col("text"))).distinct().count()
+    val srcDir = java.nio.file.Files.createTempDirectory("curs").toString
+    corpus.withColumn("ts", timestamp_micros(lit(1700000000000000L)))
+      .coalesce(1).write.parquet(s"$srcDir/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        corpus.withColumn("ts", timestamp_micros(lit(0L))).schema))
+      .parquet(s"$srcDir/in")
+    val q = graft.operators.Curation.curateStream(stream)
+      .select(col("doc_id"), md5(col("text")).as("content"))
+      .writeStream.format("memory").queryName("curs").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT content FROM curs").collect()
+      assert(kept.length.toLong === batchKept,
+        s"stream kept ${kept.length}, batch expects $batchKept")
+      assert(kept.map(_.getString(0)).distinct.length === kept.length)
+    } finally q.stop()
+  }
+
   test("deterministic: a second run produces identical verdicts") {
     val again = Curation.curate(corpus, bench, capPerSource = 20).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap

@@ -61,6 +61,27 @@ class TopicLogSpec extends AnyFunSuite {
     assert(topic.read().count() == 55)
   }
 
+  test("publishIdempotent contract edge: a lost marker re-appends (documented at-least-once window)") {
+    // the documented limitation, pinned as behavior: the txn marker is
+    // written AFTER the data commit, so losing the marker (crash in
+    // that window) makes the retry re-append — at-least-once, exactly
+    // like a non-transactional Kafka producer. If this test ever sees
+    // 30 rows, the marker has become atomic with the data and the
+    // Scaladoc should be upgraded.
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publishIdempotent(mkRecords(30), "fragile-txn")
+    assert(topic.read().count() == 30)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/txns/fragile-txn")
+    assert(fs.exists(marker), "marker should exist after commit")
+    fs.delete(marker, false)
+    topic.publishIdempotent(mkRecords(30), "fragile-txn")
+    assert(topic.read().count() == 60,
+      "marker loss must fall back to at-least-once (or docs need upgrading)")
+  }
+
   test("publishIdempotent: two publishers racing the SAME txn commit it once") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
