@@ -548,6 +548,30 @@ object TextOps {
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
 
+    "q111_winnowing" -> ((s, dir) => {
+      // MOSS-style winnowing fingerprints (Schleimer et al.): hash
+      // every 3-word gram portably, slide a window of 4 consecutive
+      // gram hashes, keep each window's MINIMUM — the guarantee is
+      // that any shared run of ≥6 tokens between two docs shares a
+      // print, with ~1/4 the storage of full gram sets. Entirely
+      // scan-side higher-order folds (no explode of the gram stream,
+      // no shuffle); the gated output comma-joins the sorted distinct
+      // prints (the driver gate can't hash array cells). Docs under 6
+      // tokens have no full window and are excluded on both sides.
+      table(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 6)
+        .withColumn("hs", expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 8), 16, 10) as bigint))"))
+        .withColumn("prints", array_sort(array_distinct(expr(
+          "transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))"))))
+        .select(col("doc_id"),
+          size(col("prints")).cast("long").as("n_prints"),
+          array_join(col("prints").cast("array<string>"), ",").as("prints"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q109_char_lm_score" -> ((s, dir) => {
       // Perplexity-proxy quality scoring (the KenLM-filter shape): each
       // doc's avg log-likelihood under the CORPUS's own char-bigram
@@ -962,6 +986,28 @@ object TextOps {
         | CAST(tf_fast AS BIGINT) AS tf_fast, score
         |FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q111_winnowing" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, toks FROM t WHERE len(toks) >= 6),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> ('0x'||substr(md5(array_to_string(toks[i:i+2], ' ')),1,8))::BIGINT)
+        |      AS hs
+        |  FROM f),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(
+        |      list_transform(generate_series(1, len(hs) - 3),
+        |        j -> list_min(hs[j:j+3])))) AS prints
+        |  FROM h)
+        |SELECT doc_id, CAST(len(prints) AS BIGINT) AS n_prints,
+        | ARRAY_TO_STRING(prints, ',') AS prints
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // the fold's addition order differs from AVG's; round(6) absorbs it
     "q109_char_lm_score" ->
