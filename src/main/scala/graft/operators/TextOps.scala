@@ -572,6 +572,36 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    "q112_winnow_matches" -> ((s, dir) => {
+      // Winnowing match detection (q111's retrieval face, the MOSS
+      // report): doc pairs sharing ≥2 winnowed prints. Prints carry
+      // ~¼ of the gram set, so candidate pairing is ~16× cheaper than
+      // raw-gram matching; prints seen in >20 docs are dropped first
+      // (stop-prints — boilerplate phrases otherwise make one print
+      // bucket quadratic, exactly MOSS's own common-fingerprint cull),
+      // bounding every join bucket at 20·19/2 pairs.
+      val prints = table(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 6)
+        .withColumn("hs", expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 8), 16, 10) as bigint))"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))")))
+          .as("print"))
+      val rare = prints.groupBy(col("print"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 20)
+        .select(col("print"))
+      val kept = prints.join(rare, "print")
+      val a = kept.select(col("print"), col("doc_id").as("doc_a"))
+      val b = kept.select(col("print"), col("doc_id").as("doc_b"))
+      a.join(b, a("print") === b("print") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q109_char_lm_score" -> ((s, dir) => {
       // Perplexity-proxy quality scoring (the KenLM-filter shape): each
       // doc's avg log-likelihood under the CORPUS's own char-bigram
@@ -1008,6 +1038,30 @@ object TextOps {
         |SELECT doc_id, CAST(len(prints) AS BIGINT) AS n_prints,
         | ARRAY_TO_STRING(prints, ',') AS prints
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q112_winnow_matches" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 6),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> ('0x'||substr(md5(array_to_string(toks[i:i+2], ' ')),1,8))::BIGINT)
+        |      AS hs
+        |  FROM f),
+        |p AS (
+        |  SELECT DISTINCT doc_id, UNNEST(
+        |    list_distinct(list_transform(generate_series(1, len(hs) - 3),
+        |      j -> list_min(hs[j:j+3])))) AS print
+        |  FROM h),
+        |rare AS (
+        |  SELECT print FROM p GROUP BY print HAVING COUNT(*) <= 20),
+        |k AS (SELECT p.doc_id, p.print FROM p JOIN rare USING (print))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM k a JOIN k b ON a.print = b.print AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the fold's addition order differs from AVG's; round(6) absorbs it
     "q109_char_lm_score" ->
