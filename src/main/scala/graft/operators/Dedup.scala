@@ -460,6 +460,12 @@ object Dedup {
       // Jaccard verification. Only candidate pairs (not the corpus
       // cross-product) reach the verification join.
       val docs = table(s, dir, "documents")
+      // deliberately NOT checkpointed: the shingle scan re-runs per
+      // consumer, but it is cheap per pass while its materialization
+      // is enormous (every (doc, shingle-hash) row) — measured 2.31 s
+      // recomputed vs 2.99 s checkpointed at sf0.1. Checkpointing pays
+      // when the shared base is expensive AND small (q93's candidate
+      // PAIRS after the LSH pipeline), not when it is cheap and huge.
       val cand = lshCandidates(docs)
       val sh = shingleHashes(docs)
       val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
