@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Two-phase sharded cumulative (prefix) sums — the scale-safe
+  * replacement for `Window.partitionBy(lowCardinality).orderBy(...)`
+  * running totals, whose sorted stream otherwise funnels through one
+  * reducer per group.
+  *
+  * Phase 1: `repartitionByRange` over (group, order) keys splits the
+  * globally-sorted stream into `shards` contiguous ranges; each range
+  * computes a LOCAL running sum with an ordered window partitioned by
+  * (group, shard). Phase 2: per-(group, shard) totals — at most
+  * groups x shards rows — get a tiny prefix window and are broadcast
+  * back; the global cumulative value is local + offset of the
+  * preceding shards of the same group.
+  *
+  * Correctness notes:
+  *  - RangePartitioner assigns a row purely by its key, so rows with
+  *    identical (group, order) keys always share a shard; tie behavior
+  *    is exactly the within-shard window's, same as the single-reducer
+  *    plan it replaces.
+  *  - `spark_partition_id()` is read BEFORE any downstream exchange,
+  *    while the data still sits in the range layout, and from there on
+  *    `_shard` is an ordinary column — later hash exchanges regroup by
+  *    its value, not by physical partition.
+  * Scale shape: two linear shuffles of the input (range + hash) plus a
+  * broadcast of the offsets table; no single-reducer stage anywhere.
+  */
+object ShardedCum {
+
+  /** Appends one cumulative-sum column per (weight, alias) pair, each
+    * cumulated in (orderCols) order within each groupCols group (pass
+    * Nil for a global cumulative sum). Temp columns are dropped; the
+    * output carries the input columns + the alias columns.
+    */
+  def cumSums(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      sums: Seq[(Column, String)],
+      shards: Int = 32): DataFrame = {
+    val groupC = groupCols.map(col)
+    val rangeCols = groupC ++ orderCols
+    val sharded = df.repartitionByRange(shards, rangeCols: _*)
+      .withColumn("_shard", spark_partition_id())
+    val localW = Window
+      .partitionBy(groupC :+ col("_shard"): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = sums.foldLeft(sharded) { case (d, (c, name)) =>
+      d.withColumn(s"_local_$name", sum(c).over(localW))
+    }
+    // Per-(group, shard) totals ride the same exchange (ReuseExchange);
+    // the offsets table is <= groups x shards rows — broadcast class.
+    val totals = sharded
+      .groupBy(groupC :+ col("_shard"): _*)
+      .agg(sum(sums.head._1).as(s"_tot_${sums.head._2}"),
+        sums.tail.map { case (c, n) => sum(c).as(s"_tot_$n") }: _*)
+    val offW = Window.partitionBy(groupC: _*).orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(
+      (groupC :+ col("_shard")) ++ sums.map { case (_, n) =>
+        coalesce(sum(col(s"_tot_$n")).over(offW), lit(0L)).as(s"_off_$n")
+      }: _*)
+    val joined = withLocal.join(broadcast(offsets),
+      groupCols :+ "_shard", "inner")
+    val withCums = sums.foldLeft(joined) { case (d, (_, name)) =>
+      d.withColumn(name, col(s"_local_$name") + col(s"_off_$name"))
+    }
+    withCums.drop("_shard" +: sums.flatMap { case (_, n) =>
+      Seq(s"_local_$n", s"_off_$n") }: _*)
+  }
+
+  /** Sampling-free variant: the shard is an explicit BUCKET expression
+    * the caller guarantees is monotone non-decreasing in the order key
+    * (hour index for timestamps, floor(v/width) for numerics). That
+    * removes `repartitionByRange`'s sampling job — the main chain is
+    * one hash exchange on (group, bucket) + one ordered window, and the
+    * offsets side is a map-side-combinable agg over the same input
+    * (groups x buckets rows, broadcast class). Preferred when a natural
+    * bucketing exists; per-bucket volume bounds the window partition
+    * (e.g. events per hour), so pick the bucket width accordingly.
+    */
+  def cumSumsBucketed(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      bucket: Column,
+      sums: Seq[(Column, String)]): DataFrame = {
+    val groupC = groupCols.map(col)
+    val withB = df.withColumn("_bucket", bucket)
+    val localW = Window
+      .partitionBy(groupC :+ col("_bucket"): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = sums.foldLeft(withB) { case (d, (c, name)) =>
+      d.withColumn(s"_local_$name", sum(c).over(localW))
+    }
+    val totals = withB
+      .groupBy(groupC :+ col("_bucket"): _*)
+      .agg(sum(sums.head._1).as(s"_tot_${sums.head._2}"),
+        sums.tail.map { case (c, n) => sum(c).as(s"_tot_$n") }: _*)
+    val offW = Window.partitionBy(groupC: _*).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(
+      (groupC :+ col("_bucket")) ++ sums.map { case (_, n) =>
+        coalesce(sum(col(s"_tot_$n")).over(offW), lit(0L)).as(s"_off_$n")
+      }: _*)
+    val joined = withLocal.join(broadcast(offsets),
+      groupCols :+ "_bucket", "inner")
+    val withCums = sums.foldLeft(joined) { case (d, (_, name)) =>
+      d.withColumn(name, col(s"_local_$name") + col(s"_off_$name"))
+    }
+    withCums.drop("_bucket" +: sums.flatMap { case (_, n) =>
+      Seq(s"_local_$n", s"_off_$n") }: _*)
+  }
+}
