@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
 
 /** One-call training-data curation: the composition of the C-pack —
   * quality gate → exact dedup → LSH near-dup dedup → benchmark
@@ -16,9 +18,12 @@ import org.apache.spark.sql.functions._
   * aggregation, near-dup the banded LSH + star-contraction components
   * (never an all-pairs join), contamination a broadcast of the BENCH
   * gram set (the corpus-side gram stream never shuffles against
-  * itself), the quota one window over the uniform source key. Nothing
-  * here forces an action: verdict counts are one extra aggregation on
-  * the returned frame, and the kept corpus is a filter.
+  * itself), the quota one window over the uniform source key. Calling
+  * curate materializes the stage checkpoints (quality flags, the
+  * survivor corpus, and the near-dup contraction's edge list — each
+  * consumed by several downstream chains); the returned verdict frame
+  * itself stays lazy — verdict counts are one extra aggregation on
+  * it, and the kept corpus is a filter.
   *
   * Verdict precedence is pipeline order, and each stage only examines
   * the previous stage's survivors — a low-quality clone can never
@@ -47,20 +52,31 @@ object Curation {
 
   def curate(docs: DataFrame, bench: DataFrame,
       capPerSource: Int = 1000): DataFrame = {
-    // 1. quality: scan-side composite gate (TextOps.qualityFilter)
+    // 1. quality: scan-side composite gate (TextOps.qualityFilter).
+    // Checkpointed once (doc_id + flag — the narrow projection): the
+    // regex/array-fold quality scan is the single most expensive
+    // per-doc computation here, and without the checkpoint it re-runs
+    // in every downstream branch (exact keep-set, survivor corpus,
+    // final stitch). Same q93 rule as the near-dup stage below, whose
+    // contraction loop already materializes its edge list at call
+    // time.
     val qual = TextOps.qualityFilter(docs)
       .select(col("doc_id").as("q_id"), col("keep").as("q_ok"))
+      .localCheckpoint()
     val qualityOk = docs.join(qual, col("doc_id") === col("q_id"))
       .filter(col("q_ok") === 1).drop("q_id", "q_ok")
 
     // 2. exact dedup over quality survivors: survivor = min doc_id per
-    // content hash (one map-side-combinable aggregation)
+    // content hash (one map-side-combinable aggregation). The survivor
+    // corpus feeds three chains (LSH candidates, contamination grams,
+    // the quota ranking) — checkpoint it once too.
     val exactKeep = qualityOk
       .groupBy(xxhash64(col("text")).as("__h"))
       .agg(min(col("doc_id")).as("e_id"))
       .select(col("e_id"))
     val exactOk = qualityOk.join(exactKeep,
       col("doc_id") === col("e_id"), "left_semi")
+      .localCheckpoint()
 
     // 3. near-dup over exact survivors: banded LSH candidates → star
     // components; every non-representative node (label != own id) drops
@@ -112,4 +128,94 @@ object Curation {
       .drop("q_id", "q_ok", "e_id", "e_keep", "n_id", "n_drop",
         "c_id", "c_drop", "k_id", "k_drop")
   }
+
+  /** The driver gate for the flagship composition (r4 verdict ask #2):
+    * per-doc verdicts over the dup-injected corpus with the q69
+    * bench split (every 97th original doc is "the benchmark"), the
+    * per-source cap low enough (5) that the quota stage has real work
+    * at sf0.01 — all six verdicts occur. The oracle composes the
+    * five stages' own DuckDB mirrors in pipeline order — quality flags
+    * (q73's SQL), min-doc_id-per-content exact dedup (q30's; md5
+    * grouping equals xxhash64 grouping absent a 64-bit collision),
+    * recursive-CTE components over band candidates of the stage-2
+    * survivors (q72's), shared-shingle contamination (q69's), and the
+    * rank-window quota (q100's) — so the verdict-PRECEDENCE logic is
+    * what this gate uniquely checks.
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_curation_verdicts" -> ((s, dir) => {
+      // Corpus = the dup-injected docs (q30's corpus) minus the bench
+      // split; bench = every 97th ORIGINAL doc (q69's split). With
+      // cap=5 every stage has real work at sf0.01: quality drops
+      // ~58%, clones of in-corpus originals fall to exact_dup, clones
+      // of BENCH originals fall to contaminated (their text lives on
+      // the bench side), LSH picks off near-dups, and ~20 sources x
+      // >5 survivors exercises the quota.
+      val d = Dedup.docsWithDups(s, dir)
+      curate(d.filter(col("doc_id") % 97 =!= 0),
+          table(s, dir, "documents").filter(col("doc_id") % 97 === 0),
+          capPerSource = 5)
+        .select(col("doc_id"), col("verdict"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q113_curation_verdicts" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT * FROM (${Dedup.dupSql}) dd WHERE doc_id % 97 <> 0),
+         |q AS (${TextOps.qualityFlagsSqlFrom("corpus")}),
+         |qok AS (
+         |  SELECT c.* FROM corpus c JOIN q ON q.doc_id = c.doc_id
+         |  WHERE q.keep = 1),
+         |ek AS (SELECT MIN(doc_id) AS doc_id FROM qok GROUP BY md5(text)),
+         |eok AS (SELECT * FROM qok WHERE doc_id IN (SELECT doc_id FROM ek)),
+         |sh AS (${Dedup.shinglesSqlFrom("eok")}),
+         |sig AS (${Dedup.signaturesSql}),
+         |bands AS (${Dedup.bandsSql}),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |      AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS node, r.label
+         |  FROM edges e JOIN reach r ON r.node = e.dst),
+         |comp AS (
+         |  SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+         |ndrop AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id),
+         |shh AS (${Dedup.shingleHashSqlFrom("sh")}),
+         |bsh AS (${Dedup.shinglesSqlFrom(
+              "(SELECT * FROM documents WHERE doc_id % 97 = 0) bd")}),
+         |bgr AS (
+         |  SELECT DISTINCT h1, h2
+         |  FROM (${Dedup.shingleHashSqlFrom("bsh")}) bx),
+         |cont AS (
+         |  SELECT DISTINCT s.doc_id
+         |  FROM shh s JOIN bgr b ON s.h1 = b.h1 AND s.h2 = b.h2),
+         |prior AS (
+         |  SELECT * FROM eok
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |capped AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rk FROM prior) pr
+         |  WHERE rk > 5)
+         |SELECT d.doc_id,
+         |  CASE WHEN q.keep <> 1 THEN 'quality'
+         |    WHEN d.doc_id NOT IN (SELECT doc_id FROM ek) THEN 'exact_dup'
+         |    WHEN d.doc_id IN (SELECT doc_id FROM ndrop) THEN 'near_dup'
+         |    WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+         |    WHEN d.doc_id IN (SELECT doc_id FROM capped) THEN 'source_cap'
+         |    ELSE 'keep' END AS verdict
+         |FROM corpus d JOIN q ON q.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+  )
 }

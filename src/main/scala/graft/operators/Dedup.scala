@@ -49,13 +49,13 @@ object Dedup {
   /** documents with every 10th doc duplicated under doc_id+100000 —
     * deterministic duplicate injection so dedup operators have real
     * work to do (the synthetic corpus has no exact dups). */
-  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents")
     d.unionByName(
       d.filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 100000L))
   }
-  private val dupSql =
+  private[operators] val dupSql =
     """SELECT * FROM documents
       |UNION ALL
       |SELECT doc_id + 100000, text, lang, source, n_chars
@@ -74,12 +74,16 @@ object Dedup {
           .as("sh"))
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingles(table(s, dir, "documents"))
-  private val shinglesSql =
-    """SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
-      |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
-      |      FROM documents) t,
-      |  UNNEST(generate_series(1, len(toks)-2)) AS u(i)
-      |WHERE len(toks) >= 3""".stripMargin
+  /** Shingle CTE body over an arbitrary doc source (a table name or a
+    * CTE) — shared with the composed curation oracle (q113), which
+    * shingles stage-survivor CTEs rather than the raw table. */
+  private[operators] def shinglesSqlFrom(src: String): String =
+    s"""SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+       |FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |      FROM $src) t,
+       |  UNNEST(generate_series(1, len(toks)-2)) AS u(i)
+       |WHERE len(toks) >= 3""".stripMargin
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   /** Distinct shingle *hash* set of a (doc_id, text) frame: doc_id with
     * the two independent 32-bit halves of md5(shingle). Fixed-width
@@ -94,11 +98,12 @@ object Dedup {
       .select(col("doc_id"), baseHash(col("sh")).as("h1"),
         baseHashHi(col("sh")).as("h2"))
       .distinct()
-  private val shingleHashSql =
+  private[operators] def shingleHashSqlFrom(shCte: String): String =
     s"""SELECT DISTINCT doc_id,
        | ('0x'||substr(md5(sh),1,8))::BIGINT AS h1,
        | ('0x'||substr(md5(sh),9,8))::BIGINT AS h2
-       |FROM sh""".stripMargin
+       |FROM $shCte""".stripMargin
+  private val shingleHashSql = shingleHashSqlFrom("sh")
 
   /** doc_id, mh0..mh7 minhash signature of a (doc_id, text) frame (one
     * md5 per shingle, K derived hashes via the universal family).
@@ -111,7 +116,7 @@ object Dedup {
   }
   private def signatures(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(table(s, dir, "documents"))
-  private val signaturesSql = {
+  private[operators] val signaturesSql = {
     val mhs = (0 until K).map(j =>
       s"MIN(${seededHashSql(j, "h")}) AS mh$j").mkString(", ")
     s"""SELECT doc_id, $mhs
@@ -258,7 +263,7 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
-  private val bandsSql = (0 until BANDS).map { b =>
+  private[operators] val bandsSql = (0 until BANDS).map { b =>
     s"SELECT doc_id, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig"
   }.mkString("\nUNION ALL\n")
 

@@ -274,6 +274,34 @@ object TextOps {
         (col("r_short") + col("r_punct") + col("r_repeat") + col("r_dup2") === 0)
           .cast("int"))
 
+  /** DuckDB mirror of [[qualityFilter]]'s flag ladder over an arbitrary
+    * doc source (a table name or parenthesized subquery + alias) —
+    * q73's oracle verbatim, and composable into the curation oracle
+    * (q113), which applies it to a stage CTE instead of the raw table. */
+  private[operators] def qualityFlagsSqlFrom(src: String): String =
+    s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       | CAST(n_tok < 30 AS INT) AS r_short,
+       | CAST(punct_ratio > 0.08 AS INT) AS r_punct,
+       | CAST(distinct_ratio < 0.40 AS INT) AS r_repeat,
+       | CAST(dup_2gram_ratio > 0.06 AS INT) AS r_dup2,
+       | CAST(n_tok >= 30 AND punct_ratio <= 0.08
+       |   AND distinct_ratio >= 0.40 AND dup_2gram_ratio <= 0.06 AS INT) AS keep
+       |FROM (
+       |  SELECT doc_id, n_tok,
+       |    ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok, 6) AS distinct_ratio,
+       |    ROUND(CAST(len(grams2) - len(list_distinct(grams2)) AS DOUBLE)
+       |      / greatest(len(grams2), 1), 6) AS dup_2gram_ratio,
+       |    (CAST(LENGTH(text) AS DOUBLE)
+       |      - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
+       |      / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio
+       |  FROM (
+       |    SELECT doc_id, text, toks, len(toks) AS n_tok,
+       |      list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1]) AS grams2
+       |    FROM (SELECT doc_id, text,
+       |        regexp_split_to_array(lower(text), '\\s+') AS toks
+       |      FROM $src) qt) qg) qf""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_lang_id" -> ((s, dir) => {
       // Stopword-hit language ID, shuffle-free: per-language hit counts
@@ -839,32 +867,8 @@ object TextOps {
         |FROM h WHERE h4 < rate_hex ORDER BY doc_id""".stripMargin,
 
     "q73_quality_filter" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    regexp_split_to_array(lower(text), '\s+') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, text, toks, len(toks) AS n_tok,
-        |    list_transform(range(1, len(toks)),
-        |      i -> toks[i] || ' ' || toks[i+1]) AS grams2
-        |  FROM t),
-        |f AS (
-        |  SELECT doc_id, n_tok,
-        |    ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok, 6) AS distinct_ratio,
-        |    ROUND(CAST(len(grams2) - len(list_distinct(grams2)) AS DOUBLE)
-        |      / greatest(len(grams2), 1), 6) AS dup_2gram_ratio,
-        |    (CAST(LENGTH(text) AS DOUBLE)
-        |      - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
-        |      / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio
-        |  FROM g)
-        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-        | CAST(n_tok < 30 AS INT) AS r_short,
-        | CAST(punct_ratio > 0.08 AS INT) AS r_punct,
-        | CAST(distinct_ratio < 0.40 AS INT) AS r_repeat,
-        | CAST(dup_2gram_ratio > 0.06 AS INT) AS r_dup2,
-        | CAST(n_tok >= 30 AND punct_ratio <= 0.08
-        |   AND distinct_ratio >= 0.40 AND dup_2gram_ratio <= 0.06 AS INT) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin,
+      s"""${qualityFlagsSqlFrom("documents")}
+         |ORDER BY doc_id""".stripMargin,
 
     "q68_pii_scrub" ->
       s"""WITH pii AS ($piiDocsSql),
