@@ -74,6 +74,16 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * runs longer than this must raise it. */
   var publishLeaseMs: Long = 5 * 60 * 1000L
 
+  /** How long committed-txn markers (`txns/<txnId>`, written by
+    * [[publishIdempotent]]) are kept before maintenance prunes them. A
+    * marker is only needed while a redelivery of its batch is still
+    * possible — for a checkpointed streaming sink that window is one
+    * restart, not forever — so any horizon comfortably past the
+    * longest plausible recovery gap is safe. After the horizon a
+    * redelivered txn re-appends (at-least-once), the same contract as
+    * the marker-loss window publishIdempotent already documents. */
+  var txnMarkerTtlMs: Long = 7 * 24 * 60 * 60 * 1000L
+
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -355,6 +365,27 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
 
   // ----------------------------------------------- compaction / retention
 
+  /** Drop committed-txn markers older than [[txnMarkerTtlMs]] — without
+    * this a long-running exactly-once sink accumulates one small
+    * filesystem object per micro-batch forever. Runs under the writer
+    * lease (a marker must never vanish while its publish could still
+    * be mid-commit) and is invoked by every maintenance op (compact,
+    * all three retention flavors), so a topic that gets ANY maintenance
+    * keeps its marker directory bounded; callers with no maintenance
+    * schedule can invoke it directly. */
+  def pruneTxnMarkers(): Unit = withPublishLock { pruneTxnMarkersLocked() }
+
+  private def pruneTxnMarkersLocked(): Unit = {
+    val d = new Path(s"$path/txns")
+    if (fs.exists(d)) {
+      val cutoff = System.currentTimeMillis() - txnMarkerTtlMs
+      fs.listStatus(d).foreach { st =>
+        if (st.isFile && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false)
+      }
+    }
+  }
+
   /** Kafka-style log compaction: keep only the latest record per key.
     * Rewrites ONLY the given partitions' `log_part=N` subtrees (default
     * all); other partitions' files are untouched (byte-identical). The
@@ -372,6 +403,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   def compact(partitions: Seq[Int] = 0 until numPartitions,
       dropTombstones: Boolean = false): Unit =
     withPublishLock {
+      pruneTxnMarkersLocked()
       if (dropTombstones) heads() // pin heads before rows can vanish
       val affected = partitions.distinct.filter(p =>
         fs.exists(new Path(s"$logDir/log_part=$p")))
@@ -396,6 +428,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * partitions that have it. Heads (sidecar) are unchanged, so offsets
     * stay monotonic even if a partition empties. */
   def retainAfter(minTs: java.sql.Timestamp): Unit = withPublishLock {
+    pruneTxnMarkersLocked()
     heads() // materialize the sidecar before trimming (fallback = scan)
     // log_date was written via to_date(ts), which resolves in the SESSION
     // timezone — derive the whole-day cutoff in the same zone, or the
@@ -429,6 +462,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * watermark survive). Rewrites only the named partitions' subtrees.
     * Heads (sidecar) are unchanged. */
   def retainFrom(minOffsets: Map[Int, Long]): Unit = withPublishLock {
+    pruneTxnMarkersLocked()
     heads() // materialize the sidecar before trimming
     val affected = minOffsets.keys.toSeq.distinct.filter(p =>
       fs.exists(new Path(s"$logDir/log_part=$p")))
@@ -447,6 +481,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * NO data is read or rewritten, newest records always survive, and
     * offsets/heads are stable (sidecar untouched). */
   def retainToSize(maxBytes: Long): Unit = withPublishLock {
+    pruneTxnMarkersLocked()
     heads() // materialize the sidecar before trimming
     case class DataFile(p: Path, date: String, mtime: Long, size: Long)
     val files = listSubdirs(logDir, "log_part=").flatMap { partDir =>

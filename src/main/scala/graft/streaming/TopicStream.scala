@@ -161,26 +161,61 @@ object TopicStream {
         ()
       }
 
-  /** [[publishSink]] with exactly-once batches: the txn id derives
-    * from the checkpoint location + epoch batch id, both stable across
-    * restarts of the same query, so a foreachBatch re-execution after
-    * a crash-before-checkpoint-commit finds its marker and skips the
-    * append instead of duplicating it
+  /** [[publishSink]] with exactly-once batches: the txn id mixes the
+    * checkpoint location, the streaming query's PERSISTENT id, and the
+    * epoch batch id. The query id (minted at query start, stored in
+    * `<checkpoint>/metadata`) is stable across restarts of the SAME
+    * checkpoint — so a foreachBatch re-execution after a
+    * crash-before-checkpoint-commit finds its marker and skips the
+    * append — but is RE-MINTED when the checkpoint dir is wiped and
+    * the query restarted (routine ops recovery). Without it, batchIds
+    * restart at 0 while the old run's txn markers persist in the
+    * topic, and genuinely NEW batches would be "skipped" as replays —
+    * silent data loss; with it, a post-wipe run gets fresh txn ids and
+    * degrades to at-least-once, the survivable direction
     * ([[graft.log.TopicLog.publishIdempotent]] documents the remaining
-    * at-least-once window). */
+    * at-least-once windows). */
   def publishSinkExactlyOnce(records: DataFrame, topic: TopicLog,
       checkpointDir: String): DataStreamWriter[Row] = {
     val sinkId = java.util.UUID.nameUUIDFromBytes(
       checkpointDir.getBytes("UTF-8")).toString.replace("-", "")
+    // resolved lazily on the first batch: the metadata file is written
+    // at query START, before any foreachBatch invocation runs
+    lazy val queryTag = persistentQueryId(topic.spark, checkpointDir)
     records.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         topic.publishIdempotent(
           batch.select(col("event"), col("key"), col("message"), col("ts")),
-          s"sink${sinkId}b$batchId")
+          s"sink${sinkId}q${queryTag}b$batchId")
         ()
       }
+  }
+
+  /** The streaming query's persistent id, read from the
+    * `<checkpoint>/metadata` file Spark writes at query start (same id
+    * across same-checkpoint restarts; a fresh id when the checkpoint
+    * is recreated). Fails fast if absent — deriving txn ids without it
+    * would reopen the checkpoint-wipe silent-skip hazard. */
+  private[graft] def persistentQueryId(spark: SparkSession,
+      checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val text =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"cannot read streaming query metadata at $p — " +
+            "exactly-once txn ids need the query's persistent id", e)
+      }
+    """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(text)
+      .map(_.group(1).replace("-", ""))
+      .getOrElse(throw new IllegalStateException(
+        s"no query id found in $p: $text"))
   }
 
   /** The reference's `subscribe(event, name, callback)` in full

@@ -82,6 +82,28 @@ class TopicLogSpec extends AnyFunSuite {
       "marker loss must fall back to at-least-once (or docs need upgrading)")
   }
 
+  test("txn markers past their TTL are pruned by maintenance; fresh ones survive") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publishIdempotent(mkRecords(10), "old-txn")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val oldMarker = new org.apache.hadoop.fs.Path(s"$dir/txns/old-txn")
+    assert(fs.exists(oldMarker))
+    // age the first marker past the horizon, keep the second fresh
+    fs.setTimes(oldMarker, System.currentTimeMillis() - 1000L, -1L)
+    topic.publishIdempotent(mkRecords(10, startId = 10), "fresh-txn")
+    topic.txnMarkerTtlMs = 500L
+    topic.retainToSize(Long.MaxValue) // any maintenance op prunes
+    assert(!fs.exists(oldMarker), "expired marker not pruned by maintenance")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/txns/fresh-txn")),
+      "fresh marker must survive pruning")
+    // past the horizon the txn degrades to at-least-once (re-appends),
+    // exactly the documented marker-loss contract
+    topic.publishIdempotent(mkRecords(10), "old-txn")
+    assert(topic.read().count() == 30)
+  }
+
   test("publishIdempotent: two publishers racing the SAME txn commit it once") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 4)

@@ -149,10 +149,44 @@ class TopicStreamSpec extends AnyFunSuite {
     // the SAME derived txn id by hand — the marker must make it a no-op
     val sinkId = java.util.UUID.nameUUIDFromBytes(
       ckpt.getBytes("UTF-8")).toString.replace("-", "")
+    val queryTag = TopicStream.persistentQueryId(spark, ckpt)
     dst.publishIdempotent(src.read()
       .select(col("event"), col("key"), col("message"), col("ts")),
-      s"sink${sinkId}b0")
+      s"sink${sinkId}q${queryTag}b0")
     assert(dst.read().count() == 30, "redelivered batch 0 duplicated rows")
+  }
+
+  test("publishSinkExactlyOnce: a checkpoint wipe must NOT silently skip new batches") {
+    val dirIn = Files.createTempDirectory("pw-in").toString
+    val dirOut = Files.createTempDirectory("pw-out").toString
+    val ckpt = Files.createTempDirectory("pw-ckpt").toString
+    val src = TopicLog.prepare(spark, dirIn, numPartitions = 2)
+    val dst = TopicLog.prepare(spark, dirOut, numPartitions = 2)
+    src.publish(mkRecords(30))
+    val q1 = TopicStream.publishSinkExactlyOnce(
+      TopicStream.subscribe(src, fromNow = false), dst, ckpt).start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(dst.read().count() == 30)
+    // ops recovery: wipe the checkpoint, publish NEW records, restart
+    // under the SAME checkpoint path. The fresh run restarts batchIds
+    // at 0 while the old run's txn markers persist in dst — with a
+    // checkpoint-path-only txn id the new batch would be "skipped" as
+    // a replay and the new records silently lost.
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    src.publish(mkRecords(10, startId = 30))
+    val q2 = TopicStream.publishSinkExactlyOnce(
+      TopicStream.subscribe(src, fromNow = false), dst, ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    // post-wipe the sink is at-least-once (the 30 pre-wipe records are
+    // re-read and re-appended under the new query id) — the records
+    // published AFTER the wipe must all be present
+    val newMsgs = (30 until 40).map(i => s"""{"i":$i}""").toSet
+    val landed = dst.read().select(col("message")).collect()
+      .map(_.getString(0)).toSet
+    assert(newMsgs.subsetOf(landed),
+      s"post-wipe batch lost: ${newMsgs -- landed}")
+    assert(dst.read().count() == 70,
+      "expected 30 + 40 re-read rows (at-least-once after a wipe)")
   }
 
   test("replayThenLive drains the backlog past the ack, then tails live") {
