@@ -139,6 +139,25 @@ object Dedup {
   }
   private val ccLog = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
 
+  /** Iterative-lineage truncation for the clustering loops.
+    * `reliable = false` uses `localCheckpoint` — fastest, but blocks
+    * are pinned to the executors that computed them, so an executor
+    * loss (or dynamic-allocation scale-down) mid-loop kills the job.
+    * `reliable = true` writes through the RELIABLE checkpoint
+    * directory (`spark.sparkContext.setCheckpointDir`, typically on
+    * the cluster's shared store) — the deployment-safe mode for a real
+    * cluster; the caller must have set the checkpoint dir (fail fast
+    * here, not N rounds in). Results are identical either way
+    * (spec-proved); only fault tolerance and per-round IO differ. */
+  private def iterCheckpoint(df: DataFrame, reliable: Boolean): DataFrame =
+    if (!reliable) df.localCheckpoint()
+    else {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable=true needs spark.sparkContext.setCheckpointDir(...) — " +
+          "set it to a shared-store path before iterative clustering")
+      df.checkpoint()
+    }
+
   /** Rounds the most recent connectedComponents* call took to converge
     * (diagnostics for ScaleSmoke's algorithm comparison). */
   @volatile private[graft] var lastCcRounds: Int = 0
@@ -160,13 +179,15 @@ object Dedup {
     * the per-round edges⋈labels sort-merge join buffers every match of
     * a hub key (ScaleSmoke's 125k-degree hub OOMs a default driver
     * heap here; the star variant does not). */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      reliable: Boolean = false): DataFrame = {
     // Materialize the edge list ONCE: every round (and every
     // convergence check) re-reads it, and without this the whole
     // upstream pair-generation pipeline would re-execute per round.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    val edges = iterCheckpoint(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      reliable)
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mdst"))
       .select(col("node"), least(col("node"), col("mdst")).as("label"))
@@ -174,14 +195,14 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIters) {
       // neighborhood min: my label vs the labels of all my neighbors
-      val next = edges
+      val next = iterCheckpoint(edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nbr_label"))
         .join(labels, "node")
         .select(col("node"),
-          least(col("label"), col("nbr_label")).as("label"))
-        .localCheckpoint() // truncate the growing iterative lineage
+          least(col("label"), col("nbr_label")).as("label")),
+        reliable) // truncate the growing iterative lineage
       converged = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") < col("o.label")).isEmpty
@@ -204,12 +225,14 @@ object Dedup {
     * the edge list), so it drops in wherever chains/deep graphs make
     * min-label slow. Each round strictly shrinks edge count toward the
     * star form, so later rounds get cheaper. Public df-level API. */
-  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    var edges = pairs.select(
-        greatest(col("doc_a"), col("doc_b")).as("hi"),
-        least(col("doc_a"), col("doc_b")).as("lo"))
-      .filter(col("hi") =!= col("lo")).distinct()
-      .localCheckpoint()
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    var edges = iterCheckpoint(
+      pairs.select(
+          greatest(col("doc_a"), col("doc_b")).as("hi"),
+          least(col("doc_a"), col("doc_b")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct(),
+      reliable)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -227,13 +250,14 @@ object Dedup {
       // small-star: every node x links its smaller neighbors (and
       // itself) to the min of those
       val smins = afterLarge.groupBy(col("hi").as("x")).agg(min(col("lo")).as("m"))
-      val next = afterLarge.join(smins, col("hi") === col("x"))
-        .select(col("lo").as("node"), col("m"))
-        .union(smins.select(col("x").as("node"), col("m")))
-        .filter(col("node") =!= col("m"))
-        .select(col("node").as("hi"), col("m").as("lo"))
-        .distinct()
-        .localCheckpoint()
+      val next = iterCheckpoint(
+        afterLarge.join(smins, col("hi") === col("x"))
+          .select(col("lo").as("node"), col("m"))
+          .union(smins.select(col("x").as("node"), col("m")))
+          .filter(col("node") =!= col("m"))
+          .select(col("node").as("hi"), col("m").as("lo"))
+          .distinct(),
+        reliable)
       // fixpoint = identical edge set (stars centered at component mins)
       converged = next.as("n").join(edges.as("o"),
           col("n.hi") === col("o.hi") && col("n.lo") === col("o.lo"),

@@ -88,6 +88,37 @@ class DedupApiSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("reliable checkpoints yield identical clusters (and fail fast without a checkpoint dir)") {
+    import spark.implicits._
+    val pairs = ((1000L until 1030L).map(i => (i, i + 1)) ++
+      Seq((1L, 5000L), (1L, 5001L), (7L, 9L))).toDF("doc_a", "doc_b")
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    assert(prior.isEmpty, "test assumes no ambient checkpoint dir")
+    // fail fast, not N rounds in, when the reliable dir is missing
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsStar(pairs, reliable = true)
+    }
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc-reliable")
+    sc.setCheckpointDir(ckptDir.toString)
+    try {
+      val local = Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      val reliable = Dedup.connectedComponentsStar(pairs, reliable = true)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(reliable == local, "checkpoint mode changed cluster labels")
+      val ml = Dedup.connectedComponents(pairs, maxIters = 100,
+        reliable = true).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(ml == local)
+    } finally {
+      // SparkContext has no unsetCheckpointDir; the conf object does —
+      // keep the shared session pristine for other suites
+      sc.setCheckpointDir(null)
+    }
+  }
+
   test("simhash_agg custom aggregate equals the declarative 16-column simhash") {
     val docs = GraftSession.table(spark, sf, "documents")
     val declarative = Dedup.simhash(docs)
