@@ -9,10 +9,12 @@ import graft.GraftSession.table
 /** Pack C (multimodal) — opaque-binary column plumbing
   * (SURVEY.md §2.C12): media payloads travel as `binary` columns with
   * typed metadata beside them; decoding happens batch-wise per
-  * partition. The decode itself is STUBBED (no image/audio libs in
-  * this container) with a deterministic fake, but the Spark-side
-  * plumbing — schema, partitioning, per-partition batch shape — is
-  * real and spec-tested.
+  * partition. The IMAGE branch decodes for real via the JDK's
+  * `javax.imageio` (PNG/GIF/BMP/JPEG — no external codec needed);
+  * payloads ImageIO cannot read, and the audio/video branches (which
+  * genuinely need external libs), fall back to a deterministic
+  * disclosed stub, so the Spark-side plumbing — schema, partitioning,
+  * per-partition batch shape — is exercised for real either way.
   *
   * Scale notes: payload bytes never shuffle (metadata extraction is a
   * narrow map); decode batches amortize per-partition setup exactly
@@ -30,10 +32,34 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
-  /** STUB decoder: in production this would call an image/audio codec
-    * on each payload (the libs are absent here). The fake is a pure
-    * function of the payload bytes, so tests are deterministic and the
-    * batch plumbing is exercised for real. */
+  /** Real image decode via the JDK's built-in readers
+    * (`javax.imageio`): true width/height for PNG/GIF/BMP/JPEG
+    * payloads. `ImageReader` off an in-memory stream reads only the
+    * HEADER to answer dimensions — no pixel raster is allocated, so a
+    * metadata pass over billions of images stays cheap. None = the
+    * bytes are not a JDK-readable image (falls back to the stub). */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            Some((reader.getWidth(0), reader.getHeight(0)))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** STUB decoder for the branches a bare JVM cannot decode — audio
+    * and video codecs genuinely need external libs, and image payloads
+    * ImageIO rejects land here too. The fake is a pure function of the
+    * payload bytes, so tests are deterministic and the batch plumbing
+    * is exercised for real. */
   private def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(payload) & 0x7fffffff
     mediaType match {
@@ -44,7 +70,9 @@ object Multimodal {
   }
 
   /** Batch decode: one decoder instance per partition (mapPartitions),
-    * payloads never leave their partition. */
+    * payloads never leave their partition. Image payloads decode for
+    * REAL (JDK ImageIO header read); undecodable bytes and the
+    * audio/video branches fall back to the disclosed stub. */
   def decodeBatch(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = media.select(col("doc_id"), col("media_type"), col("payload"))
@@ -53,7 +81,10 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val mt = r.getAs[String]("media_type")
-          val (w, hgt, frames) = decodeStub(mt, payload)
+          val (w, hgt, frames) =
+            (if (mt == "image") decodeImage(payload).map { case (iw, ih) =>
+              (iw, ih, 1)
+            } else None).getOrElse(decodeStub(mt, payload))
           Row(r.getAs[Long]("doc_id"), mt, payload.length, w, hgt, frames)
         }
       }

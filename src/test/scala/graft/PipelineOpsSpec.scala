@@ -82,6 +82,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("decodeBatch returns TRUE dimensions for real PNG payloads (JDK ImageIO)") {
+    // tiny real PNGs rendered in-memory: the image branch is no longer
+    // a stub — dimensions must come from the actual payload header
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 31))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val dims = Seq((1L, 17, 5), (2L, 3, 29), (3L, 128, 64))
+    import spark.implicits._
+    val media = dims.map { case (id, w, h) => (id, "image", png(w, h)) }
+      .toDF("doc_id", "media_type", "payload")
+      .repartition(2) // exercise the per-partition batch path
+    val out = Multimodal.decodeBatch(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("n_frames"))))
+      .toMap
+    dims.foreach { case (id, w, h) =>
+      assert(out(id) == ((w, h, 1)),
+        s"doc $id: expected true dims ($w,$h), got ${out(id)}")
+    }
+    // a non-image byte payload in the image branch falls back to the
+    // documented deterministic stub instead of failing the batch
+    val junk = Seq((9L, "image", "not a png at all".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "payload")
+    val stubbed = Multimodal.decodeBatch(junk).collect().head
+    assert(stubbed.getAs[Int]("width") >= 64 && stubbed.getAs[Int]("n_frames") == 1)
+  }
+
   test("repetition signals: degenerate doc flagged, clean doc passes") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a"), (2L, "w x y z"), (3L, "solo"))
