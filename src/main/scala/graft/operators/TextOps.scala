@@ -716,13 +716,47 @@ object TextOps {
       // are merge-order-dependent (the error bounds are not —
       // FreqTopKAggSpec asserts them against exact counts); the top-10
       // emission is a stable 10-row surface.
-      table(s, dir, "documents")
+      // MEMBERSHIP contract (the sketch's, not just the values'): MG
+      // only guarantees an item is present when its true frequency
+      // exceeds n/(capacity+1) = n/65. When the 10th and 11th items
+      // have closer true frequencies than the counters' merge-order
+      // jitter, WHICH of them is emitted can differ across
+      // runs/partitionings — rank-boundary membership is approximate
+      // by the sketch contract. Every emitted (term, est_count) still
+      // satisfies est <= f(term) <= est + n/65 regardless; callers
+      // needing stable boundary membership should over-fetch from the
+      // sketch (e.g. top-20) and cut on the exact counts of that
+      // shortlist.
+      // IN-ARTIFACT EVIDENCE (r4 verdict ask #7): the gated query
+      // carries its own bound check — exact counts of the 10 EMITTED
+      // terms (scan + 10-key broadcast semi-join, never a full-vocab
+      // shuffle) and n from the same single sketch pass, with
+      // out-of-bounds rows FILTERED so a sketch regression surfaces as
+      // a row-count drop in the rows-only gate. The evidence join adds
+      // a second corpus scan this query wouldn't otherwise need —
+      // production callers use freq_topk_agg directly; this gated
+      // shape is the evidence harness.
+      val tokens = table(s, dir, "documents")
         .select(explode(split(lower(col("text")), "\\s+")).as("term"))
-        .agg(expr("freq_topk_agg(term, 64)").as("hh"))
-        .select(explode(col("hh")).as("e"))
-        .select(col("e.item").as("term"), col("e.est_count").as("est_count"))
+      val top = tokens
+        .agg(expr("freq_topk_agg(term, 64)").as("hh"),
+          count(lit(1)).as("n_total"))
+        .select(explode(col("hh")).as("e"), col("n_total"))
+        .select(col("e.item").as("term"), col("e.est_count").as("est_count"),
+          col("n_total"))
         .orderBy(col("est_count").desc, col("term"))
         .limit(10)
+        .localCheckpoint() // 10 rows; both consumers below reuse one sketch pass
+      val exact = tokens.join(broadcast(top.select(col("term"))), Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+      top.join(broadcast(exact), Seq("term"))
+        .withColumn("within_bounds",
+          col("est_count") <= col("exact_count") &&
+            col("exact_count") - col("est_count") <= col("n_total") / lit(65))
+        .filter(col("within_bounds"))
+        .select(col("term"), col("est_count"), col("exact_count"),
+          col("within_bounds"))
+        .orderBy(col("est_count").desc, col("term"))
     }),
 
     "q100_domain_cap" -> ((s, dir) => {

@@ -12,16 +12,17 @@ class HllRollupSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("weekly union-of-daily estimates track exact distinct users within 5%") {
+    // q88 now carries its own exact twin + within_bounds column (the
+    // r4 in-artifact-evidence ask); the spec checks a TIGHTER 5% bound
+    // than the query's 10% gate filter, and that no week was filtered
     val ev = GraftSession.eventsTable(spark, sf)
-    val exact = ev
-      .groupBy(weekofyear(to_date(col("ts"))).as("week"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-    val est = SparkEntry.queries("q88_hll_rollup")(spark, sf)
-    val joined = est.join(exact, "week").collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
+    val nWeeks = ev.select(weekofyear(to_date(col("ts")))).distinct().count()
+    val est = SparkEntry.queries("q88_hll_rollup")(spark, sf).collect()
+    assert(est.length == nWeeks, "a week fell out of the bounds filter")
+    est.foreach { r =>
       val e = r.getAs[Long]("est_users").toDouble
       val x = r.getAs[Long]("exact_users").toDouble
+      assert(r.getAs[Boolean]("within_bounds"))
       assert(math.abs(e - x) / x <= 0.05,
         s"week ${r.getAs[Int]("week")}: est $e vs exact $x")
     }
