@@ -72,14 +72,19 @@ object Bench {
       .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errJson,"queries":$qs,"value":$total}"""
+    // cwd-relative default (sbt runs from the repo root); override with
+    // SPARK_GRAFT_BENCH_OUT. A failed write is REPORTED, not swallowed —
+    // the printed stdout line is still the primary artifact either way.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full_latest.json")
+      "bench_full_latest.json")
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(
         s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errJson,"queries":$qsFull,"value":$total}""")
       finally w.close()
-    } catch { case _: Throwable => () }
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench: could not write $fullPath: $e")
+    }
     println(line)
     spark.stop()
   }
