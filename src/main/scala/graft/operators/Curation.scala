@@ -78,15 +78,45 @@ object Curation {
       col("doc_id") === col("e_id"), "left_semi")
       .localCheckpoint()
 
-    // 3. near-dup over exact survivors: banded LSH candidates → star
-    // components; every non-representative node (label != own id) drops
+    // 3-5. the corpus-wide late stages (near-dup, contamination,
+    // quota) — shared with [[curateCycle]]'s batch phase so the
+    // one-call and stream→batch faces are the same code by
+    // construction, not by parallel maintenance
+    val late = lateStageVerdicts(exactOk, bench, capPerSource)
+      .select(col("doc_id").as("l_id"), col("verdict").as("l_verdict"))
+
+    // stitch: left-join each stage's drop/keep marker, precedence in
+    // pipeline order
+    docs
+      .join(qual, col("doc_id") === col("q_id"), "left")
+      .join(exactKeep.withColumn("e_keep", lit(1)),
+        col("doc_id") === col("e_id"), "left")
+      .join(late, col("doc_id") === col("l_id"), "left")
+      .withColumn("verdict",
+        when(col("q_ok") =!= 1, lit("quality"))
+          .when(col("e_keep").isNull, lit("exact_dup"))
+          .otherwise(col("l_verdict")))
+      .drop("q_id", "q_ok", "e_id", "e_keep", "l_id", "l_verdict")
+  }
+
+  /** Stages 3-5 over an already quality-passed, content-distinct
+    * corpus: banded-LSH near-dup components, benchmark contamination,
+    * and the per-source quota, with verdict precedence in pipeline
+    * order. Returns one `(doc_id, verdict)` row per input doc with
+    * `verdict` in `near_dup | contaminated | source_cap | keep`.
+    * These are the corpus-wide stages — the part of curation that
+    * cannot stream — so both [[curate]] and [[curateCycle]] call this
+    * on their respective survivor corpora. */
+  private[operators] def lateStageVerdicts(exactOk: DataFrame,
+      bench: DataFrame, capPerSource: Int): DataFrame = {
+    // near-dup: every non-representative component member drops
     val nearDropped = Dedup
       .connectedComponentsStar(
         Dedup.lshCandidates(exactOk).select(col("doc_a"), col("doc_b")))
       .filter(col("node") =!= col("label"))
       .select(col("node").as("n_id"))
 
-    // 4. contamination: any 3-gram shingle shared with the bench set;
+    // contamination: any 3-gram shingle shared with the bench set;
     // the bench grams broadcast (q69's shape)
     val benchGrams = Dedup.shingleHashes(bench)
       .select(col("h1"), col("h2")).distinct()
@@ -94,7 +124,7 @@ object Curation {
       .join(broadcast(benchGrams), Seq("h1", "h2"))
       .select(col("doc_id").as("c_id")).distinct()
 
-    // 5. per-source quota among docs surviving all prior stages,
+    // per-source quota among docs surviving all prior stages,
     // best-first by n_chars (q100's shape)
     val priorOk = exactOk
       .join(nearDropped, col("doc_id") === col("n_id"), "left_anti")
@@ -106,12 +136,7 @@ object Curation {
       .filter(col("__rk") > capPerSource)
       .select(col("doc_id").as("k_id"))
 
-    // stitch: left-join each stage's drop/keep marker, precedence in
-    // pipeline order
-    docs
-      .join(qual, col("doc_id") === col("q_id"), "left")
-      .join(exactKeep.withColumn("e_keep", lit(1)),
-        col("doc_id") === col("e_id"), "left")
+    exactOk.select(col("doc_id"))
       .join(nearDropped.withColumn("n_drop", lit(1)),
         col("doc_id") === col("n_id"), "left")
       .join(contaminated.withColumn("c_drop", lit(1)),
@@ -119,14 +144,153 @@ object Curation {
       .join(capped.withColumn("k_drop", lit(1)),
         col("doc_id") === col("k_id"), "left")
       .withColumn("verdict",
-        when(col("q_ok") =!= 1, lit("quality"))
-          .when(col("e_keep").isNull, lit("exact_dup"))
-          .when(col("n_drop") === 1, lit("near_dup"))
+        when(col("n_drop") === 1, lit("near_dup"))
           .when(col("c_drop") === 1, lit("contaminated"))
           .when(col("k_drop") === 1, lit("source_cap"))
           .otherwise(lit("keep")))
-      .drop("q_id", "q_ok", "e_id", "e_keep", "n_id", "n_drop",
-        "c_id", "c_drop", "k_id", "k_drop")
+      .select(col("doc_id"), col("verdict"))
+  }
+
+  // --------------------------------------- stream→batch cycle (one API)
+
+  /** Canonical doc payload carried in a topic record's `message`. */
+  val DocSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Encode a docs frame as topic records (`event="doc"`,
+    * `key=doc_id`, `message=` the JSON doc) for publishing into the
+    * ingest topic [[curateCycle]] consumes. */
+  def docRecords(docs: DataFrame): DataFrame =
+    docs.select(lit("doc").as("event"),
+      col("doc_id").cast("string").as("key"),
+      to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))).as("message"),
+      col("ts"))
+
+  /** Decode topic records back into doc rows (+ the record ts). */
+  def parseDocs(records: DataFrame): DataFrame =
+    records.select(from_json(col("message"), DocSchema).as("d"), col("ts"))
+      .select(col("d.doc_id"), col("d.text"), col("d.lang"),
+        col("d.source"), col("d.n_chars"), col("ts"))
+
+  /** The verdict topic as a table: latest verdict per doc. Verdict
+    * records are keyed by doc_id, and a topic key always hashes to the
+    * same log partition, where offsets are monotone — so "latest"
+    * is exactly max-offset per key (Kafka compaction semantics as a
+    * read-time view; `compact()` makes it physical). One shuffle on
+    * the uniform doc_id key. */
+  def currentVerdicts(verdictTopic: graft.log.TopicLog): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("offset").desc)
+    verdictTopic.read().filter(col("event") === "verdict")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("key").cast("long").as("doc_id"),
+        col("message").as("verdict"))
+  }
+
+  /** One stream→batch curation cycle over a live ingest topic —
+    * [[curateStream]]'s lambda split closed into a single call
+    * (r4 verdict ask #8). Each cycle:
+    *
+    *  1. **Stream front** (two `Trigger.AvailableNow` queries over the
+    *     docs topic, each resuming its own checkpoint, so a cycle
+    *     processes only records that arrived since the last one):
+    *     quality REJECTS go straight to the verdict topic through the
+    *     exactly-once publish sink; quality keepers flow through the
+    *     watermark-bounded streaming content dedup and accumulate in
+    *     `keptDir` via the transactional file sink (its `_spark_metadata`
+    *     commit log makes batch re-reads exactly-once too).
+    *  2. **Batch phase**: [[lateStageVerdicts]] — the same code
+    *     [[curate]] runs — over the full accumulated kept corpus, plus
+    *     `exact_dup` for every published doc that neither failed
+    *     quality nor survived the content dedup. All batch verdicts
+    *     are (re)published to the verdict topic keyed by doc_id.
+    *
+    * The verdict topic is a CHANGELOG: late stages are corpus-wide, so
+    * a later cycle may lawfully revise an earlier verdict (a new
+    * higher-quality doc can push an old `keep` over the source quota;
+    * a new near-dup can join an old doc's cluster). Re-publishing a
+    * doc's current verdict each cycle makes [[currentVerdicts]]
+    * (latest-per-key) always reflect the full corpus seen so far — and
+    * makes a crashed cycle safely re-runnable (same values, latest
+    * wins). Returns the post-cycle [[currentVerdicts]] view.
+    *
+    * Scale shape: the stream front touches only the cycle's new
+    * records (stateless quality scan + 16 B/distinct-content dedup
+    * state); the batch phase is the proven late-stage plan over the
+    * kept corpus (banded LSH, broadcast bench grams, one quota
+    * window), re-run per cycle — the standard compaction-cycle cost,
+    * amortized by running cycles at ingest-batch cadence rather than
+    * per record. */
+  def curateCycle(docsTopic: graft.log.TopicLog,
+      verdictTopic: graft.log.TopicLog, keptDir: String,
+      checkpointDir: String, bench: DataFrame, capPerSource: Int = 1000,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.streaming.TopicStream
+    val spark = docsTopic.spark
+
+    // stream front A: stateless quality routing → verdict changelog
+    val qualFails = TextOps.qualityFilter(
+        parseDocs(TopicStream.subscribe(docsTopic, fromNow = false)))
+      .filter(col("keep") =!= 1)
+      .select(lit("verdict").as("event"),
+        col("doc_id").cast("string").as("key"),
+        lit("quality").as("message"), col("ts"))
+    val routeQ = TopicStream.publishSinkExactlyOnce(qualFails, verdictTopic,
+        s"$checkpointDir/quality")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+    // stream front B: quality keepers → streaming content dedup →
+    // transactional parquet accumulation
+    val keptQ = curateStream(
+        parseDocs(TopicStream.subscribe(docsTopic, fromNow = false)),
+        tsCol = "ts", watermark = watermark)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("ts"))
+      .writeStream.format("parquet")
+      .option("path", keptDir)
+      .option("checkpointLocation", s"$checkpointDir/kept")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    routeQ.awaitTermination()
+    keptQ.awaitTermination()
+
+    // batch phase: late stages over the ACCUMULATED kept corpus (the
+    // root-dir read honors the file sink's _spark_metadata commit log)
+    val keptDocs = spark.read
+      .schema(org.apache.spark.sql.types.StructType(DocSchema.fields :+
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      .parquet(keptDir)
+    val late = lateStageVerdicts(keptDocs, bench, capPerSource)
+
+    // exact_dup = published ∖ quality-failed ∖ kept (the docs the
+    // streaming content dedup swallowed). Read the fail set from the
+    // changelog itself — never recomputed.
+    val allIds = parseDocs(docsTopic.read()).select(col("doc_id")).distinct()
+    val qualityFailIds = currentVerdicts(verdictTopic)
+      .filter(col("verdict") === "quality").select(col("doc_id"))
+    val exactDup = allIds
+      .join(keptDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(qualityFailIds, Seq("doc_id"), "left_anti")
+      .withColumn("verdict", lit("exact_dup"))
+
+    verdictTopic.publish(late.unionByName(exactDup)
+      .select(lit("verdict").as("event"),
+        col("doc_id").cast("string").as("key"),
+        col("verdict").as("message"),
+        current_timestamp().as("ts")))
+    currentVerdicts(verdictTopic)
   }
 
   /** The driver gate for the flagship composition (r4 verdict ask #2):

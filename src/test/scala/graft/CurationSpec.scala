@@ -108,6 +108,55 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateCycle: incremental stream→batch cycles converge to batch curate verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.log.TopicLog
+    // distinct-text base so the stream front's first-arrival survivor
+    // equals batch curate's min-doc_id survivor deterministically;
+    // clones arrive in a LATER cycle, so the streaming dedup state
+    // (not batch work) is what drops them
+    val byText = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val base = docs.withColumn("__rn", row_number().over(byText))
+      .filter(col("__rn") === 1).drop("__rn")
+      .unionByName(Seq((900001L, "tiny junk", "xx", "srcX", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val clones = base
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") < 200000L)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+    val benchSplit = base.filter(col("doc_id") % 97 === 0)
+    val ts0 = timestamp_micros(lit(1700000000000000L))
+
+    val root = java.nio.file.Files.createTempDirectory("cycle").toString
+    val docsTopic = TopicLog.prepare(spark, s"$root/docs", numPartitions = 2)
+    val verdictTopic = TopicLog.prepare(spark, s"$root/verdicts", numPartitions = 2)
+
+    // cycle 1: originals only
+    docsTopic.publish(Curation.docRecords(base.withColumn("ts", ts0)))
+    val v1 = Curation.curateCycle(docsTopic, verdictTopic, s"$root/kept",
+      s"$root/ckpt", benchSplit, capPerSource = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(v1(900001L) === "quality")
+    assert(!v1.values.exists(_ == "exact_dup"), "wave 1 texts are distinct")
+
+    // cycle 2: clones arrive — only the new records are streamed
+    docsTopic.publish(Curation.docRecords(clones.withColumn("ts", ts0)))
+    val v2 = Curation.curateCycle(docsTopic, verdictTopic, s"$root/kept",
+      s"$root/ckpt", benchSplit, capPerSource = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+
+    // end-to-end parity: the changelog's latest-per-key verdicts equal
+    // the one-call batch composition over the full corpus
+    val expected = Curation.curate(base.unionByName(clones), benchSplit,
+      capPerSource = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(v2.size === expected.size)
+    val diff = expected.keys.filter(k => v2.get(k) != expected.get(k))
+    assert(diff.isEmpty,
+      diff.take(5).map(k => s"$k: got ${v2.get(k)}, want ${expected(k)}")
+        .mkString("; "))
+  }
+
   test("deterministic: a second run produces identical verdicts") {
     val again = Curation.curate(corpus, bench, capPerSource = 20).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
