@@ -109,10 +109,22 @@ object Curation {
     * on their respective survivor corpora. */
   private[operators] def lateStageVerdicts(exactOk: DataFrame,
       bench: DataFrame, capPerSource: Int): DataFrame = {
+    // The corpus shingle-hash stream feeds BOTH the LSH minhash
+    // aggregation and the contamination probe — materialize it once
+    // (tokenize → 3-gram shingle → md5 is the heaviest per-doc work
+    // after the quality scan; 24 B/shingle beats recomputing it).
+    // Non-distinct is fine for minhash (min is multiset-invariant);
+    // contamination distincts after its broadcast-join cut.
+    val sh = Dedup.shingles(exactOk)
+      .select(col("doc_id"), Dedup.baseHash(col("sh")).as("h1"),
+        Dedup.baseHashHi(col("sh")).as("h2"))
+      .localCheckpoint()
+
     // near-dup: every non-representative component member drops
     val nearDropped = Dedup
       .connectedComponentsStar(
-        Dedup.lshCandidates(exactOk).select(col("doc_a"), col("doc_b")))
+        Dedup.lshCandidatesFromSignatures(Dedup.minhashFromHashes(sh))
+          .select(col("doc_a"), col("doc_b")))
       .filter(col("node") =!= col("label"))
       .select(col("node").as("n_id"))
 
@@ -120,7 +132,7 @@ object Curation {
     // the bench grams broadcast (q69's shape)
     val benchGrams = Dedup.shingleHashes(bench)
       .select(col("h1"), col("h2")).distinct()
-    val contaminated = Dedup.shingleHashes(exactOk)
+    val contaminated = sh
       .join(broadcast(benchGrams), Seq("h1", "h2"))
       .select(col("doc_id").as("c_id")).distinct()
 

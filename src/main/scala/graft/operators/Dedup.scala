@@ -108,11 +108,19 @@ object Dedup {
   /** doc_id, mh0..mh7 minhash signature of a (doc_id, text) frame (one
     * md5 per shingle, K derived hashes via the universal family).
     * Public df-level API. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val aggs = (0 until K).map(j => min(seededHash(j, col("h"))).as(s"mh$j"))
-    shingles(docs)
-      .withColumn("h", baseHash(col("sh")))
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashFromHashes(shingles(docs).select(col("doc_id"),
+      baseHash(col("sh")).as("h1")))
+
+  /** Minhash signatures from an already-hashed shingle stream
+    * (`doc_id, h1`). min over the seeded family is multiset-invariant,
+    * so a non-distinct stream gives the same signature — which lets a
+    * caller that needs the shingle stream TWICE (Curation: LSH +
+    * contamination) materialize `(doc_id, h1, h2)` once and feed both
+    * consumers without re-running tokenize→shingle→md5. */
+  private[operators] def minhashFromHashes(sh: DataFrame): DataFrame = {
+    val aggs = (0 until K).map(j => min(seededHash(j, col("h1"))).as(s"mh$j"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
   private def signatures(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(table(s, dir, "documents"))
@@ -278,8 +286,11 @@ object Dedup {
   /** LSH candidate pairs of a (doc_id, text) frame: pairs sharing at
     * least one signature band, with the shared-band count. Public
     * df-level API (the q32 operator, reusable on any corpus). */
-  def lshCandidates(docs: DataFrame): DataFrame = {
-    val b = bands(minhashSignatures(docs))
+  def lshCandidates(docs: DataFrame): DataFrame =
+    lshCandidatesFromSignatures(minhashSignatures(docs))
+
+  private[operators] def lshCandidatesFromSignatures(sig: DataFrame): DataFrame = {
+    val b = bands(sig)
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1")
           && col("a.k2") === col("b.k2")
