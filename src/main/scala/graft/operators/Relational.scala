@@ -499,6 +499,62 @@ object Relational {
             lit(0.15) * col("exact_orders"))
         .filter(col("within_bounds"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    "q114_approx_percentiles" -> ((s, dir) => {
+      // The percentile family's SKETCH rung: q43 is exact with
+      // per-group value buffers, q103 exact and memory-bounded — this
+      // is the 100 TB answer, Spark's built-in GK-style quantile
+      // summary (percentile_approx): constant-size mergeable state,
+      // one map-side-combinable pass, no distribution materialized.
+      // IN-ARTIFACT EVIDENCE (the q19/q88/q102 pattern): GK guarantees
+      // a returned value whose RANK interval [count(<v)+1, count(<=v)]
+      // intersects [⌈p·n⌉ − εn, ⌈p·n⌉ + εn] with ε = 1/accuracy —
+      // under ANY merge order, so the check cannot flap across
+      // partitionings even though the returned value itself may
+      // differ. Both rank counts ride one broadcast of the 3×3 approx
+      // values onto an unshuffled second scan; out-of-bounds groups
+      // are FILTERED so a sketch regression shows as a row-count drop
+      // in the rows-only gate. (The second scan is gate evidence; a
+      // production caller runs the sketch pass alone.)
+      val acc = 10000
+      val li = table(s, dir, "lineitem")
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          col("ap")(0).as("p50"), col("ap")(1).as("p90"),
+          col("ap")(2).as("p99"))
+      val ranks = li.join(broadcast(approx), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_extendedprice") < col("p50"), 1L)
+            .otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("p50"), 1L)
+            .otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("p90"), 1L)
+            .otherwise(0L)).as("lt90"),
+          sum(when(col("l_extendedprice") <= col("p90"), 1L)
+            .otherwise(0L)).as("le90"),
+          sum(when(col("l_extendedprice") < col("p99"), 1L)
+            .otherwise(0L)).as("lt99"),
+          sum(when(col("l_extendedprice") <= col("p99"), 1L)
+            .otherwise(0L)).as("le99"))
+      def inBounds(p: Double, lt: String, le: String) = {
+        val target = ceil(col("n") * lit(p))
+        val slack = col("n") / lit(acc) + lit(1)
+        col(le) >= target - slack && col(lt) + 1 <= target + slack
+      }
+      approx.join(broadcast(ranks), Seq("l_returnflag"))
+        .withColumn("within_bounds",
+          inBounds(0.5, "lt50", "le50") && inBounds(0.9, "lt90", "le90")
+            && inBounds(0.99, "lt99", "le99"))
+        .filter(col("within_bounds"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"),
+          round(col("p99"), 6).as("p99"), col("within_bounds"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
