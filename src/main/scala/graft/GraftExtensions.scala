@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, FreqTopKAgg, HammingDistance, SimHashAgg}
+import graft.functions.{CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, SimHashAgg}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -46,6 +46,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "freq_topk_agg(item[, capacity literal])")
       }).toAggregateExpression()))
+    // K-minimum-values distinct sketch family: union AND intersection
+    // estimates over segment sketches (audience overlap — the set
+    // operation the HLL family cannot express; see KmvSketch).
+    def litInt(e: Expression, what: String): Int =
+      if (e.foldable) e.eval().asInstanceOf[Number].intValue()
+      else throw new IllegalArgumentException(s"$what must be a literal")
+    e.injectFunction((
+      new FunctionIdentifier("kmv_sketch_agg"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch_agg"),
+      (exprs: Seq[Expression]) => (exprs match {
+        case Seq(c) => KmvSketchAgg(c)
+        case Seq(c, k) => KmvSketchAgg(c, litInt(k, "kmv_sketch_agg k"))
+        case _ => throw new IllegalArgumentException(
+          "kmv_sketch_agg(value[, k literal])")
+      }).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimate].getName, "kmv_estimate"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => KmvEstimate(c)
+        case Seq(c, k) => KmvEstimate(c, litInt(k, "kmv_estimate k"))
+        case _ => throw new IllegalArgumentException(
+          "kmv_estimate(sketch[, k literal])")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("kmv_intersect_estimate"),
+      new ExpressionInfo(classOf[KmvIntersectEstimate].getName,
+        "kmv_intersect_estimate"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => KmvIntersectEstimate(a, b)
+        case Seq(a, b, k) =>
+          KmvIntersectEstimate(a, b, litInt(k, "kmv_intersect_estimate k"))
+        case _ => throw new IllegalArgumentException(
+          "kmv_intersect_estimate(a, b[, k literal])")
+      }))
     // Spark's internal bloom sketch pair (used by its own runtime row
     // filters), surfaced as SQL functions: build a fixed-size filter
     // over a long column, probe it scan-side with codegen — the

@@ -581,6 +581,60 @@ object EventOps {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .orderBy(col("user_id"))
+    }),
+
+    "q115_segment_overlap" -> ((s, dir) => {
+      // Audience overlap between event-type segments via KMV sketches
+      // (functions/KmvSketch.scala) — the set operation the HLL family
+      // (q19/q88) cannot express: |users(A) ∩ users(B)| for every
+      // segment pair from one combinable scan pass (k longs per
+      // partial buffer, no user-key shuffle), then pairwise
+      // intersection estimates over the tiny per-segment sketch table.
+      // At 100 TB the sketch table is segments × 8 KB and every pair
+      // is answerable without touching raw events again.
+      // IN-ARTIFACT EVIDENCE (q19 pattern): exact pairwise overlaps
+      // ride a distinct-(user, segment) self-join — evidence only, the
+      // exact path is precisely the user-key shuffle the sketch
+      // avoids — and out-of-bounds pairs are FILTERED. KMV estimates
+      // are MERGE-ORDER INDEPENDENT (the k smallest of a set are the
+      // k smallest under any partitioning), so the check cannot flap.
+      // Bound: 5·union/√k on the intersection estimator's combined
+      // binomial + union-estimate noise.
+      val k = 1024
+      val ev = eventsTable(s, dir)
+      val sk = ev.groupBy(col("event_type"))
+        .agg(expr(s"kmv_sketch_agg(user_id, $k)").as("sk"))
+      val pairs = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("seg_a"),
+          col("b.event_type").as("seg_b"),
+          expr(s"kmv_intersect_estimate(a.sk, b.sk, $k)").as("est_overlap"))
+      val ue = ev.select(col("event_type"), col("user_id")).distinct()
+      val exact = ue.as("x").join(ue.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("seg_a"),
+          col("y.event_type").as("seg_b"))
+        .agg(count(lit(1)).as("exact_overlap"),
+          count(lit(1)).as("n_pair_rows"))
+        .drop("n_pair_rows")
+      val exactSeg = ue.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_seg"))
+      pairs
+        .join(broadcast(exact), Seq("seg_a", "seg_b"))
+        .join(broadcast(exactSeg.select(col("event_type").as("seg_a"),
+          col("n_seg").as("n_a"))), Seq("seg_a"))
+        .join(broadcast(exactSeg.select(col("event_type").as("seg_b"),
+          col("n_seg").as("n_b"))), Seq("seg_b"))
+        .withColumn("union_exact", col("n_a") + col("n_b") - col("exact_overlap"))
+        .withColumn("within_bounds",
+          abs(col("est_overlap") - col("exact_overlap")) <=
+            lit(5.0) * col("union_exact") / lit(math.sqrt(k)))
+        .filter(col("within_bounds"))
+        .select(col("seg_a"), col("seg_b"),
+          round(col("est_overlap"), 3).as("est_overlap"),
+          col("exact_overlap"), col("within_bounds"))
+        .orderBy(col("seg_a"), col("seg_b"))
     })
   )
 
