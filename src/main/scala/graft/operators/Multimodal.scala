@@ -91,6 +91,93 @@ object Multimodal {
     spark.createDataFrame(out, decodedSchema)
   }
 
+  private val patchSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("patch_row", IntegerType),
+    StructField("patch_col", IntegerType),
+    StructField("patch_w", IntegerType),
+    StructField("patch_h", IntegerType),
+    StructField("pixels", org.apache.spark.sql.types.BinaryType)))
+
+  /** REAL ViT input prep for image payloads: decode (JDK ImageIO, full
+    * raster this time), resize into the `box` bounding square with
+    * q75's exact integer plan (aspect preserved, no upscaling), and
+    * emit row-major `patchSize`² RGB patches — (doc_id, patch_row,
+    * patch_col, patch_w, patch_h, pixels) with `pixels` =
+    * patch_w·patch_h·3 bytes. Edge patches are cropped, so the grid is
+    * exactly q104's ceil(tw/p)·ceil(th/p) budget. Payloads ImageIO
+    * cannot read yield no rows (the metadata pass q41 is where
+    * undecodables get accounted).
+    *
+    * Scale shape: payload bytes never shuffle — decode, resize and
+    * patching happen inside the scan partition (mapPartitions, the
+    * same batch path as [[decodeBatch]]); only the patch rows (the
+    * actual training input) leave the partition. One decoded raster
+    * is live per row at a time, so executor memory is bounded by the
+    * largest single image, not the batch. */
+  def extractPatches(media: DataFrame, patchSize: Int = 16,
+      box: Int = 512): DataFrame = {
+    require(patchSize > 0 && box > 0)
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("media_type"), col("payload"))
+      .where(col("media_type") === "image")
+      .rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null) Iterator.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val longSide = math.max(w, h)
+            val (tw, th) =
+              if (longSide <= box) (w, h)
+              else (math.max(1, w * box / longSide),
+                math.max(1, h * box / longSide))
+            val scaled =
+              if (tw == w && th == h) img
+              else {
+                val o = new java.awt.image.BufferedImage(tw, th,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = o.createGraphics()
+                g.drawImage(img, 0, 0, tw, th, null)
+                g.dispose()
+                o
+              }
+            val docId = r.getAs[Long]("doc_id")
+            val ny = (th + patchSize - 1) / patchSize
+            val nx = (tw + patchSize - 1) / patchSize
+            for {
+              pr <- Iterator.range(0, ny)
+              pc <- Iterator.range(0, nx)
+            } yield {
+              val pw = math.min(patchSize, tw - pc * patchSize)
+              val ph = math.min(patchSize, th - pr * patchSize)
+              val bytes = new Array[Byte](pw * ph * 3)
+              var y = 0
+              while (y < ph) {
+                var x = 0
+                while (x < pw) {
+                  val rgb = scaled.getRGB(pc * patchSize + x, pr * patchSize + y)
+                  val i = (y * pw + x) * 3
+                  bytes(i) = ((rgb >> 16) & 0xff).toByte
+                  bytes(i + 1) = ((rgb >> 8) & 0xff).toByte
+                  bytes(i + 2) = (rgb & 0xff).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              Row(docId, pr, pc, pw, ph, bytes)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(out, patchSchema)
+  }
+
   /** documents reinterpreted as a media table: text bytes stand in for
     * the opaque payload (deterministic, schema-faithful). */
   def mediaTable(s: SparkSession, dir: String): DataFrame =

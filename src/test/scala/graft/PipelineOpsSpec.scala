@@ -114,6 +114,77 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stubbed.getAs[Int]("width") >= 64 && stubbed.getAs[Int]("n_frames") == 1)
   }
 
+  test("extractPatches: real RGB patches from real PNGs; grid matches the q104 budget") {
+    import spark.implicits._
+    // 16x16 PNG, one solid color per 8x8 quadrant -> with patchSize=8
+    // each patch must be uniformly its quadrant's color
+    val colors = Array(0xff0000, 0x00ff00, 0x0000ff, 0x808080)
+    def quadPng(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, colors((y / 8) * 2 + (x / 8)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 30x20 PNG -> patchSize=8 gives a 4x3 grid with cropped edges
+    def widePng(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        30, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", quadPng()), (2L, "image", widePng()),
+      (3L, "image", "junk bytes".getBytes("UTF-8")), // undecodable: no rows
+      (4L, "audio", quadPng())) // wrong modality: filtered
+      .toDF("doc_id", "media_type", "payload")
+      .repartition(2)
+    val got = Multimodal.extractPatches(media, patchSize = 8).collect()
+
+    val quad = got.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(quad.length == 4)
+    quad.foreach { p =>
+      val expected = colors(p.getAs[Int]("patch_row") * 2 + p.getAs[Int]("patch_col"))
+      val px = p.getAs[Array[Byte]]("pixels")
+      assert(px.length == 8 * 8 * 3)
+      px.grouped(3).foreach { rgb =>
+        val v = ((rgb(0) & 0xff) << 16) | ((rgb(1) & 0xff) << 8) | (rgb(2) & 0xff)
+        assert(v == expected,
+          s"patch (${p.getAs[Int]("patch_row")},${p.getAs[Int]("patch_col")}): " +
+            f"pixel $v%06x != $expected%06x")
+      }
+    }
+    // q104's budget: ceil(30/8) x ceil(20/8) = 4 x 3, edges cropped
+    val wide = got.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(wide.length == 12)
+    assert(wide.filter(p => p.getAs[Int]("patch_col") == 3)
+      .forall(_.getAs[Int]("patch_w") == 6))
+    assert(wide.filter(p => p.getAs[Int]("patch_row") == 2)
+      .forall(_.getAs[Int]("patch_h") == 4))
+    assert(!got.exists(p => p.getAs[Long]("doc_id") >= 3L),
+      "undecodable/non-image payloads must yield no patch rows")
+  }
+
+  test("extractPatches resizes into the box with q75's integer plan") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((7L, "image", bos.toByteArray))
+      .toDF("doc_id", "media_type", "payload")
+    // box=16: 64x32 -> tw = 64*16/64 = 16, th = 32*16/64 = 8 -> one
+    // full 8x8 patch plus one 8x8 at col 1 (16/8=2 cols, 1 row)
+    val got = Multimodal.extractPatches(media, patchSize = 8, box = 16)
+      .collect()
+    assert(got.length == 2)
+    assert(got.forall(p => p.getAs[Int]("patch_w") == 8 &&
+      p.getAs[Int]("patch_h") == 8))
+  }
+
   test("repetition signals: degenerate doc flagged, clean doc passes") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a"), (2L, "w x y z"), (3L, "solo"))
