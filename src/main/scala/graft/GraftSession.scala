@@ -36,6 +36,27 @@ object GraftSession {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session conf flipping EVERY graft lineage-truncation checkpoint
+    * (multi-consumer stage materializations and iterative loops) from
+    * `localCheckpoint` to reliable `checkpoint`. localCheckpoint pins
+    * blocks to the executors that computed them — fastest, but an
+    * executor loss (or dynamic-allocation scale-down) mid-query kills
+    * the job; on a real cluster set this to `true` AND point
+    * `spark.sparkContext.setCheckpointDir` at shared storage. */
+  val ReliableCheckpointsConf = "spark.graft.reliableCheckpoints"
+
+  /** Lineage-truncation checkpoint honoring [[ReliableCheckpointsConf]]
+    * (results are identical either way; only fault tolerance and
+    * per-stage IO differ). Fails fast when reliable mode is on without
+    * a checkpoint dir — not N stages into a pipeline. */
+  private[graft] def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(ReliableCheckpointsConf, "false").toBoolean) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableCheckpointsConf=true needs " +
+          "spark.sparkContext.setCheckpointDir(<shared-store path>)")
+      df.checkpoint()
+    } else df.localCheckpoint()
+
   /** The events table with its nanosecond timestamp normalized to a
     * microsecond TimestampType (integer truncation — bit-identical to
     * DuckDB's nanos->micros parquet read). */

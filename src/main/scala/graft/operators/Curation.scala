@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.GraftSession.table
+import graft.GraftSession.{ckpt, table}
 
 /** One-call training-data curation: the composition of the C-pack —
   * quality gate → exact dedup → LSH near-dup dedup → benchmark
@@ -60,9 +60,8 @@ object Curation {
     // final stitch). Same q93 rule as the near-dup stage below, whose
     // contraction loop already materializes its edge list at call
     // time.
-    val qual = TextOps.qualityFilter(docs)
-      .select(col("doc_id").as("q_id"), col("keep").as("q_ok"))
-      .localCheckpoint()
+    val qual = ckpt(TextOps.qualityFilter(docs)
+      .select(col("doc_id").as("q_id"), col("keep").as("q_ok")))
     val qualityOk = docs.join(qual, col("doc_id") === col("q_id"))
       .filter(col("q_ok") === 1).drop("q_id", "q_ok")
 
@@ -74,9 +73,8 @@ object Curation {
       .groupBy(xxhash64(col("text")).as("__h"))
       .agg(min(col("doc_id")).as("e_id"))
       .select(col("e_id"))
-    val exactOk = qualityOk.join(exactKeep,
-      col("doc_id") === col("e_id"), "left_semi")
-      .localCheckpoint()
+    val exactOk = ckpt(qualityOk.join(exactKeep,
+      col("doc_id") === col("e_id"), "left_semi"))
 
     // 3-5. the corpus-wide late stages (near-dup, contamination,
     // quota) — shared with [[curateCycle]]'s batch phase so the
@@ -115,10 +113,9 @@ object Curation {
     // after the quality scan; 24 B/shingle beats recomputing it).
     // Non-distinct is fine for minhash (min is multiset-invariant);
     // contamination distincts after its broadcast-join cut.
-    val sh = Dedup.shingles(exactOk)
+    val sh = ckpt(Dedup.shingles(exactOk)
       .select(col("doc_id"), Dedup.baseHash(col("sh")).as("h1"),
-        Dedup.baseHashHi(col("sh")).as("h2"))
-      .localCheckpoint()
+        Dedup.baseHashHi(col("sh")).as("h2")))
 
     // near-dup: every non-representative component member drops
     val nearDropped = Dedup

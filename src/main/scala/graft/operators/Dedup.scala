@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.GraftSession.table
+import graft.GraftSession.{ckpt, table}
 
 /** Pack C (dedup) — training-data deduplication operators
   * (SURVEY.md §2.C1-C5): exact hash dedup, MinHash signatures,
@@ -158,7 +158,7 @@ object Dedup {
     * here, not N rounds in). Results are identical either way
     * (spec-proved); only fault tolerance and per-round IO differ. */
   private def iterCheckpoint(df: DataFrame, reliable: Boolean): DataFrame =
-    if (!reliable) df.localCheckpoint()
+    if (!reliable) ckpt(df) // honors spark.graft.reliableCheckpoints too
     else {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliable=true needs spark.sparkContext.setCheckpointDir(...) — " +
@@ -550,9 +550,8 @@ object Dedup {
       // re-execute for the degree branch, and the components come from
       // the O(log n) star contraction (label contract identical to
       // min-label — q77 proves it against the same oracle).
-      val cand = lshCandidates(table(s, dir, "documents"))
-        .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
+      val cand = ckpt(lshCandidates(table(s, dir, "documents"))
+        .select(col("doc_a"), col("doc_b")))
       val degree = cand.select(col("doc_a").as("node"))
         .union(cand.select(col("doc_b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.GraftSession.{dec, dsum, eventsTable, table}
+import graft.GraftSession.{ckpt, dec, dsum, eventsTable, table}
 
 /** Pack B — event-log / kafkaish semantics over the `events` table
   * (SURVEY.md §2.B). Each query is the batch face of a reference
@@ -401,10 +401,9 @@ object EventOps {
       // once (q93's rule: checkpoint when the shared base is consumed
       // repeatedly; r4's measurement only rejected checkpointing the
       // exploded per-BIN stream, which was 10-50x larger).
-      val sess = queries("q27_sessionize")(s, dir)
+      val sess = ckpt(queries("q27_sessionize")(s, dir)
         .select(col("user_id"), col("session_id"),
-          col("t_start"), col("t_end"))
-        .localCheckpoint()
+          col("t_start"), col("t_end")))
       val bounds = sess.select(col("user_id"), col("session_id"),
           explode(array(
             struct(col("t_start").as("v"), lit(0).as("is_end")),

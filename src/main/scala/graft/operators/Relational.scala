@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
-import graft.GraftSession.{dec, dsum, table}
+import graft.GraftSession.{ckpt, dec, dsum, table}
 
 /** Pack A — relational/analytics core (SURVEY.md §2.A).
   *
@@ -424,10 +424,9 @@ object Relational {
         // the memory-bounded core of the design. Checkpointed once:
         // three consumers (cumulative chain, bucket totals, per-group
         // n) would otherwise each re-scan lineitem.
-        val counts = table(s, dir, "lineitem")
+        val counts = ckpt(table(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col(valueCol).as("v"))
-          .agg(count(lit(1)).as("c"))
-          .localCheckpoint()
+          .agg(count(lit(1)).as("c")))
         // r4-verdict ask: the former per-group ordered window funneled
         // each group's whole distinct-value stream through ONE reducer
         // (3 tasks total). Two-phase sharded cumulative sum instead:

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.GraftSession.table
+import graft.GraftSession.{ckpt, table}
 
 /** Pack C (text analysis) — language ID, quality scoring, token
   * counting, document fingerprinting over `documents`
@@ -738,15 +738,15 @@ object TextOps {
       // shape is the evidence harness.
       val tokens = table(s, dir, "documents")
         .select(explode(split(lower(col("text")), "\\s+")).as("term"))
-      val top = tokens
+      // ckpt: 10 rows; both consumers below reuse one sketch pass
+      val top = ckpt(tokens
         .agg(expr("freq_topk_agg(term, 64)").as("hh"),
           count(lit(1)).as("n_total"))
         .select(explode(col("hh")).as("e"), col("n_total"))
         .select(col("e.item").as("term"), col("e.est_count").as("est_count"),
           col("n_total"))
         .orderBy(col("est_count").desc, col("term"))
-        .limit(10)
-        .localCheckpoint() // 10 rows; both consumers below reuse one sketch pass
+        .limit(10))
       val exact = tokens.join(broadcast(top.select(col("term"))), Seq("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
       top.join(broadcast(exact), Seq("term"))

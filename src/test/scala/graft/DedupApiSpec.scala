@@ -119,6 +119,31 @@ class DedupApiSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.graft.reliableCheckpoints conf flips ckpt sites with identical results") {
+    import org.apache.spark.sql.functions.col
+    def run(): (Seq[String], Seq[String]) = (
+      SparkEntry.queries("q103_percentile_dist")(spark, sf)
+        .collect().map(_.toString).toSeq,
+      SparkEntry.queries("q93_cluster_representatives")(spark, sf)
+        .orderBy(col("cluster_id")).collect().map(_.toString).toSeq)
+    val (p103, p93) = run()
+    val sc = spark.sparkContext
+    spark.conf.set(GraftSession.ReliableCheckpointsConf, "true")
+    try {
+      // fail fast when reliable mode is on without a checkpoint dir
+      if (sc.getCheckpointDir.isEmpty)
+        intercept[IllegalArgumentException] { run() }
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-rel-ckpt").toString)
+      val (r103, r93) = run()
+      assert(r103 == p103, "q103 changed under reliable checkpoints")
+      assert(r93 == p93, "q93 changed under reliable checkpoints")
+    } finally {
+      spark.conf.unset(GraftSession.ReliableCheckpointsConf)
+      sc.setCheckpointDir(null)
+    }
+  }
+
   test("simhash_agg custom aggregate equals the declarative 16-column simhash") {
     val docs = GraftSession.table(spark, sf, "documents")
     val declarative = Dedup.simhash(docs)
