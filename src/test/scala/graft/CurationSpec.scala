@@ -155,6 +155,13 @@ class CurationSpec extends AnyFunSuite {
     assert(diff.isEmpty,
       diff.take(5).map(k => s"$k: got ${v2.get(k)}, want ${expected(k)}")
         .mkString("; "))
+
+    // a cycle with NO new records (the crashed-and-rerun case) must
+    // leave the changelog's latest-per-key view unchanged
+    val v3 = Curation.curateCycle(docsTopic, verdictTopic, s"$root/kept",
+      s"$root/ckpt", benchSplit, capPerSource = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(v3 === v2, "an empty cycle changed verdicts")
   }
 
   test("deterministic: a second run produces identical verdicts") {
