@@ -202,6 +202,40 @@ object ScaleSmoke {
     require(hhSketch == hhExact,
       s"sketch top-5 diverged from exact: $hhSketch vs $hhExact")
 
+    // KMV phase: segment-overlap sketches vs the exact distinct
+    // pairwise intersection on 20M (segment, user) rows — 4 segments
+    // over a 2M-user space with known pairwise structure. The sketch
+    // pass shuffles 1024 longs per partial buffer; the exact path
+    // shuffles every distinct (segment, user) pair TWICE (distinct +
+    // self-join).
+    val segEvents = spark.range(20000000L).select(
+        concat(lit("seg"), (col("id") % 4).cast("string")).as("seg"),
+        ((col("id") * 2654435761L) % 2000000L +
+          (col("id") % 4) * 500000L).as("user"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val kmvSk = segEvents.groupBy(col("seg"))
+      .agg(expr("kmv_sketch_agg(user, 1024)").as("sk"))
+    val kmvPairs = kmvSk.as("a").join(kmvSk.as("b"),
+        col("a.seg") < col("b.seg"))
+      .select(col("a.seg").as("sa"), col("b.seg").as("sb"),
+        expr("kmv_intersect_estimate(a.sk, b.sk, 1024)").as("est"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val kmvSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val segUsers = segEvents.distinct()
+    val kmvExact = segUsers.as("x").join(segUsers.as("y"),
+        col("x.user") === col("y.user") && col("x.seg") < col("y.seg"))
+      .groupBy(col("x.seg").as("sa"), col("y.seg").as("sb"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val kmvExactSec = (System.nanoTime() - t0) / 1e9
+    kmvExact.foreach { case (pair, exact) =>
+      val est = kmvPairs(pair)
+      require(math.abs(est - exact) <= 5.0 * 2600000.0 / 32.0,
+        s"KMV overlap $pair: est $est vs exact $exact")
+    }
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -224,6 +258,7 @@ object ScaleSmoke {
       f""""skew_salted_sec":$skewSaltSec%.2f,""" +
       f""""skew_salted_hot_share":$skewSaltShare%.3f,""" +
       f""""hh_sketch_sec":$hhSketchSec%.2f,"hh_exact_sec":$hhExactSec%.2f,""" +
+      f""""kmv_sketch_sec":$kmvSec%.2f,"kmv_exact_sec":$kmvExactSec%.2f,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }
