@@ -25,7 +25,8 @@ class RelationalSpec extends AnyFunSuite {
     // exact values) -> rows-only gate
     val weak = q.keySet -- o.keySet
     assert(weak == Set("q19_approx_distinct", "q88_hll_rollup",
-      "q102_heavy_hitters"),
+      "q102_heavy_hitters", "q114_approx_percentiles",
+      "q115_segment_overlap"),
       s"unexpected rows-only queries: $weak")
   }
 
