@@ -68,6 +68,40 @@ class KmvSketchSpec extends AnyFunSuite {
       s"half-overlap: $half")
   }
 
+  test("kmv_sketch_agg runs in a watermarked streaming window (live distinct estimates)") {
+    // The streaming face: per-window distinct-user sketches at k longs
+    // of state per window — TypedImperativeAggregate buffers serialize
+    // through the state store, so the same aggregate serves batch and
+    // live. Parity: the streamed per-window sketches must equal the
+    // batch sketches over the same data (merge-order independence
+    // makes this byte-equality, not just bounded error).
+    val dir = java.nio.file.Files.createTempDirectory("kmv-stream").toString
+    val events = spark.range(30000).select(
+      org.apache.spark.sql.functions.timestamp_micros(
+        lit(1700000000000000L) + (col("id") % 4) * 3600L * 1000000L).as("ts"),
+      (col("id") % 7000).as("user"))
+    events.coalesce(2).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(events.schema))
+      .parquet(s"$dir/in")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("kmv_sketch_agg(user, 256)").as("sk"))
+    val q = stream.writeStream.format("memory").queryName("kmvw")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT window.start AS s, sk FROM kmvw")
+        .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1).toList).toMap
+      val batch = events.groupBy(window(col("ts"), "1 hour"))
+        .agg(expr("kmv_sketch_agg(user, 256)").as("sk"))
+        .select(col("window.start").as("s"), col("sk"))
+        .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1).toList).toMap
+      assert(streamed.size == 4)
+      assert(streamed == batch, "streamed sketches diverged from batch")
+    } finally q.stop()
+  }
+
   test("q115 gate query: every segment pair within bounds, none filtered") {
     val ev = GraftSession.eventsTable(spark, sf)
     val nTypes = ev.select(col("event_type")).distinct().count()
