@@ -603,6 +603,10 @@ object EventOps {
       val ev = eventsTable(s, dir)
       val sk = ev.groupBy(col("event_type"))
         .agg(expr(s"kmv_sketch_agg(user_id, $k)").as("sk"))
+      // NOTE the BNLJ in this plan is THIS inequality self-join over
+      // the per-segment sketch table — |segments|² rows of k longs
+      // (five rows here), the same bounded class as the 1-row scalar
+      // broadcasts elsewhere; the raw event stream is never nested-looped
       val pairs = sk.as("a").join(sk.as("b"),
           col("a.event_type") < col("b.event_type"))
         .select(col("a.event_type").as("seg_a"),
