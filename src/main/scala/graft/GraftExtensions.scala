@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, SimHashAgg}
+import graft.functions.{CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, SimHashAgg}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -60,6 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, k) => KmvSketchAgg(c, litInt(k, "kmv_sketch_agg k"))
         case _ => throw new IllegalArgumentException(
           "kmv_sketch_agg(value[, k literal])")
+      }).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("kmv_union_agg"),
+      new ExpressionInfo(classOf[KmvUnionAgg].getName, "kmv_union_agg"),
+      (exprs: Seq[Expression]) => (exprs match {
+        case Seq(c) => KmvUnionAgg(c)
+        case Seq(c, k) => KmvUnionAgg(c, litInt(k, "kmv_union_agg k"))
+        case _ => throw new IllegalArgumentException(
+          "kmv_union_agg(sketch[, k literal])")
       }).toAggregateExpression()))
     e.injectFunction((
       new FunctionIdentifier("kmv_estimate"),

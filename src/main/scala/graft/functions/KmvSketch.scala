@@ -174,6 +174,96 @@ object KmvSketch {
   }
 }
 
+/** `kmv_union_agg(sketch[, k])`: merge already-built KMV sketch ARRAYS
+  * into the union's sketch — the `hll_union_agg` pattern for the KMV
+  * family. A persisted per-(day, segment) sketch table rolls up to
+  * weekly/total distinct AND intersection estimates without touching
+  * raw events again (q88's incremental-rollup shape, plus the set
+  * algebra HLL lacks). Union of KMV sketches is itself an exact KMV
+  * sketch of the united set's hashes, so all [[KmvSketchAgg]]
+  * guarantees (merge-order independence, exactness below k) carry
+  * over. */
+case class KmvUnionAgg(
+    child: Expression,
+    k: Int = KmvSketch.DefaultK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k > 1, s"kmv_union_agg k must be > 1: $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmv_union_agg expects array<bigint> sketches, got ${t.catalogString}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](KmvSketch.UnsignedOrder)
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        KmvSketch.offer(buf, arr.getLong(i), k)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) KmvSketch.offer(b1, it.next(), k)
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvUnionAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "kmv_union_agg"
+}
+
 /** `kmv_estimate(sketch[, k])`: distinct-count estimate from a KMV
   * sketch array (exact while the set stayed under k). Operates on
   * k-element group-level arrays, not the per-row hot path — eval-only

@@ -68,6 +68,29 @@ class KmvSketchSpec extends AnyFunSuite {
       s"half-overlap: $half")
   }
 
+  test("kmv_union_agg rolls up persisted daily sketches to the global sketch exactly") {
+    // the hll_union_agg pattern: per-day sketches re-aggregate to the
+    // union's sketch — which must BYTE-EQUAL the sketch built directly
+    // over the full stream (union of KMV sketches is itself the exact
+    // KMV sketch of the united hash set)
+    val k = 256
+    val events = spark.range(60000).select(
+      (col("id") % 5).as("day"), ((col("id") * 7919L) % 40000L).as("v"))
+    val daily = events.groupBy(col("day"))
+      .agg(expr(s"kmv_sketch_agg(v, $k)").as("sk"))
+    val rolled = daily.agg(expr(s"kmv_union_agg(sk, $k)").as("sk"))
+      .collect().head.getSeq[Long](0).toList
+    val direct = events.agg(expr(s"kmv_sketch_agg(v, $k)").as("sk"))
+      .collect().head.getSeq[Long](0).toList
+    assert(rolled == direct, "rolled-up union sketch diverged from direct")
+    // and the rolled sketch feeds the estimator like any other
+    val est = daily.agg(
+        expr(s"kmv_estimate(kmv_union_agg(sk, $k), $k)").as("e"))
+      .collect().head.getDouble(0)
+    val exact = events.select(col("v")).distinct().count()
+    assert(math.abs(est - exact) <= 5.0 * exact / math.sqrt(k - 2.0))
+  }
+
   test("kmv_sketch_agg runs in a watermarked streaming window (live distinct estimates)") {
     // The streaming face: per-window distinct-user sketches at k longs
     // of state per window — TypedImperativeAggregate buffers serialize
