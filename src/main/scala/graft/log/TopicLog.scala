@@ -201,6 +201,16 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     }
   }
 
+  /** Whether a committed-txn marker exists for `txnId`. Lock-free
+    * read — markers are written tmp+rename, so the probe is atomic;
+    * it can only race a CONCURRENT commit of the same id, which the
+    * upgrade-migration use case (probing a txn-id format no current
+    * deployment writes — see
+    * [[graft.streaming.TopicStream.publishSinkExactlyOnce]]) never
+    * does. */
+  def hasTxnMarker(txnId: String): Boolean =
+    readKv(new Path(s"$path/txns/$txnId")).isDefined
+
   /** Keep the lease fresh while a long append runs: without renewal, a
     * publish slower than [[publishLeaseMs]] looks dead to a waiting
     * publisher, which would break the lock mid-append and re-issue the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -166,6 +167,38 @@ object Dedup {
       df.checkpoint()
     }
 
+  /** The reliable-checkpoint files behind `df`, when `df` came out of
+    * an (eager) `Dataset.checkpoint()` — i.e. its plan ROOT is the
+    * `LogicalRDD` over the checkpointed RDD. Root-only on purpose: a
+    * derived frame (e.g. the first-round labels, an Aggregate OVER the
+    * pinned edge checkpoint) contains a LogicalRDD deeper in its tree,
+    * and matching there would delete a checkpoint that later rounds
+    * still read. */
+  private def checkpointFilesOf(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
+    (df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.getCheckpointFile
+      case _ => None
+    }).map(new Path(_))
+
+  /** Delete the reliable checkpoint behind a ROTATED round frame so a
+    * long clustering loop does not grow the shared checkpoint dir by
+    * one copy of the label/edge set PER ROUND (the driver GC's
+    * `cleanCheckpoints` conf is off by default and fires late). Call
+    * only after nothing reads the frame again — i.e. after the round's
+    * convergence check, just before re-binding the loop variable. The
+    * PINNED initial edge list and the FINAL round's checkpoint are
+    * intentionally kept (the caller still consumes them); they are
+    * app-teardown / `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * territory. No-op in localCheckpoint mode (blocks are GC-managed)
+    * and on frames that were never round-checkpointed. */
+  private def dropRoundCheckpoint(df: DataFrame, reliable: Boolean): Unit =
+    if (reliable) checkpointFilesOf(df).foreach { p =>
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      ()
+    }
+
   /** Rounds the most recent connectedComponents* call took to converge
     * (diagnostics for ScaleSmoke's algorithm comparison). */
   @volatile private[graft] var lastCcRounds: Int = 0
@@ -214,6 +247,7 @@ object Dedup {
       converged = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") < col("o.label")).isEmpty
+      dropRoundCheckpoint(labels, reliable) // round N-1 no longer read
       labels = next
       i += 1
     }
@@ -271,6 +305,7 @@ object Dedup {
           col("n.hi") === col("o.hi") && col("n.lo") === col("o.lo"),
           "full_outer")
         .filter(col("n.hi").isNull || col("o.hi").isNull).isEmpty
+      dropRoundCheckpoint(edges, reliable) // round N-1 no longer read
       edges = next
       i += 1
     }

@@ -624,7 +624,12 @@ object EventOps {
       val exactSeg = ue.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_seg"))
       pairs
-        .join(broadcast(exact), Seq("seg_a", "seg_b"))
+        // LEFT join + coalesce(0): the exact table only has pairs with
+        // ≥1 common user, so an inner join would silently DROP a
+        // zero-overlap pair — and a sketch falsely reporting overlap
+        // for disjoint segments would never hit the bound check.
+        .join(broadcast(exact), Seq("seg_a", "seg_b"), "left")
+        .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
         .join(broadcast(exactSeg.select(col("event_type").as("seg_a"),
           col("n_seg").as("n_a"))), Seq("seg_a"))
         .join(broadcast(exactSeg.select(col("event_type").as("seg_b"),

@@ -39,17 +39,27 @@ object Layout {
     val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
       lit(qs.toArray), lit(10000)).as(c))
     val row = df.select(aggs: _*).collect().head
-    cols.map(c => c -> row.getSeq[Double](row.fieldIndex(c)).toArray).toMap
+    // percentile_approx returns null on an empty frame or an all-null
+    // column — treat such a column as CONSTANT (empty boundary set →
+    // bucket rank 0 for every row) instead of NPE-ing: the z-value
+    // degrades gracefully to clustering on the remaining columns.
+    cols.map { c =>
+      val i = row.fieldIndex(c)
+      c -> (if (row.isNullAt(i)) Array.empty[Double]
+            else row.getSeq[Double](i).toArray)
+    }.toMap
   }
 
   /** Scan-side bucket rank of `c` against broadcast-literal
     * boundaries: count of cut points ≤ value, a codegen'd fold —
     * O(buckets) comparisons per row, no join, no shuffle. */
-  private def bucketOf(c: Column, bounds: Array[Double]): Column = {
-    val arr = array(bounds.map(lit(_)): _*)
-    aggregate(arr, lit(0),
-      (acc, b) => acc + when(c.cast("double") >= b, 1).otherwise(0))
-  }
+  private def bucketOf(c: Column, bounds: Array[Double]): Column =
+    if (bounds.isEmpty) lit(0) // constant / all-null column (see boundaries)
+    else {
+      val arr = array(bounds.map(lit(_)): _*)
+      aggregate(arr, lit(0),
+        (acc, b) => acc + when(c.cast("double") >= b, 1).otherwise(0))
+    }
 
   /** Morton interleave of per-column bucket ranks (low bit first:
     * z = Σ_bit Σ_col bit(col, b) << (b·ncols + col)). `bits` bit-planes

@@ -53,7 +53,14 @@ object Multimodal {
           } finally reader.dispose()
         }
       } finally if (iis != null) iis.close()
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: JDK ImageIO readers throw
+      // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds,
+      // NegativeArraySize) on malformed/truncated payloads, and one
+      // bad payload must not fail a billion-image metadata pass —
+      // undecodable bytes fall back to the stub, per the contract.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** STUB decoder for the branches a bare JVM cannot decode — audio
     * and video codecs genuinely need external libs, and image payloads
@@ -128,7 +135,9 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            // NonFatal (see decodeImage): corrupt payloads yield no
+            // rows instead of killing the job
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Iterator.empty
           else {
             val w = img.getWidth; val h = img.getHeight

@@ -174,7 +174,15 @@ object TopicStream {
     * silent data loss; with it, a post-wipe run gets fresh txn ids and
     * degrades to at-least-once, the survivable direction
     * ([[graft.log.TopicLog.publishIdempotent]] documents the remaining
-    * at-least-once windows). */
+    * at-least-once windows).
+    *
+    * UPGRADE MIGRATION: deployments older than the query-id mix wrote
+    * markers as `sink<id>b<batch>` (no `q<tag>` segment). Each batch
+    * probes that legacy id first and skips the append when the old
+    * marker exists, so upgrading mid-stream does not replay the
+    * in-flight batch. A legacy marker already pruned by
+    * [[graft.log.TopicLog.txnMarkerTtlMs]] degrades that one batch to
+    * at-least-once — the safe direction. */
   def publishSinkExactlyOnce(records: DataFrame, topic: TopicLog,
       checkpointDir: String): DataStreamWriter[Row] = {
     val sinkId = java.util.UUID.nameUUIDFromBytes(
@@ -186,9 +194,11 @@ object TopicStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        topic.publishIdempotent(
-          batch.select(col("event"), col("key"), col("message"), col("ts")),
-          s"sink${sinkId}q${queryTag}b$batchId")
+        // legacy (pre-queryTag) marker probe — see UPGRADE MIGRATION
+        if (!topic.hasTxnMarker(s"sink${sinkId}b$batchId"))
+          topic.publishIdempotent(
+            batch.select(col("event"), col("key"), col("message"), col("ts")),
+            s"sink${sinkId}q${queryTag}b$batchId")
         ()
       }
   }

@@ -119,6 +119,40 @@ class DedupApiSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable round checkpoints rotate: old rounds are deleted, not accumulated") {
+    import spark.implicits._
+    // a 30-node chain forces many min-label rounds — without rotation
+    // the shared checkpoint dir would hold one label-set copy PER ROUND
+    val pairs = (2000L until 2030L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "test assumes no ambient checkpoint dir")
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc-rotate")
+    sc.setCheckpointDir(ckptDir.toString)
+    try {
+      val labels = Dedup.connectedComponents(pairs, maxIters = 100,
+        reliable = true).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(labels.values.toSet == Set(2000L), "chain must collapse to one cluster")
+      val rounds = Dedup.lastCcRounds
+      assert(rounds >= 3, s"chain should need several rounds, took $rounds")
+      def rddDirs: Long = {
+        val s = java.nio.file.Files.walk(ckptDir)
+        try s.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+        finally s.close()
+      }
+      // only the PINNED edge list and the FINAL round's labels remain
+      assert(rddDirs <= 2,
+        s"expected <=2 surviving checkpoints after $rounds rounds, found $rddDirs")
+      // star contraction rotates its edge variable every round too
+      val star = Dedup.connectedComponentsStar(pairs, reliable = true)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(star == labels)
+      assert(rddDirs <= 3, // + the star loop's final edge set
+        s"star loop leaked round checkpoints: $rddDirs dirs")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("spark.graft.reliableCheckpoints conf flips ckpt sites with identical results") {
     import org.apache.spark.sql.functions.col
     def run(): (Seq[String], Seq[String]) = (

@@ -59,4 +59,21 @@ class LayoutSpec extends AnyFunSuite {
     val mx = base.select(z).agg(max(col("__z"))).collect().head.getLong(0)
     assert(mx >= 0 && mx < (1L << 16), s"z out of range: $mx")
   }
+
+  test("empty frames and all-null columns degrade gracefully (no NPE)") {
+    // empty input: percentile_approx returns null boundaries — zorder
+    // must return an empty frame, not NPE from inside boundaries()
+    assert(Layout.zorder(df.limit(0), Seq("a", "b"), numFiles = 4).count() == 0L)
+    // an entirely-null clustering column is treated as CONSTANT: the
+    // z-value degrades to clustering on the remaining columns
+    val withNull = df.withColumn("b", lit(null).cast("long"))
+    val laid = Layout.zorder(withNull, Seq("a", "b"), numFiles = 8)
+    assert(laid.count() == 100000L)
+    // and the layout still bounds the non-null dim like a plain sort
+    val sa = laid.withColumn("p", spark_partition_id())
+      .groupBy(col("p"))
+      .agg(((max(col("a")) - min(col("a"))) / 10000.0).as("sa"))
+      .agg(avg(col("sa"))).collect().head.getDouble(0)
+    assert(sa < 0.3, s"null-column layout lost clustering on 'a': $sa")
+  }
 }

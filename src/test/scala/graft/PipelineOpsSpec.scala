@@ -114,6 +114,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stubbed.getAs[Int]("width") >= 64 && stubbed.getAs[Int]("n_frames") == 1)
   }
 
+  test("malformed image payloads fall back instead of failing the job (NonFatal contract)") {
+    // Payloads with a VALID format signature but corrupt innards — the
+    // class where ImageIO readers are known to throw RuntimeExceptions
+    // (IllegalArgument / ArrayIndexOutOfBounds / NegativeArraySize) on
+    // some JDKs, not just IOException. The contract: one bad payload
+    // must never kill a billion-image pass — decodeBatch falls back to
+    // the stub row, extractPatches yields no rows for it.
+    def pngTruncated: Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      java.util.Arrays.copyOf(bos.toByteArray, 20) // cut mid-IHDR
+    }
+    def bmpGarbage: Array[Byte] = {
+      val b = Array.fill[Byte](64)(0xEE.toByte); b(0) = 'B'; b(1) = 'M'; b
+    }
+    def gifBadLzw: Array[Byte] = {
+      val g = new java.io.ByteArrayOutputStream()
+      g.write("GIF89a".getBytes("ASCII"))
+      g.write(Array[Byte](4, 0, 4, 0, 0x80.toByte, 0, 0))
+      g.write(Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte))
+      g.write(0x2C)
+      g.write(Array[Byte](0, 0, 0, 0, 4, 0, 4, 0, 0))
+      g.write(12) // invalid LZW minimum code size (>11)
+      g.write(Array[Byte](2, 0x99.toByte, 0x00)); g.write(0); g.write(0x3B)
+      g.toByteArray
+    }
+    def tiffBigCount: Array[Byte] = {
+      val t = new java.io.ByteArrayOutputStream()
+      t.write(Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, 1, 0))
+      // ImageWidth tag with count Int.MaxValue — allocation-bomb class
+      t.write(Array[Byte](0, 1, 3, 0, 0xFF.toByte, 0xFF.toByte,
+        0xFF.toByte, 0x7F, 12, 0, 0, 0))
+      t.write(Array[Byte](0, 0, 0, 0))
+      t.toByteArray
+    }
+    import spark.implicits._
+    val bad = Seq((1L, pngTruncated), (2L, bmpGarbage), (3L, gifBadLzw),
+      (4L, tiffBigCount))
+    val media = bad.map { case (id, p) => (id, "image", p) }
+      .toDF("doc_id", "media_type", "payload").repartition(2)
+    // decodeBatch: every payload yields a row (stub or header-derived),
+    // and nothing throws
+    val decoded = Multimodal.decodeBatch(media).collect()
+    assert(decoded.length == bad.length)
+    assert(decoded.forall(_.getAs[Int]("n_bytes") > 0))
+    // extractPatches: unreadable rasters contribute zero rows, job lives
+    assert(Multimodal.extractPatches(media, patchSize = 8).count() == 0L)
+  }
+
   test("extractPatches: real RGB patches from real PNGs; grid matches the q104 budget") {
     import spark.implicits._
     // 16x16 PNG, one solid color per 8x8 quadrant -> with patchSize=8

@@ -156,6 +156,32 @@ class TopicStreamSpec extends AnyFunSuite {
     assert(dst.read().count() == 30, "redelivered batch 0 duplicated rows")
   }
 
+  test("publishSinkExactlyOnce: legacy (pre-queryTag) markers still skip their batch on upgrade") {
+    val dirIn = Files.createTempDirectory("pl-in").toString
+    val dirOut = Files.createTempDirectory("pl-out").toString
+    val ckpt = Files.createTempDirectory("pl-ckpt").toString
+    val src = TopicLog.prepare(spark, dirIn, numPartitions = 2)
+    val dst = TopicLog.prepare(spark, dirOut, numPartitions = 2)
+    src.publish(mkRecords(30))
+    // a PRE-UPGRADE deployment committed batch 0's data + marker under
+    // the old txn-id format (no q<tag> segment), then crashed before
+    // the checkpoint commit
+    val sinkId = java.util.UUID.nameUUIDFromBytes(
+      ckpt.getBytes("UTF-8")).toString.replace("-", "")
+    dst.publishIdempotent(src.read()
+      .select(col("event"), col("key"), col("message"), col("ts")),
+      s"sink${sinkId}b0")
+    assert(dst.read().count() == 30)
+    // the UPGRADED deployment restarts the same checkpoint and replays
+    // batch 0 — the legacy-marker probe must skip the append (without
+    // it, the format change would double every in-flight batch once)
+    val q = TopicStream.publishSinkExactlyOnce(
+      TopicStream.subscribe(src, fromNow = false), dst, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(dst.read().count() == 30,
+      "upgrade re-appended a batch the legacy marker had committed")
+  }
+
   test("publishSinkExactlyOnce: a checkpoint wipe must NOT silently skip new batches") {
     val dirIn = Files.createTempDirectory("pw-in").toString
     val dirOut = Files.createTempDirectory("pw-out").toString
