@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ Dedup.queries ++
       Similarity.queries ++ Similarity.queries2 ++ TextOps.queries ++
-      Multimodal.queries ++ Curation.queries
+      Multimodal.queries ++ Curation.queries ++ Drift.queries ++
+      Sampling.queries ++ LinkGraph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ EventOps.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Similarity.oracle2 ++ TextOps.oracle ++
-      Multimodal.oracle ++ Curation.oracle
+      Multimodal.oracle ++ Curation.oracle ++ Drift.oracle ++
+      Sampling.oracle ++ LinkGraph.oracle
 }

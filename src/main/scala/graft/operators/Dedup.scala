@@ -461,7 +461,41 @@ object Dedup {
       |SELECT doc_id + 300000, text || ' v2' FROM documents
       |WHERE doc_id % 10 = 1""".stripMargin
 
+  /** Blocked edit-distance near-dup pairs (SURVEY.md §2.C57): docs in
+    * the same prefix block whose `pfxLen`-char prefixes are within
+    * `maxDist` Levenshtein edits. Complements the shingle family —
+    * Levenshtein catches small in-place edits (typo-class dups) that
+    * shift every downstream shingle, and is the metric record-linkage
+    * pipelines specify directly. Blocking is what makes it scale:
+    * candidates only ever pair INSIDE a block, and blocks larger than
+    * `maxBlock` are dropped whole (the q112 stop-print pattern —
+    * boilerplate prefixes would otherwise go quadratic; dropped blocks
+    * are exactly the pairs prefix-editing can't distinguish anyway).
+    * The per-pair cost is bounded: Levenshtein on fixed-length
+    * prefixes, O(pfxLen²) each, never whole-document. */
+  def editDistancePairs(docs: DataFrame, blockLen: Int = 8,
+      pfxLen: Int = 60, maxDist: Int = 15,
+      maxBlock: Int = 1000): DataFrame = {
+    val p = docs.select(col("doc_id"),
+      substring(col("text"), 1, blockLen).as("blk"),
+      substring(col("text"), 1, pfxLen).as("pfx"))
+    val ok = p.groupBy(col("blk")).agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= maxBlock).select(col("blk"))
+    val pc = p.join(ok, Seq("blk"), "left_semi")
+    pc.as("a").join(pc.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.pfx"), col("b.pfx")).as("lev"))
+      .filter(col("lev") <= maxDist)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_edit_distance_pairs" -> ((s, dir) => {
+      editDistancePairs(table(s, dir, "documents"))
+        .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q97_incremental_dedup" -> ((s, dir) => {
       // Incremental (snapshot) dedup: a small re-crawl batch against
       // the standing corpus. The 100 TB shape: the BATCH's hash set is
@@ -746,6 +780,19 @@ object Dedup {
        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q119_edit_distance_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id, substr(text, 1, 8) AS blk,
+        |    substr(text, 1, 60) AS pfx
+        |  FROM documents),
+        |ok AS (SELECT blk FROM p GROUP BY blk HAVING COUNT(*) <= 1000),
+        |pc AS (SELECT p.* FROM p JOIN ok USING (blk))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+        |FROM pc a JOIN pc b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 15
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q97_incremental_dedup" ->
       s"""WITH nb AS (
          |  SELECT doc_id, md5(text) AS text_hash FROM ($recrawlSql)),

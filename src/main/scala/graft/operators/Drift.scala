@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.eventsTable
+
+/** Distribution-drift monitoring between two corpus/stream snapshots
+  * (SURVEY.md §2.C54) — the Population Stability Index, the standard
+  * "did my data change under me" score a training pipeline runs
+  * between crawl snapshots, before/after a filter change, or across
+  * time windows of an event stream.
+  *
+  * PSI(A,B) = Σ_bins (p_A − p_B) · ln(p_A / p_B), over a fixed
+  * binning, with additive smoothing (+0.5 per bin) so empty bins are
+  * defined. Rule-of-thumb reading: < 0.1 stable, 0.1–0.25 drifting,
+  * > 0.25 shifted.
+  *
+  * Scale shape: ONE scan of the events computes (group, bin, window)
+  * counts — a single uniform-key groupBy whose output is
+  * groups × bins rows, KB-sized at any corpus scale; the per-group
+  * totals and the PSI fold then run on that tiny frame (broadcast
+  * joins). Nothing about the input size reaches the driver.
+  */
+object Drift {
+
+  /** Per-group PSI between the `isA` and `!isA` halves of `df`.
+    * `bin` must be a non-negative integer column bounded by `nBins`
+    * (callers clamp); the bin spine is completed per group so a bin
+    * populated in only one window still contributes. Returns
+    * (group, n_a, n_b, psi) with psi rounded to 6 (ln is genuinely
+    * FP). */
+  def psi(df: DataFrame, group: Column, bin: Column, isA: Column,
+      nBins: Int): DataFrame = {
+    val spark = df.sparkSession
+    val binned = df.select(group.as("g"), bin.as("bin"),
+      when(isA, lit("a")).otherwise(lit("b")).as("win"))
+    val cnt = binned.groupBy(col("g"), col("bin"))
+      .agg(sum(when(col("win") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("win") === "b", 1L).otherwise(0L)).as("cb"))
+    // complete the (group × bin) spine: both sides are tiny (distinct
+    // groups; nBins rows) — broadcast, no real shuffle
+    val spine = binned.select(col("g")).distinct()
+      .crossJoin(broadcast(
+        spark.range(nBins.toLong).select(col("id").as("bin"))))
+    val filled = spine.join(cnt, Seq("g", "bin"), "left")
+      .select(col("g"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = filled.groupBy(col("g"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val sm = lit(0.5 * nBins)
+    val pa = (col("ca") + lit(0.5)) / (col("ta") + sm)
+    val pb = (col("cb") + lit(0.5)) / (col("tb") + sm)
+    filled.join(broadcast(tot), Seq("g"))
+      .groupBy(col("g"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        round(sum((pa - pb) * log(pa / pb)), 6).as("psi"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_drift_psi" -> ((s, dir) => {
+      // Drift between the first and second half-month of the event
+      // stream: per event_type, PSI over 10 fixed-width value bins
+      // (floor(value/50) clamped to 9 — floor on BOTH engines; a bare
+      // double→int cast rounds in DuckDB and truncates in Spark).
+      val ev = eventsTable(s, dir)
+      psi(ev,
+        group = col("event_type"),
+        bin = least(floor(col("value") / lit(50.0)).cast("long"), lit(9L)),
+        isA = col("ts") < expr("timestamp'2024-01-16 00:00:00'"),
+        nBins = 10)
+        .select(col("g").as("event_type"), col("n_a"), col("n_b"),
+          col("psi"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q116_drift_psi" ->
+      """WITH binned AS (
+        |  SELECT event_type,
+        |    LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS win
+        |  FROM events),
+        |spine AS (
+        |  SELECT DISTINCT event_type, r.range AS bin
+        |  FROM binned CROSS JOIN range(10) r),
+        |cnt AS (
+        |  SELECT event_type, bin,
+        |    COUNT(*) FILTER (WHERE win = 'a') AS ca,
+        |    COUNT(*) FILTER (WHERE win = 'b') AS cb
+        |  FROM binned GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT s.event_type, s.bin,
+        |    COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+        |  FROM spine s LEFT JOIN cnt c
+        |    ON s.event_type = c.event_type AND s.bin = c.bin),
+        |tot AS (
+        |  SELECT event_type, SUM(ca) AS ta, SUM(cb) AS tb
+        |  FROM filled GROUP BY 1)
+        |SELECT f.event_type,
+        |  CAST(SUM(f.ca) AS BIGINT) AS n_a, CAST(SUM(f.cb) AS BIGINT) AS n_b,
+        |  ROUND(SUM(
+        |    ((f.ca + 0.5) / (t.ta + 5.0) - (f.cb + 0.5) / (t.tb + 5.0)) *
+        |    LN(((f.ca + 0.5) / (t.ta + 5.0)) / ((f.cb + 0.5) / (t.tb + 5.0)))
+        |  ), 6) AS psi
+        |FROM filled f JOIN tot t ON f.event_type = t.event_type
+        |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin
+  )
+}

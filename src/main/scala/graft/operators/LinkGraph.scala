@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Link-graph quality scoring (SURVEY.md §2.C56) — PageRank over a
+  * document link graph, the classic crawl-corpus quality prior (a
+  * page linked by many well-linked pages is a better training
+  * document than an orphan; CommonCrawl-scale pipelines rank hosts
+  * this way before sampling).
+  *
+  * FIXED-POINT INTEGER iteration, on purpose: ranks are bigints in
+  * nano-units (initial mass 1e9 per node) and each round computes
+  * r'(v) = 0.15·1e9 + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+  * in pure integer arithmetic. Integer sums are order-independent, so
+  * the result is BIT-IDENTICAL across engines, partitionings and
+  * retries — no FP accumulation-order drift, which matters both for
+  * the oracle gate and for reproducible pipeline reruns. The div
+  * floor loses < outdeg nano-units per edge per round — noise at
+  * rank scale 1e9.
+  *
+  * Scale shape per iteration: links ⋈ outdeg (co-partitioned on src)
+  * then one groupBy(tgt) — two uniform-key shuffles over the edge
+  * list, the canonical Pregel step. Ranks live with the nodes; no
+  * driver-side state. Dangling mass (nodes with no outlinks) is
+  * dropped, the standard simplification.
+  */
+object LinkGraph {
+
+  /** `iters` rounds of fixed-point PageRank over `links`
+    * (src, tgt bigint pairs, pre-deduped) for every node in `nodes`
+    * (node bigint). Returns (node, rank_fp) with rank_fp in
+    * nano-units (teleport floor 0.15e9). */
+  def pagerank(nodes: DataFrame, links: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val n = nodes.select(col("node"))
+    val outd = links.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val edges = links.join(outd, "src")
+    var ranks = n.select(col("node"), lit(1000000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("tgt"), expr("r div od").as("c"))
+        .groupBy(col("tgt")).agg(sum(col("c")).as("m"))
+      ranks = n.join(contrib.withColumnRenamed("tgt", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000000L) +
+            expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  /** The deterministic synthetic link graph over `documents`: each doc
+    * links to 3 md5-derived targets mod N (self-links dropped,
+    * duplicate targets collapsed) — the test stand-in for a real
+    * hyperlink extraction. */
+  def documentLinks(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = table(s, dir, "documents")
+    val nodes = docs.select(col("doc_id").as("node"))
+    // one-row broadcast N, the q83 pattern (no driver-side count)
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val h = (i: Int) =>
+      conv(substring(md5(col("text")), i * 8 + 1, 8), 16, 10).cast("long")
+    val links = docs
+      .select(col("doc_id"), explode(array(h(0), h(1), h(2))).as("hv"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"), (col("hv") % col("nn")).as("tgt"))
+      .filter(col("src") =!= col("tgt"))
+      .distinct()
+    (nodes, links)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_pagerank" -> ((s, dir) => {
+      val (nodes, links) = documentLinks(s, dir)
+      pagerank(nodes, links, iters = 3)
+        .select(col("node").as("doc_id"), col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("doc_id"))
+        .limit(100)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q118_pagerank" ->
+      """WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+        |raw AS (
+        |  SELECT doc_id,
+        |    UNNEST([('0x'||substr(md5(text),1,8))::BIGINT,
+        |            ('0x'||substr(md5(text),9,8))::BIGINT,
+        |            ('0x'||substr(md5(text),17,8))::BIGINT]) AS h
+        |  FROM documents),
+        |links AS (
+        |  SELECT DISTINCT r.doc_id AS src, r.h % n.nn AS tgt
+        |  FROM raw r CROSS JOIN n WHERE r.doc_id <> r.h % n.nn),
+        |outd AS (SELECT src, COUNT(*) AS od FROM links GROUP BY 1),
+        |r1 AS (
+        |  SELECT d.doc_id,
+        |    150000000 + (85 * COALESCE(SUM(1000000000 // o.od), 0)) // 100 AS r
+        |  FROM documents d
+        |  LEFT JOIN links l ON l.tgt = d.doc_id
+        |  LEFT JOIN outd o ON o.src = l.src
+        |  GROUP BY d.doc_id),
+        |r2 AS (
+        |  SELECT d.doc_id,
+        |    150000000 + (85 * COALESCE(SUM(pr.r // o.od), 0)) // 100 AS r
+        |  FROM documents d
+        |  LEFT JOIN links l ON l.tgt = d.doc_id
+        |  LEFT JOIN outd o ON o.src = l.src
+        |  LEFT JOIN r1 pr ON pr.doc_id = l.src
+        |  GROUP BY d.doc_id),
+        |r3 AS (
+        |  SELECT d.doc_id,
+        |    150000000 + (85 * COALESCE(SUM(pr.r // o.od), 0)) // 100 AS r
+        |  FROM documents d
+        |  LEFT JOIN links l ON l.tgt = d.doc_id
+        |  LEFT JOIN outd o ON o.src = l.src
+        |  LEFT JOIN r2 pr ON pr.doc_id = l.src
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, CAST(r AS BIGINT) AS rank_fp FROM r3
+        |ORDER BY rank_fp DESC, doc_id LIMIT 100""".stripMargin
+  )
+}

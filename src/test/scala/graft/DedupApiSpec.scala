@@ -119,6 +119,27 @@ class DedupApiSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistancePairs: blocked typo-class pairs found, oversized blocks culled") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "PREFIX00 the quick brown fox jumps over the lazy dog today"),
+      (2L, "PREFIX00 the quick brown fox jumps over the lazy cat today"), // 3 edits from 1
+      (3L, "PREFIX00 something else entirely different in every word!!"), // same block, far
+      (4L, "OTHERBLK the quick brown fox jumps over the lazy dog today")  // near doc 1, other block
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, blockLen = 8, pfxLen = 60,
+      maxDist = 15, maxBlock = 1000)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("lev"))).toSet
+    // only the in-block typo pair survives: 3 is beyond maxDist, 4 is
+    // blocked apart (the documented recall trade of prefix blocking)
+    assert(pairs == Set((1L, 2L, 3)))
+    // a block over maxBlock is dropped whole — boilerplate can't go quadratic
+    val boiler = (0L until 10L).map(i => (i, s"SAMEPREF doc $i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(boiler, maxBlock = 5).count() == 0L)
+  }
+
   test("reliable round checkpoints rotate: old rounds are deleted, not accumulated") {
     import spark.implicits._
     // a 30-node chain forces many min-label rounds — without rotation

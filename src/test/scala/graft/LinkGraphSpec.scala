@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LinkGraph
+
+/** Fixed-point PageRank: hand-computed values on a star graph, the
+  * teleport floor, and bit-stable results under repartitioning
+  * (integer arithmetic has no accumulation-order drift).
+  */
+class LinkGraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ranks(iters: Int, parts: Int = 4): Map[Long, Long] = {
+    val nodes = (1L to 4L).toDF("node").repartition(parts)
+    val links = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "tgt")
+      .repartition(parts)
+    LinkGraph.pagerank(nodes, links, iters).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_fp")).toMap
+  }
+
+  test("star graph matches hand-computed fixed-point values") {
+    // hub 1 receives all three spokes; spokes have no inlinks.
+    // iter1: r(1) = 0.15e9 + (85 * 3*(1e9 div 1)) div 100 = 2_700_000_000
+    //        r(spoke) = 150_000_000 (teleport floor)
+    val r1 = ranks(iters = 1)
+    assert(r1(1L) == 2700000000L, s"hub after 1 iter: ${r1(1L)}")
+    assert(Seq(2L, 3L, 4L).forall(r1(_) == 150000000L))
+    // iter2: spokes now carry 0.15e9 each →
+    // r(1) = 0.15e9 + (85 * 3*0.15e9) div 100 = 532_500_000
+    val r2 = ranks(iters = 2)
+    assert(r2(1L) == 532500000L, s"hub after 2 iters: ${r2(1L)}")
+    assert(Seq(2L, 3L, 4L).forall(r2(_) == 150000000L))
+  }
+
+  test("integer iteration is bit-stable across partition layouts") {
+    assert(ranks(3, parts = 1) == ranks(3, parts = 7))
+  }
+
+  test("q118 graph: every doc ranked, floor respected, hubs exist") {
+    val (nodes, links) = LinkGraph.documentLinks(spark, sf)
+    val pr = LinkGraph.pagerank(nodes, links, iters = 3)
+    val n = nodes.count()
+    assert(pr.count() == n)
+    val stats = pr.agg(min(col("rank_fp")), max(col("rank_fp"))).collect().head
+    assert(stats.getLong(0) >= 150000000L, "teleport floor violated")
+    assert(stats.getLong(1) > 1000000000L, "no doc accumulated rank")
+  }
+}
