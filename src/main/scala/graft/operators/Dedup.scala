@@ -489,7 +489,134 @@ object Dedup {
       .filter(col("lev") <= maxDist)
   }
 
+  // --- Content-defined window family (SURVEY.md §2.C58/C59) ----------
+  // Fixed-STRIDE substring windows (the naive exact-substring-dedup
+  // cut) miss every duplicate whose copy is shifted by ≠0 mod stride —
+  // an embedded quote realigns nothing. Content-DEFINED anchors fix
+  // that: a window starts wherever the local `gram`-char context hashes
+  // into the anchor class (here: md5 hex nibble '0', density 1/16), so
+  // a copied span reproduces the SAME interior anchors no matter what
+  // surrounds it — the CDC idea (Muthitacharoen et al., LBFS) applied
+  // to corpus dedup, and the alignment-robust stand-in for the
+  // suffix-array pass of Lee et al. 2022's exact substring dedup.
+
+  /** Distinct content-defined `win`-char window hashes per doc: one row
+    * (doc_id, wh) per anchored window. Anchors are per-position md5
+    * probes for oracle parity; a production corpus swaps in a rolling
+    * 64-bit hash (one mul/add per char) — the plan shape (scan-side
+    * fold, one explode, DISTINCT on a uniform 128-bit key) is the
+    * same. Docs shorter than `win` yield no rows. */
+  def anchoredWindows(docs: DataFrame, win: Int = 50,
+      gram: Int = 8): DataFrame =
+    docs.filter(length(col("text")) >= win)
+      .select(col("doc_id"), explode(expr(
+        s"""filter(transform(sequence(1, length(text) - ${win - 1}),
+           |  i -> if(substring(md5(substring(text, i, $gram)), 1, 1) = '0',
+           |          md5(substring(text, i, $win)), null)),
+           |  x -> x is not null)""".stripMargin)).as("wh"))
+      .distinct()
+
+  /** Per-doc duplicated-span mask stats (q120): of a doc's anchored
+    * windows, how many occur in at least one OTHER doc (or twice in
+    * this corpus — `aw` is per-doc distinct, so the window count IS
+    * the doc count). The per-doc dup fraction is the removal signal
+    * exact substring dedup acts on. Scale shape: window stream is
+    * ~len/16 rows per doc; one uniform-key groupBy finds dup windows,
+    * one left-semi prunes the stream back to them, one per-doc count —
+    * never a pair join, never all-pairs. */
+  def dupSpanMask(corpus: DataFrame, win: Int = 50,
+      gram: Int = 8): DataFrame = {
+    val aw = anchoredWindows(corpus, win, gram)
+    val dup = aw.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("wh"))
+    val perDoc = aw.join(dup, Seq("wh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val counts = aw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_aw"))
+    corpus.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_aw"), lit(0L)).as("n_aw"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", when(col("n_aw") > 0,
+        round(col("n_dup").cast("double") / col("n_aw"), 6)))
+  }
+
+  /** Containment pairs (q121): pairs of docs sharing anchored windows,
+    * scored by |A∩B| / min(|A|,|B|) over the window sets — the
+    * ASYMMETRIC overlap Jaccard misses: a short doc quoted whole
+    * inside a long one has tiny Jaccard but containment ≈ 1. Blocking
+    * is the shared-window inverted index itself; windows in more than
+    * `maxDocFreq` docs are dropped whole (the q112 stop-print cull —
+    * boilerplate spans would otherwise pair everything with
+    * everything), so every join bucket is ≤ maxDocFreq and the pair
+    * volume is bounded by Σ_window df² over rare windows only.
+    * Containment is computed over the culled-window universe,
+    * consistently for numerator and denominators. */
+  def containmentPairs(corpus: DataFrame, win: Int = 50, gram: Int = 8,
+      maxDocFreq: Int = 50, minContain: Double = 0.5): DataFrame = {
+    val aw = anchoredWindows(corpus, win, gram)
+    val keep = aw.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= maxDocFreq).select(col("wh"))
+    val awk = aw.join(keep, Seq("wh"), "left_semi")
+    val sz = awk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    awk.as("a").join(awk.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("containment", round(col("n_shared").cast("double")
+        / least(col("n_a"), col("n_b")), 6))
+      .filter(col("containment") >= minContain)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("containment"))
+  }
+
+  /** The q120/q121 test corpus: the base table plus exact re-posts
+    * (every 10th doc verbatim) and embedded quotes (every 7th doc
+    * wrapped in boilerplate — the ALIGNMENT-SHIFTED case stride
+    * windows cannot catch). Mirrored in the oracle. */
+  private def cdcCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("QUOTED PASSAGE FOLLOWS "), col("text"),
+            lit(" END OF QUOTED PASSAGE COMMENTARY TRAILS HERE."))
+            .as("text")))
+  }
+  private val cdcCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL
+      |SELECT doc_id + 400000,
+      |  'QUOTED PASSAGE FOLLOWS ' || text ||
+      |  ' END OF QUOTED PASSAGE COMMENTARY TRAILS HERE.'
+      |FROM documents WHERE doc_id % 7 = 3""".stripMargin
+  private val awSql =
+    """SELECT DISTINCT doc_id, md5(substr(text, i, 50)) AS wh
+      |FROM corpus, UNNEST(generate_series(1, length(text) - 49)) AS u(i)
+      |WHERE length(text) >= 50
+      |  AND substr(md5(substr(text, i, 8)), 1, 1) = '0'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_dup_span_mask" -> ((s, dir) => {
+      dupSpanMask(cdcCorpus(s, dir))
+        .select(col("doc_id"), col("n_aw"), col("n_dup"), col("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q121_containment" -> ((s, dir) => {
+      containmentPairs(cdcCorpus(s, dir))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("n_shared"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q119_edit_distance_pairs" -> ((s, dir) => {
       editDistancePairs(table(s, dir, "documents"))
         .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"))
@@ -780,6 +907,43 @@ object Dedup {
        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q120_dup_span_mask" ->
+      s"""WITH corpus AS ($cdcCorpusSql),
+         |aw AS ($awSql),
+         |dup AS (SELECT wh FROM aw GROUP BY wh HAVING COUNT(*) >= 2),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_dup
+         |       FROM aw JOIN dup USING (wh) GROUP BY doc_id),
+         |cnts AS (SELECT doc_id, COUNT(*) AS n_aw FROM aw GROUP BY doc_id)
+         |SELECT c.doc_id,
+         |  CAST(COALESCE(n.n_aw, 0) AS BIGINT) AS n_aw,
+         |  CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+         |  CASE WHEN COALESCE(n.n_aw, 0) > 0
+         |    THEN ROUND(COALESCE(p.n_dup, 0) * 1.0 / n.n_aw, 6) END AS dup_frac
+         |FROM corpus c
+         |LEFT JOIN cnts n USING (doc_id)
+         |LEFT JOIN pd p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q121_containment" ->
+      s"""WITH corpus AS ($cdcCorpusSql),
+         |aw AS ($awSql),
+         |keep AS (SELECT wh FROM aw GROUP BY wh HAVING COUNT(*) <= 50),
+         |awk AS (SELECT aw.* FROM aw JOIN keep USING (wh)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM awk GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM awk a JOIN awk b ON a.wh = b.wh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT s.doc_a, s.doc_b,
+         |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+         |  CAST(s.n_shared AS BIGINT) AS n_shared,
+         |  ROUND(s.n_shared * 1.0 / LEAST(za.n, zb.n), 6) AS containment
+         |FROM shared s
+         |JOIN sz za ON za.doc_id = s.doc_a
+         |JOIN sz zb ON zb.doc_id = s.doc_b
+         |WHERE ROUND(s.n_shared * 1.0 / LEAST(za.n, zb.n), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q119_edit_distance_pairs" ->
       """WITH p AS (
         |  SELECT doc_id, substr(text, 1, 8) AS blk,

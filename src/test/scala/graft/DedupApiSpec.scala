@@ -140,6 +140,68 @@ class DedupApiSpec extends AnyFunSuite {
     assert(Dedup.editDistancePairs(boiler, maxBlock = 5).count() == 0L)
   }
 
+  test("anchoredWindows: content-defined anchors survive an alignment shift") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles carry mysterious packages across the wide frozen river"
+    val docs = Seq(
+      (1L, body),
+      (2L, "UNALIGNED-PREFIX-OF-ODD-LENGTH@@@ " + body + " AND A TRAILER")
+    ).toDF("doc_id", "text")
+    val aw = Dedup.anchoredWindows(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shared = aw.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(aw.filter(_._1 == 2L).map(_._2).toSet)
+    // a fixed-stride window scheme shares NOTHING here (the 34-char
+    // prefix realigns every stride); content-defined anchors share the
+    // interior windows of the copied span
+    assert(shared.nonEmpty,
+      "shifted copy must share anchored windows with the original")
+  }
+
+  test("dupSpanMask: copies flagged, uniques clean, short docs null-frac") {
+    import spark.implicits._
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val other = "совершенно другой текст without any overlap at all here " +
+      "nothing shared between these two documents in any fifty char span " +
+      "qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff ggg hhh"
+    val docs = Seq((1L, body), (2L, body), (3L, other), (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val m = Dedup.dupSpanMask(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(m(1L)._1 > 0 && m(1L)._2 == m(1L)._1 && m(1L)._3.contains(1.0),
+      s"exact copy must be fully dup-masked: ${m(1L)}")
+    assert(m(3L)._2 == 0L && m(3L)._3.contains(0.0),
+      s"unique doc must have zero dup windows: ${m(3L)}")
+    assert(m(4L) == ((0L, 0L, None)),
+      s"sub-window doc: no windows, null frac: ${m(4L)}")
+  }
+
+  test("containmentPairs: embedded quote scores ~1, boilerplate culled") {
+    import spark.implicits._
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, body),
+      (2L, "LONG INTRODUCTION WITH ENTIRELY ITS OWN CONTENT >> " + body +
+        " << FOLLOWED BY A LONG TRAILING DISCUSSION SECTION")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L,
+      s"quote pair expected: ${got.toSeq}")
+    assert(got.head._3 >= 0.8,
+      s"embedded quote must score high containment: ${got.head._3}")
+    // boilerplate cull: the same span in > maxDocFreq docs pairs NOTHING
+    val boiler = (0L until 12L).map(i => (i, s"distinct head number $i >> " + body))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(boiler, maxDocFreq = 10).count() == 0L)
+  }
+
   test("reliable round checkpoints rotate: old rounds are deleted, not accumulated") {
     import spark.implicits._
     // a 30-node chain forces many min-label rounds — without rotation
