@@ -32,31 +32,64 @@ object Drift {
     * FP). */
   def psi(df: DataFrame, group: Column, bin: Column, isA: Column,
       nBins: Int): DataFrame = {
-    val spark = df.sparkSession
     val binned = df.select(group.as("g"), bin.as("bin"),
       when(isA, lit("a")).otherwise(lit("b")).as("win"))
     val cnt = binned.groupBy(col("g"), col("bin"))
       .agg(sum(when(col("win") === "a", 1L).otherwise(0L)).as("ca"),
         sum(when(col("win") === "b", 1L).otherwise(0L)).as("cb"))
-    // complete the (group × bin) spine: both sides are tiny (distinct
-    // groups; nBins rows) — broadcast, no real shuffle
-    val spine = binned.select(col("g")).distinct()
-      .crossJoin(broadcast(
-        spark.range(nBins.toLong).select(col("id").as("bin"))))
+    psiFromCounts(cnt, nBins)
+  }
+
+  /** PSI fold over an already-aggregated (g, bin, ca, cb) count frame —
+    * the shared tail of [[psi]], public so a STREAMING histogram (see
+    * [[windowedHistogram]]) can be scored with byte-identical
+    * arithmetic: accumulate windowed counts live, pivot two windows
+    * into (ca, cb), fold here. The frame is groups × populated-bins
+    * rows — KB-sized — so everything below is broadcast work. */
+  def psiFromCounts(cnt: DataFrame, nBins: Int): DataFrame = {
+    val spark = cnt.sparkSession
+    // complete the (group × bin) spine, carrying the per-group totals
+    // through it: ONE aggregate over cnt cross-joined with the nBins
+    // range (both tiny — broadcast, no real shuffle), then one left
+    // join back. cnt is referenced exactly twice (Aggregate + leaf),
+    // the self-join shape Catalyst's relation dedup handles for any
+    // source — including a streaming memory sink.
+    val tot = cnt.groupBy(col("g"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val spine = tot.crossJoin(broadcast(
+      spark.range(nBins.toLong).select(col("id").as("bin"))))
     val filled = spine.join(cnt, Seq("g", "bin"), "left")
-      .select(col("g"), col("bin"),
+      .select(col("g"), col("bin"), col("ta"), col("tb"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val tot = filled.groupBy(col("g"))
-      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
     val sm = lit(0.5 * nBins)
     val pa = (col("ca") + lit(0.5)) / (col("ta") + sm)
     val pb = (col("cb") + lit(0.5)) / (col("tb") + sm)
-    filled.join(broadcast(tot), Seq("g"))
-      .groupBy(col("g"))
+    filled.groupBy(col("g"))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
         round(sum((pa - pb) * log(pa / pb)), 6).as("psi"))
   }
+
+  /** The live face: per-(event-time window, group, bin) counts of a
+    * stream, append-emitted when the watermark closes each window.
+    * State is one count per (window, group, bin) — bounded by the
+    * watermark horizon × groups × bins, independent of stream volume.
+    * Score drift by pivoting two emitted windows (or a window against
+    * a broadcast baseline histogram) into (ca, cb) and folding with
+    * [[psiFromCounts]] — same arithmetic as batch [[psi]],
+    * spec-proved identical. (One test-only caveat: the fold references
+    * its input twice, and Spark's MEMORY-sink relation is the one
+    * source that can't be self-joined — snapshot such a frame first;
+    * parquet/topic sinks need nothing.) */
+  def windowedHistogram(stream: DataFrame, group: Column, bin: Column,
+      tsCol: String = "ts", windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"),
+        group.as("g"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("g"), col("bin"), col("n"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_drift_psi" -> ((s, dir) => {

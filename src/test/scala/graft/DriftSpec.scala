@@ -43,4 +43,52 @@ class DriftSpec extends AnyFunSuite {
     val psi = r.getAs[Double]("psi")
     assert(!psi.isNaN && !psi.isInfinite && psi > 0.0)
   }
+
+  test("streaming windowed histogram scores byte-identical PSI to batch") {
+    import graft.log.TopicLog
+    import graft.streaming.TopicStream
+    // two hour-windows with shifted bin distributions, published to a
+    // live topic; the APPEND-mode histogram accumulates (window, g,
+    // bin) counts, then the SAME psiFromCounts fold scores the two
+    // emitted windows — must equal batch psi() on the identical rows.
+    val dir = java.nio.file.Files.createTempDirectory("drift-stream").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    val t0 = 1700000000000L / 3600000L * 3600000L
+    val winA = (0 until 40).map(i =>
+      ("evt", s"k$i", (i % 2).toString, new java.sql.Timestamp(t0 + i * 1000L)))
+    val winB = (0 until 60).map(i =>
+      ("evt", s"k$i", (3 + i % 2).toString, new java.sql.Timestamp(t0 + 3600000L + i * 1000L)))
+    topic.publish((winA ++ winB).toDF("event", "key", "message", "ts"))
+    val hist = Drift.windowedHistogram(
+      TopicStream.subscribe(topic, fromNow = false),
+      group = col("event"), bin = expr("cast(message as long)"),
+      tsCol = "ts", windowLen = "1 hour", watermark = "2 hours")
+    val q = hist.writeStream.format("memory").queryName("drift_hist")
+      .outputMode("complete").start()
+    // snapshot the sink table: psiFromCounts references its input twice
+    // (totals + fill), and the memory-sink relation is the one source
+    // that cannot be self-joined (no MultiInstanceRelation) — real
+    // sinks (parquet, topics) need no snapshot
+    val streamed = try {
+      q.processAllAvailable()
+      graft.GraftSession.ckpt(spark.sql("SELECT * FROM drift_hist"))
+    } finally q.stop()
+    val cnt = streamed.groupBy(col("g"), col("bin"))
+      .agg(sum(when(col("win_start") === new java.sql.Timestamp(t0), col("n"))
+        .otherwise(0L)).as("ca"),
+        sum(when(col("win_start") === new java.sql.Timestamp(t0 + 3600000L), col("n"))
+          .otherwise(0L)).as("cb"))
+    val fromStream = Drift.psiFromCounts(cnt, nBins = 5).collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("psi")))).toMap
+    val batchRows = (winA ++ winB)
+      .map { case (g, _, bin, ts) => (g, bin.toLong, ts.getTime < t0 + 3600000L) }
+      .toDF("g0", "bin0", "wa")
+    val fromBatch = Drift.psi(batchRows, col("g0"), col("bin0"), col("wa"), nBins = 5)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("psi")))).toMap
+    assert(fromStream == fromBatch,
+      s"stream $fromStream != batch $fromBatch")
+    assert(fromStream("evt")._3 > 0.25, "disjoint bins must read as shifted")
+  }
 }
