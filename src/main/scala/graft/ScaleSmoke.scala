@@ -236,6 +236,61 @@ object ScaleSmoke {
         s"KMV overlap $pair: est $est vs exact $exact")
     }
 
+    // PageRank phase: 3 fixed-point rounds over a 10M-edge hash graph
+    // on 2M nodes — two uniform-key shuffles per round over the edge
+    // list; ranks are bigint nano-units so the result is bit-stable
+    // regardless of partitioning (spec-proved; here we time the rounds
+    // and check mass: every node holds at least the teleport floor and
+    // the total stays below the initial mass — dangling mass is
+    // dropped, never created).
+    val prNodes = spark.range(2000000L).select(col("id").as("node"))
+      .localCheckpoint()
+    val prLinks = spark.range(10000000L).select(
+        (col("id") % 2000000L).as("src"),
+        ((col("id") * 2654435761L + 1234567L) % 2000000L).as("tgt"))
+      .filter(col("src") =!= col("tgt"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val pr = graft.operators.LinkGraph.pagerank(prNodes, prLinks, iters = 3)
+      .agg(count(lit(1)).as("n"), min(col("rank_fp")).as("lo"),
+        sum(col("rank_fp")).as("mass"))
+      .collect().head
+    val prSec = (System.nanoTime() - t0) / 1e9
+    require(pr.getLong(0) == 2000000L && pr.getLong(1) >= 150000000L &&
+      pr.getLong(2) <= 2000000L * 1000000000L,
+      s"pagerank invariants violated: $pr")
+
+    // CDC dup-span phase: 600k docs (~260 chars) of which 50k are
+    // verbatim re-posts and 50k are boilerplate-wrapped (alignment-
+    // shifted) quotes — the mask must catch BOTH classes plus their
+    // originals via content-defined anchors, with the window stream
+    // (~len/16 per doc) never pair-joining.
+    val cdcBase = spark.range(500000L).select(col("id"),
+      concat_ws(" ", md5(col("id").cast("string")),
+        md5((col("id") + 1000000L).cast("string")),
+        md5((col("id") + 2000000L).cast("string")),
+        md5((col("id") + 3000000L).cast("string")),
+        md5((col("id") + 4000000L).cast("string")),
+        md5((col("id") + 5000000L).cast("string")),
+        md5((col("id") + 6000000L).cast("string")),
+        md5((col("id") + 7000000L).cast("string"))).as("text"))
+    val cdcCorpus = cdcBase.select(col("id").as("doc_id"), col("text"))
+      .unionByName(cdcBase.filter(col("id") < 50000L)
+        .select((col("id") + 600000L).as("doc_id"), col("text")))
+      .unionByName(cdcBase.filter(col("id") >= 50000L && col("id") < 100000L)
+        .select((col("id") + 700000L).as("doc_id"),
+          concat(lit("SHIFTY PREFIX OF ODD LEN @@@ "), col("text"),
+            lit(" TRAILING COMMENTARY")).as("text")))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val cdcFlagged = graft.operators.Dedup.dupSpanMask(cdcCorpus)
+      .filter(col("dup_frac") >= 0.5).count()
+    val cdcSec = (System.nanoTime() - t0) / 1e9
+    // 50k copies + 50k quotes + their 100k originals, minus anchor-
+    // sampling slack on the quote boundaries
+    require(cdcFlagged >= 150000L && cdcFlagged <= 210000L,
+      s"dup-span mask flagged $cdcFlagged docs, expected ~200k")
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -259,6 +314,8 @@ object ScaleSmoke {
       f""""skew_salted_hot_share":$skewSaltShare%.3f,""" +
       f""""hh_sketch_sec":$hhSketchSec%.2f,"hh_exact_sec":$hhExactSec%.2f,""" +
       f""""kmv_sketch_sec":$kmvSec%.2f,"kmv_exact_sec":$kmvExactSec%.2f,""" +
+      f""""pagerank_sec":$prSec%.2f,""" +
+      f""""cdc_mask_sec":$cdcSec%.2f,"cdc_flagged":$cdcFlagged,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }

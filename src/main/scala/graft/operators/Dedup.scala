@@ -501,19 +501,26 @@ object Dedup {
   // suffix-array pass of Lee et al. 2022's exact substring dedup.
 
   /** Distinct content-defined `win`-char window hashes per doc: one row
-    * (doc_id, wh) per anchored window. Anchors are per-position md5
-    * probes for oracle parity; a production corpus swaps in a rolling
-    * 64-bit hash (one mul/add per char) — the plan shape (scan-side
-    * fold, one explode, DISTINCT on a uniform 128-bit key) is the
-    * same. Docs shorter than `win` yield no rows. */
+    * (doc_id, h1, h2) per anchored window — the two independent 32-bit
+    * md5 halves, same fixed-width-key convention (and same honest
+    * 64-collision-bit budget) as [[shingleHashes]]: the distinct and
+    * every downstream join shuffle 16 bytes per window instead of a
+    * hash string, which is the dominant memory/shuffle cost at corpus
+    * scale. Anchors are per-position md5 probes for oracle parity; a
+    * production corpus swaps in a rolling 64-bit hash (one mul/add per
+    * char) — the plan shape (scan-side fold, one explode, DISTINCT on
+    * a uniform key) is the same. Docs shorter than `win` yield no
+    * rows. */
   def anchoredWindows(docs: DataFrame, win: Int = 50,
       gram: Int = 8): DataFrame =
     docs.filter(length(col("text")) >= win)
       .select(col("doc_id"), explode(expr(
         s"""filter(transform(sequence(1, length(text) - ${win - 1}),
            |  i -> if(substring(md5(substring(text, i, $gram)), 1, 1) = '0',
-           |          md5(substring(text, i, $win)), null)),
-           |  x -> x is not null)""".stripMargin)).as("wh"))
+           |          substring(text, i, $win), null)),
+           |  x -> x is not null)""".stripMargin)).as("w"))
+      .select(col("doc_id"), baseHash(col("w")).as("h1"),
+        baseHashHi(col("w")).as("h2"))
       .distinct()
 
   /** Per-doc duplicated-span mask stats (q120): of a doc's anchored
@@ -527,9 +534,9 @@ object Dedup {
   def dupSpanMask(corpus: DataFrame, win: Int = 50,
       gram: Int = 8): DataFrame = {
     val aw = anchoredWindows(corpus, win, gram)
-    val dup = aw.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("wh"))
-    val perDoc = aw.join(dup, Seq("wh"), "left_semi")
+    val dup = aw.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h1"), col("h2"))
+    val perDoc = aw.join(dup, Seq("h1", "h2"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
     val counts = aw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_aw"))
     corpus.select(col("doc_id"))
@@ -556,12 +563,13 @@ object Dedup {
   def containmentPairs(corpus: DataFrame, win: Int = 50, gram: Int = 8,
       maxDocFreq: Int = 50, minContain: Double = 0.5): DataFrame = {
     val aw = anchoredWindows(corpus, win, gram)
-    val keep = aw.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") <= maxDocFreq).select(col("wh"))
-    val awk = aw.join(keep, Seq("wh"), "left_semi")
+    val keep = aw.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= maxDocFreq).select(col("h1"), col("h2"))
+    val awk = aw.join(keep, Seq("h1", "h2"), "left_semi")
     val sz = awk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     awk.as("a").join(awk.as("b"),
-        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+          col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
@@ -598,7 +606,9 @@ object Dedup {
       |  ' END OF QUOTED PASSAGE COMMENTARY TRAILS HERE.'
       |FROM documents WHERE doc_id % 7 = 3""".stripMargin
   private val awSql =
-    """SELECT DISTINCT doc_id, md5(substr(text, i, 50)) AS wh
+    """SELECT DISTINCT doc_id,
+      |  ('0x'||substr(md5(substr(text, i, 50)), 1, 8))::BIGINT AS h1,
+      |  ('0x'||substr(md5(substr(text, i, 50)), 9, 8))::BIGINT AS h2
       |FROM corpus, UNNEST(generate_series(1, length(text) - 49)) AS u(i)
       |WHERE length(text) >= 50
       |  AND substr(md5(substr(text, i, 8)), 1, 1) = '0'""".stripMargin
@@ -910,9 +920,9 @@ object Dedup {
     "q120_dup_span_mask" ->
       s"""WITH corpus AS ($cdcCorpusSql),
          |aw AS ($awSql),
-         |dup AS (SELECT wh FROM aw GROUP BY wh HAVING COUNT(*) >= 2),
+         |dup AS (SELECT h1, h2 FROM aw GROUP BY h1, h2 HAVING COUNT(*) >= 2),
          |pd AS (SELECT doc_id, COUNT(*) AS n_dup
-         |       FROM aw JOIN dup USING (wh) GROUP BY doc_id),
+         |       FROM aw JOIN dup USING (h1, h2) GROUP BY doc_id),
          |cnts AS (SELECT doc_id, COUNT(*) AS n_aw FROM aw GROUP BY doc_id)
          |SELECT c.doc_id,
          |  CAST(COALESCE(n.n_aw, 0) AS BIGINT) AS n_aw,
@@ -927,12 +937,13 @@ object Dedup {
     "q121_containment" ->
       s"""WITH corpus AS ($cdcCorpusSql),
          |aw AS ($awSql),
-         |keep AS (SELECT wh FROM aw GROUP BY wh HAVING COUNT(*) <= 50),
-         |awk AS (SELECT aw.* FROM aw JOIN keep USING (wh)),
+         |keep AS (SELECT h1, h2 FROM aw GROUP BY h1, h2 HAVING COUNT(*) <= 50),
+         |awk AS (SELECT aw.* FROM aw JOIN keep USING (h1, h2)),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM awk GROUP BY doc_id),
          |shared AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-         |  FROM awk a JOIN awk b ON a.wh = b.wh AND a.doc_id < b.doc_id
+         |  FROM awk a JOIN awk b
+         |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT s.doc_a, s.doc_b,
          |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,

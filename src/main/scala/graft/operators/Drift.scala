@@ -91,7 +91,55 @@ object Drift {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("g"), col("bin"), col("n"))
 
+  /** PSI over EQUI-DEPTH bins: bin edges are the baseline (`isA`)
+    * window's own exact quantiles, so every bin carries ~equal
+    * baseline mass — the statistically standard PSI binning (fixed-
+    * width bins under/over-resolve the tails and can hide drift in a
+    * fat bin). Edges are rounded to 6 dp in BOTH engines before the
+    * comparison (the q43 parity convention for interpolated
+    * quantiles). Scale shape: the edge table is groups × (nBins−1)
+    * doubles — broadcast onto the second scan; the per-row bin is a
+    * counted linear probe of that tiny array, codegen'd scan-side;
+    * then the same KB-sized count fold as [[psi]]. Groups absent from
+    * the baseline window have no edges and drop out (inner join) —
+    * there is no baseline to drift FROM. Two scans total (one to
+    * aggregate edges, one to bin), the unavoidable minimum for
+    * data-dependent bins. */
+  def quantileBinPsi(df: DataFrame, group: Column, value: Column,
+      isA: Column, nBins: Int = 10): DataFrame = {
+    val tagged = df.select(group.as("g"), value.as("v"),
+      when(isA, lit("a")).otherwise(lit("b")).as("win"))
+    val qsList = (1 until nBins).map(i => i.toDouble / nBins).mkString(", ")
+    val edges = tagged.filter(col("win") === "a")
+      .groupBy(col("g"))
+      .agg(expr(s"transform(percentile(v, array($qsList)), e -> round(e, 6))")
+        .as("edges"))
+    val cnt = tagged.join(broadcast(edges), Seq("g"))
+      .withColumn("bin",
+        expr("aggregate(edges, 0, (acc, e) -> acc + if(v >= e, 1, 0))")
+          .cast("long"))
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(when(col("win") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("win") === "b", 1L).otherwise(0L)).as("cb"))
+    psiFromCounts(cnt, nBins)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_drift_quantile_psi" -> ((s, dir) => {
+      // The equi-depth twin of q116: deciles of the FIRST half-month's
+      // value distribution per event_type define the bins; PSI then
+      // reads the second half-month's deviation off ~0.1-mass bins.
+      val ev = eventsTable(s, dir)
+      quantileBinPsi(ev,
+        group = col("event_type"),
+        value = col("value"),
+        isA = col("ts") < expr("timestamp'2024-01-16 00:00:00'"),
+        nBins = 10)
+        .select(col("g").as("event_type"), col("n_a"), col("n_b"),
+          col("psi"))
+        .orderBy(col("event_type"))
+    }),
+
     "q116_drift_psi" -> ((s, dir) => {
       // Drift between the first and second half-month of the event
       // stream: per event_type, PSI over 10 fixed-width value bins
@@ -110,6 +158,41 @@ object Drift {
   )
 
   val oracle: Map[String, String] = Map(
+    "q122_drift_quantile_psi" ->
+      """WITH t AS (
+        |  SELECT event_type AS g, value AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS win
+        |  FROM events),
+        |e AS (
+        |  SELECT g, list_transform(
+        |    quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> round(x, 6)) AS edges
+        |  FROM t WHERE win = 'a' GROUP BY g),
+        |b AS (
+        |  SELECT t.g, t.win,
+        |    len(list_filter(e.edges, x -> t.v >= x)) AS bin
+        |  FROM t JOIN e USING (g)),
+        |cnt AS (
+        |  SELECT g, bin,
+        |    COUNT(*) FILTER (WHERE win = 'a') AS ca,
+        |    COUNT(*) FILTER (WHERE win = 'b') AS cb
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT g, SUM(ca) AS ta, SUM(cb) AS tb FROM cnt GROUP BY g),
+        |spine AS (
+        |  SELECT tot.g, tot.ta, tot.tb, r.range AS bin
+        |  FROM tot CROSS JOIN range(10) r),
+        |filled AS (
+        |  SELECT s.g, s.bin, s.ta, s.tb,
+        |    COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+        |  FROM spine s LEFT JOIN cnt c ON s.g = c.g AND s.bin = c.bin)
+        |SELECT g AS event_type,
+        |  CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |  ROUND(SUM(
+        |    ((ca + 0.5) / (ta + 5.0) - (cb + 0.5) / (tb + 5.0)) *
+        |    LN(((ca + 0.5) / (ta + 5.0)) / ((cb + 0.5) / (tb + 5.0)))
+        |  ), 6) AS psi
+        |FROM filled GROUP BY g ORDER BY g""".stripMargin,
+
     "q116_drift_psi" ->
       """WITH binned AS (
         |  SELECT event_type,

@@ -39,17 +39,58 @@ object LinkGraph {
     val outd = links.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val edges = links.join(outd, "src")
     var ranks = n.select(col("node"), lit(1000000000L).as("r"))
-    (1 to iters).foreach { _ =>
-      val contrib = edges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("tgt"), expr("r div od").as("c"))
-        .groupBy(col("tgt")).agg(sum(col("c")).as("m"))
-      ranks = n.join(contrib.withColumnRenamed("tgt", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000000L) +
-            expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+    (1 to iters).foreach { i =>
+      ranks = step(n, edges, ranks)
+      // truncate the join-per-round lineage so a deep run's plan (and
+      // its recovery path) stays O(ckptEvery), not O(rounds) — the CC
+      // loop's discipline (honors spark.graft.reliableCheckpoints)
+      if (i % CkptEvery == 0 && i < iters) ranks = graft.GraftSession.ckpt(ranks)
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  private val CkptEvery = 5
+
+  private def step(n: DataFrame, edges: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("tgt"), expr("r div od").as("c"))
+      .groupBy(col("tgt")).agg(sum(col("c")).as("m"))
+    n.join(contrib.withColumnRenamed("tgt", "node"), Seq("node"), "left")
+      .select(col("node"),
+        (lit(150000000L) +
+          expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+  }
+
+  /** Iterate to CONVERGENCE instead of a fixed round count: stop when
+    * the total rank movement Σ|Δr| drops to at most `tolPerNode`
+    * nano-units per node (tol 0 is meaningful — integer ranks reach an
+    * EXACT fixed point or a ±few-unit cycle, there is no FP noise
+    * floor). One extra count-free aggregate action per round is the
+    * price of the check — the standard Pregel-style stopping rule.
+    * Returns (ranks, roundsRun). */
+  def pagerankConverged(nodes: DataFrame, links: DataFrame,
+      maxIters: Int = 50, tolPerNode: Long = 10L): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val n = nodes.select(col("node"))
+    val outd = links.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val edges = links.join(outd, "src")
+    var ranks = n.select(col("node"), lit(1000000000L).as("r"))
+    var rounds = 0
+    var moved = Long.MaxValue
+    while (rounds < maxIters && moved > 0) {
+      val next = graft.GraftSession.ckpt(step(n, edges, ranks))
+      val d = ranks.select(col("node"), col("r").as("r0"))
+        .join(next.select(col("node"), col("r").as("r1")), "node")
+        .agg(sum(abs(col("r1") - col("r0"))).as("d"),
+          count(lit(1)).as("cnt"))
+        .collect().head
+      moved = if (d.getLong(0) <= tolPerNode * d.getLong(1)) 0L else d.getLong(0)
+      ranks = next
+      rounds += 1
+    }
+    (ranks.select(col("node"), col("r").as("rank_fp")), rounds)
   }
 
   /** The deterministic synthetic link graph over `documents`: each doc

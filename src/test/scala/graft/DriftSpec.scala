@@ -44,6 +44,31 @@ class DriftSpec extends AnyFunSuite {
     assert(!psi.isNaN && !psi.isInfinite && psi > 0.0)
   }
 
+  test("quantile bins: baseline window is ~uniform over its own deciles, shift reads high") {
+    // window a: values 0..999 (its own deciles cut it into 10 equal
+    // bins -> psi contribution from a is ~0 against itself); window b
+    // identical -> psi == 0; window b shifted far right -> psi large
+    val same = ((0 until 1000).map(i => ("g", i.toDouble, true)) ++
+      (0 until 1000).map(i => ("g", i.toDouble, false)))
+      .toDF("g0", "v0", "wa")
+    val r0 = Drift.quantileBinPsi(same, col("g0"), col("v0"), col("wa"))
+      .collect().head
+    assert(r0.getAs[Long]("n_a") == 1000 && r0.getAs[Long]("n_b") == 1000)
+    assert(r0.getAs[Double]("psi") == 0.0,
+      s"identical windows must score 0: ${r0.getAs[Double]("psi")}")
+    val shifted = ((0 until 1000).map(i => ("g", i.toDouble, true)) ++
+      (0 until 1000).map(i => ("g", 5000.0 + i, false)))
+      .toDF("g0", "v0", "wa")
+    val r1 = Drift.quantileBinPsi(shifted, col("g0"), col("v0"), col("wa"))
+      .collect().head.getAs[Double]("psi")
+    assert(r1 > 0.25, s"fully shifted window must read as drifted: $r1")
+    // a group with no baseline rows has no edges to bin against
+    val noBase = (0 until 10).map(i => ("only_b", i.toDouble, false))
+      .toDF("g0", "v0", "wa")
+    assert(Drift.quantileBinPsi(noBase, col("g0"), col("v0"), col("wa"))
+      .count() == 0L)
+  }
+
   test("streaming windowed histogram scores byte-identical PSI to batch") {
     import graft.log.TopicLog
     import graft.streaming.TopicStream

@@ -39,6 +39,22 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(ranks(3, parts = 1) == ranks(3, parts = 7))
   }
 
+  test("convergence detection stops at the exact integer fixed point") {
+    val nodes = (1L to 4L).toDF("node")
+    val links = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "tgt")
+    val (ranksDf, rounds) = LinkGraph.pagerankConverged(
+      nodes, links, maxIters = 20, tolPerNode = 0L)
+    val got = ranksDf.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_fp")).toMap
+    // the star reaches its exact fixed point after round 2; round 3 is
+    // the zero-movement probe that detects it — far short of maxIters
+    assert(rounds == 3, s"expected 3 rounds, got $rounds")
+    assert(got(1L) == 532500000L && Seq(2L, 3L, 4L).forall(got(_) == 150000000L),
+      s"fixed point: $got")
+    // and the detected fixed point equals the fixed-iteration result
+    assert(got == ranks(iters = 2))
+  }
+
   test("q118 graph: every doc ranked, floor respected, hubs exist") {
     val (nodes, links) = LinkGraph.documentLinks(spark, sf)
     val pr = LinkGraph.pagerank(nodes, links, iters = 3)
