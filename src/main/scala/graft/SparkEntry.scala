@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.queries ++ EventOps.queries ++ Dedup.queries ++
       Similarity.queries ++ Similarity.queries2 ++ TextOps.queries ++
       Multimodal.queries ++ Curation.queries ++ Drift.queries ++
-      Sampling.queries ++ LinkGraph.queries
+      Sampling.queries ++ LinkGraph.queries ++ Snapshot.queries ++
+      Profile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -26,5 +27,6 @@ object SparkEntry {
     Relational.oracle ++ EventOps.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Similarity.oracle2 ++ TextOps.oracle ++
       Multimodal.oracle ++ Curation.oracle ++ Drift.oracle ++
-      Sampling.oracle ++ LinkGraph.oracle
+      Sampling.oracle ++ LinkGraph.oracle ++ Snapshot.oracle ++
+      Profile.oracle
 }

@@ -613,7 +613,40 @@ object Dedup {
       |WHERE length(text) >= 50
       |  AND substr(md5(substr(text, i, 8)), 1, 1) = '0'""".stripMargin
 
+  /** Keep-BEST exact dedup: one survivor per `content` group, chosen
+    * by an explicit preference order (`better`, e.g. quality DESC then
+    * recency DESC) rather than q30's min-id convention — the curation
+    * form of exact dedup, where the duplicate family should keep its
+    * highest-quality / freshest copy, not its first-seen one. Callers
+    * end `better` with a unique tiebreak column so the survivor is
+    * deterministic. Scale shape: identical to q30 — one uniform-key
+    * shuffle on the content hash; groups are duplicate families
+    * (small), so the per-group window sort is bounded. */
+  def keepBest(df: DataFrame, content: Column,
+      better: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(content).orderBy(better: _*)
+    df.withColumn("_kb_rk", row_number().over(w))
+      .filter(col("_kb_rk") === 1).drop("_kb_rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_keep_best" -> ((s, dir) => {
+      // Keep-best twin of q30 on the same duplicated corpus: prefer
+      // the LONGEST copy, tie → NEWEST (max doc_id — the re-crawl) —
+      // where q30 keeps min doc_id unconditionally, so every duplicate
+      // family provably picks the other survivor here. Output carries
+      // the family size so the gate sees both the choice and the
+      // grouping.
+      val d = docsWithDups(s, dir).withColumn("text_hash", md5(col("text")))
+      val fam = d.groupBy(col("text_hash")).agg(count(lit(1)).as("n_copies"))
+      keepBest(d, col("text_hash"),
+        Seq(col("n_chars").desc, col("doc_id").desc))
+        .join(fam, "text_hash")
+        .select(col("text_hash"), col("doc_id").as("keep_id"),
+          col("n_chars"), col("n_copies"))
+        .orderBy(col("text_hash"))
+    }),
+
     "q120_dup_span_mask" -> ((s, dir) => {
       dupSpanMask(cdcCorpus(s, dir))
         .select(col("doc_id"), col("n_aw"), col("n_dup"), col("dup_frac"))
@@ -917,6 +950,16 @@ object Dedup {
        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q126_keep_best" ->
+      s"""WITH d AS (SELECT *, md5(text) AS text_hash FROM ($dupSql)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text_hash
+         |        ORDER BY n_chars DESC, doc_id DESC) AS rk,
+         |        COUNT(*) OVER (PARTITION BY text_hash) AS n_copies
+         |      FROM d)
+         |SELECT text_hash, doc_id AS keep_id, n_chars,
+         |  CAST(n_copies AS BIGINT) AS n_copies
+         |FROM r WHERE rk = 1 ORDER BY text_hash""".stripMargin,
+
     "q120_dup_span_mask" ->
       s"""WITH corpus AS ($cdcCorpusSql),
          |aw AS ($awSql),

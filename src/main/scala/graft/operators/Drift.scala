@@ -124,7 +124,97 @@ object Drift {
     psiFromCounts(cnt, nBins)
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov D per group: the max gap
+    * between the two windows' empirical CDFs — the binning-free drift
+    * test (PSI needs a bin scheme; KS reads the raw distributions, so
+    * it can't be gamed by a bin boundary). Scale shape: one scan →
+    * per-(group, value) counts; the CDF prefix sums run through
+    * [[ShardedCum]] (range-sharded local windows + broadcast shard
+    * offsets — no single-reducer-per-group funnel even when a group
+    * holds millions of distinct values); totals are a broadcast; D is
+    * one more max fold. Groups missing either window drop — a
+    * one-sided sample has no two-sample statistic. */
+  def ksTest(df: DataFrame, group: Column, value: Column,
+      isA: Column): DataFrame = {
+    val cnt = df.select(group.as("g"), value.as("v"),
+        when(isA, 1L).otherwise(0L).as("ia"))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+    val cum = ShardedCum.cumSums(cnt, Seq("g"), Seq(col("v")),
+      Seq((col("ca"), "cum_a"), (col("cb"), "cum_b")))
+    val tot = cnt.groupBy(col("g"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.join(broadcast(tot), "g")
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .groupBy(col("g"), col("n_a"), col("n_b"))
+      .agg(round(max(abs(
+        col("cum_a").cast("double") / col("n_a") -
+          col("cum_b").cast("double") / col("n_b"))), 6).as("ks_d"))
+      .select(col("g"), col("n_a"), col("n_b"), col("ks_d"))
+  }
+
+  /** Two-sample chi-square drift statistic for a CATEGORICAL column —
+    * the PSI/KS complement when the monitored column is a label
+    * (language, source, event type), where "bins" are the categories
+    * themselves. Σ over (category × window) cells of (o − e)²/e with
+    * e the pooled expectation; df = n_cats − 1 for the reader's
+    * p-value lookup. Scale shape: identical to [[psi]] — one scan to
+    * a groups × categories count frame, everything after is broadcast
+    * work on KBs. Groups missing either window drop. */
+  def chi2Drift(df: DataFrame, group: Column, category: Column,
+      isA: Column): DataFrame = {
+    val cnt = df.select(group.as("g"), category.as("cat"),
+        when(isA, 1L).otherwise(0L).as("ia"))
+      .groupBy(col("g"), col("cat"))
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+    val tot = cnt.groupBy(col("g"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        count(lit(1)).as("n_cats"))
+    val grand = (col("n_a") + col("n_b")).cast("double")
+    val ea = (col("ca") + col("cb")) * col("n_a") / grand
+    val eb = (col("ca") + col("cb")) * col("n_b") / grand
+    cnt.join(broadcast(tot), "g")
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("cell",
+        (col("ca") - ea) * (col("ca") - ea) / ea +
+          (col("cb") - eb) * (col("cb") - eb) / eb)
+      .groupBy(col("g"), col("n_a"), col("n_b"), col("n_cats"))
+      .agg(round(sum(col("cell")), 6).as("chi2"))
+      .select(col("g"), col("n_a"), col("n_b"), col("n_cats"),
+        col("chi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_ks_test" -> ((s, dir) => {
+      // Binning-free twin of q116/q122 on the same split: exact KS D
+      // between the half-months' value CDFs per event_type.
+      val ev = eventsTable(s, dir)
+      ksTest(ev,
+        group = col("event_type"),
+        value = col("value"),
+        isA = col("ts") < expr("timestamp'2024-01-16 00:00:00'"))
+        .select(col("g").as("event_type"), col("n_a"), col("n_b"),
+          col("ks_d"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q124_chi2_drift" -> ((s, dir) => {
+      // Categorical drift: does the language mix differ between two
+      // pseudo-random halves of each source's corpus? The split is an
+      // md5 bit of doc_id (q66 seeding pattern) — doc_id PARITY would
+      // be useless here: the synthetic generator derives source from
+      // doc_id mod, so parity is constant within a source and every
+      // group would be one-sided.
+      val docs = graft.GraftSession.table(s, dir, "documents")
+      chi2Drift(docs,
+        group = col("source"),
+        category = col("lang"),
+        isA = substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+        .select(col("g").as("source"), col("n_a"), col("n_b"),
+          col("n_cats"), col("chi2"))
+        .orderBy(col("source"))
+    }),
+
     "q122_drift_quantile_psi" -> ((s, dir) => {
       // The equi-depth twin of q116: deciles of the FIRST half-month's
       // value distribution per event_type define the bins; PSI then
@@ -158,6 +248,53 @@ object Drift {
   )
 
   val oracle: Map[String, String] = Map(
+    "q123_ks_test" ->
+      """WITH t AS (
+        |  SELECT event_type AS g, value AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ia
+        |  FROM events),
+        |cnt AS (SELECT g, v, SUM(ia) AS ca, SUM(1 - ia) AS cb
+        |        FROM t GROUP BY 1, 2),
+        |tot AS (SELECT g, SUM(ca) AS n_a, SUM(cb) AS n_b
+        |        FROM cnt GROUP BY 1),
+        |cum AS (
+        |  SELECT g, v,
+        |    SUM(ca) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |    SUM(cb) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+        |  FROM cnt)
+        |SELECT c.g AS event_type, CAST(t.n_a AS BIGINT) AS n_a,
+        |  CAST(t.n_b AS BIGINT) AS n_b,
+        |  ROUND(MAX(ABS(c.cum_a / CAST(t.n_a AS DOUBLE) -
+        |                c.cum_b / CAST(t.n_b AS DOUBLE))), 6) AS ks_d
+        |FROM cum c JOIN tot t USING (g)
+        |WHERE t.n_a > 0 AND t.n_b > 0
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+
+    "q124_chi2_drift" ->
+      """WITH t AS (
+        |  SELECT source AS g, lang AS cat,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE 0 END AS ia
+        |  FROM documents),
+        |cnt AS (SELECT g, cat, SUM(ia) AS ca, SUM(1 - ia) AS cb
+        |        FROM t GROUP BY 1, 2),
+        |tot AS (SELECT g, SUM(ca) AS n_a, SUM(cb) AS n_b,
+        |          COUNT(*) AS n_cats
+        |        FROM cnt GROUP BY 1),
+        |cells AS (
+        |  SELECT c.g, t.n_a, t.n_b, t.n_cats, c.ca, c.cb,
+        |    (c.ca + c.cb) * t.n_a / CAST(t.n_a + t.n_b AS DOUBLE) AS ea,
+        |    (c.ca + c.cb) * t.n_b / CAST(t.n_a + t.n_b AS DOUBLE) AS eb
+        |  FROM cnt c JOIN tot t USING (g)
+        |  WHERE t.n_a > 0 AND t.n_b > 0)
+        |SELECT g AS source, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, n_cats,
+        |  ROUND(SUM((ca - ea) * (ca - ea) / ea +
+        |            (cb - eb) * (cb - eb) / eb), 6) AS chi2
+        |FROM cells GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin,
+
     "q122_drift_quantile_psi" ->
       """WITH t AS (
         |  SELECT event_type AS g, value AS v,

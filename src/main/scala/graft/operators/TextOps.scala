@@ -302,7 +302,67 @@ object TextOps {
        |        regexp_split_to_array(lower(text), '\\s+') AS toks
        |      FROM $src) qt) qg) qf""".stripMargin
 
+  /** URL canonicalization — the pre-fetch/pre-dedup normalizer a
+    * crawl pipeline runs so `http://Host.COM:80/p?b=2&a=1&utm_x=..#f`
+    * and `http://host.com/p?a=1&b=2` count as ONE url. Syntax-based
+    * normalization (RFC 3986 §6.2.2-.3): scheme and host lowercased,
+    * default port stripped (:80 http / :443 https), empty path → "/",
+    * fragment dropped; plus the operational extras every dedup stack
+    * adds — tracking params (utm_*, fbclid, gclid, ref) removed and
+    * the remaining query params SORTED (param order is almost never
+    * semantic; sorting collapses emitter orderings). Non-URL strings
+    * (no scheme) pass through unchanged. Pure scan-side codegen'd
+    * Column — no shuffle, no UDF. */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = split(u, "#").getItem(0)
+    val base = split(noFrag, "\\?").getItem(0)
+    val query = when(locate("?", noFrag) > 0,
+      noFrag.substr(locate("?", noFrag) + 1, length(noFrag)))
+    val scheme = lower(regexp_extract(base,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://.*$", 1))
+    val auth = lower(regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/]*).*$", 1))
+    val path = regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    val auth2 = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path2 = when(path === "", lit("/")).otherwise(path)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => p =!= "" &&
+        !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))), "&")
+    val qstr = when(kept.isNull || kept === "", lit(""))
+      .otherwise(concat(lit("?"), kept))
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), auth2, path2, qstr))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_url_normalize" -> ((s, dir) => {
+      // Canonicalization demo the gate can hash: deterministic raw
+      // URLs fan out over case / default-port / tracking-param /
+      // param-order / fragment variants; normalize collapses each
+      // family to one canonical url. n_raw_variants counts the
+      // distinct raw spellings that landed on each canonical form.
+      val d = table(s, dir, "documents")
+      val raw = concat(
+        lit("HTTP://"),
+        when(col("doc_id") % 4 === 0, lit("WWW.Example.COM:80"))
+          .otherwise(lit("www.example.com")),
+        lit("/docs/"), col("source"), lit("/"),
+        (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=crawler&b=2&a=1"))
+          .when(col("doc_id") % 3 === 1, lit("?a=1&b=2"))
+          .otherwise(lit("?b=2&a=1&utm_campaign=x")),
+        when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+      d.select(raw.as("raw"))
+        .withColumn("norm_url", normalizeUrl(col("raw")))
+        .groupBy(col("norm_url"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("raw")).as("n_raw_variants"))
+        .orderBy(col("norm_url"))
+    }),
+
     "q37_lang_id" -> ((s, dir) => {
       // Stopword-hit language ID, shuffle-free: per-language hit counts
       // via higher-order array functions on the token array (pure
@@ -805,6 +865,54 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q127_url_normalize" ->
+      """WITH rw AS (
+        |  SELECT 'HTTP://' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.Example.COM:80'
+        |         ELSE 'www.example.com' END ||
+        |    '/docs/' || source || '/' || CAST(doc_id % 25 AS VARCHAR) ||
+        |    CASE doc_id % 3 WHEN 0 THEN '?utm_source=crawler&b=2&a=1'
+        |      WHEN 1 THEN '?a=1&b=2' ELSE '?b=2&a=1&utm_campaign=x' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS raw
+        |  FROM documents),
+        |p1 AS (SELECT raw, split_part(raw, '#', 1) AS nofrag FROM rw),
+        |p2 AS (
+        |  SELECT raw, split_part(nofrag, '?', 1) AS base,
+        |    CASE WHEN position('?' IN nofrag) > 0
+        |      THEN substr(nofrag, position('?' IN nofrag) + 1) END AS query
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT raw,
+        |    lower(regexp_extract(base,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://.*$', 1)) AS scheme,
+        |    lower(regexp_extract(base,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*).*$', 1)) AS auth,
+        |    regexp_extract(base,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1) AS path,
+        |    query
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT raw, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS auth2,
+        |    CASE WHEN path = '' THEN '/' ELSE path END AS path2,
+        |    COALESCE(array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&'), '') AS kept
+        |  FROM p3),
+        |n AS (
+        |  SELECT raw,
+        |    CASE WHEN scheme = '' THEN raw
+        |      ELSE scheme || '://' || auth2 || path2 ||
+        |        CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+        |    END AS norm_url
+        |  FROM p4)
+        |SELECT norm_url, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT raw) AS n_raw_variants
+        |FROM n GROUP BY norm_url ORDER BY norm_url""".stripMargin,
+
     "q37_lang_id" -> {
       val hits = langs.map { l =>
         val set = stop(l).map(w => s"'$w'").mkString(", ")

@@ -69,6 +69,48 @@ class DriftSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("KS: identical CDFs score 0, disjoint supports score 1") {
+    val same = ((0 until 100).map(i => ("g", i.toDouble, true)) ++
+      (0 until 100).map(i => ("g", i.toDouble, false)))
+      .toDF("g0", "v0", "wa")
+    val r0 = Drift.ksTest(same, col("g0"), col("v0"), col("wa"))
+      .collect().head
+    assert(r0.getAs[Long]("n_a") == 100 && r0.getAs[Long]("n_b") == 100)
+    assert(r0.getAs[Double]("ks_d") == 0.0)
+    // window b entirely to the right of window a: at a's max the CDF
+    // gap is 1 − 0 — the statistic's ceiling
+    val disjoint = ((0 until 100).map(i => ("g", i.toDouble, true)) ++
+      (0 until 100).map(i => ("g", 1000.0 + i, false)))
+      .toDF("g0", "v0", "wa")
+    assert(Drift.ksTest(disjoint, col("g0"), col("v0"), col("wa"))
+      .collect().head.getAs[Double]("ks_d") == 1.0)
+    // a one-window group has no two-sample statistic
+    val oneSided = (0 until 10).map(i => ("only_b", i.toDouble, false))
+      .toDF("g0", "v0", "wa")
+    assert(Drift.ksTest(oneSided, col("g0"), col("v0"), col("wa"))
+      .count() == 0L)
+  }
+
+  test("chi2: identical category mixes score 0, a flipped mix reads large") {
+    // equal window sizes with identical per-category counts → every
+    // expected cell equals its observed count exactly → chi2 == 0.0
+    val same = (for (c <- Seq("en", "de", "fr"); w <- Seq(true, false);
+      i <- 0 until 20) yield ("g", c, w)).toDF("g0", "c0", "wa")
+    val r0 = Drift.chi2Drift(same, col("g0"), col("c0"), col("wa"))
+      .collect().head
+    assert(r0.getAs[Long]("n_a") == 60 && r0.getAs[Long]("n_b") == 60)
+    assert(r0.getAs[Long]("n_cats") == 3)
+    assert(r0.getAs[Double]("chi2") == 0.0)
+    // 90/10 vs 10/90 on n=100 each: chi2 = 128 analytically
+    val flipped = ((0 until 90).map(_ => ("g", "en", true)) ++
+      (0 until 10).map(_ => ("g", "de", true)) ++
+      (0 until 10).map(_ => ("g", "en", false)) ++
+      (0 until 90).map(_ => ("g", "de", false))).toDF("g0", "c0", "wa")
+    val chi2 = Drift.chi2Drift(flipped, col("g0"), col("c0"), col("wa"))
+      .collect().head.getAs[Double]("chi2")
+    assert(chi2 == 128.0, s"90/10 flip on n=100+100 is exactly 128: $chi2")
+  }
+
   test("streaming windowed histogram scores byte-identical PSI to batch") {
     import graft.log.TopicLog
     import graft.streaming.TopicStream
