@@ -70,8 +70,19 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val errJson = errors.map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
+    // "failed" is an explicit first-class field (not just -1.000
+    // sentinels a reader has to notice): round 7 shipped a green-rc
+    // bench with a third of the suite erroring and nothing flagged it.
+    // rc stays 0 on purpose — the round-6 rc=1 run recorded NO numbers
+    // at all, so a nonzero exit would trade visibility for data loss;
+    // the stderr summary covers interactive runs.
+    val failed = errors.size
+    if (failed > 0)
+      System.err.println(
+        s"bench: $failed quer${if (failed == 1) "y" else "ies"} FAILED: " +
+          errors.map(_.takeWhile(_ != '\n')).mkString(" | "))
     val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errJson,"queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$failed,"errors":$errJson,"queries":$qs,"value":$total}"""
     // cwd-relative default (sbt runs from the repo root); override with
     // SPARK_GRAFT_BENCH_OUT. A failed write is REPORTED, not swallowed —
     // the printed stdout line is still the primary artifact either way.
@@ -80,7 +91,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(
-        s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errJson,"queries":$qsFull,"value":$total}""")
+        s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$failed,"errors":$errJson,"queries":$qsFull,"value":$total}""")
       finally w.close()
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not write $fullPath: $e")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
 
 /** Session + shared column helpers for the graft engine.
   *
@@ -57,12 +57,27 @@ object GraftSession {
       df.checkpoint()
     } else df.localCheckpoint()
 
-  /** The events table with its nanosecond timestamp normalized to a
-    * microsecond TimestampType (integer truncation — bit-identical to
-    * DuckDB's nanos->micros parquet read). */
-  def eventsTable(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** The events table with `ts` normalized to a microsecond
+    * TimestampType, whatever physical type the parquet carries:
+    *   - TIMESTAMP(NANOS) (read as long via `nanosAsLong`) -> integer
+    *     nanos->micros truncation, bit-identical to DuckDB's read;
+    *   - timestamp[us] (TIMESTAMP / TIMESTAMP_NTZ) -> plain cast; the
+    *     session is UTC, so NTZ wall-clock maps to identical micros.
+    * Schema-adaptive so both generations of driver test data load. */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.withColumn("ts", eventsTsNorm(df.schema))
+  }
+
+  /** The `ts` normalization column for a given events schema — shared
+    * by [[eventsTable]] and streaming readers of the same parquet (a
+    * readStream can't reuse eventsTable but must normalize
+    * identically). */
+  def eventsTsNorm(schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _        => col("ts").cast(TimestampType)
+    }
 
   // ---- cross-engine-exact arithmetic helpers -------------------------
   // Double sums are order-dependent, and Spark's parallel aggregation

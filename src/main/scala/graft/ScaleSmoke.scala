@@ -245,11 +245,19 @@ object ScaleSmoke {
     // dropped, never created).
     val prNodes = spark.range(2000000L).select(col("id").as("node"))
       .localCheckpoint()
+    // tgt from a 64-bit hash of the FULL id — any polynomial in id is
+    // periodic mod 2M (an affine tgt made the 10M rows just 2M distinct
+    // edges duplicated 5x), and pagerank's contract is pre-deduped
+    // edges, so dedup explicitly and smoke on the real distinct count.
     val prLinks = spark.range(10000000L).select(
         (col("id") % 2000000L).as("src"),
-        ((col("id") * 2654435761L + 1234567L) % 2000000L).as("tgt"))
+        pmod(xxhash64(col("id")), lit(2000000L)).as("tgt"))
       .filter(col("src") =!= col("tgt"))
+      .distinct()
       .localCheckpoint()
+    val prEdgeCount = prLinks.count()
+    require(prEdgeCount >= 9900000L,
+      s"smoke graph must be ~10M genuinely distinct edges: $prEdgeCount")
     t0 = System.nanoTime()
     val pr = graft.operators.LinkGraph.pagerank(prNodes, prLinks, iters = 3)
       .agg(count(lit(1)).as("n"), min(col("rank_fp")).as("lo"),

@@ -489,38 +489,57 @@ object Dedup {
       .filter(col("lev") <= maxDist)
   }
 
+  /** The blocks [[editDistancePairs]] drops whole under the same
+    * parameters — (blk, bs) for every block over `maxBlock`. The
+    * no-silent-caps audit face: a coverage cap that can discard a
+    * boilerplate-heavy corpus slice must be observable, so pipelines
+    * run this alongside q119 and alert/log when `count() > 0` (the
+    * frame is ≤ distinct-prefix-sized — metadata, not data). Kept as a
+    * separate lazy frame rather than an eager count inside
+    * [[editDistancePairs]] so the pair query itself stays one job. */
+  def editDistanceDroppedBlocks(docs: DataFrame, blockLen: Int = 8,
+      maxBlock: Int = 1000): DataFrame =
+    docs.select(substring(col("text"), 1, blockLen).as("blk"))
+      .groupBy(col("blk")).agg(count(lit(1)).as("bs"))
+      .filter(col("bs") > maxBlock)
+
   // --- Content-defined window family (SURVEY.md §2.C58/C59) ----------
   // Fixed-STRIDE substring windows (the naive exact-substring-dedup
   // cut) miss every duplicate whose copy is shifted by ≠0 mod stride —
   // an embedded quote realigns nothing. Content-DEFINED anchors fix
-  // that: a window starts wherever the local `gram`-char context hashes
-  // into the anchor class (here: md5 hex nibble '0', density 1/16), so
-  // a copied span reproduces the SAME interior anchors no matter what
-  // surrounds it — the CDC idea (Muthitacharoen et al., LBFS) applied
-  // to corpus dedup, and the alignment-robust stand-in for the
-  // suffix-array pass of Lee et al. 2022's exact substring dedup.
+  // that: a window starts wherever its own content hashes into the
+  // anchor class (here: md5 hex nibble '0', density 1/16), so a copied
+  // span reproduces the SAME interior anchors no matter what surrounds
+  // it — the CDC idea (Muthitacharoen et al., LBFS) applied to corpus
+  // dedup, and the alignment-robust stand-in for the suffix-array pass
+  // of Lee et al. 2022's exact substring dedup.
 
   /** Distinct content-defined `win`-char window hashes per doc: one row
-    * (doc_id, h1, h2) per anchored window — the two independent 32-bit
-    * md5 halves, same fixed-width-key convention (and same honest
-    * 64-collision-bit budget) as [[shingleHashes]]: the distinct and
-    * every downstream join shuffle 16 bytes per window instead of a
-    * hash string, which is the dominant memory/shuffle cost at corpus
-    * scale. Anchors are per-position md5 probes for oracle parity; a
-    * production corpus swaps in a rolling 64-bit hash (one mul/add per
-    * char) — the plan shape (scan-side fold, one explode, DISTINCT on
-    * a uniform key) is the same. Docs shorter than `win` yield no
-    * rows. */
-  def anchoredWindows(docs: DataFrame, win: Int = 50,
-      gram: Int = 8): DataFrame =
+    * (doc_id, h1, h2) per anchored window — two independent 32-bit
+    * slices of the window digest, same fixed-width-key convention (and
+    * same honest 64-collision-bit budget) as [[shingleHashes]]: the
+    * distinct and every downstream join shuffle 16 bytes per window
+    * instead of a hash string, which is the dominant memory/shuffle
+    * cost at corpus scale.
+    *
+    * Cost shape: ONE md5 per position — the digest's first nibble is
+    * the anchor test and hex chars 2–9 / 10–17 are h1/h2, so the
+    * anchor probe and both window-hash halves share a single digest
+    * (round 7 spent three md5 calls per anchored position and was the
+    * suite's slowest pair of queries). The per-position md5 is an
+    * oracle-parity stand-in; a production corpus swaps in a rolling
+    * 64-bit hash (one mul/add per char) — the plan shape (scan-side
+    * fold, one explode, DISTINCT on a uniform key) is the same. Docs
+    * shorter than `win` yield no rows. */
+  def anchoredWindows(docs: DataFrame, win: Int = 50): DataFrame =
     docs.filter(length(col("text")) >= win)
       .select(col("doc_id"), explode(expr(
         s"""filter(transform(sequence(1, length(text) - ${win - 1}),
-           |  i -> if(substring(md5(substring(text, i, $gram)), 1, 1) = '0',
-           |          substring(text, i, $win), null)),
-           |  x -> x is not null)""".stripMargin)).as("w"))
-      .select(col("doc_id"), baseHash(col("w")).as("h1"),
-        baseHashHi(col("w")).as("h2"))
+           |  i -> md5(substring(text, i, $win))),
+           |  d -> substring(d, 1, 1) = '0')""".stripMargin)).as("d"))
+      .select(col("doc_id"),
+        conv(substring(col("d"), 2, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("d"), 10, 8), 16, 10).cast("long").as("h2"))
       .distinct()
 
   /** Per-doc duplicated-span mask stats (q120): of a doc's anchored
@@ -531,9 +550,8 @@ object Dedup {
     * ~len/16 rows per doc; one uniform-key groupBy finds dup windows,
     * one left-semi prunes the stream back to them, one per-doc count —
     * never a pair join, never all-pairs. */
-  def dupSpanMask(corpus: DataFrame, win: Int = 50,
-      gram: Int = 8): DataFrame = {
-    val aw = anchoredWindows(corpus, win, gram)
+  def dupSpanMask(corpus: DataFrame, win: Int = 50): DataFrame = {
+    val aw = anchoredWindows(corpus, win)
     val dup = aw.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("h1"), col("h2"))
     val perDoc = aw.join(dup, Seq("h1", "h2"), "left_semi")
@@ -560,9 +578,9 @@ object Dedup {
     * volume is bounded by Σ_window df² over rare windows only.
     * Containment is computed over the culled-window universe,
     * consistently for numerator and denominators. */
-  def containmentPairs(corpus: DataFrame, win: Int = 50, gram: Int = 8,
+  def containmentPairs(corpus: DataFrame, win: Int = 50,
       maxDocFreq: Int = 50, minContain: Double = 0.5): DataFrame = {
-    val aw = anchoredWindows(corpus, win, gram)
+    val aw = anchoredWindows(corpus, win)
     val keep = aw.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") <= maxDocFreq).select(col("h1"), col("h2"))
     val awk = aw.join(keep, Seq("h1", "h2"), "left_semi")
@@ -607,11 +625,13 @@ object Dedup {
       |FROM documents WHERE doc_id % 7 = 3""".stripMargin
   private val awSql =
     """SELECT DISTINCT doc_id,
-      |  ('0x'||substr(md5(substr(text, i, 50)), 1, 8))::BIGINT AS h1,
-      |  ('0x'||substr(md5(substr(text, i, 50)), 9, 8))::BIGINT AS h2
-      |FROM corpus, UNNEST(generate_series(1, length(text) - 49)) AS u(i)
-      |WHERE length(text) >= 50
-      |  AND substr(md5(substr(text, i, 8)), 1, 1) = '0'""".stripMargin
+      |  ('0x'||substr(d, 2, 8))::BIGINT AS h1,
+      |  ('0x'||substr(d, 10, 8))::BIGINT AS h2
+      |FROM (
+      |  SELECT doc_id, md5(substr(text, i, 50)) AS d
+      |  FROM corpus, UNNEST(generate_series(1, length(text) - 49)) AS u(i)
+      |  WHERE length(text) >= 50) digests
+      |WHERE substr(d, 1, 1) = '0'""".stripMargin
 
   /** Keep-BEST exact dedup: one survivor per `content` group, chosen
     * by an explicit preference order (`better`, e.g. quality DESC then

@@ -46,8 +46,13 @@ object Drift {
     * arithmetic: accumulate windowed counts live, pivot two windows
     * into (ca, cb), fold here. The frame is groups × populated-bins
     * rows — KB-sized — so everything below is broadcast work. */
-  def psiFromCounts(cnt: DataFrame, nBins: Int): DataFrame = {
-    val spark = cnt.sparkSession
+  def psiFromCounts(cntRaw: DataFrame, nBins: Int): DataFrame = {
+    val spark = cntRaw.sparkSession
+    // Guard the contract instead of trusting callers: an out-of-range
+    // bin (e.g. a negative value under a top-only clamp) would
+    // otherwise enter the totals but leave the spine-filled fold,
+    // silently skewing psi away from the oracle. Drop it from BOTH.
+    val cnt = cntRaw.filter(col("bin") >= 0 && col("bin") < nBins)
     // complete the (group × bin) spine, carrying the per-group totals
     // through it: ONE aggregate over cnt cross-joined with the nBins
     // range (both tiny — broadcast, no real shuffle), then one left
@@ -233,12 +238,16 @@ object Drift {
     "q116_drift_psi" -> ((s, dir) => {
       // Drift between the first and second half-month of the event
       // stream: per event_type, PSI over 10 fixed-width value bins
-      // (floor(value/50) clamped to 9 — floor on BOTH engines; a bare
-      // double→int cast rounds in DuckDB and truncates in Spark).
+      // (floor(value/50) clamped to [0, 9] — floor on BOTH engines; a
+      // bare double→int cast rounds in DuckDB and truncates in Spark;
+      // the low clamp folds any negative value into bin 0 identically
+      // in both engines instead of leaking a bin −1).
       val ev = eventsTable(s, dir)
       psi(ev,
         group = col("event_type"),
-        bin = least(floor(col("value") / lit(50.0)).cast("long"), lit(9L)),
+        bin = greatest(
+          least(floor(col("value") / lit(50.0)).cast("long"), lit(9L)),
+          lit(0L)),
         isA = col("ts") < expr("timestamp'2024-01-16 00:00:00'"),
         nBins = 10)
         .select(col("g").as("event_type"), col("n_a"), col("n_b"),
@@ -333,7 +342,7 @@ object Drift {
     "q116_drift_psi" ->
       """WITH binned AS (
         |  SELECT event_type,
-        |    LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin,
+        |    GREATEST(LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9), 0) AS bin,
         |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS win
         |  FROM events),
         |spine AS (

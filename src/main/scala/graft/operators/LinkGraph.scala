@@ -120,46 +120,108 @@ object LinkGraph {
         .select(col("node").as("doc_id"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("doc_id"))
         .limit(100)
+    }),
+
+    "q129_rank_weighted_sample" -> ((s, dir) => {
+      // The composed pipeline a crawl-corpus curator actually runs:
+      // q118's PageRank prior becomes the per-doc sampling weight and
+      // q127's URL canonicalization defines the strata — "3 docs per
+      // canonical domain, link-quality-weighted". Raw URLs arrive in
+      // mixed case / with default ports (as crawls really do);
+      // normalizeUrl collapses them so the quota lands per DOMAIN, not
+      // per spelling. Scale shape: the rank join is doc_id-keyed
+      // (uniform), normalize is scan-side codegen, and the only new
+      // shuffle over q118 is q117's per-stratum top-k window.
+      val d = table(s, dir, "documents")
+      val (nodes, links) = documentLinks(s, dir)
+      val ranks = pagerank(nodes, links, iters = 3)
+        .select(col("node").as("doc_id"), col("rank_fp"))
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://WWW."))
+          .otherwise(lit("http://www.")),
+        when(col("doc_id") % 4 === 0, upper(col("source")))
+          .otherwise(col("source")),
+        lit(".com"),
+        when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+        lit("/d/"), col("doc_id").cast("string"))
+      val canon = TextOps.normalizeUrl(raw)
+      val domain = regexp_extract(canon, "^https?://([^/]*)", 1)
+      val docs = d.select(col("doc_id"), domain.as("domain"))
+        .join(ranks, "doc_id")
+      Sampling.weightedSample(docs, col("domain"), col("doc_id"),
+        col("rank_fp"), k = 3)
+        .select(col("domain"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("rank_fp"))
+        .orderBy(col("domain"), col("rk"))
     })
   )
 
+  /** The q118 fixed-point rounds as shared CTEs (3 iterations over the
+    * md5-derived document link graph) — string-shared so q129's mirror
+    * provably scores the SAME ranks q118 gates. */
+  private val pagerankCtes =
+    """WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+      |raw AS (
+      |  SELECT doc_id,
+      |    UNNEST([('0x'||substr(md5(text),1,8))::BIGINT,
+      |            ('0x'||substr(md5(text),9,8))::BIGINT,
+      |            ('0x'||substr(md5(text),17,8))::BIGINT]) AS h
+      |  FROM documents),
+      |links AS (
+      |  SELECT DISTINCT r.doc_id AS src, r.h % n.nn AS tgt
+      |  FROM raw r CROSS JOIN n WHERE r.doc_id <> r.h % n.nn),
+      |outd AS (SELECT src, COUNT(*) AS od FROM links GROUP BY 1),
+      |r1 AS (
+      |  SELECT d.doc_id,
+      |    150000000 + (85 * COALESCE(SUM(1000000000 // o.od), 0)) // 100 AS r
+      |  FROM documents d
+      |  LEFT JOIN links l ON l.tgt = d.doc_id
+      |  LEFT JOIN outd o ON o.src = l.src
+      |  GROUP BY d.doc_id),
+      |r2 AS (
+      |  SELECT d.doc_id,
+      |    150000000 + (85 * COALESCE(SUM(pr.r // o.od), 0)) // 100 AS r
+      |  FROM documents d
+      |  LEFT JOIN links l ON l.tgt = d.doc_id
+      |  LEFT JOIN outd o ON o.src = l.src
+      |  LEFT JOIN r1 pr ON pr.doc_id = l.src
+      |  GROUP BY d.doc_id),
+      |r3 AS (
+      |  SELECT d.doc_id,
+      |    150000000 + (85 * COALESCE(SUM(pr.r // o.od), 0)) // 100 AS r
+      |  FROM documents d
+      |  LEFT JOIN links l ON l.tgt = d.doc_id
+      |  LEFT JOIN outd o ON o.src = l.src
+      |  LEFT JOIN r2 pr ON pr.doc_id = l.src
+      |  GROUP BY d.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q118_pagerank" ->
-      """WITH n AS (SELECT COUNT(*) AS nn FROM documents),
-        |raw AS (
-        |  SELECT doc_id,
-        |    UNNEST([('0x'||substr(md5(text),1,8))::BIGINT,
-        |            ('0x'||substr(md5(text),9,8))::BIGINT,
-        |            ('0x'||substr(md5(text),17,8))::BIGINT]) AS h
-        |  FROM documents),
-        |links AS (
-        |  SELECT DISTINCT r.doc_id AS src, r.h % n.nn AS tgt
-        |  FROM raw r CROSS JOIN n WHERE r.doc_id <> r.h % n.nn),
-        |outd AS (SELECT src, COUNT(*) AS od FROM links GROUP BY 1),
-        |r1 AS (
-        |  SELECT d.doc_id,
-        |    150000000 + (85 * COALESCE(SUM(1000000000 // o.od), 0)) // 100 AS r
-        |  FROM documents d
-        |  LEFT JOIN links l ON l.tgt = d.doc_id
-        |  LEFT JOIN outd o ON o.src = l.src
-        |  GROUP BY d.doc_id),
-        |r2 AS (
-        |  SELECT d.doc_id,
-        |    150000000 + (85 * COALESCE(SUM(pr.r // o.od), 0)) // 100 AS r
-        |  FROM documents d
-        |  LEFT JOIN links l ON l.tgt = d.doc_id
-        |  LEFT JOIN outd o ON o.src = l.src
-        |  LEFT JOIN r1 pr ON pr.doc_id = l.src
-        |  GROUP BY d.doc_id),
-        |r3 AS (
-        |  SELECT d.doc_id,
-        |    150000000 + (85 * COALESCE(SUM(pr.r // o.od), 0)) // 100 AS r
-        |  FROM documents d
-        |  LEFT JOIN links l ON l.tgt = d.doc_id
-        |  LEFT JOIN outd o ON o.src = l.src
-        |  LEFT JOIN r2 pr ON pr.doc_id = l.src
-        |  GROUP BY d.doc_id)
+      s"""$pagerankCtes
         |SELECT doc_id, CAST(r AS BIGINT) AS rank_fp FROM r3
-        |ORDER BY rank_fp DESC, doc_id LIMIT 100""".stripMargin
+        |ORDER BY rank_fp DESC, doc_id LIMIT 100""".stripMargin,
+
+    // The raw-URL variants differ only in scheme/host case and a
+    // default :80 port, so RFC 3986 syntax normalization provably
+    // lands every doc_id on host www.<source>.com — the mirror states
+    // that closed form instead of re-deriving the normalizer.
+    "q129_rank_weighted_sample" ->
+      s"""$pagerankCtes,
+        |docs AS (
+        |  SELECT d.doc_id, 'www.' || d.source || '.com' AS domain,
+        |    CAST(r3.r AS BIGINT) AS rank_fp
+        |  FROM documents d JOIN r3 ON r3.doc_id = d.doc_id),
+        |keyed AS (
+        |  SELECT domain, doc_id, rank_fp,
+        |    LN((('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |        + 1.0) / 4294967297.0) / rank_fp AS k
+        |  FROM docs),
+        |ranked AS (
+        |  SELECT domain, doc_id, rank_fp,
+        |    ROW_NUMBER() OVER (PARTITION BY domain
+        |      ORDER BY k DESC, doc_id) AS rk
+        |  FROM keyed)
+        |SELECT domain, CAST(rk AS BIGINT) AS rk, doc_id, rank_fp
+        |FROM ranked WHERE rk <= 3 ORDER BY domain, rk""".stripMargin
   )
 }

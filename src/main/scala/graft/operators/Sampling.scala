@@ -28,11 +28,19 @@ object Sampling {
 
   /** A-ES rank key for `id` under `weight`: ln(u)/w with
     * u ∈ (0,1] seeded from md5(id). Larger = more likely sampled;
-    * heavier items get keys closer to 0. */
+    * heavier items get keys closer to 0.
+    *
+    * Weights MUST be > 0 and the key fails fast otherwise: a zero
+    * weight divides to null/−inf (engines disagree on which) and a
+    * negative weight silently flips the ordering to promote the row —
+    * both are sampling bugs the caller should see, not absorb. */
   def aesKey(id: Column, weight: Column): Column = {
     val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") + lit(1.0)) / lit(4294967297.0)
-    log(u) / weight
+    val w = when(weight > 0, weight).otherwise(raise_error(concat(
+      lit("weightedSample: weight must be > 0, got "),
+      weight.cast("string"), lit(" for id "), id.cast("string"))))
+    log(u) / w
   }
 
   /** Top-`k` weighted sample without replacement per stratum.
@@ -65,7 +73,9 @@ object Sampling {
       """WITH keyed AS (
         |  SELECT doc_id, source, n_chars,
         |    LN((('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
-        |        + 1.0) / 4294967297.0) / n_chars AS k
+        |        + 1.0) / 4294967297.0) /
+        |    CASE WHEN n_chars > 0 THEN n_chars
+        |         ELSE error('weightedSample: weight must be > 0') END AS k
         |  FROM documents),
         |ranked AS (
         |  SELECT doc_id, source, n_chars,

@@ -140,6 +140,23 @@ class DedupApiSpec extends AnyFunSuite {
     assert(Dedup.editDistancePairs(boiler, maxBlock = 5).count() == 0L)
   }
 
+  test("editDistanceDroppedBlocks reports every over-cap block, and only those") {
+    import spark.implicits._
+    // 8 docs behind one boilerplate prefix (over the cap of 5), 3
+    // behind another (under) — the audit face must surface exactly the
+    // boilerplate block with its true size, so the q119 coverage cap
+    // is never silent
+    val docs = ((0L until 8L).map(i => (i, s"BOILERPL licence header variant $i")) ++
+      (100L until 103L).map(i => (i, s"RAREPREF unique content $i")))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.editDistanceDroppedBlocks(docs, blockLen = 8, maxBlock = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dropped == Map("BOILERPL" -> 8L), s"got $dropped")
+    // and the pair query under the same params excludes that block whole
+    assert(Dedup.editDistancePairs(docs, blockLen = 8, maxBlock = 5)
+      .filter(col("doc_a") < 100L).count() == 0L)
+  }
+
   test("anchoredWindows: content-defined anchors survive an alignment shift") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog while seventeen " +

@@ -23,6 +23,41 @@ class DriftSpec extends AnyFunSuite {
     assert(out == Map("x" -> 0.0, "y" -> 0.0))
   }
 
+  test("out-of-range bins leave totals AND the fold together (no silent skew)") {
+    // a bin outside [0, nBins) — e.g. bin −1 from a negative value
+    // under a top-only clamp — must not sit in the psi denominator
+    // while being absent from the spine-filled fold
+    val base = Seq(("g", 0L, 40L, 40L), ("g", 1L, 60L, 60L))
+    val withStray = base ++ Seq(("g", -1L, 25L, 0L), ("g", 5L, 0L, 7L))
+    def run(rows: Seq[(String, Long, Long, Long)]) =
+      Drift.psiFromCounts(rows.toDF("g", "bin", "ca", "cb"), nBins = 2)
+        .collect().head
+    val clean = run(base)
+    val strayed = run(withStray)
+    assert(strayed.getAs[Double]("psi") == clean.getAs[Double]("psi"))
+    assert(strayed.getAs[Long]("n_a") == clean.getAs[Long]("n_a"))
+    assert(strayed.getAs[Long]("n_b") == clean.getAs[Long]("n_b"))
+  }
+
+  test("q116's two-ended clamp folds negative values into bin 0 deterministically") {
+    // same frame once with negative raw values, once pre-clamped: the
+    // q116 bin expression must map both to identical psi (this is the
+    // cross-engine contract — DuckDB's GREATEST/LEAST mirror does the
+    // same fold)
+    val bin = (v: org.apache.spark.sql.Column) => greatest(
+      least(floor(v / lit(50.0)).cast("long"), lit(9L)), lit(0L))
+    val neg = (Seq(-120.0, -3.0, 20.0, 70.0).map(v => ("g", v, true)) ++
+      Seq(10.0, 480.0, 700.0).map(v => ("g", v, false)))
+      .toDF("g0", "v", "wa")
+    val pre = (Seq(0.0, 0.0, 20.0, 70.0).map(v => ("g", v, true)) ++
+      Seq(10.0, 480.0, 499.0).map(v => ("g", v, false)))
+      .toDF("g0", "v", "wa")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Drift.psi(df, col("g0"), bin(col("v")), col("wa"), nBins = 10)
+        .collect().head.getAs[Double]("psi")
+    assert(run(neg) == run(pre))
+  }
+
   test("a shifted distribution scores above the 0.25 rule-of-thumb") {
     // window a mass in bins 0-1, window b mass in bins 3-4
     val rows = (0 until 500).map(i => ("g", i % 2, true)) ++

@@ -35,6 +35,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.toSet == Set(("s0", 20L, 1, 20), ("s1", 20L, 1, 20)))
   }
 
+  test("zero or negative weight fails fast with a clear message") {
+    val bad = Seq((1L, "s0", 5), (2L, "s0", 0)).toDF("id", "stratum", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(bad, col("stratum"), col("id"), col("w"), k = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("weight must be > 0"), e.getMessage)
+    val neg = Seq((1L, "s0", 5), (2L, "s0", -3)).toDF("id", "stratum", "w")
+    val e2 = intercept[Exception] {
+      Sampling.weightedSample(neg, col("stratum"), col("id"), col("w"), k = 2)
+        .collect()
+    }
+    assert(e2.getMessage.contains("weight must be > 0"), e2.getMessage)
+  }
+
   test("100x-weight items dominate the sample far beyond their count share") {
     // half the items carry weight 100, half weight 1 — an unweighted
     // draw would pick ~50% heavy; A-ES must pick nearly all heavy

@@ -19,10 +19,11 @@ class StreamBatchParitySpec extends AnyFunSuite {
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(srcDir, "events.parquet"),
       java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val evSchema = GraftSession.table(spark, sf, "events").schema
     val raw = spark.readStream
-      .schema(GraftSession.table(spark, sf, "events").schema)
+      .schema(evSchema)
       .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", GraftSession.eventsTsNorm(evSchema))
     val agg = raw
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
