@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, SimHashAgg}
+import graft.functions.{CdcWindowHashes, CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, SimHashAgg}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("cdc_window_hashes"),
+      new ExpressionInfo(classOf[CdcWindowHashes].getName, "cdc_window_hashes"),
+      (exprs: Seq[Expression]) => CdcWindowHashes(exprs.head, exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist"),

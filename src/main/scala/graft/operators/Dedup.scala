@@ -508,38 +508,32 @@ object Dedup {
   // cut) miss every duplicate whose copy is shifted by ≠0 mod stride —
   // an embedded quote realigns nothing. Content-DEFINED anchors fix
   // that: a window starts wherever its own content hashes into the
-  // anchor class (here: md5 hex nibble '0', density 1/16), so a copied
+  // anchor class (h1 % 16 == 0, density 1/16), so a copied
   // span reproduces the SAME interior anchors no matter what surrounds
   // it — the CDC idea (Muthitacharoen et al., LBFS) applied to corpus
   // dedup, and the alignment-robust stand-in for the suffix-array pass
   // of Lee et al. 2022's exact substring dedup.
 
-  /** Distinct content-defined `win`-char window hashes per doc: one row
-    * (doc_id, h1, h2) per anchored window — two independent 32-bit
-    * slices of the window digest, same fixed-width-key convention (and
-    * same honest 64-collision-bit budget) as [[shingleHashes]]: the
-    * distinct and every downstream join shuffle 16 bytes per window
-    * instead of a hash string, which is the dominant memory/shuffle
-    * cost at corpus scale.
+  /** Distinct content-defined `win`-codepoint window hashes per doc:
+    * one row (doc_id, h) per anchored window, where h packs two
+    * independent 31-bit polynomial hashes — one fixed-width 8-byte
+    * join/distinct key (62 honest collision bits, the
+    * [[shingleHashes]] convention) so the distinct and every
+    * downstream join shuffle a long per window, not a hash string.
     *
-    * Cost shape: ONE md5 per position — the digest's first nibble is
-    * the anchor test and hex chars 2–9 / 10–17 are h1/h2, so the
-    * anchor probe and both window-hash halves share a single digest
-    * (round 7 spent three md5 calls per anchored position and was the
-    * suite's slowest pair of queries). The per-position md5 is an
-    * oracle-parity stand-in; a production corpus swaps in a rolling
-    * 64-bit hash (one mul/add per char) — the plan shape (scan-side
-    * fold, one explode, DISTINCT on a uniform key) is the same. Docs
+    * Cost shape: the [[graft.functions.CdcWindowHashes]] expression
+    * ROLLS both hashes across the text — 4 multiply/mod per position,
+    * no per-position allocation (rounds ≤7 digested md5 per position;
+    * q120/q121 were the suite's two slowest queries, ~6 s each at
+    * sf0.1). The same arithmetic is a verbatim list_reduce in the
+    * DuckDB mirror, so the gate stays hash-exact where an md5-free
+    * rolling scheme would normally force a rows-only check. Docs
     * shorter than `win` yield no rows. */
   def anchoredWindows(docs: DataFrame, win: Int = 50): DataFrame =
     docs.filter(length(col("text")) >= win)
-      .select(col("doc_id"), explode(expr(
-        s"""filter(transform(sequence(1, length(text) - ${win - 1}),
-           |  i -> md5(substring(text, i, $win))),
-           |  d -> substring(d, 1, 1) = '0')""".stripMargin)).as("d"))
       .select(col("doc_id"),
-        conv(substring(col("d"), 2, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(col("d"), 10, 8), 16, 10).cast("long").as("h2"))
+        explode(call_function("cdc_window_hashes", col("text"), lit(win)))
+          .as("h"))
       .distinct()
 
   /** Per-doc duplicated-span mask stats (q120): of a doc's anchored
@@ -552,9 +546,9 @@ object Dedup {
     * never a pair join, never all-pairs. */
   def dupSpanMask(corpus: DataFrame, win: Int = 50): DataFrame = {
     val aw = anchoredWindows(corpus, win)
-    val dup = aw.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("h1"), col("h2"))
-    val perDoc = aw.join(dup, Seq("h1", "h2"), "left_semi")
+    val dup = aw.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val perDoc = aw.join(dup, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
     val counts = aw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_aw"))
     corpus.select(col("doc_id"))
@@ -581,12 +575,12 @@ object Dedup {
   def containmentPairs(corpus: DataFrame, win: Int = 50,
       maxDocFreq: Int = 50, minContain: Double = 0.5): DataFrame = {
     val aw = anchoredWindows(corpus, win)
-    val keep = aw.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") <= maxDocFreq).select(col("h1"), col("h2"))
-    val awk = aw.join(keep, Seq("h1", "h2"), "left_semi")
+    val keep = aw.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= maxDocFreq).select(col("h"))
+    val awk = aw.join(keep, Seq("h"), "left_semi")
     val sz = awk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     awk.as("a").join(awk.as("b"),
-        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -623,15 +617,24 @@ object Dedup {
       |  'QUOTED PASSAGE FOLLOWS ' || text ||
       |  ' END OF QUOTED PASSAGE COMMENTARY TRAILS HERE.'
       |FROM documents WHERE doc_id % 7 = 3""".stripMargin
+  // The rolling-hash mirror: the same two polynomial hashes
+  // CdcWindowHashes rolls, here as per-window list_reduce folds over
+  // the codepoint array (the oracle can afford O(win) per position;
+  // identical arithmetic mod 2^31-1, identical (h1<<31)|h2 packing).
   private val awSql =
-    """SELECT DISTINCT doc_id,
-      |  ('0x'||substr(d, 2, 8))::BIGINT AS h1,
-      |  ('0x'||substr(d, 10, 8))::BIGINT AS h2
+    """SELECT DISTINCT doc_id, h1 * 2147483648 + h2 AS h
       |FROM (
-      |  SELECT doc_id, md5(substr(text, i, 50)) AS d
-      |  FROM corpus, UNNEST(generate_series(1, length(text) - 49)) AS u(i)
-      |  WHERE length(text) >= 50) digests
-      |WHERE substr(d, 1, 1) = '0'""".stripMargin
+      |  SELECT doc_id,
+      |    list_reduce(cp[i:i+49], (a, c) -> (a * 257 + c) % 2147483647) AS h1,
+      |    list_reduce(cp[i:i+49], (a, c) -> (a * 263 + c) % 2147483647) AS h2
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_transform(string_split(text, ''),
+      |        c -> CAST(unicode(c) AS BIGINT)) AS cp,
+      |      length(text) AS n
+      |    FROM corpus WHERE length(text) >= 50) cps,
+      |  UNNEST(generate_series(1, n - 49)) AS u(i)) hashes
+      |WHERE h1 % 16 = 0""".stripMargin
 
   /** Keep-BEST exact dedup: one survivor per `content` group, chosen
     * by an explicit preference order (`better`, e.g. quality DESC then
@@ -983,9 +986,9 @@ object Dedup {
     "q120_dup_span_mask" ->
       s"""WITH corpus AS ($cdcCorpusSql),
          |aw AS ($awSql),
-         |dup AS (SELECT h1, h2 FROM aw GROUP BY h1, h2 HAVING COUNT(*) >= 2),
+         |dup AS (SELECT h FROM aw GROUP BY h HAVING COUNT(*) >= 2),
          |pd AS (SELECT doc_id, COUNT(*) AS n_dup
-         |       FROM aw JOIN dup USING (h1, h2) GROUP BY doc_id),
+         |       FROM aw JOIN dup USING (h) GROUP BY doc_id),
          |cnts AS (SELECT doc_id, COUNT(*) AS n_aw FROM aw GROUP BY doc_id)
          |SELECT c.doc_id,
          |  CAST(COALESCE(n.n_aw, 0) AS BIGINT) AS n_aw,
@@ -1000,13 +1003,13 @@ object Dedup {
     "q121_containment" ->
       s"""WITH corpus AS ($cdcCorpusSql),
          |aw AS ($awSql),
-         |keep AS (SELECT h1, h2 FROM aw GROUP BY h1, h2 HAVING COUNT(*) <= 50),
-         |awk AS (SELECT aw.* FROM aw JOIN keep USING (h1, h2)),
+         |keep AS (SELECT h FROM aw GROUP BY h HAVING COUNT(*) <= 50),
+         |awk AS (SELECT aw.* FROM aw JOIN keep USING (h)),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM awk GROUP BY doc_id),
          |shared AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
          |  FROM awk a JOIN awk b
-         |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+         |    ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT s.doc_a, s.doc_b,
          |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,

@@ -166,7 +166,7 @@ class DedupApiSpec extends AnyFunSuite {
       (2L, "UNALIGNED-PREFIX-OF-ODD-LENGTH@@@ " + body + " AND A TRAILER")
     ).toDF("doc_id", "text")
     val aw = Dedup.anchoredWindows(docs).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .map(r => r.getLong(0) -> r.getLong(1))
     val shared = aw.filter(_._1 == 1L).map(_._2).toSet
       .intersect(aw.filter(_._1 == 2L).map(_._2).toSet)
     // a fixed-stride window scheme shares NOTHING here (the 34-char
