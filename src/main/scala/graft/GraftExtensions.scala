@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CdcWindowHashes, CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, SimHashAgg}
+import graft.functions.{CdcWindowHashes, CdcWindowHits, CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, SimHashAgg}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cdc_window_hashes"),
       new ExpressionInfo(classOf[CdcWindowHashes].getName, "cdc_window_hashes"),
       (exprs: Seq[Expression]) => CdcWindowHashes(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("cdc_window_hits"),
+      new ExpressionInfo(classOf[CdcWindowHits].getName, "cdc_window_hits"),
+      (exprs: Seq[Expression]) => CdcWindowHits(exprs.head, exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist"),

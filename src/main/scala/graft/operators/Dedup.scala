@@ -482,11 +482,17 @@ object Dedup {
     val ok = p.groupBy(col("blk")).agg(count(lit(1)).as("bs"))
       .filter(col("bs") <= maxBlock).select(col("blk"))
     val pc = p.join(ok, Seq("blk"), "left_semi")
+    // THRESHOLDED levenshtein: the 3-arg form runs the banded
+    // O(maxDist·pfxLen) algorithm with early exit and returns -1 over
+    // the threshold — result-identical to computing the full distance
+    // and filtering, at ~pfxLen/maxDist the work on far pairs (which
+    // dominate inside blocks). The oracle keeps the plain 2-arg form —
+    // same surviving pairs, same lev values.
     pc.as("a").join(pc.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.pfx"), col("b.pfx")).as("lev"))
-      .filter(col("lev") <= maxDist)
+        levenshtein(col("a.pfx"), col("b.pfx"), maxDist).as("lev"))
+      .filter(col("lev") =!= -1)
   }
 
   /** The blocks [[editDistancePairs]] drops whole under the same
@@ -593,6 +599,52 @@ object Dedup {
         col("n_shared"), col("containment"))
   }
 
+  /** Maximal duplicated-span merge (q130): the removal ACTION on top
+    * of q120's signal. Duplicated anchored windows are carried WITH
+    * their positions (`cdc_window_hits`) and coalesced into maximal
+    * masked character ranges per doc — overlapping-or-adjacent
+    * intervals merge via the gaps-and-islands pattern (running max of
+    * span ends over a per-doc window; a new island starts where a
+    * window clears the previous maximum by >1). This is what exact
+    * substring dedup actually DOES to a doc: cut these ranges, keep
+    * the rest. Scale shape: same bounded window stream as q120 (one
+    * uniform-key groupBy for the dup set, one left-semi back), then
+    * per-DOC windows only — partitioned on doc_id, each partition
+    * ≤ len/16 rows, never corpus-global ordering. */
+  def dupSpans(corpus: DataFrame, win: Int = 50): DataFrame = {
+    val hits = corpus.filter(length(col("text")) >= win)
+      .select(col("doc_id"),
+        explode(call_function("cdc_window_hits", col("text"), lit(win)))
+          .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dup = hits.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val dh = hits.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(win - 1)).as("e"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val isl = dh
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("new_isl",
+        when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_isl")).over(wOrd))
+    val spans = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val agg = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("masked"))
+    corpus.select(col("doc_id"), length(col("text")).as("len"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("masked"), lit(0L)).cast("long").as("masked_chars"),
+        round(coalesce(col("masked"), lit(0L)).cast("double") / col("len"), 6)
+          .as("masked_frac"))
+  }
+
   /** The q120/q121 test corpus: the base table plus exact re-posts
     * (every 10th doc verbatim) and embedded quotes (every 7th doc
     * wrapped in boilerplate — the ALIGNMENT-SHIFTED case stride
@@ -625,6 +677,23 @@ object Dedup {
     """SELECT DISTINCT doc_id, h1 * 2147483648 + h2 AS h
       |FROM (
       |  SELECT doc_id,
+      |    list_reduce(cp[i:i+49], (a, c) -> (a * 257 + c) % 2147483647) AS h1,
+      |    list_reduce(cp[i:i+49], (a, c) -> (a * 263 + c) % 2147483647) AS h2
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_transform(string_split(text, ''),
+      |        c -> CAST(unicode(c) AS BIGINT)) AS cp,
+      |      length(text) AS n
+      |    FROM corpus WHERE length(text) >= 50) cps,
+      |  UNNEST(generate_series(1, n - 49)) AS u(i)) hashes
+      |WHERE h1 % 16 = 0""".stripMargin
+
+  // awSql's position-carrying twin (cdc_window_hits): pos survives to
+  // the span-merge layer, no DISTINCT (positions are unique).
+  private val awHitsSql =
+    """SELECT doc_id, i AS pos, h1 * 2147483648 + h2 AS h
+      |FROM (
+      |  SELECT doc_id, i,
       |    list_reduce(cp[i:i+49], (a, c) -> (a * 257 + c) % 2147483647) AS h1,
       |    list_reduce(cp[i:i+49], (a, c) -> (a * 263 + c) % 2147483647) AS h2
       |  FROM (
@@ -681,6 +750,13 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
           col("n_shared"), col("containment"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q130_dup_span_merge" -> ((s, dir) => {
+      dupSpans(cdcCorpus(s, dir))
+        .select(col("doc_id"), col("n_spans"), col("masked_chars"),
+          col("masked_frac"))
+        .orderBy(col("doc_id"))
     }),
 
     "q119_edit_distance_pairs" -> ((s, dir) => {
@@ -1020,6 +1096,33 @@ object Dedup {
          |JOIN sz zb ON zb.doc_id = s.doc_b
          |WHERE ROUND(s.n_shared * 1.0 / LEAST(za.n, zb.n), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q130_dup_span_merge" ->
+      s"""WITH corpus AS ($cdcCorpusSql),
+         |hits AS ($awHitsSql),
+         |aw AS (SELECT DISTINCT doc_id, h FROM hits),
+         |dup AS (SELECT h FROM aw GROUP BY h HAVING COUNT(*) >= 2),
+         |dh AS (SELECT hits.doc_id, hits.pos, hits.pos + 49 AS e
+         |       FROM hits JOIN dup USING (h)),
+         |seq AS (
+         |  SELECT doc_id, pos, e,
+         |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM dh),
+         |isl AS (
+         |  SELECT doc_id, pos, e,
+         |    SUM(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM seq),
+         |spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+         |          FROM isl GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS masked
+         |        FROM spans GROUP BY 1)
+         |SELECT c.doc_id, CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(a.masked, 0) AS BIGINT) AS masked_chars,
+         |  ROUND(COALESCE(a.masked, 0) * 1.0 / length(c.text), 6) AS masked_frac
+         |FROM corpus c LEFT JOIN agg a USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
 
     "q119_edit_distance_pairs" ->
       """WITH p AS (

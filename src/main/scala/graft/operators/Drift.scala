@@ -25,11 +25,12 @@ import graft.GraftSession.eventsTable
 object Drift {
 
   /** Per-group PSI between the `isA` and `!isA` halves of `df`.
-    * `bin` must be a non-negative integer column bounded by `nBins`
-    * (callers clamp); the bin spine is completed per group so a bin
-    * populated in only one window still contributes. Returns
-    * (group, n_a, n_b, psi) with psi rounded to 6 (ln is genuinely
-    * FP). */
+    * `bin` should be an integer column in [0, nBins) (callers clamp;
+    * out-of-range bins are dropped from totals AND fold together by
+    * [[psiFromCounts]], so a stray bin can never skew psi silently);
+    * the bin spine is completed per group so a bin populated in only
+    * one window still contributes. Returns (group, n_a, n_b, psi)
+    * with psi rounded to 6 (ln is genuinely FP). */
   def psi(df: DataFrame, group: Column, bin: Column, isA: Column,
       nBins: Int): DataFrame = {
     val binned = df.select(group.as("g"), bin.as("bin"),

@@ -219,6 +219,39 @@ class DedupApiSpec extends AnyFunSuite {
     assert(Dedup.containmentPairs(boiler, maxDocFreq = 10).count() == 0L)
   }
 
+  test("dupSpans: full copy fully masked as ONE span, quote one interior span, unique clean") {
+    import spark.implicits._
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val other = "совершенно другой текст without any overlap at all here " +
+      "nothing shared between these two documents in any fifty char span " +
+      "qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff ggg hhh"
+    val docs = Seq(
+      (1L, body),
+      (2L, body), // verbatim copy
+      (3L, "QUOTE>> " + body + " <<END PLUS ORIGINAL TRAILING COMMENTARY"),
+      (4L, other),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val m = Dedup.dupSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // exact copies: their shared anchored windows overlap chain-like →
+    // one merged span covering most of the doc
+    assert(m(1L)._1 == 1L && m(1L)._3 > 0.7, s"copy: ${m(1L)}")
+    assert(m(2L) == m(1L), "verbatim copy masks identically")
+    // embedded quote: one interior span, strictly smaller than the doc
+    assert(m(3L)._1 == 1L && m(3L)._3 > 0.4 && m(3L)._3 < 1.0,
+      s"quote: ${m(3L)}")
+    // unique + sub-window docs: nothing masked
+    assert(m(4L) == ((0L, 0L, 0.0)), s"unique: ${m(4L)}")
+    assert(m(5L) == ((0L, 0L, 0.0)), s"tiny: ${m(5L)}")
+    // masked extent can never exceed the anchored coverage bound:
+    // span chars ≤ windows × win
+    assert(m(1L)._2 <= body.length)
+  }
+
   test("reliable round checkpoints rotate: old rounds are deleted, not accumulated") {
     import spark.implicits._
     // a 30-node chain forces many min-label rounds — without rotation
