@@ -125,13 +125,15 @@ object Dedup {
   }
   private def signatures(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(table(s, dir, "documents"))
-  private[operators] val signaturesSql = {
+  private[operators] def signaturesSqlFrom(shCte: String): String = {
     val mhs = (0 until K).map(j =>
       s"MIN(${seededHashSql(j, "h")}) AS mh$j").mkString(", ")
     s"""SELECT doc_id, $mhs
-       |FROM (SELECT doc_id, ('0x'||substr(md5(sh),1,8))::BIGINT AS h FROM sh) hs
+       |FROM (SELECT doc_id, ('0x'||substr(md5(sh),1,8))::BIGINT AS h
+       |      FROM $shCte) hs
        |GROUP BY doc_id""".stripMargin
   }
+  private[operators] val signaturesSql = signaturesSqlFrom("sh")
 
   /** (doc_id, band, k1, k2): the banded signature for LSH bucketing.
     * Band identity is the two minhash values as numeric columns — a
@@ -324,6 +326,25 @@ object Dedup {
   def lshCandidates(docs: DataFrame): DataFrame =
     lshCandidatesFromSignatures(minhashSignatures(docs))
 
+  /** Incremental LSH probe: near-dup candidate pairs between a SMALL
+    * re-crawl `batch` and the STANDING `corpus` — q97's exact-dedup
+    * twin for near-dups, and the re-crawl path that matters at 100 TB.
+    * The batch's band table BROADCASTS; the corpus band stream is
+    * probed where it is scanned, so the corpus never self-joins and
+    * never shuffles its band set — only colliding (batch_id,
+    * corpus_id) groups reach the aggregate, a batch-sized frame.
+    * Returns (batch_id, corpus_id, n_shared_bands). */
+  def incrementalLshCandidates(corpus: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val bb = bands(minhashSignatures(batch))
+      .select(col("doc_id").as("batch_id"), col("band"), col("k1"),
+        col("k2"))
+    bands(minhashSignatures(corpus))
+      .join(broadcast(bb), Seq("band", "k1", "k2"))
+      .groupBy(col("batch_id"), col("doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   private[operators] def lshCandidatesFromSignatures(sig: DataFrame): DataFrame = {
     val b = bands(sig)
     b.as("a").join(b.as("b"),
@@ -333,9 +354,11 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
-  private[operators] val bandsSql = (0 until BANDS).map { b =>
-    s"SELECT doc_id, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig"
-  }.mkString("\nUNION ALL\n")
+  private[operators] def bandsSqlFrom(sigCte: String): String =
+    (0 until BANDS).map { b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM $sigCte"
+    }.mkString("\nUNION ALL\n")
+  private[operators] val bandsSql = bandsSqlFrom("sig")
 
   /** doc_id, simhash16, bucket: 16-bit SimHash over tokens (weight =
     * term frequency): per bit, sum +-1 by the portable hash's bit, then
@@ -759,6 +782,47 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    "q131_incremental_lsh" -> ((s, dir) => {
+      // Incremental near-dup: the q97 re-crawl batch LSH-probed
+      // against the standing corpus, then exact-Jaccard-verified on
+      // candidates only (the q61 verification stage, batch-vs-corpus).
+      // Corpus-side cost: ONE scan to bands (probed by the broadcast
+      // batch bands) + ONE candidate-pruned scan to shingle hashes
+      // (left-semi against the broadcast candidate id set before its
+      // only shuffle) — the corpus never self-joins at any stage.
+      // Candidate list is multi-consumed (verify join + sizes + final)
+      // → checkpointed once, the q93 discipline.
+      val corpus = table(s, dir, "documents")
+      val batch = recrawlBatch(s, dir)
+      val cand = graft.GraftSession.ckpt(
+        incrementalLshCandidates(corpus, batch))
+      val candCorpus = cand.select(col("corpus_id").as("doc_id")).distinct()
+      val shC = shingleHashes(
+        corpus.join(broadcast(candCorpus), Seq("doc_id"), "left_semi"))
+      val shB = shingleHashes(batch)
+      val cntB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_batch"))
+      val cntC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_corpus"))
+      val inter = cand
+        .join(shB.select(col("doc_id").as("batch_id"), col("h1"), col("h2")),
+          Seq("batch_id"))
+        .join(shC.select(col("doc_id").as("corpus_id"), col("h1"), col("h2")),
+          Seq("corpus_id", "h1", "h2"))
+        .groupBy(col("batch_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("n_inter"))
+      cand
+        .join(cntB.select(col("doc_id").as("batch_id"), col("n_batch")),
+          "batch_id")
+        .join(cntC.select(col("doc_id").as("corpus_id"), col("n_corpus")),
+          "corpus_id")
+        .join(inter, Seq("batch_id", "corpus_id"), "left")
+        .select(col("batch_id"), col("corpus_id"), col("n_shared_bands"),
+          col("n_batch"), col("n_corpus"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("n_batch") + col("n_corpus") - col("n_inter")), 6))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     "q119_edit_distance_pairs" -> ((s, dir) => {
       editDistancePairs(table(s, dir, "documents"))
         .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"))
@@ -1123,6 +1187,43 @@ object Dedup {
          |  ROUND(COALESCE(a.masked, 0) * 1.0 / length(c.text), 6) AS masked_frac
          |FROM corpus c LEFT JOIN agg a USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin,
+
+    "q131_incremental_lsh" ->
+      s"""WITH nb AS ($recrawlSql),
+         |shc AS (${shinglesSqlFrom("documents")}),
+         |shb AS (${shinglesSqlFrom("nb")}),
+         |sigc AS (${signaturesSqlFrom("shc")}),
+         |sigb AS (${signaturesSqlFrom("shb")}),
+         |bc AS (${bandsSqlFrom("sigc")}),
+         |bb AS (${bandsSqlFrom("sigb")}),
+         |cand AS (
+         |  SELECT bb.doc_id AS batch_id, bc.doc_id AS corpus_id,
+         |    COUNT(*) AS n_shared_bands
+         |  FROM bc JOIN bb
+         |    ON bc.band = bb.band AND bc.k1 = bb.k1 AND bc.k2 = bb.k2
+         |  GROUP BY 1, 2),
+         |shhc AS (${shingleHashSqlFrom("shc")}),
+         |shhb AS (${shingleHashSqlFrom("shb")}),
+         |nb_sz AS (SELECT doc_id, COUNT(*) AS n FROM shhb GROUP BY 1),
+         |c_sz AS (SELECT doc_id, COUNT(*) AS n FROM shhc GROUP BY 1),
+         |inter AS (
+         |  SELECT c.batch_id, c.corpus_id, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shhb x ON x.doc_id = c.batch_id
+         |  JOIN shhc y ON y.doc_id = c.corpus_id
+         |    AND x.h1 = y.h1 AND x.h2 = y.h2
+         |  GROUP BY 1, 2)
+         |SELECT c.batch_id, c.corpus_id, c.n_shared_bands,
+         |  zb.n AS n_batch, zc.n AS n_corpus,
+         |  COALESCE(i.n_inter, 0) AS n_inter,
+         |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+         |        (zb.n + zc.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+         |FROM cand c
+         |JOIN nb_sz zb ON zb.doc_id = c.batch_id
+         |JOIN c_sz zc ON zc.doc_id = c.corpus_id
+         |LEFT JOIN inter i
+         |  ON i.batch_id = c.batch_id AND i.corpus_id = c.corpus_id
+         |ORDER BY c.batch_id, c.corpus_id""".stripMargin,
 
     "q119_edit_distance_pairs" ->
       """WITH p AS (

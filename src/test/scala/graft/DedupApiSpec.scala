@@ -219,6 +219,28 @@ class DedupApiSpec extends AnyFunSuite {
     assert(Dedup.containmentPairs(boiler, maxDocFreq = 10).count() == 0L)
   }
 
+  test("incrementalLshCandidates: batch finds corpus near-dups without a corpus self-join") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river " +
+      "while seventeen green turtles carry packages across the frozen water"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")), // near-dup of the batch copy
+      (3L, "entirely different content with no shared shingles at all " +
+        "zebra xylophone quantum marmalade frequencies oscillate wildly today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base),                          // exact re-post of doc 1
+      (101L, "brand new never seen before text with its own vocabulary " +
+        "completely disjoint from everything already standing in the corpus")
+    ).toDF("doc_id", "text")
+    val cand = Dedup.incrementalLshCandidates(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((100L, 1L)), s"exact re-post must collide: $cand")
+    assert(!cand.exists(_._1 == 101L), s"novel doc must not collide: $cand")
+    assert(!cand.exists(_._2 == 3L), s"unrelated corpus doc clean: $cand")
+  }
+
   test("dupSpans: full copy fully masked as ONE span, quote one interior span, unique clean") {
     import spark.implicits._
     val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
