@@ -70,6 +70,21 @@ object GraftFunctions {
   def freq_topk_agg(c: Column, capacity: Int = 64): Column =
     call_function("freq_topk_agg", c, lit(capacity))
 
+  /** Content-defined rolling window hashes of a text column: one
+    * packed 62-bit hash per ANCHORED `win`-codepoint window (density
+    * 1/16, Rabin–Karp rolled — O(1) per position). The CDC dedup
+    * primitive behind `Dedup.anchoredWindows`. Requires
+    * GraftExtensions. */
+  def cdc_window_hashes(text: Column, win: Int = 50): Column =
+    call_function("cdc_window_hashes", text, lit(win))
+
+  /** [[cdc_window_hashes]] with positions:
+    * array<struct<pos int, h bigint>>, pos 1-based in codepoints —
+    * the span-merge face (`Dedup.dupSpans`). Requires
+    * GraftExtensions. */
+  def cdc_window_hits(text: Column, win: Int = 50): Column =
+    call_function("cdc_window_hits", text, lit(win))
+
   /** Bloom filter aggregate over a long column -> binary sketch
     * (Spark's sketch pair, registered by GraftExtensions). */
   def bloom_agg(c: Column, estimatedNumItems: Long = 1000000L): Column =

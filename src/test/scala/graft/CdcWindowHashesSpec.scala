@@ -55,6 +55,17 @@ class CdcWindowHashesSpec extends AnyFunSuite {
       "interior anchored windows must survive an alignment shift")
   }
 
+  test("GraftFunctions facade wrappers resolve and agree with call_function") {
+    import graft.functions.GraftFunctions
+    val t = "the quick brown fox jumps over the lazy dog near the wide river bank"
+    val viaFacade = Seq(t).toDF("text")
+      .select(GraftFunctions.cdc_window_hashes(col("text")).as("hs"),
+        size(GraftFunctions.cdc_window_hits(col("text"))).as("nh"))
+      .collect().head
+    assert(viaFacade.getSeq[Long](0) == rolled(t, 50))
+    assert(viaFacade.getInt(1) == rolled(t, 50).size)
+  }
+
   test("anchor density is ~1/16 on real corpus text") {
     val docs = GraftSession.table(spark, sf, "documents")
       .filter(length(col("text")) >= 50)
