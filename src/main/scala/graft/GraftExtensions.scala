@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CdcWindowHashes, CdcWindowHits, CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, SimHashAgg}
+import graft.functions.{CdcWindowHashes, CdcWindowHits, CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, SimHashAgg, WinnowPrints}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cdc_window_hits"),
       new ExpressionInfo(classOf[CdcWindowHits].getName, "cdc_window_hits"),
       (exprs: Seq[Expression]) => CdcWindowHits(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_prints"),
+      new ExpressionInfo(classOf[WinnowPrints].getName, "winnow_prints"),
+      (exprs: Seq[Expression]) => WinnowPrints(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist"),

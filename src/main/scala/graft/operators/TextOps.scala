@@ -646,14 +646,15 @@ object TextOps {
       // no shuffle); the gated output comma-joins the sorted distinct
       // prints (the driver gate can't hash array cells). Docs under 6
       // tokens have no full window and are excluded on both sides.
+      // r8: the tokenize→gram-md5→window-min→sort-distinct chain runs
+      // as ONE native pass (functions/WinnowPrints.scala) — byte-
+      // faithful to the declarative HOF chain it replaced (same
+      // lowercase, split, md5 arithmetic), so the oracle is untouched;
+      // docs under 6 tokens return an empty array (== the old
+      // size(toks) >= 6 filter).
       table(s, dir, "documents")
-        .withColumn("toks", split(lower(col("text")), "\\s+"))
-        .filter(size(col("toks")) >= 6)
-        .withColumn("hs", expr(
-          "transform(sequence(1, size(toks) - 2), " +
-            "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 8), 16, 10) as bigint))"))
-        .withColumn("prints", array_sort(array_distinct(expr(
-          "transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))"))))
+        .withColumn("prints", call_function("winnow_prints", col("text")))
+        .filter(size(col("prints")) > 0)
         .select(col("doc_id"),
           size(col("prints")).cast("long").as("n_prints"),
           array_join(col("prints").cast("array<string>"), ",").as("prints"))
@@ -668,15 +669,11 @@ object TextOps {
       // (stop-prints — boilerplate phrases otherwise make one print
       // bucket quadratic, exactly MOSS's own common-fingerprint cull),
       // bounding every join bucket at 20·19/2 pairs.
+      // r8: same native winnow_prints pass as q111 (explode of the
+      // empty array drops sub-6-token docs, preserving the row set)
       val prints = table(s, dir, "documents")
-        .withColumn("toks", split(lower(col("text")), "\\s+"))
-        .filter(size(col("toks")) >= 6)
-        .withColumn("hs", expr(
-          "transform(sequence(1, size(toks) - 2), " +
-            "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 8), 16, 10) as bigint))"))
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))")))
-          .as("print"))
+        .select(col("doc_id"),
+          explode(call_function("winnow_prints", col("text"))).as("print"))
       val rare = prints.groupBy(col("print"))
         .agg(count(lit(1)).as("df")).filter(col("df") <= 20)
         .select(col("print"))
