@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CdcWindowHashes, CdcWindowHits, CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, SimHashAgg, WinnowPrints}
+import graft.functions.{CdcWindowHashes, CdcWindowHits, CharBigramsPacked, CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, PackedLmSum, SimHashAgg, WinnowPrints}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cdc_window_hits"),
       new ExpressionInfo(classOf[CdcWindowHits].getName, "cdc_window_hits"),
       (exprs: Seq[Expression]) => CdcWindowHits(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("char_bigrams_packed"),
+      new ExpressionInfo(classOf[CharBigramsPacked].getName, "char_bigrams_packed"),
+      (exprs: Seq[Expression]) => CharBigramsPacked(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("packed_lm_sum"),
+      new ExpressionInfo(classOf[PackedLmSum].getName, "packed_lm_sum"),
+      (exprs: Seq[Expression]) => PackedLmSum(exprs.head, exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("winnow_prints"),
       new ExpressionInfo(classOf[WinnowPrints].getName, "winnow_prints"),

@@ -299,6 +299,45 @@ object ScaleSmoke {
     require(cdcFlagged >= 150000L && cdcFlagged <= 210000L,
       s"dup-span mask flagged $cdcFlagged docs, expected ~200k")
 
+    // Incremental-LSH phase: a 20k-doc re-crawl probed against the
+    // 600k-doc CDC corpus — 10k exact re-posts (must ALL hit their
+    // standing originals: identical shingle sets → identical
+    // signatures → all bands collide) + 10k novel docs (must stay
+    // near-silent). The batch band table broadcasts; the corpus is
+    // scanned once and never self-joins.
+    val incrBatch = cdcBase.filter(col("id") < 10000L)
+      .select((col("id") + 900000L).as("doc_id"), col("text"))
+      .unionByName(spark.range(10000L).select(
+        (col("id") + 950000L).as("doc_id"),
+        concat_ws(" ",
+          md5((col("id") + 10000000L).cast("string")),
+          md5((col("id") + 11000000L).cast("string")),
+          md5((col("id") + 12000000L).cast("string")),
+          md5((col("id") + 13000000L).cast("string")),
+          md5((col("id") + 14000000L).cast("string")),
+          md5((col("id") + 15000000L).cast("string")),
+          md5((col("id") + 16000000L).cast("string")),
+          md5((col("id") + 17000000L).cast("string"))).as("text")))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val incr = graft.operators.Dedup
+      .incrementalLshCandidates(cdcCorpus, incrBatch)
+      .agg(count(lit(1)).as("pairs"),
+        countDistinct(when(col("batch_id") < 950000L, col("batch_id")))
+          .as("copies_hit"),
+        countDistinct(when(col("batch_id") >= 950000L, col("batch_id")))
+          .as("novel_hit"))
+      .collect().head
+    val incrSec = (System.nanoTime() - t0) / 1e9
+    val (incrPairs, copiesHit, novelHit) =
+      (incr.getLong(0), incr.getLong(1), incr.getLong(2))
+    // every re-post finds its original (+ the id<50000 re-posts' twin
+    // copies); novel docs may brush a bucket but must stay ~silent
+    require(copiesHit == 10000L,
+      s"incremental LSH must hit all 10k re-posts: $copiesHit")
+    require(novelHit <= 1000L,
+      s"novel docs should rarely collide: $novelHit")
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -324,6 +363,8 @@ object ScaleSmoke {
       f""""kmv_sketch_sec":$kmvSec%.2f,"kmv_exact_sec":$kmvExactSec%.2f,""" +
       f""""pagerank_sec":$prSec%.2f,""" +
       f""""cdc_mask_sec":$cdcSec%.2f,"cdc_flagged":$cdcFlagged,""" +
+      f""""incr_lsh_sec":$incrSec%.2f,"incr_pairs":$incrPairs,""" +
+      f""""incr_copies_hit":$copiesHit,"incr_novel_hit":$novelHit,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }

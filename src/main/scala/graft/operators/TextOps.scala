@@ -704,58 +704,50 @@ object TextOps {
       // identically in both engines; round(6) absorbs the sum order.
       val docs = table(s, dir, "documents")
       // train keys are PACKED CODEPOINT PAIRS (cp1·2^21 + cp2 — 2^21 >
-      // max unicode, so the packing is collision-free for any text),
-      // not substring bigrams: the explode then carries longs through
-      // the hash agg instead of allocating ~2 strings per corpus char
-      // (measured: 6.2 s → 4.8 s for the whole train+score at sf0.1)
-      val packedExpr =
-        "transform(sequence(1, size(cs) - 1), " +
-          "i -> CAST(ascii(element_at(cs, i)) AS BIGINT) * 2097152 + " +
-          "ascii(element_at(cs, i + 1)))"
-      val withChars = docs
-        .filter(length(col("text")) >= 2)
-        .withColumn("cs", split(lower(col("text")), ""))
-      val model = withChars
-        .select(explode(expr(packedExpr)).as("bg"))
+      // max unicode, so the packing is collision-free for any text).
+      // r8: packing runs in the native char_bigrams_packed kernel —
+      // one codepoint walk per doc, no split-to-char-strings (~2
+      // string objects per corpus char) and no interpreted lambda, in
+      // BOTH the train explode and the score fold.
+      val bigs = docs.filter(length(col("text")) >= 2)
+        .withColumn("bigs", call_function("char_bigrams_packed", col("text")))
+      val model = bigs
+        .select(explode(col("bigs")).as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("c"))
         .collect()
       val total = model.map(_.getAs[Long]("c")).sum.toDouble
       val entries = model.map { r =>
-        val packed = r.getAs[Long]("bg")
-        val bg = new String(Character.toChars((packed >> 21).toInt)) +
-          new String(Character.toChars((packed & 0x1FFFFF).toInt))
-        bg -> math.log(r.getAs[Long]("c") / total)
+        r.getAs[Long]("bg") -> math.log(r.getAs[Long]("c") / total)
       }
       // Lookup ladder, measured at sf0.1: a map-literal element_at is a
       // LINEAR scan per probe (13.1 s); explode + broadcast hash join +
       // re-agg is codegen'd but fans every bigram through a join
       // (8.3 s); when the model itself proves the corpus single-byte
       // (it contains every corpus bigram), a 128×128 dense log-prob
-      // ARRAY literal makes the fold a pure scan-side O(1)-probe pass —
-      // no explode, no join, no re-agg shuffle.
-      val allSingleByte = entries.forall(_._1.forall(_ < 128))
+      // table makes the fold a pure scan-side O(1)-probe pass — no
+      // explode, no join, no re-agg shuffle (r8: the probe loop is the
+      // native packed_lm_sum, summing left-to-right exactly like the
+      // HOF fold it replaced, so round(sum/n, 6) is bit-stable).
+      val allSingleByte = entries.forall { case (bg, _) =>
+        (bg >> 21) < 128 && (bg & 0x1FFFFF) < 128
+      }
       if (allSingleByte) {
         val arr = Array.fill(128 * 128)(-20.0)
-        entries.foreach { case (bg, lp) => arr(bg(0) * 128 + bg(1)) = lp }
-        docs
-          .filter(length(col("text")) >= 2)
-          .withColumn("__lp", typedLit(arr.toSeq))
-          .withColumn("cs", split(lower(col("text")), ""))
-          .withColumn("n_bigrams", (size(col("cs")) - 1).cast("long"))
+        entries.foreach { case (bg, lp) =>
+          arr(((bg >> 21) * 128 + (bg & 0x1FFFFF)).toInt) = lp
+        }
+        bigs
+          .withColumn("n_bigrams", size(col("bigs")).cast("long"))
           .withColumn("avg_logp", round(
-            expr("aggregate(sequence(1, size(cs) - 1), cast(0.0 as double), " +
-              "(a, i) -> a + element_at(__lp, " +
-              "ascii(element_at(cs, i)) * 128 + ascii(element_at(cs, i + 1)) + 1))")
+            call_function("packed_lm_sum", col("bigs"), typedLit(arr.toSeq))
               / col("n_bigrams"), 6))
           .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
           .orderBy(col("doc_id"))
       } else {
         import s.implicits._
         val probs = entries.toSeq.toDF("bg", "logp")
-        withChars
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(cs) - 1), " +
-              "i -> concat(element_at(cs, i), element_at(cs, i + 1)))")).as("bg"))
+        bigs
+          .select(col("doc_id"), explode(col("bigs")).as("bg"))
           .join(broadcast(probs), "bg")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
