@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CdcWindowHashes, CdcWindowHits, CharBigramsPacked, CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, PackedLmSum, SimHashAgg, WinnowPrints}
+import graft.functions.{CdcWindowHashes, CdcWindowHits, CharBigramsPacked, CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, PackedLmSum, PqAdc, PqEncode, SimHashAgg, WinnowPrints}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("packed_lm_sum"),
       new ExpressionInfo(classOf[PackedLmSum].getName, "packed_lm_sum"),
       (exprs: Seq[Expression]) => PackedLmSum(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) => PqEncode(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (exprs: Seq[Expression]) => PqAdc(exprs.head, exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("winnow_prints"),
       new ExpressionInfo(classOf[WinnowPrints].getName, "winnow_prints"),
