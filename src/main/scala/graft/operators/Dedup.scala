@@ -94,6 +94,28 @@ object Dedup {
     * scale. 64 collision bits keep "exact" honest; a collision perturbs
     * both engines identically (same md5), so oracle parity holds.
     * Public df-level API. */
+  /** Per-doc novelty (q134): the fraction of a doc's distinct
+    * shingles that appear NOWHERE else in the corpus (df = 1) — the
+    * inverse of q120's dup-mask signal, and the score a curation pass
+    * uses to up-weight genuinely new material. Docs under 3 tokens
+    * have no shingles and yield no row (the shingle-family
+    * convention). Scale shape: shingle hashes (64+64-bit fixed keys,
+    * not strings) aggregate to a df table on a uniform key; the
+    * re-join fans each doc-shingle row through one hash probe and the
+    * per-doc re-agg is map-side combinable — two uniform shuffles, no
+    * pair join anywhere. */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val sh = shingleHashes(docs)
+    val df = sh.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("h1", "h2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_sh"), 6))
+  }
+
   def shingleHashes(docs: DataFrame): DataFrame =
     shingles(docs)
       .select(col("doc_id"), baseHash(col("sh")).as("h1"),
@@ -775,6 +797,9 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "q134_shingle_novelty" -> ((s, dir) =>
+      shingleNovelty(table(s, dir, "documents")).orderBy(col("doc_id"))),
+
     "q130_dup_span_merge" -> ((s, dir) => {
       dupSpans(cdcCorpus(s, dir))
         .select(col("doc_id"), col("n_spans"), col("masked_chars"),
@@ -1160,6 +1185,18 @@ object Dedup {
          |JOIN sz zb ON zb.doc_id = s.doc_b
          |WHERE ROUND(s.n_shared * 1.0 / LEAST(za.n, zb.n), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q134_shingle_novelty" ->
+      s"""WITH sh AS ($shinglesSql),
+         |shh AS ($shingleHashSql),
+         |df AS (SELECT h1, h2, COUNT(*) AS df FROM shh GROUP BY 1, 2)
+         |SELECT s.doc_id, COUNT(*) AS n_sh,
+         |  CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0
+         |    / COUNT(*), 6) AS novelty
+         |FROM shh s JOIN df d USING (h1, h2)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "q130_dup_span_merge" ->
       s"""WITH corpus AS ($cdcCorpusSql),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.GraftSession.table
 
@@ -53,7 +54,85 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Temperature-scaled mixture weights (the multilingual-sampling
+    * rule of mBERT/XLM-R and the domain-mixing rule of LLM data
+    * recipes): domain d samples with p_d ∝ (tokens_d)^alpha, alpha<1
+    * flattening the head so low-resource domains aren't drowned.
+    * Returns per-domain token mass, unnormalized weight, sampling
+    * probability, and effective epochs at `budgetTokens` (how many
+    * times the domain's corpus is traversed to fill its share of the
+    * budget — the over-sampling/repetition signal a mixing recipe
+    * watches).
+    *
+    * Scale shape: one corpus scan with map-side-combined token sums
+    * to a |domains|-row frame; everything after is KB-sized. The
+    * normalizer sums ROUND-6 weights EXACTLY (decimal), so both
+    * engines divide by the identical total — the one place a double
+    * Σ could diverge cross-engine.
+    */
+  def mixtureWeights(docs: DataFrame, domain: Column, tokens: Column,
+      alpha: Double, budgetTokens: Double): DataFrame = {
+    val perDom = docs.groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+      .withColumn("weight", round(pow(col("n_tokens"), alpha), 6))
+    val tot = perDom.agg(
+      sum(col("weight").cast(DecimalType(18, 6))).as("tw"))
+    perDom.crossJoin(broadcast(tot))
+      .withColumn("p_sample",
+        round(col("weight") / col("tw").cast("double"), 6))
+      .withColumn("eff_epochs",
+        round(col("p_sample") * budgetTokens / col("n_tokens"), 6))
+      .drop("tw")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_mixture_weights" -> ((s, dir) => {
+      // alpha=0.3 (the mBERT exponent), 1M-token budget: the mixing
+      // table a pretraining sampler is configured from.
+      mixtureWeights(table(s, dir, "documents"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long"),
+        alpha = 0.3, budgetTokens = 1e6)
+        .orderBy(col("domain"))
+    }),
+
+    "q137_dsir_weights" -> ((s, dir) => {
+      // DSIR-style importance weights (Xie et al. 2023, NeurIPS —
+      // data selection via importance resampling): score every doc by
+      // the log-likelihood RATIO of a target-domain LM vs the corpus
+      // LM, here the q109 char-bigram models with the 'en' slice as
+      // target. A doc whose character statistics look like the target
+      // gets log_ratio near 0 or above; out-of-domain text goes
+      // sharply negative. Resampling by exp(log_ratio) is then the
+      // q117 A-ES draw.
+      // Scale shape (two-phase, q109's): both models collapse to
+      // ≤|alphabet|² count rows via map-side combine; the ratio table
+      // BROADCAST-joins the scan-side bigram stream (codegen'd hash
+      // probe per bigram); the per-doc re-agg is map-side combinable.
+      // Bigrams absent from the target slice get the q109 OOV floor
+      // (-20) so the ratio is total over the corpus-model support.
+      val docs = table(s, dir, "documents")
+      val bigs = docs.filter(length(col("text")) >= 2)
+        .withColumn("bigs", call_function("char_bigrams_packed", col("text")))
+      val proxy = bigs.select(explode(col("bigs")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cp"))
+      val tgt = bigs.filter(col("lang") === "en")
+        .select(explode(col("bigs")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("ct"))
+      val totP = proxy.agg(sum(col("cp")).cast("double").as("tp"))
+      val totT = tgt.agg(sum(col("ct")).cast("double").as("tt"))
+      val ratio = proxy.join(tgt, Seq("bg"), "left")
+        .crossJoin(broadcast(totP)).crossJoin(broadcast(totT))
+        .select(col("bg"),
+          (coalesce(log(col("ct") / col("tt")), lit(-20.0))
+            - log(col("cp") / col("tp"))).as("lr"))
+      bigs.select(col("doc_id"), col("lang"), explode(col("bigs")).as("bg"))
+        .join(broadcast(ratio), Seq("bg"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("lr")) / count(lit(1)), 6).as("log_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q117_weighted_sample" -> ((s, dir) => {
       // 5 docs per source, length-weighted (longer docs proportionally
       // more likely): the per-domain quota draw a data-mixing pipeline
@@ -69,6 +148,44 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "q136_mixture_weights" ->
+      """WITH perdom AS (
+        |  SELECT source AS domain, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT *, ROUND(POWER(n_tokens, 0.3), 6) AS weight FROM perdom),
+        |tot AS (
+        |  SELECT CAST(SUM(CAST(weight AS DECIMAL(18, 6))) AS DOUBLE) AS tw
+        |  FROM w)
+        |SELECT domain, n_docs, n_tokens, weight,
+        |  ROUND(weight / tw, 6) AS p_sample,
+        |  ROUND(ROUND(weight / tw, 6) * 1e6 / n_tokens, 6) AS eff_epochs
+        |FROM w CROSS JOIN tot ORDER BY domain""".stripMargin,
+
+    "q137_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, lower(text) AS lt FROM documents
+        |  WHERE length(text) >= 2),
+        |bgs AS (
+        |  SELECT doc_id, lang, substr(lt, CAST(i AS INTEGER), 2) AS bg
+        |  FROM t, UNNEST(generate_series(1, length(lt) - 1)) AS u(i)),
+        |proxy AS (SELECT bg, COUNT(*) AS cp FROM bgs GROUP BY bg),
+        |tgt AS (SELECT bg, COUNT(*) AS ct FROM bgs
+        |        WHERE lang = 'en' GROUP BY bg),
+        |tp AS (SELECT CAST(SUM(cp) AS DOUBLE) AS tp FROM proxy),
+        |tt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt FROM tgt),
+        |ratio AS (
+        |  SELECT p.bg,
+        |    COALESCE(LN(g.ct / tt.tt), -20.0) - LN(p.cp / tp.tp) AS lr
+        |  FROM proxy p LEFT JOIN tgt g USING (bg)
+        |  CROSS JOIN tp CROSS JOIN tt)
+        |SELECT b.doc_id, b.lang, COUNT(*) AS n_bigrams,
+        |  ROUND(SUM(r.lr) / COUNT(*), 6) AS log_ratio
+        |FROM bgs b JOIN ratio r USING (bg)
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
     "q117_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, source, n_chars,

@@ -213,6 +213,46 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    "q135_kmeans_iter" -> ((s, dir) => {
+      // Distributed k-means over the embedding corpus — two exact
+      // Lloyd iterations (seed: the k lowest vec_ids; metric: cosine,
+      // argmax tie-broken on cluster id), reporting per-cluster size
+      // and mean similarity after the second assignment. This is the
+      // gated-parity face of the IVF trainer (IvfIndex uses MLlib
+      // k-means; this proves the Lloyd step itself cross-engine).
+      // Scale shape: centroids are a k×dim table (KB-sized) BROADCAST
+      // to the by-dim join — per iteration the corpus is scanned once,
+      // the assignment re-agg keys are uniform (vec_id, cl), and the
+      // centroid update shuffles k×dim partial rows, map-side
+      // combined. Nothing driver-side grows with the corpus.
+      val emb = table(s, dir, "embeddings")
+      val ex = emb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val c0 = ex.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cl"), col("pos"), col("v").as("cv"))
+      def assign(cent: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cl"))
+        ex.join(broadcast(cent), Seq("pos"))
+          .groupBy(col("vec_id"), col("cl"))
+          .agg(round(sum(col("v") * col("cv")) /
+            (sqrt(sum(col("v") * col("v"))) *
+              sqrt(sum(col("cv") * col("cv")))), 6).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cl"), col("cos"))
+      }
+      val a1 = assign(c0)
+      val c1 = ex.join(a1.select(col("vec_id"), col("cl")), Seq("vec_id"))
+        .groupBy(col("cl"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("cv"))
+      assign(c1)
+        .groupBy(col("cl"))
+        .agg(count(lit(1)).as("n"), round(avg(col("cos")), 6).as("avg_cos"))
+        .orderBy(col("cl"))
+    }),
+
     "q70_embedding_quantize" -> ((s, dir) => {
       // Int8 scalar quantization: per-vector absmax scale, code =
       // floor(x*127/scale + 0.5). Codes and their stats are pure
@@ -308,6 +348,38 @@ object Similarity {
   }
 
   val oracle2: Map[String, String] = Map(
+    "q135_kmeans_iter" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(UNNEST(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cl, pos, v AS cv FROM ex WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, c.cl,
+        |    ROUND(SUM(e.v * c.cv) / (SQRT(SUM(e.v * e.v))
+        |      * SQRT(SUM(c.cv * c.cv))), 6) AS cos
+        |  FROM ex e JOIN c0 c USING (pos) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cl, cos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cl) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT a.cl, e.pos, ROUND(AVG(e.v), 6) AS cv
+        |  FROM ex e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cl,
+        |    ROUND(SUM(e.v * c.cv) / (SQRT(SUM(e.v * e.v))
+        |      * SQRT(SUM(c.cv * c.cv))), 6) AS cos
+        |  FROM ex e JOIN c1 c USING (pos) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cl, cos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cl) AS rn FROM s2)
+        |  WHERE rn = 1)
+        |SELECT cl, COUNT(*) AS n, ROUND(AVG(cos), 6) AS avg_cos
+        |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin,
+
     "q92_behavior_similarity" ->
       s"""WITH series AS ($behaviorSeriesSql),
         |planes AS (

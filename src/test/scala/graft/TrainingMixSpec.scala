@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bpe, Dedup, Sampling}
+
+/** The round-8 training-data additions: BPE tokenizer training
+  * (q132/q133), shingle novelty (q134), k-means parity (q135),
+  * temperature mixing (q136), and DSIR importance weights (q137).
+  */
+class TrainingMixSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // ---- BPE -----------------------------------------------------------
+
+  test("bpe pair counts are word-frequency weighted") {
+    val docs = Seq((1L, "ab ab ab cd")).toDF("doc_id", "text")
+    val pc = Bpe.pairCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pc == Map("ab" -> 3L, "cd" -> 1L))
+  }
+
+  test("bpe merge fold never over-merges overlapping occurrences") {
+    // "aaab": pairs (a,a) twice + (a,b) once per word — merge 1 is
+    // (a,a). Left-to-right the word becomes [aa, a, b]: the second
+    // (a,a) occurrence overlaps the first and must NOT merge.
+    val docs = Seq((1L, "aaab aaab aaab")).toDF("doc_id", "text")
+    val m = Bpe.bpeMerges(docs, 1).collect()
+    assert(m.length == 1)
+    assert((m(0).getString(1), m(0).getString(2), m(0).getString(3))
+      == ("a", "a", "aa"))
+    assert(m(0).getAs[Long]("cnt") == 6L) // 2 occurrences x freq 3
+  }
+
+  test("bpe merges compose: second round merges against merged symbols") {
+    // 10x "the" + 2x "cat": round 1 ties (h,e)=(t,h)=10, broken on
+    // byte order -> (h,e); round 2 must see ["t","he"] and merge
+    // (t,he) -> "the".
+    val docs = Seq((1L, (Seq.fill(10)("the") ++ Seq("cat", "cat"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val m = Bpe.bpeMerges(docs, 2).collect().sortBy(_.getLong(0))
+    assert(m(0).getString(3) == "he" && m(0).getAs[Long]("cnt") == 10L)
+    assert(m(1).getString(3) == "the" && m(1).getAs[Long]("cnt") == 10L)
+  }
+
+  test("gated bpe queries return rows at sf0.001") {
+    assert(SparkEntry.queries("q132_bpe_pair_counts")(spark, sf).count() == 50)
+    val merges = SparkEntry.queries("q133_bpe_merges")(spark, sf).collect()
+    assert(merges.length == 6)
+    // each merge rule's merged symbol is exactly left||right
+    merges.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+    }
+  }
+
+  // ---- shingle novelty ----------------------------------------------
+
+  test("novelty: cloned docs score 0, unique docs score 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // clone of 1
+      (3L, "epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    val nov = Dedup.shingleNovelty(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov == Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0))
+  }
+
+  // ---- k-means -------------------------------------------------------
+
+  test("kmeans iteration: every vector assigned, cluster ids from the seed set") {
+    val res = SparkEntry.queries("q135_kmeans_iter")(spark, sf).collect()
+    val total = res.map(_.getAs[Long]("n")).sum
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(total == nVec, s"assignments $total != corpus $nVec")
+    assert(res.forall(r => r.getAs[Long]("cl") >= 0 && r.getAs[Long]("cl") < 8))
+    assert(res.forall(r => math.abs(r.getAs[Double]("avg_cos")) <= 1.0))
+  }
+
+  // ---- temperature mixing -------------------------------------------
+
+  test("mixture weights: alpha<1 up-weights the small domain, p sums to ~1") {
+    val docs = (
+      (0 until 9).map(i => (i.toLong, Seq.fill(100)("w").mkString(" "), "big")) :+
+        (9L, Seq.fill(100)("w").mkString(" "), "small"))
+      .toDF("doc_id", "text", "source")
+    val mw = Sampling.mixtureWeights(docs, col("source"),
+        size(split(col("text"), "\\s+")).cast("long"),
+        alpha = 0.3, budgetTokens = 1e4).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("p_sample"),
+          r.getAs[Double]("eff_epochs"))).toMap
+    val (bigTok, bigP, _) = mw("big")
+    val (smallTok, smallP, smallEp) = mw("small")
+    assert(bigTok == 900L && smallTok == 100L)
+    // token share of `small` is 0.1; alpha=0.3 must lift it above that
+    assert(smallP > 0.1 && bigP < 0.9)
+    assert(math.abs(bigP + smallP - 1.0) < 1e-5)
+    // small domain is traversed more than once to fill its share
+    assert(math.abs(smallEp - smallP * 1e4 / 100.0) < 1e-4)
+  }
+
+  // ---- DSIR ----------------------------------------------------------
+
+  test("dsir: target-language docs outscore out-of-domain docs") {
+    val res = SparkEntry.queries("q137_dsir_weights")(spark, sf)
+      .groupBy(col("lang")).agg(avg(col("log_ratio")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 'en' trained the target model: its docs must average a higher
+    // likelihood ratio than every non-latin out-of-domain slice
+    assert(res("en") > res("zh"),
+      s"en ${res("en")} should beat zh ${res("zh")}")
+    // and the en mean must sit near 0 (a doc drawn from the target
+    // distribution has ratio ~ KL-consistent, mildly positive)
+    assert(res("en") > -1.0)
+  }
+}
