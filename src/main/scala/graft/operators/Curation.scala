@@ -113,9 +113,7 @@ object Curation {
     // after the quality scan; 24 B/shingle beats recomputing it).
     // Non-distinct is fine for minhash (min is multiset-invariant);
     // contamination distincts after its broadcast-join cut.
-    val sh = ckpt(Dedup.shingles(exactOk)
-      .select(col("doc_id"), Dedup.baseHash(col("sh")).as("h1"),
-        Dedup.baseHashHi(col("sh")).as("h2")))
+    val sh = ckpt(Dedup.shingleHashStream(exactOk))
 
     // near-dup: every non-representative component member drops
     val nearDropped = Dedup

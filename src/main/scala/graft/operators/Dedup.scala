@@ -117,10 +117,28 @@ object Dedup {
   }
 
   def shingleHashes(docs: DataFrame): DataFrame =
-    shingles(docs)
-      .select(col("doc_id"), baseHash(col("sh")).as("h1"),
-        baseHashHi(col("sh")).as("h2"))
+    docs.select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("text"))).as("p"))
       .distinct()
+      .select(col("doc_id"),
+        shiftrightunsigned(col("p"), 32).as("h1"),
+        col("p").bitwiseAND(lit(0xffffffffL)).as("h2"))
+
+  /** NON-distinct (doc_id, h1, h2) shingle-hash stream — the shared
+    * scan-side producer behind [[shingleHashes]] (which distincts on
+    * the packed key first: one 8-byte key through the exchange, not
+    * two longs) and [[minhashSignatures]]/Curation (min is
+    * multiset-invariant, no distinct needed). r8: tokenize → 3-gram →
+    * md5 → both 32-bit halves runs as ONE native pass
+    * (`functions/ShingleHashes.scala`, packed `(h1 << 32) | h2`) —
+    * byte-faithful to the `split → concat_ws → md5-hex → conv` chain
+    * it replaced, so every DuckDB mirror is untouched. */
+  def shingleHashStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("text"))).as("p"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("p"), 32).as("h1"),
+        col("p").bitwiseAND(lit(0xffffffffL)).as("h2"))
   private[operators] def shingleHashSqlFrom(shCte: String): String =
     s"""SELECT DISTINCT doc_id,
        | ('0x'||substr(md5(sh),1,8))::BIGINT AS h1,
@@ -132,8 +150,7 @@ object Dedup {
     * md5 per shingle, K derived hashes via the universal family).
     * Public df-level API. */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    minhashFromHashes(shingles(docs).select(col("doc_id"),
-      baseHash(col("sh")).as("h1")))
+    minhashFromHashes(shingleHashStream(docs).select("doc_id", "h1"))
 
   /** Minhash signatures from an already-hashed shingle stream
     * (`doc_id, h1`). min over the seeded family is multiset-invariant,
