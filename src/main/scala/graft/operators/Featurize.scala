@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Text featurization + corpus-shape diagnostics (SURVEY.md §2.C —
+  * training-data pipeline pack, r8).
+  *
+  *   - q138 `featureHashEmbed`: signed feature hashing (the
+  *     HashingTF / "hashing trick" of Weinberger et al. 2009) — every
+  *     token md5-hashes to one of `dims` buckets with a ±1 sign from
+  *     the independent second hash half, giving each doc a fixed-width
+  *     integer vector with E[collision bias] = 0, no vocabulary pass,
+  *     no dictionary state. The cheap dense embedding a pipeline uses
+  *     before a learned encoder exists — and the 32-ints-per-doc
+  *     output is SMALLER than the text, so this is the scale path
+  *     (the sparse (doc, dim, v) form never needs densifying except
+  *     at emission).
+  *   - q139 `zipfFit`: OLS fit of ln(freq) ~ ln(rank) over the
+  *     vocabulary head — natural text obeys Zipf (slope ≈ −1);
+  *     machine-generated spam, template boilerplate, and tokenizer
+  *     breakage all bend the curve, so the (slope, r²) pair is a
+  *     one-row corpus-health check per ingest.
+  *
+  * Determinism: q138 is INTEGER end-to-end until the final norm
+  * (signed counts; md5 dims/signs identical cross-engine); q139's
+  * rank ties break on token byte order and the OLS sums round at 6.
+  */
+object Featurize {
+
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private def h32hi(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  /** (doc_id, norm, nnz, vec) signed feature-hash embedding of a
+    * (doc_id, text) frame; `vec` is the dense integer vector
+    * comma-joined (the array-column gate convention). Scale shape:
+    * tokens hash scan-side; ONE uniform (doc_id, dim) shuffle with
+    * map-side combine; the dense spine is a broadcast `dims`-row
+    * range. */
+  def featureHashEmbed(docs: DataFrame, dims: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val tk = docs.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val sums = tk.select(col("doc_id"),
+        (h32(col("tok")) % dims).as("dim"),
+        when(h32hi(col("tok")) % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("v"))
+    val spine = spark.range(0, dims).select(col("id").as("dim"))
+    tk.select(col("doc_id")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(sums, Seq("doc_id", "dim"), "left")
+      .na.fill(0L, Seq("v"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sqrt(sum(col("v") * col("v"))), 6).as("norm"),
+        sum(when(col("v") =!= 0L, 1L).otherwise(0L)).as("nnz"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+            s => s.getField("v").cast("string")), ",").as("vec"))
+  }
+
+  /** One-row OLS fit of ln(freq) ~ ln(rank) over the top `head`
+    * vocabulary terms: (n_terms, slope, intercept, r2). The vocab agg
+    * is the only corpus shuffle (map-side combined); the head is a
+    * TakeOrdered and the OLS folds over `head` rows. */
+  def zipfFit(docs: DataFrame, head: Int = 1000): DataFrame = {
+    val vocab = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(head)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("tok"))))
+    vocab
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("n_terms"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+          / col("n"), 6).as("intercept"),
+        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_feature_hash" -> ((s, dir) =>
+      featureHashEmbed(table(s, dir, "documents"), dims = 32)
+        .orderBy(col("doc_id"))),
+
+    "q139_zipf_fit" -> ((s, dir) =>
+      zipfFit(table(s, dir, "documents"), head = 1000))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q138_feature_hash" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) >= 1),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(tok),1,8))::BIGINT % 32 AS dim,
+        |    CASE WHEN ('0x'||substr(md5(tok),9,8))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM tk),
+        |sums AS (
+        |  SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS v
+        |  FROM hashed GROUP BY 1, 2),
+        |spine AS (SELECT UNNEST(generate_series(0, 31)) AS dim),
+        |ids AS (SELECT DISTINCT doc_id FROM tk),
+        |dense AS (
+        |  SELECT i.doc_id, s.dim, COALESCE(m.v, 0) AS v
+        |  FROM ids i CROSS JOIN spine s
+        |  LEFT JOIN sums m ON m.doc_id = i.doc_id AND m.dim = s.dim)
+        |SELECT doc_id, ROUND(SQRT(SUM(v * v)), 6) AS norm,
+        |  CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY dim) AS vec
+        |FROM dense GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q139_zipf_fit" ->
+      """WITH vocab AS (
+        |  SELECT tok, COUNT(*) AS freq FROM (
+        |    SELECT UNNEST(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) >= 1
+        |  GROUP BY tok ORDER BY freq DESC, tok LIMIT 1000),
+        |ranked AS (
+        |  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+        |      AS DOUBLE)) AS x,
+        |    LN(CAST(freq AS DOUBLE)) AS y
+        |  FROM vocab),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM ranked)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept,
+        |  ROUND(POWER(n * sxy - sx * sy, 2)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin
+  )
+}
