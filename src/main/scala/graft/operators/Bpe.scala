@@ -63,13 +63,20 @@ object Bpe {
     * checkpointed vocab table; each round's argmax is a 1-row collect
     * (metadata-sized, like the PageRank convergence delta) and each
     * round's vocab rewrite is one scan-side `aggregate` fold. */
-  def bpeMerges(docs: DataFrame, numMerges: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, numMerges: Int): DataFrame =
+    bpeTrain(docs, numMerges)._1
+
+  /** Full training result: (merge rules, final segmented vocab
+    * (w, freq, syms)). The vocab is what ENCODING joins against —
+    * applying a learned tokenizer never re-runs the merge fold per
+    * document, it's a vocab-sized lookup (see q140). */
+  def bpeTrain(docs: DataFrame, numMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = ckpt(wordFreq(docs)
       .withColumn("syms", expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-      .select(col("freq"), col("syms")))
+      .select(col("w"), col("freq"), col("syms")))
     val rules = Seq.newBuilder[(Long, String, String, String, Long)]
     for (step <- 1 to numMerges) {
       val top = vocab
@@ -96,7 +103,31 @@ object Bpe {
               .otherwise(concat(acc, array(x))))))
       }
     }
-    rules.result().toDF("step", "left", "right", "merged", "cnt")
+    (rules.result().toDF("step", "left", "right", "merged", "cnt"), vocab)
+  }
+
+  /** Encode the corpus under its own first-`numMerges` BPE tokenizer
+    * (q140): per doc, word/char/BPE-token counts and the chars-per-
+    * token compression ratio — the "how much does this tokenizer
+    * compress my corpus" readout every tokenizer change is judged by.
+    * Scale shape: the merge loop runs once on the vocab (bpeTrain);
+    * ENCODING is a join of the scan-side token stream against the
+    * segmented vocab on the uniform word key + one per-doc
+    * map-side-combinable re-agg — the per-word fold result is
+    * computed |vocab| times, not |corpus| times. */
+  def bpeEncode(docs: DataFrame, numMerges: Int): DataFrame = {
+    val enc = bpeTrain(docs, numMerges)._2
+      .select(col("w").as("tok"), size(col("syms")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .join(enc, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("tok"))).cast("long").as("n_chars_tok"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("compression", round(
+        col("n_chars_tok").cast("double") / col("n_bpe_tokens"), 6))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -107,7 +138,11 @@ object Bpe {
 
     "q133_bpe_merges" -> ((s, dir) =>
       bpeMerges(table(s, dir, "documents"), numMerges = 6)
-        .orderBy(col("step")))
+        .orderBy(col("step"))),
+
+    "q140_bpe_encode" -> ((s, dir) =>
+      bpeEncode(table(s, dir, "documents"), numMerges = 6)
+        .orderBy(col("doc_id")))
   )
 
   // DuckDB mirrors. The merge fold is the same left-to-right
@@ -121,7 +156,10 @@ object Bpe {
       |  FROM documents)
       |WHERE length(w) >= 1 GROUP BY w""".stripMargin
 
-  private def mergesSql(k: Int): String = {
+  /** The shared k-round merge CTE chain (words, s0, p1/t1/s1 ...
+    * p{k}/t{k}/s{k}); s{i} carries (w, freq, syms) so both the rules
+    * face (q133) and the encode face (q140) read off it. */
+  private def mergeChainSql(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT syms[CAST(i AS INTEGER)] AS l,
@@ -133,7 +171,7 @@ object Bpe {
          |t$i AS (SELECT l, r, l || r AS m, cnt FROM p$i
          |  ORDER BY cnt DESC, l, r LIMIT 1),
          |s$i AS (
-         |  SELECT freq,
+         |  SELECT w, freq,
          |    list_reduce(list_transform(syms, s -> [s]),
          |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l
          |          AND x[1] = t.r
@@ -141,20 +179,42 @@ object Bpe {
          |        ELSE list_concat(acc, x) END) AS syms
          |  FROM s${i - 1} CROSS JOIN t$i t)""".stripMargin
     }.mkString(",\n")
+    s"""words AS ($wordsSql),
+       |s0 AS (
+       |  SELECT w, freq, list_transform(generate_series(1, length(w)),
+       |    i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+       |  FROM words),
+       |$rounds""".stripMargin
+  }
+
+  private def mergesSql(k: Int): String = {
     val union = (1 to k).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS step, l AS "left", r AS "right",
          |  m AS merged, cnt FROM t$i""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH words AS ($wordsSql),
-       |s0 AS (
-       |  SELECT freq, list_transform(generate_series(1, length(w)),
-       |    i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
-       |  FROM words),
-       |$rounds
+    s"""WITH ${mergeChainSql(k)}
        |SELECT * FROM ($union) ORDER BY step""".stripMargin
   }
 
+  private def encodeSql(k: Int): String =
+    s"""WITH ${mergeChainSql(k)},
+       |enc AS (SELECT w AS tok, CAST(len(syms) AS BIGINT) AS n_sym
+       |        FROM s$k),
+       |tk AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id,
+       |      UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) >= 1)
+       |SELECT tk.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(length(tk.tok)) AS BIGINT) AS n_chars_tok,
+       |  CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  ROUND(SUM(length(tk.tok)) * 1.0 / SUM(e.n_sym), 6) AS compression
+       |FROM tk JOIN enc e USING (tok)
+       |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q140_bpe_encode" -> encodeSql(6),
     "q132_bpe_pair_counts" ->
       s"""WITH words AS ($wordsSql),
          |pairs AS (

@@ -55,6 +55,23 @@ class TrainingMixSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe encode: learned merges compress; bounds hold per doc") {
+    // "the" merges fully in 2 rounds -> 10 words x 1 token; "cat"
+    // keeps 3 single-char symbols (its pairs never win a round)
+    val docs = Seq((1L, (Seq.fill(10)("the") ++ Seq("cat", "cat"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val e = Bpe.bpeEncode(docs, 2).collect().head
+    assert(e.getAs[Long]("n_words") == 12L)
+    assert(e.getAs[Long]("n_chars_tok") == 36L)
+    assert(e.getAs[Long]("n_bpe_tokens") == 10L * 1 + 2L * 3)
+    val all = SparkEntry.queries("q140_bpe_encode")(spark, sf).collect()
+    assert(all.nonEmpty)
+    all.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_chars_tok"))
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   // ---- shingle novelty ----------------------------------------------
 
   test("novelty: cloned docs score 0, unique docs score 1") {
