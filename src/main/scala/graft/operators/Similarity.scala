@@ -156,7 +156,72 @@ object Similarity {
         else lit(0.0).cast("double")): _*).as("embedding"))
   }
 
+  /** (vec_id, cl, cos) cluster assignments after two exact Lloyd
+    * iterations (q135/q141): seed = the `k` lowest vec_ids, metric =
+    * cosine, argmax tie-broken on cluster id, centroid update = per-dim
+    * mean rounded at 6 (cross-engine determinism). Scale shape:
+    * centroids are a k×dim KB table BROADCAST to the by-dim join —
+    * per iteration one corpus scan, uniform (vec_id, cl) re-agg keys,
+    * k×dim map-side-combined centroid update; no driver state grows
+    * with the corpus. */
+  def kmeansAssignments(emb: DataFrame, k: Int = 8): DataFrame = {
+    val ex = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val c0 = ex.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cl"), col("pos"), col("v").as("cv"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cl"))
+      ex.join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("cl"))
+        .agg(round(sum(col("v") * col("cv")) /
+          (sqrt(sum(col("v") * col("v"))) *
+            sqrt(sum(col("cv") * col("cv")))), 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl"), col("cos"))
+    }
+    val a1 = assign(c0)
+    val c1 = ex.join(a1.select(col("vec_id"), col("cl")), Seq("vec_id"))
+      .groupBy(col("cl"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("cv"))
+    assign(c1)
+  }
+
+  /** SemDeDup (q141, Abbas et al. 2023): semantic dedup with the pair
+    * search BLOCKED BY CLUSTER — a vector is dropped iff some
+    * lower-id member of its own cluster is cosine-similar above
+    * `threshold`. The published recipe for embedding dedup at corpus
+    * scale: k-means first, then pairwise similarity only WITHIN
+    * clusters, so pair volume is Σ|cluster|² not n² — and k is the
+    * knob that bounds every join block (at 100 TB you raise k until
+    * clusters fit the pair budget; the cluster id is a uniform join
+    * key). Returns per-cluster members/dropped/drop-rate. */
+  def semDedup(emb: DataFrame, k: Int = 8,
+      threshold: Double = 0.3): DataFrame = {
+    val a2 = graft.GraftSession.ckpt(
+      kmeansAssignments(emb, k).select(col("vec_id"), col("cl")))
+    val mem = a2.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val dropped = mem.as("a").join(mem.as("b"),
+        col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(call_function("cosine_sim",
+        col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("b.cl").as("cl"), col("b.vec_id").as("vec_id"))
+      .distinct()
+      .groupBy(col("cl")).agg(count(lit(1)).as("n_dropped"))
+    a2.groupBy(col("cl")).agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cl"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .withColumn("drop_rate", round(
+        col("n_dropped").cast("double") / col("n_members"), 6))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_semdedup" -> ((s, dir) =>
+      semDedup(table(s, dir, "embeddings")).orderBy(col("cl"))),
+
     "q92_behavior_similarity" -> ((s, dir) => {
       // Time-series similarity search over user behavior (the EDBT'19
       // streaming-similarity shape, Spark-first): each user's
@@ -215,39 +280,12 @@ object Similarity {
 
     "q135_kmeans_iter" -> ((s, dir) => {
       // Distributed k-means over the embedding corpus — two exact
-      // Lloyd iterations (seed: the k lowest vec_ids; metric: cosine,
-      // argmax tie-broken on cluster id), reporting per-cluster size
-      // and mean similarity after the second assignment. This is the
-      // gated-parity face of the IVF trainer (IvfIndex uses MLlib
-      // k-means; this proves the Lloyd step itself cross-engine).
-      // Scale shape: centroids are a k×dim table (KB-sized) BROADCAST
-      // to the by-dim join — per iteration the corpus is scanned once,
-      // the assignment re-agg keys are uniform (vec_id, cl), and the
-      // centroid update shuffles k×dim partial rows, map-side
-      // combined. Nothing driver-side grows with the corpus.
-      val emb = table(s, dir, "embeddings")
-      val ex = emb.select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("v", col("v").cast("double"))
-      val c0 = ex.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cl"), col("pos"), col("v").as("cv"))
-      def assign(cent: DataFrame): DataFrame = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cl"))
-        ex.join(broadcast(cent), Seq("pos"))
-          .groupBy(col("vec_id"), col("cl"))
-          .agg(round(sum(col("v") * col("cv")) /
-            (sqrt(sum(col("v") * col("v"))) *
-              sqrt(sum(col("cv") * col("cv")))), 6).as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cl"), col("cos"))
-      }
-      val a1 = assign(c0)
-      val c1 = ex.join(a1.select(col("vec_id"), col("cl")), Seq("vec_id"))
-        .groupBy(col("cl"), col("pos"))
-        .agg(round(avg(col("v")), 6).as("cv"))
-      assign(c1)
+      // Lloyd iterations (see kmeansAssignments), reporting
+      // per-cluster size and mean similarity after the second
+      // assignment. This is the gated-parity face of the IVF trainer
+      // (IvfIndex uses MLlib k-means; this proves the Lloyd step
+      // itself cross-engine).
+      kmeansAssignments(table(s, dir, "embeddings"))
         .groupBy(col("cl"))
         .agg(count(lit(1)).as("n"), round(avg(col("cos")), 6).as("avg_cos"))
         .orderBy(col("cl"))
@@ -347,38 +385,68 @@ object Similarity {
        |  GROUP BY user_id)""".stripMargin
   }
 
+  /** The two-Lloyd-iteration CTE chain (ex … a2) shared by the q135
+    * gate and q141's SemDeDup oracle — string-shared so the dedup's
+    * clusters are provably the gated assignments. */
+  private val kmeansChainSql =
+    """ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    CAST(UNNEST(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cl, pos, v AS cv FROM ex WHERE vec_id < 8),
+      |s1 AS (
+      |  SELECT e.vec_id, c.cl,
+      |    ROUND(SUM(e.v * c.cv) / (SQRT(SUM(e.v * e.v))
+      |      * SQRT(SUM(c.cv * c.cv))), 6) AS cos
+      |  FROM ex e JOIN c0 c USING (pos) GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cl, cos FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cl) AS rn FROM s1)
+      |  WHERE rn = 1),
+      |c1 AS (
+      |  SELECT a.cl, e.pos, ROUND(AVG(e.v), 6) AS cv
+      |  FROM ex e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+      |s2 AS (
+      |  SELECT e.vec_id, c.cl,
+      |    ROUND(SUM(e.v * c.cv) / (SQRT(SUM(e.v * e.v))
+      |      * SQRT(SUM(c.cv * c.cv))), 6) AS cos
+      |  FROM ex e JOIN c1 c USING (pos) GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vec_id, cl, cos FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cl) AS rn FROM s2)
+      |  WHERE rn = 1)""".stripMargin
+
   val oracle2: Map[String, String] = Map(
     "q135_kmeans_iter" ->
-      """WITH ex AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-        |    CAST(UNNEST(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cl, pos, v AS cv FROM ex WHERE vec_id < 8),
-        |s1 AS (
-        |  SELECT e.vec_id, c.cl,
-        |    ROUND(SUM(e.v * c.cv) / (SQRT(SUM(e.v * e.v))
-        |      * SQRT(SUM(c.cv * c.cv))), 6) AS cos
-        |  FROM ex e JOIN c0 c USING (pos) GROUP BY 1, 2),
-        |a1 AS (
-        |  SELECT vec_id, cl, cos FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, cl) AS rn FROM s1)
-        |  WHERE rn = 1),
-        |c1 AS (
-        |  SELECT a.cl, e.pos, ROUND(AVG(e.v), 6) AS cv
-        |  FROM ex e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
-        |s2 AS (
-        |  SELECT e.vec_id, c.cl,
-        |    ROUND(SUM(e.v * c.cv) / (SQRT(SUM(e.v * e.v))
-        |      * SQRT(SUM(c.cv * c.cv))), 6) AS cos
-        |  FROM ex e JOIN c1 c USING (pos) GROUP BY 1, 2),
-        |a2 AS (
-        |  SELECT vec_id, cl, cos FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, cl) AS rn FROM s2)
-        |  WHERE rn = 1)
+      s"""WITH $kmeansChainSql
         |SELECT cl, COUNT(*) AS n, ROUND(AVG(cos), 6) AS avg_cos
         |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin,
+
+    "q141_semdedup" ->
+      s"""WITH $kmeansChainSql,
+        |mem AS (SELECT vec_id, cl FROM a2),
+        |pc AS (
+        |  SELECT cl, vec_id, cos FROM (
+        |    SELECT x.cl AS cl, y.vec_id AS vec_id,
+        |      ROUND(SUM(ea.v * eb.v) / (SQRT(SUM(ea.v * ea.v))
+        |        * SQRT(SUM(eb.v * eb.v))), 6) AS cos
+        |    FROM mem x JOIN mem y ON x.cl = y.cl AND x.vec_id < y.vec_id
+        |    JOIN ex ea ON ea.vec_id = x.vec_id
+        |    JOIN ex eb ON eb.vec_id = y.vec_id AND eb.pos = ea.pos
+        |    GROUP BY x.cl, x.vec_id, y.vec_id)
+        |  WHERE cos >= 0.3),
+        |drp AS (
+        |  SELECT cl, COUNT(*) AS n_dropped FROM (
+        |    SELECT DISTINCT cl, vec_id FROM pc)
+        |  GROUP BY cl),
+        |memc AS (SELECT cl, COUNT(*) AS n_members FROM a2 GROUP BY cl)
+        |SELECT m.cl, m.n_members,
+        |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  ROUND(COALESCE(d.n_dropped, 0) * 1.0 / m.n_members, 6)
+        |    AS drop_rate
+        |FROM memc m LEFT JOIN drp d USING (cl) ORDER BY cl""".stripMargin,
 
     "q92_behavior_similarity" ->
       s"""WITH series AS ($behaviorSeriesSql),

@@ -95,6 +95,18 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(res.forall(r => math.abs(r.getAs[Double]("avg_cos")) <= 1.0))
   }
 
+  test("semdedup: an exact duplicate embedding is dropped, originals kept") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(8)(rnd.nextFloat())
+    val base = (0L to 8L).map(i => (i, vec()))
+    val emb = (base :+ ((9L, base(8)._2))) // vec 9 duplicates vec 8
+      .toDF("vec_id", "embedding")
+    val res = graft.operators.Similarity
+      .semDedup(emb, k = 8, threshold = 0.999).collect()
+    assert(res.map(_.getAs[Long]("n_members")).sum == 10L)
+    assert(res.map(_.getAs[Long]("n_dropped")).sum == 1L)
+  }
+
   // ---- temperature mixing -------------------------------------------
 
   test("mixture weights: alpha<1 up-weights the small domain, p sums to ~1") {
