@@ -130,6 +130,31 @@ object Bpe {
         col("n_chars_tok").cast("double") / col("n_bpe_tokens"), 6))
   }
 
+  /** Per-language tokenizer fertility under the learned merges
+    * (q142): BPE tokens per word and chars per token by `lang` — the
+    * tokenizer-equity diagnostic (a tokenizer trained on a
+    * latin-heavy corpus fragments CJK text into near-character
+    * tokens: fertility ≈ chars/word while 'en' compresses), the
+    * number multilingual data recipes watch when sizing per-language
+    * sampling (see q136). Same scale shape as q140: vocab-sized
+    * training, one token-stream join, one |langs|-row re-agg. */
+  def bpeFertility(docs: DataFrame, numMerges: Int): DataFrame = {
+    val enc = bpeTrain(docs, numMerges)._2
+      .select(col("w").as("tok"), size(col("syms")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .join(enc, Seq("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_tokens"),
+        round(sum(col("n_sym")).cast("double") / count(lit(1)), 6)
+          .as("fertility"),
+        round(sum(length(col("tok"))).cast("double") / sum(col("n_sym")), 6)
+          .as("chars_per_token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_bpe_pair_counts" -> ((s, dir) => {
       pairCounts(table(s, dir, "documents"))
@@ -142,7 +167,11 @@ object Bpe {
 
     "q140_bpe_encode" -> ((s, dir) =>
       bpeEncode(table(s, dir, "documents"), numMerges = 6)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    "q142_bpe_fertility" -> ((s, dir) =>
+      bpeFertility(table(s, dir, "documents"), numMerges = 6)
+        .orderBy(col("lang")))
   )
 
   // DuckDB mirrors. The merge fold is the same left-to-right
@@ -213,8 +242,28 @@ object Bpe {
        |FROM tk JOIN enc e USING (tok)
        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
 
+  private def fertilitySql(k: Int): String =
+    s"""WITH ${mergeChainSql(k)},
+       |enc AS (SELECT w AS tok, CAST(len(syms) AS BIGINT) AS n_sym
+       |        FROM s$k),
+       |tk AS (
+       |  SELECT doc_id, lang, tok FROM (
+       |    SELECT doc_id, lang,
+       |      UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) >= 1)
+       |SELECT tk.lang, COUNT(DISTINCT tk.doc_id) AS n_docs,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  ROUND(SUM(e.n_sym) * 1.0 / COUNT(*), 6) AS fertility,
+       |  ROUND(SUM(length(tk.tok)) * 1.0 / SUM(e.n_sym), 6)
+       |    AS chars_per_token
+       |FROM tk JOIN enc e USING (tok)
+       |GROUP BY tk.lang ORDER BY tk.lang""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q140_bpe_encode" -> encodeSql(6),
+    "q142_bpe_fertility" -> fertilitySql(6),
     "q132_bpe_pair_counts" ->
       s"""WITH words AS ($wordsSql),
          |pairs AS (

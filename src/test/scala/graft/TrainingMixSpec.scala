@@ -72,6 +72,19 @@ class TrainingMixSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe fertility: fragmented script shows higher tokens-per-word") {
+    // lang A dominates training -> its word merges; lang B's word
+    // never wins a merge and stays at chars/word fertility
+    val docs = Seq(
+      (1L, Seq.fill(20)("the").mkString(" "), "A"),
+      (2L, "xyzq xyzq", "B")).toDF("doc_id", "text", "lang")
+    val f = Bpe.bpeFertility(docs, 2).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("fertility")).toMap
+    assert(f("A") == 1.0)   // "the" fully merged in 2 rounds
+    assert(f("B") == 4.0,   // "xyzq" untouched: 4 single-char symbols
+      s"expected fragmented lang at chars/word, got ${f("B")}")
+  }
+
   // ---- shingle novelty ----------------------------------------------
 
   test("novelty: cloned docs score 0, unique docs score 1") {
