@@ -767,6 +767,30 @@ object Dedup {
       |  UNNEST(generate_series(1, n - 49)) AS u(i)) hashes
       |WHERE h1 % 16 = 0""".stripMargin
 
+  /** The q121 containment-pairs oracle, shared verbatim with the q143
+    * dedup-impact report (the report's containment row provably
+    * counts the gated pairs). */
+  private val containmentPairsSql =
+    s"""WITH corpus AS ($cdcCorpusSql),
+       |aw AS ($awSql),
+       |keep AS (SELECT h FROM aw GROUP BY h HAVING COUNT(*) <= 50),
+       |awk AS (SELECT aw.* FROM aw JOIN keep USING (h)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM awk GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM awk a JOIN awk b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT s.doc_a, s.doc_b,
+       |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+       |  CAST(s.n_shared AS BIGINT) AS n_shared,
+       |  ROUND(s.n_shared * 1.0 / LEAST(za.n, zb.n), 6) AS containment
+       |FROM shared s
+       |JOIN sz za ON za.doc_id = s.doc_a
+       |JOIN sz zb ON zb.doc_id = s.doc_b
+       |WHERE ROUND(s.n_shared * 1.0 / LEAST(za.n, zb.n), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Keep-BEST exact dedup: one survivor per `content` group, chosen
     * by an explicit preference order (`better`, e.g. quality DESC then
     * recency DESC) rather than q30's min-id convention — the curation
@@ -816,6 +840,61 @@ object Dedup {
 
     "q134_shingle_novelty" -> ((s, dir) =>
       shingleNovelty(table(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "q143_dedup_report" -> ((s, dir) => {
+      // The dedup-impact dashboard: ONE row per family — exact,
+      // near-dup (LSH+CC), duplicated-span, containment, semantic —
+      // each aggregated from the SAME machinery its own gate checks
+      // (the oracle string-shares those queries' SQL), over each
+      // family's gated corpus view. The per-snapshot report a curation
+      // run publishes: what fraction of the corpus would each rung
+      // remove/trim/flag. Scale: five aggregates of already-bounded
+      // pipelines; every row's payload is one count pair.
+      val docs = table(s, dir, "documents")
+      val exact = docsWithDups(s, dir)
+        .groupBy(md5(col("text")).as("th")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_universe"),
+          (sum(col("n")) - count(lit(1))).as("n_affected"))
+        .select(lit("exact").as("method"), col("n_universe"),
+          col("n_affected"), lit("drop").as("action"))
+      val nDocs = docs.agg(count(lit(1)).as("n_universe"))
+      val near = connectedComponents(
+          lshCandidates(docs).select(col("doc_a"), col("doc_b")))
+        .agg(count(lit(1)).as("nodes"),
+          countDistinct(col("label")).as("labels"))
+        .crossJoin(nDocs)
+        .select(lit("near_dup").as("method"), col("n_universe"),
+          (col("nodes") - col("labels")).as("n_affected"),
+          lit("drop").as("action"))
+      val cdc = cdcCorpus(s, dir)
+      val cdcN = cdc.agg(count(lit(1)).as("n_universe"))
+      val span = dupSpans(cdc)
+        .agg(sum(when(col("masked_chars") > 0, 1L).otherwise(0L))
+          .as("n_affected"))
+        .crossJoin(cdcN)
+        .select(lit("dup_span").as("method"), col("n_universe"),
+          col("n_affected"), lit("trim").as("action"))
+      val cpairs = ckpt(containmentPairs(cdc)
+        .select(col("doc_a"), col("doc_b")))
+      val cont = cpairs.select(col("doc_a").as("doc_id"))
+        .union(cpairs.select(col("doc_b").as("doc_id"))).distinct()
+        .agg(count(lit(1)).as("n_affected"))
+        .crossJoin(cdcN)
+        .select(lit("containment").as("method"), col("n_universe"),
+          col("n_affected"), lit("review").as("action"))
+      val sem = Similarity.semDedup(table(s, dir, "embeddings"))
+        .agg(sum(col("n_members")).as("n_universe"),
+          sum(col("n_dropped")).as("n_affected"))
+        .select(lit("semantic").as("method"), col("n_universe"),
+          col("n_affected"), lit("drop").as("action"))
+      exact.unionByName(near).unionByName(span).unionByName(cont)
+        .unionByName(sem)
+        .withColumn("rate", round(
+          col("n_affected").cast("double") / col("n_universe"), 6))
+        .select(col("method"), col("n_universe"), col("n_affected"),
+          col("rate"), col("action"))
+        .orderBy(col("method"))
+    }),
 
     "q130_dup_span_merge" -> ((s, dir) => {
       dupSpans(cdcCorpus(s, dir))
@@ -1182,26 +1261,47 @@ object Dedup {
          |LEFT JOIN pd p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
-    "q121_containment" ->
-      s"""WITH corpus AS ($cdcCorpusSql),
-         |aw AS ($awSql),
-         |keep AS (SELECT h FROM aw GROUP BY h HAVING COUNT(*) <= 50),
-         |awk AS (SELECT aw.* FROM aw JOIN keep USING (h)),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM awk GROUP BY doc_id),
-         |shared AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-         |  FROM awk a JOIN awk b
-         |    ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT s.doc_a, s.doc_b,
-         |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
-         |  CAST(s.n_shared AS BIGINT) AS n_shared,
-         |  ROUND(s.n_shared * 1.0 / LEAST(za.n, zb.n), 6) AS containment
-         |FROM shared s
-         |JOIN sz za ON za.doc_id = s.doc_a
-         |JOIN sz zb ON zb.doc_id = s.doc_b
-         |WHERE ROUND(s.n_shared * 1.0 / LEAST(za.n, zb.n), 6) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q121_containment" -> containmentPairsSql,
+
+    "q143_dedup_report" ->
+      s"""WITH cp AS ($containmentPairsSql)
+         |SELECT method, n_universe, n_affected,
+         |  ROUND(n_affected * 1.0 / n_universe, 6) AS rate, action
+         |FROM (
+         |  SELECT 'exact' AS method,
+         |    CAST(SUM(n) AS BIGINT) AS n_universe,
+         |    CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_affected,
+         |    'drop' AS action
+         |  FROM (SELECT COUNT(*) AS n FROM ($dupSql) dd
+         |        GROUP BY md5(text)) f
+         |  UNION ALL
+         |  SELECT 'near_dup',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+         |    CAST(SUM(n_docs) - COUNT(*) AS BIGINT), 'drop'
+         |  FROM ($dedupClustersSql) cc
+         |  UNION ALL
+         |  SELECT 'dup_span',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ($cdcCorpusSql) c0),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         |       WITH corpus AS ($cdcCorpusSql),
+         |       hits AS ($awHitsSql),
+         |       aw AS (SELECT DISTINCT doc_id, h FROM hits),
+         |       dup AS (SELECT h FROM aw GROUP BY h HAVING COUNT(*) >= 2)
+         |       SELECT DISTINCT hits.doc_id FROM hits JOIN dup USING (h)) sd),
+         |    'trim'
+         |  UNION ALL
+         |  SELECT 'containment',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ($cdcCorpusSql) c1),
+         |    (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM (
+         |       SELECT doc_a AS doc_id FROM cp
+         |       UNION ALL SELECT doc_b FROM cp) u),
+         |    'review'
+         |  UNION ALL
+         |  SELECT 'semantic',
+         |    CAST(SUM(n_members) AS BIGINT),
+         |    CAST(SUM(n_dropped) AS BIGINT), 'drop'
+         |  FROM (${Similarity.semDedupSql}) sm
+         |) ORDER BY method""".stripMargin,
 
     "q134_shingle_novelty" ->
       s"""WITH sh AS ($shinglesSql),

@@ -418,35 +418,40 @@ object Similarity {
       |      ORDER BY cos DESC, cl) AS rn FROM s2)
       |  WHERE rn = 1)""".stripMargin
 
+  /** q141's oracle, shared verbatim with the q143 dedup-impact report
+    * (the report's semantic row provably sums the gated per-cluster
+    * drops). */
+  private[operators] val semDedupSql =
+    s"""WITH $kmeansChainSql,
+      |mem AS (SELECT vec_id, cl FROM a2),
+      |pc AS (
+      |  SELECT cl, vec_id, cos FROM (
+      |    SELECT x.cl AS cl, y.vec_id AS vec_id,
+      |      ROUND(SUM(ea.v * eb.v) / (SQRT(SUM(ea.v * ea.v))
+      |        * SQRT(SUM(eb.v * eb.v))), 6) AS cos
+      |    FROM mem x JOIN mem y ON x.cl = y.cl AND x.vec_id < y.vec_id
+      |    JOIN ex ea ON ea.vec_id = x.vec_id
+      |    JOIN ex eb ON eb.vec_id = y.vec_id AND eb.pos = ea.pos
+      |    GROUP BY x.cl, x.vec_id, y.vec_id)
+      |  WHERE cos >= 0.3),
+      |drp AS (
+      |  SELECT cl, COUNT(*) AS n_dropped FROM (
+      |    SELECT DISTINCT cl, vec_id FROM pc)
+      |  GROUP BY cl),
+      |memc AS (SELECT cl, COUNT(*) AS n_members FROM a2 GROUP BY cl)
+      |SELECT m.cl, m.n_members,
+      |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+      |  ROUND(COALESCE(d.n_dropped, 0) * 1.0 / m.n_members, 6)
+      |    AS drop_rate
+      |FROM memc m LEFT JOIN drp d USING (cl) ORDER BY cl""".stripMargin
+
   val oracle2: Map[String, String] = Map(
     "q135_kmeans_iter" ->
       s"""WITH $kmeansChainSql
         |SELECT cl, COUNT(*) AS n, ROUND(AVG(cos), 6) AS avg_cos
         |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin,
 
-    "q141_semdedup" ->
-      s"""WITH $kmeansChainSql,
-        |mem AS (SELECT vec_id, cl FROM a2),
-        |pc AS (
-        |  SELECT cl, vec_id, cos FROM (
-        |    SELECT x.cl AS cl, y.vec_id AS vec_id,
-        |      ROUND(SUM(ea.v * eb.v) / (SQRT(SUM(ea.v * ea.v))
-        |        * SQRT(SUM(eb.v * eb.v))), 6) AS cos
-        |    FROM mem x JOIN mem y ON x.cl = y.cl AND x.vec_id < y.vec_id
-        |    JOIN ex ea ON ea.vec_id = x.vec_id
-        |    JOIN ex eb ON eb.vec_id = y.vec_id AND eb.pos = ea.pos
-        |    GROUP BY x.cl, x.vec_id, y.vec_id)
-        |  WHERE cos >= 0.3),
-        |drp AS (
-        |  SELECT cl, COUNT(*) AS n_dropped FROM (
-        |    SELECT DISTINCT cl, vec_id FROM pc)
-        |  GROUP BY cl),
-        |memc AS (SELECT cl, COUNT(*) AS n_members FROM a2 GROUP BY cl)
-        |SELECT m.cl, m.n_members,
-        |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
-        |  ROUND(COALESCE(d.n_dropped, 0) * 1.0 / m.n_members, 6)
-        |    AS drop_rate
-        |FROM memc m LEFT JOIN drp d USING (cl) ORDER BY cl""".stripMargin,
+    "q141_semdedup" -> semDedupSql,
 
     "q92_behavior_similarity" ->
       s"""WITH series AS ($behaviorSeriesSql),

@@ -143,6 +143,21 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(math.abs(smallEp - smallP * 1e4 / 100.0) < 1e-4)
   }
 
+  test("dedup report: one row per family with sane bounds") {
+    val rows = SparkEntry.queries("q143_dedup_report")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("containment", "dup_span", "exact", "near_dup", "semantic"))
+    rows.foreach { r =>
+      val (u, a) = (r.getAs[Long]("n_universe"), r.getAs[Long]("n_affected"))
+      assert(a >= 0 && a <= u, s"${r.getString(0)}: affected $a of $u")
+      assert(math.abs(r.getAs[Double]("rate") - a.toDouble / u) < 1e-6)
+    }
+    // the injected exact clones (doc_id % 10 == 0 of the 500 docs)
+    // are exactly what the exact rung must report dropped
+    val exact = rows.find(_.getString(0) == "exact").get
+    assert(exact.getAs[Long]("n_affected") == 50L)
+  }
+
   // ---- DSIR ----------------------------------------------------------
 
   test("dsir: target-language docs outscore out-of-domain docs") {
