@@ -32,6 +32,102 @@ object TextOps {
   private val upperRe = "[A-Z]"
   private val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Perplexity-proxy scoring (the q109 operator, shared with q144's
+    * CCNet buckets): each doc's avg log-likelihood under the CORPUS's
+    * own char-bigram distribution — junk with atypical character
+    * statistics scores low where length/punct heuristics (q38) pass
+    * it. Returns (doc_id, n_bigrams, avg_logp), unordered.
+    *
+    * Two-phase scale shape: the train pass is one aggregation whose
+    * map-side partials collapse to ≤|alphabet|² rows (the char stream
+    * fans out scan-side but combines before the shuffle); the
+    * collected model (like q81's bloom / IVF centroids) derives a
+    * ≤|alphabet|² log-prob table that BROADCAST-joins the scan-side
+    * bigram stream, and the per-doc avg re-agg is map-side-combinable.
+    * ln(c/total) is computed identically in both engines; round(6)
+    * absorbs the sum order. Train keys are PACKED CODEPOINT PAIRS
+    * (cp1·2^21 + cp2, collision-free for any text) from the native
+    * char_bigrams_packed kernel — one codepoint walk per doc.
+    *
+    * Lookup ladder, measured at sf0.1: a map-literal element_at is a
+    * LINEAR scan per probe (13.1 s); explode + broadcast hash join +
+    * re-agg is codegen'd but fans every bigram through a join (8.3 s);
+    * when the model itself proves the corpus single-byte, a 128×128
+    * dense log-prob table makes the fold a pure scan-side O(1)-probe
+    * pass — no explode, no join, no re-agg shuffle (the probe loop is
+    * the native packed_lm_sum, summing left-to-right exactly like the
+    * HOF fold it replaced, so round(sum/n, 6) is bit-stable). */
+  def charLmScores(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val bigs = docs.filter(length(col("text")) >= 2)
+      .withColumn("bigs", call_function("char_bigrams_packed", col("text")))
+    val model = bigs
+      .select(explode(col("bigs")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .collect()
+    val total = model.map(_.getAs[Long]("c")).sum.toDouble
+    val entries = model.map { r =>
+      r.getAs[Long]("bg") -> math.log(r.getAs[Long]("c") / total)
+    }
+    val allSingleByte = entries.forall { case (bg, _) =>
+      (bg >> 21) < 128 && (bg & 0x1FFFFF) < 128
+    }
+    if (allSingleByte) {
+      val arr = Array.fill(128 * 128)(-20.0)
+      entries.foreach { case (bg, lp) =>
+        arr(((bg >> 21) * 128 + (bg & 0x1FFFFF)).toInt) = lp
+      }
+      bigs
+        .withColumn("n_bigrams", size(col("bigs")).cast("long"))
+        .withColumn("avg_logp", round(
+          call_function("packed_lm_sum", col("bigs"), typedLit(arr.toSeq))
+            / col("n_bigrams"), 6))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
+    } else {
+      import s.implicits._
+      val probs = entries.toSeq.toDF("bg", "logp")
+      bigs
+        .select(col("doc_id"), explode(col("bigs")).as("bg"))
+        .join(broadcast(probs), "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("logp")) / count(lit(1)), 6).as("avg_logp"))
+    }
+  }
+
+  /** Universal stopword probe list for the Gopher stopword rule. */
+  private val gopherStops = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** Gopher-style hard quality rules for any (doc_id, text) frame
+    * (the q145 operator): per-doc metrics + fail bitmask
+    * (1=word-count, 2=mean-word-length, 4=duplicate-fraction,
+    * 8=stopwords) + keep flag. Scan-side HOF folds only. */
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks",
+        filter(split(lower(col("text")), "\\s+"), t => length(t) >= 1))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mean_word_len",
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / col("n_words"))
+      .withColumn("dup_frac",
+        lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+          / col("n_words"))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(col("toks")),
+          typedLit(gopherStops))).cast("long"))
+      .withColumn("fail_mask",
+        when(col("n_words") < 40, 1L).otherwise(0L) +
+          when(col("mean_word_len") < 3.8 || col("mean_word_len") > 10.0, 2L)
+            .otherwise(0L) +
+          when(col("dup_frac") > 0.55, 4L).otherwise(0L) +
+          when(col("stop_hits") < 2, 8L).otherwise(0L))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("dup_frac"), 6).as("dup_frac"),
+        col("stop_hits"), col("fail_mask"),
+        (col("fail_mask") === 0L).cast("int").as("keep"))
+
   /** Quality features for any (doc_id, text) frame. Public df-level API
     * (the q38 operator): pure rational arithmetic, scan-side. */
   def qualityScores(docs: DataFrame): DataFrame =
@@ -687,73 +783,52 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    "q109_char_lm_score" -> ((s, dir) => {
-      // Perplexity-proxy quality scoring (the KenLM-filter shape): each
-      // doc's avg log-likelihood under the CORPUS's own char-bigram
-      // distribution — junk with atypical character statistics scores
-      // low where length/punct heuristics (q38) pass it. Two-phase
-      // scale shape: the train pass is one aggregation whose map-side
-      // partials collapse to ≤|alphabet|² rows (the char stream fans
-      // out scan-side but combines before the shuffle); the collected
-      // model (like q81's bloom / IVF centroids) derives a ≤|alphabet|²
-      // log-prob table that BROADCAST-joins the scan-side bigram
-      // stream — a codegen'd hash probe per bigram (a map-literal
-      // element_at is a linear scan: 13 s vs 1.4 s at sf0.1) — and the
-      // per-doc avg re-agg is map-side-combinable, so the shuffle
-      // carries ~one partial row per doc. ln(c/total) is computed
-      // identically in both engines; round(6) absorbs the sum order.
+    "q109_char_lm_score" -> ((s, dir) =>
+      charLmScores(table(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "q145_gopher_rules" -> ((s, dir) => {
+      // Gopher/MassiveText-style rule filter (Rae et al. 2021 §A1.1):
+      // per-doc hard quality rules — word count, mean word length,
+      // duplicate-word fraction, stopword containment — emitted as a
+      // fail BITMASK so downstream can both filter (mask=0) and
+      // audit WHICH rule fired (the published recipe reports per-rule
+      // removal rates; q143-style dashboards aggregate this mask).
+      // Thresholds adapted to the synthetic corpus so every rule
+      // discriminates (wc≥40 fails ~34%, dup≤0.55 ~48%, stop≥2 ~37%,
+      // mwl∈[3.8,10] rare). Entirely scan-side higher-order folds —
+      // no explode, no join, no shuffle but the output sort; the
+      // rational arithmetic (single int/int divisions) is bit-
+      // identical cross-engine, so the gate is per-doc hash-exact.
+      gopherRules(table(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    "q144_ccnet_buckets" -> ((s, dir) => {
+      // CCNet-style quality bucketing (Wenzek et al. 2020): rank each
+      // language's docs by the q144-shared char-LM score and cut into
+      // head/middle/tail terciles — the published recipe for
+      // perplexity-stratified pretraining corpora (train on head,
+      // sample middle, drop tail). Bucketing is per-LANG ntile over
+      // the ROUNDED score (identical doubles both engines; doc_id
+      // tie-break), so bucket membership is deterministic. Scale
+      // shape: scoring is q109's two-phase broadcast design; the
+      // tercile is ONE per-lang window sort. A lang that dominates the
+      // corpus makes that sort single-partition — CCNet itself cuts on
+      // ppl thresholds learned from a SAMPLE; at 100 TB swap the ntile
+      // for approx-quantile cuts (sample → 2 thresholds per lang →
+      // scan-side bucket assign, no global sort). The gated report is
+      // per (lang, bucket): count + mean/extreme scores.
       val docs = table(s, dir, "documents")
-      // train keys are PACKED CODEPOINT PAIRS (cp1·2^21 + cp2 — 2^21 >
-      // max unicode, so the packing is collision-free for any text).
-      // r8: packing runs in the native char_bigrams_packed kernel —
-      // one codepoint walk per doc, no split-to-char-strings (~2
-      // string objects per corpus char) and no interpreted lambda, in
-      // BOTH the train explode and the score fold.
-      val bigs = docs.filter(length(col("text")) >= 2)
-        .withColumn("bigs", call_function("char_bigrams_packed", col("text")))
-      val model = bigs
-        .select(explode(col("bigs")).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("c"))
-        .collect()
-      val total = model.map(_.getAs[Long]("c")).sum.toDouble
-      val entries = model.map { r =>
-        r.getAs[Long]("bg") -> math.log(r.getAs[Long]("c") / total)
-      }
-      // Lookup ladder, measured at sf0.1: a map-literal element_at is a
-      // LINEAR scan per probe (13.1 s); explode + broadcast hash join +
-      // re-agg is codegen'd but fans every bigram through a join
-      // (8.3 s); when the model itself proves the corpus single-byte
-      // (it contains every corpus bigram), a 128×128 dense log-prob
-      // table makes the fold a pure scan-side O(1)-probe pass — no
-      // explode, no join, no re-agg shuffle (r8: the probe loop is the
-      // native packed_lm_sum, summing left-to-right exactly like the
-      // HOF fold it replaced, so round(sum/n, 6) is bit-stable).
-      val allSingleByte = entries.forall { case (bg, _) =>
-        (bg >> 21) < 128 && (bg & 0x1FFFFF) < 128
-      }
-      if (allSingleByte) {
-        val arr = Array.fill(128 * 128)(-20.0)
-        entries.foreach { case (bg, lp) =>
-          arr(((bg >> 21) * 128 + (bg & 0x1FFFFF)).toInt) = lp
-        }
-        bigs
-          .withColumn("n_bigrams", size(col("bigs")).cast("long"))
-          .withColumn("avg_logp", round(
-            call_function("packed_lm_sum", col("bigs"), typedLit(arr.toSeq))
-              / col("n_bigrams"), 6))
-          .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
-          .orderBy(col("doc_id"))
-      } else {
-        import s.implicits._
-        val probs = entries.toSeq.toDF("bg", "logp")
-        bigs
-          .select(col("doc_id"), explode(col("bigs")).as("bg"))
-          .join(broadcast(probs), "bg")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(sum(col("logp")) / count(lit(1)), 6).as("avg_logp"))
-          .orderBy(col("doc_id"))
-      }
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(charLmScores(docs), "doc_id")
+      val wl = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_logp").desc, col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(wl))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("avg_logp")), 6).as("mean_logp"),
+          max(col("avg_logp")).as("best_logp"),
+          min(col("avg_logp")).as("worst_logp"))
+        .orderBy(col("lang"), col("bucket"))
     }),
 
     "q102_heavy_hitters" -> ((s, dir) => {
@@ -852,6 +927,23 @@ object TextOps {
         .orderBy(col("source"))
     })
   )
+
+  /** q109's scoring CTEs (ends in a `scored(doc_id, n_bigrams,
+    * avg_logp)` CTE), string-shared by the q109 and q144 oracles. */
+  private val charLmScoreCtes =
+    """t AS (
+      |  SELECT doc_id, lower(text) AS lt FROM documents
+      |  WHERE length(text) >= 2),
+      |bgs AS (
+      |  SELECT doc_id, substr(lt, CAST(i AS INTEGER), 2) AS bg
+      |  FROM t, UNNEST(generate_series(1, length(lt) - 1)) AS u(i)),
+      |model AS (SELECT bg, COUNT(*) AS c FROM bgs GROUP BY bg),
+      |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM model),
+      |scored AS (
+      |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |    ROUND(AVG(LN(m.c / t.total)), 6) AS avg_logp
+      |  FROM bgs b JOIN model m USING (bg) CROSS JOIN tot t
+      |  GROUP BY b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q127_url_normalize" ->
@@ -1198,20 +1290,52 @@ object TextOps {
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q145_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> length(t) >= 1) AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |      / len(toks) AS mwl,
+        |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dupf,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','a','of','to','and','in','is'])) AS BIGINT) AS stop_hits
+        |  FROM d),
+        |m AS (
+        |  SELECT doc_id, n_words, mwl, dupf, stop_hits,
+        |    (CASE WHEN n_words < 40 THEN 1 ELSE 0 END
+        |     + CASE WHEN mwl < 3.8 OR mwl > 10.0 THEN 2 ELSE 0 END
+        |     + CASE WHEN dupf > 0.55 THEN 4 ELSE 0 END
+        |     + CASE WHEN stop_hits < 2 THEN 8 ELSE 0 END) AS fail_mask
+        |  FROM f)
+        |SELECT doc_id, n_words, ROUND(mwl, 6) AS mean_word_len,
+        |  ROUND(dupf, 6) AS dup_frac, stop_hits,
+        |  CAST(fail_mask AS BIGINT) AS fail_mask,
+        |  CAST(fail_mask = 0 AS INTEGER) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // the fold's addition order differs from AVG's; round(6) absorbs it
     "q109_char_lm_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, lower(text) AS lt FROM documents
-        |  WHERE length(text) >= 2),
-        |bgs AS (
-        |  SELECT doc_id, substr(lt, CAST(i AS INTEGER), 2) AS bg
-        |  FROM t, UNNEST(generate_series(1, length(lt) - 1)) AS u(i)),
-        |model AS (SELECT bg, COUNT(*) AS c FROM bgs GROUP BY bg),
-        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM model)
-        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
-        | ROUND(AVG(LN(m.c / t.total)), 6) AS avg_logp
-        |FROM bgs b JOIN model m USING (bg) CROSS JOIN tot t
-        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+      ("WITH " + charLmScoreCtes + "\n" +
+        "SELECT doc_id, n_bigrams, avg_logp FROM scored ORDER BY doc_id"),
+
+    // string-shares q109's scoring CTEs: the bucketed scores are
+    // provably the gated scorer's own numbers
+    "q144_ccnet_buckets" ->
+      ("WITH " + charLmScoreCtes + ",\n" +
+        """lb AS (
+          |  SELECT d.lang, s.doc_id, s.avg_logp,
+          |    NTILE(3) OVER (PARTITION BY d.lang
+          |      ORDER BY s.avg_logp DESC, s.doc_id) AS bucket
+          |  FROM scored s JOIN documents d USING (doc_id))
+          |SELECT lang, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_docs,
+          |  ROUND(AVG(avg_logp), 6) AS mean_logp,
+          |  MAX(avg_logp) AS best_logp, MIN(avg_logp) AS worst_logp
+          |FROM lb GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin),
 
     "q100_domain_cap" ->
       """SELECT source, doc_id, n_chars, rk FROM (
