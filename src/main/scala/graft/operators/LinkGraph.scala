@@ -93,6 +93,58 @@ object LinkGraph {
     (ranks.select(col("node"), col("r").as("rank_fp")), rounds)
   }
 
+  /** `iters` rounds of integer fixed-point HITS (Kleinberg 1999) over
+    * `links` for every node in `nodes`: hubs point at good
+    * authorities, authorities are pointed at by good hubs — the
+    * complementary crawl prior to PageRank (q118) for seed-list
+    * curation (good HUBS are where a crawler finds fresh quality
+    * links; good AUTHORITIES are what a corpus keeps).
+    *
+    * Same determinism discipline as [[pagerank]]: scores are bigints
+    * in nano-units; each half-round is contribution-sum then
+    * renormalize to total mass ~1e9 via `v div greatest(t div 1e9, 1)`
+    * — all integer, so results are BIT-IDENTICAL across engines,
+    * partitionings and retries. The normalizer total is a 1-row
+    * broadcast aggregate (the q83 pattern, no driver collect). Scale
+    * shape per half-round: one edge⋈score join + one groupBy — two
+    * uniform-key shuffles over the edge list, same as a Pregel step.
+    * Returns (node, auth_fp, hub_fp). */
+  def hits(nodes: DataFrame, links: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val n = nodes.select(col("node"))
+    var hub = n.select(col("node"), lit(1000000000L).as("v"))
+    var auth = hub
+    (1 to iters).foreach { _ =>
+      auth = hitsNorm(n,
+        links.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("tgt")).agg(sum(col("v")).as("s"))
+          .withColumnRenamed("tgt", "node"))
+      hub = hitsNorm(n,
+        links.join(auth.withColumnRenamed("node", "tgt"), "tgt")
+          .groupBy(col("src")).agg(sum(col("v")).as("s"))
+          .withColumnRenamed("src", "node"))
+    }
+    auth.select(col("node"), col("v").as("auth_fp"))
+      .join(hub.select(col("node"), col("v").as("hub_fp")), "node")
+  }
+
+  /** Spine-fill missing nodes with 0, then renormalize total mass to
+    * ~1e9 nano-units in pure integer arithmetic: (raw·1000) div
+    * (t div 1e6) — the two floors bound total mass within ~1e-6
+    * relative (a bare `div (t div 1e9)` loses up to 25%: the divisor
+    * floor is relative to t/1e9, which is single digits here).
+    * greatest(…, 1) keeps the divisor nonzero on degenerate graphs —
+    * both engines' mirrors state the same guard. No overflow: raw ≤ t
+    * ≲ outdeg_max·1e9, ×1000 is still far under 2^63. */
+  private def hitsNorm(n: DataFrame, contrib: DataFrame): DataFrame = {
+    val filled = n.join(contrib, Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("raw"))
+    val t = filled.agg(sum(col("raw")).as("t"))
+    filled.crossJoin(broadcast(t))
+      .select(col("node"),
+        expr("(raw * 1000) div greatest(t div 1000000, 1)").as("v"))
+  }
+
   /** The deterministic synthetic link graph over `documents`: each doc
     * links to 3 md5-derived targets mod N (self-links dropped,
     * duplicate targets collapsed) — the test stand-in for a real
@@ -120,6 +172,16 @@ object LinkGraph {
         .select(col("node").as("doc_id"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("doc_id"))
         .limit(100)
+    }),
+
+    "q146_hits" -> ((s, dir) => {
+      // 2 unrolled HITS rounds over the same md5 link graph as q118
+      // (the oracle string-shares the links CTEs) — all-nodes output
+      // so both the hub face and the authority face are gated.
+      val (nodes, links) = documentLinks(s, dir)
+      hits(nodes, links, iters = 2)
+        .select(col("node").as("doc_id"), col("auth_fp"), col("hub_fp"))
+        .orderBy(col("doc_id"))
     }),
 
     "q129_rank_weighted_sample" -> ((s, dir) => {
@@ -156,11 +218,11 @@ object LinkGraph {
     })
   )
 
-  /** The q118 fixed-point rounds as shared CTEs (3 iterations over the
-    * md5-derived document link graph) — string-shared so q129's mirror
-    * provably scores the SAME ranks q118 gates. */
-  private val pagerankCtes =
-    """WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+  /** The md5-derived document link graph as CTEs — string-shared by
+    * every graph oracle (q118/q129 PageRank, q146 HITS) so all mirrors
+    * provably walk the SAME graph. */
+  private val linkCtes =
+    """n AS (SELECT COUNT(*) AS nn FROM documents),
       |raw AS (
       |  SELECT doc_id,
       |    UNNEST([('0x'||substr(md5(text),1,8))::BIGINT,
@@ -169,8 +231,14 @@ object LinkGraph {
       |  FROM documents),
       |links AS (
       |  SELECT DISTINCT r.doc_id AS src, r.h % n.nn AS tgt
-      |  FROM raw r CROSS JOIN n WHERE r.doc_id <> r.h % n.nn),
-      |outd AS (SELECT src, COUNT(*) AS od FROM links GROUP BY 1),
+      |  FROM raw r CROSS JOIN n WHERE r.doc_id <> r.h % n.nn)""".stripMargin
+
+  /** The q118 fixed-point rounds as shared CTEs (3 iterations over the
+    * md5-derived document link graph) — string-shared so q129's mirror
+    * provably scores the SAME ranks q118 gates. */
+  private val pagerankCtes =
+    "WITH " + linkCtes + ",\n" +
+    """outd AS (SELECT src, COUNT(*) AS od FROM links GROUP BY 1),
       |r1 AS (
       |  SELECT d.doc_id,
       |    150000000 + (85 * COALESCE(SUM(1000000000 // o.od), 0)) // 100 AS r
@@ -195,7 +263,35 @@ object LinkGraph {
       |  LEFT JOIN r2 pr ON pr.doc_id = l.src
       |  GROUP BY d.doc_id)""".stripMargin
 
+  /** One unrolled HITS half-round: sum `prev` scores over `edgeKey`
+    * in-edges (tgt for the auth face, src for the hub face), spine-
+    * fill, renormalize — the verbatim SQL image of [[hitsNorm]]. */
+  private def hitsRound(out: String, prev: String, face: String): String = {
+    val (matchCol, joinCol) = if (face == "auth") ("tgt", "src") else ("src", "tgt")
+    s"""${out}f AS (
+       |  SELECT d.doc_id AS node, COALESCE(SUM(p.v), 0) AS raw
+       |  FROM documents d
+       |  LEFT JOIN links l ON l.$matchCol = d.doc_id
+       |  LEFT JOIN $prev p ON p.node = l.$joinCol
+       |  GROUP BY 1),
+       |${out}t AS (SELECT SUM(raw) AS t FROM ${out}f),
+       |$out AS (
+       |  SELECT node,
+       |    CAST((raw * 1000) // GREATEST(t // 1000000, 1) AS BIGINT) AS v
+       |  FROM ${out}f CROSS JOIN ${out}t)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q146_hits" ->
+      ("WITH " + linkCtes + ",\n" +
+        "h0 AS (SELECT doc_id AS node, CAST(1000000000 AS BIGINT) AS v FROM documents),\n" +
+        hitsRound("a1", "h0", "auth") + ",\n" +
+        hitsRound("h1", "a1", "hub") + ",\n" +
+        hitsRound("a2", "h1", "auth") + ",\n" +
+        hitsRound("h2", "a2", "hub") + "\n" +
+        """SELECT a2.node AS doc_id, a2.v AS auth_fp, h2.v AS hub_fp
+          |FROM a2 JOIN h2 ON a2.node = h2.node ORDER BY doc_id""".stripMargin),
+
     "q118_pagerank" ->
       s"""$pagerankCtes
         |SELECT doc_id, CAST(r AS BIGINT) AS rank_fp FROM r3

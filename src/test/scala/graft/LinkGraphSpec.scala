@@ -55,6 +55,25 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got == ranks(iters = 2))
   }
 
+  test("hits: mass conserved, structure respected, bit-stable") {
+    val nodes = (1L to 5L).toDF("node")
+    // 1,2,3 all point at 4; 5 is an orphan; 4 points at 1
+    val links = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L)).toDF("src", "tgt")
+    val run = () => LinkGraph.hits(nodes, links, iters = 2).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("auth_fp"), r.getAs[Long]("hub_fp"))).toMap
+    val got = run()
+    // node 4 is the dominant authority, node 5 touches nothing
+    assert(got(4L)._1 > got(1L)._1, s"4 should out-auth 1: $got")
+    assert(got(5L) == ((0L, 0L)), s"orphan must score zero: $got")
+    Seq(2L, 3L, 5L).foreach(n => assert(got(n)._1 == 0L, s"no in-edges: $got"))
+    // renormalized mass stays within ~1e-3 of 1e9 (two integer floors)
+    val authMass = got.values.map(_._1).sum
+    assert(authMass > 999000000L && authMass < 1001000000L, s"mass: $authMass")
+    // integer arithmetic: a second run is bit-identical
+    assert(run() == got)
+  }
+
   test("q118 graph: every doc ranked, floor respected, hubs exist") {
     val (nodes, links) = LinkGraph.documentLinks(spark, sf)
     val pr = LinkGraph.pagerank(nodes, links, iters = 3)
