@@ -19,7 +19,8 @@ object SparkEntry {
       Similarity.queries ++ Similarity.queries2 ++ TextOps.queries ++
       Multimodal.queries ++ Curation.queries ++ Drift.queries ++
       Sampling.queries ++ LinkGraph.queries ++ Snapshot.queries ++
-      Profile.queries ++ Bpe.queries ++ Featurize.queries
+      Profile.queries ++ Bpe.queries ++ Featurize.queries ++
+      Spectral.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -28,5 +29,6 @@ object SparkEntry {
       Similarity.oracle ++ Similarity.oracle2 ++ TextOps.oracle ++
       Multimodal.oracle ++ Curation.oracle ++ Drift.oracle ++
       Sampling.oracle ++ LinkGraph.oracle ++ Snapshot.oracle ++
-      Profile.oracle ++ Bpe.oracle ++ Featurize.oracle
+      Profile.oracle ++ Bpe.oracle ++ Featurize.oracle ++
+      Spectral.oracle
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Spectral corpus diagnostics (SURVEY.md §2.C85) — distributed power
+  * iteration for the dominant principal direction of the embedding
+  * corpus.
+  *
+  * Why a pipeline wants this: the top PC of an (uncentered) embedding
+  * matrix is the corpus's dominant semantic axis — its eigenvalue
+  * share is a collapse/mode-dominance diagnostic (an embedding run
+  * where one direction explains most variance is degenerate), and the
+  * loadings are the projection axis for whitening or anisotropy
+  * removal (the "all-but-the-top" trick, Mu & Viswanath 2018).
+  *
+  * Scale shape per iteration: v (dim doubles) is a PLAN LITERAL, so
+  * the dot product d_j = x_j·v runs scan-side inside codegen with no
+  * join; the per-dimension matvec Σ_j x_jd·d_j is one explode +
+  * groupBy(dim) whose map-side partials collapse to `dims` rows per
+  * task — the shuffle carries dims×tasks tiny rows regardless of
+  * corpus size. The per-round collect is dims doubles (metadata, the
+  * IVF-centroid pattern).
+  *
+  * Cross-engine exactness: row order must not matter, so each row's
+  * contribution x_jd·d_j is rounded to integer NANO-UNITS and the
+  * per-dim sum is an exact integer sum (order-independent), then
+  * mapped back to double — both engines compute identical longs, so
+  * everything downstream (norm, division) is bit-identical. The
+  * per-row dot is an ORDERED zip-fold (same element order in both
+  * engines). Nano-unit quantization biases each matvec component by
+  * ≤ 0.5e-9·rows — at 1e9+ rows raise the unit (the tradeoff is
+  * documented, not silent).
+  */
+object Spectral {
+
+  /** `iters` power-iteration rounds over `emb` (vec_id,
+    * embedding: array<float> of `dims`). Returns (dim, loading,
+    * eigval): the unit dominant direction and its eigenvalue estimate
+    * ‖X·v‖-style (the Rayleigh image under the final pre-normalized
+    * matvec). Start vector is the exact-double uniform 1/√dims. */
+  def topPc(emb: DataFrame, iters: Int, dims: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require((dims & (dims - 1)) == 0,
+      s"dims must be a power of two so 1/sqrt(dims) is an exact double: $dims")
+    val spark = emb.sparkSession
+    val x = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("xv"))
+    var v: Array[Double] = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var eig = 0.0
+    (1 to iters).foreach { _ =>
+      val vc = typedLit(v.toSeq)
+      val matvec = x
+        .withColumn("d", aggregate(zip_with(col("xv"), vc, (a, b) => a * b),
+          lit(0.0), (acc, e) => acc + e))
+        .select(posexplode(col("xv")).as(Seq("dim", "xd")), col("d"))
+        .select(col("dim"),
+          round((col("xd") * col("d")) * lit(1000000000.0), 0)
+            .cast("long").as("c"))
+        .groupBy(col("dim")).agg(sum(col("c")).as("yfp"))
+        .collect()
+      val y = matvec.map(r => r.getAs[Int]("dim") ->
+        r.getAs[Long]("yfp") / 1e9).sortBy(_._1).map(_._2)
+      require(y.length == dims, s"matvec returned ${y.length} dims, want $dims")
+      // ordered fold, the exact shape of the oracle's list_reduce
+      val nrm = math.sqrt(y.map(t => t * t).foldLeft(0.0)(_ + _))
+      v = y.map(_ / nrm)
+      eig = nrm
+    }
+    import spark.implicits._
+    // round via the Spark expression so tie semantics match DuckDB's
+    // ROUND (the suite-wide equivalence), not scala rint's half-even
+    v.zipWithIndex.map { case (l, d) => (d, l, eig) }
+      .toSeq.toDF("dim", "loading", "eigval")
+      .select(col("dim"), round(col("loading"), 6).as("loading"),
+        round(col("eigval"), 6).as("eigval"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_top_pc" -> ((s, dir) =>
+      topPc(table(s, dir, "embeddings"), iters = 2, dims = 64)
+        .orderBy(col("dim")))
+  )
+
+  /** One unrolled power-iteration round: `prev` must expose vl (the
+    * direction as a 1-row list); emits y{k} (per-dim matvec) and
+    * v{k}l (normalized direction list). Verbatim SQL image of the
+    * Spark round: ordered zip-fold dot, nano-unit integer row-sums,
+    * ordered norm fold. */
+  private def pirRound(k: Int, prevVl: String): String =
+    s"""d$k AS (
+       |  SELECT vec_id, xv,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> xv[i] * vl[i]), (a, b) -> a + b) AS d
+       |  FROM x CROSS JOIN $prevVl),
+       |y$k AS (
+       |  SELECT i - 1 AS dim,
+       |    CAST(SUM(CAST(ROUND((xv[i] * d) * 1000000000.0) AS BIGINT))
+       |      AS BIGINT) / 1000000000.0 AS y
+       |  FROM d$k, UNNEST(generate_series(1, 64)) AS u(i)
+       |  GROUP BY 1),
+       |n$k AS (
+       |  SELECT SQRT(list_reduce(
+       |    list_transform(list(y ORDER BY dim), t -> t * t),
+       |    (a, b) -> a + b)) AS nrm
+       |  FROM y$k),
+       |v${k}l AS (
+       |  SELECT list_transform(list(y ORDER BY dim), t -> t / nrm) AS vl
+       |  FROM y$k CROSS JOIN n$k GROUP BY nrm)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q147_top_pc" ->
+      ("""WITH x AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xv
+         |  FROM embeddings),
+         |v0l AS (SELECT list_transform(generate_series(1, 64),
+         |  i -> 0.125) AS vl),
+         |""".stripMargin +
+        pirRound(1, "v0l") + ",\n" + pirRound(2, "v1l") + "\n" +
+        """SELECT i - 1 AS dim, ROUND(vl[i], 6) AS loading,
+          |  ROUND((SELECT nrm FROM n2), 6) AS eigval
+          |FROM v2l, UNNEST(generate_series(1, 64)) AS u(i)
+          |ORDER BY dim""".stripMargin)
+  )
+}
