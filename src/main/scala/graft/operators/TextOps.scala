@@ -786,6 +786,63 @@ object TextOps {
     "q109_char_lm_score" -> ((s, dir) =>
       charLmScores(table(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    "q148_bm25_search" -> ((s, dir) => {
+      // Batch BM25 retrieval — the decontamination/eval-retrieval
+      // workload: score a SET of queries in one corpus pass via the
+      // posting-list join (q96 scores one fixed query with per-term
+      // columns; this is the shape that scales in |queries|). Scale:
+      // the tiny query-term table BROADCASTs against the postings, so
+      // only matched-term postings survive the first join; df/stats
+      // are term-count-sized broadcasts; per-(query,doc) re-agg is
+      // map-side combinable; top-5/query is one per-query window.
+      // Cross-engine exactness: per-TERM scores round to integer
+      // micro-units before the per-doc sum (integer sums are order-
+      // independent), and ranking orders on the integer score —
+      // no double-accumulation drift anywhere.
+      import s.implicits._
+      val queriesDf = Seq((1L, "spark join fast"),
+        (2L, "window agg stream"), (3L, "customer order value"))
+        .toDF("query_id", "qtext")
+      val qterms = queriesDf.select(col("query_id"),
+        explode(split(col("qtext"), " ")).as("term"))
+      val d = table(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val postings = d
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl").cast("long")).cast("double") / count(lit(1)))
+          .as("avgdl"))
+      val matched = postings
+        .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      val dft = matched.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfPart = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val perDoc = matched
+        .join(broadcast(qterms), "term")
+        .join(broadcast(dft), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("sfp",
+          round((idf * tfPart) * lit(1000000.0), 0).cast("long"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("sfp")).as("score_fp"),
+          count(lit(1)).as("n_terms_hit"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      perDoc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("n_terms_hit"),
+          round(col("score_fp").cast("double") / lit(1000000.0), 6)
+            .as("score"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     "q145_gopher_rules" -> ((s, dir) => {
       // Gopher/MassiveText-style rule filter (Rae et al. 2021 §A1.1):
       // per-doc hard quality rules — word count, mean word length,
@@ -1289,6 +1346,51 @@ object TextOps {
         |FROM k a JOIN k b ON a.print = b.print AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q148_bm25_search" ->
+      """WITH q AS (
+        |  SELECT * FROM (VALUES (1, 'spark join fast'),
+        |    (2, 'window agg stream'), (3, 'customer order value'))
+        |    AS t(query_id, qtext)),
+        |qt AS (
+        |  SELECT query_id, UNNEST(regexp_split_to_array(qtext, ' ')) AS term
+        |  FROM q),
+        |dd AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM dd),
+        |post AS (
+        |  SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+        |    SELECT doc_id, dl, UNNEST(toks) AS term FROM dl)
+        |  GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dl),
+        |terms AS (SELECT DISTINCT term FROM qt),
+        |mp AS (SELECT p.* FROM post p JOIN terms USING (term)),
+        |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM mp GROUP BY 1),
+        |st AS (
+        |  SELECT qt.query_id, mp.doc_id,
+        |    CAST(ROUND((LN(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+        |      * (mp.tf * 2.2)
+        |      / (mp.tf + 1.2 * (0.25 + 0.75 * mp.dl / s.avgdl)))
+        |      * 1000000.0) AS BIGINT) AS sfp
+        |  FROM mp JOIN qt USING (term) JOIN dft USING (term)
+        |  CROSS JOIN stats s),
+        |pd AS (
+        |  SELECT query_id, doc_id, SUM(sfp) AS score_fp,
+        |    COUNT(*) AS n_terms_hit
+        |  FROM st GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score_fp, n_terms_hit,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, doc_id) AS rk
+        |  FROM pd)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+        |  doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+        |  ROUND(CAST(score_fp AS DOUBLE) / 1000000.0, 6) AS score
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q145_gopher_rules" ->
       """WITH d AS (

@@ -28,6 +28,22 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Int]("keep") == 0))
   }
 
+  test("bm25 search: 5 ranked hits per query, scores monotone, positive") {
+    val rows = SparkEntry.queries("q148_bm25_search")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(1L, 2L, 3L))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to 5L), s"query $q")
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q not monotone: ${scores.toSeq}")
+      assert(scores.forall(_ > 0.0))
+      assert(rs.forall(r => r.getAs[Long]("n_terms_hit") >= 1L &&
+        r.getAs[Long]("n_terms_hit") <= 3L))
+    }
+  }
+
   test("ccnet buckets: 3 terciles per lang, scores monotone head->tail") {
     val rows = SparkEntry.queries("q144_ccnet_buckets")(spark, sf).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))
