@@ -807,6 +807,48 @@ object Dedup {
       .filter(col("_kb_rk") === 1).drop("_kb_rk")
   }
 
+  /** Pairwise corpus-overlap matrix between sources (q149): each
+    * source's distinct-shingle set is sketched by its bottom-`k`
+    * shingle hashes (a KMV sketch), and each source PAIR's Jaccard is
+    * estimated by the standard bottom-k union trick —
+    * |bottomk(A∪B) ∩ A ∩ B| / |bottomk(A∪B)| — the "which sources
+    * duplicate each other" report a multi-crawl ingest publishes
+    * before mixing (q136/q71 decide weights; this says what overlaps).
+    *
+    * Scale shape: ONE corpus scan → distinct on the uniform
+    * (source, hash32) key → per-source bottom-k window (the sort is
+    * per-source over DISTINCT hashes; at extreme skew swap for a
+    * bounded KMV aggregate like q115's) → the pair join runs over
+    * |sources| k-length signatures, i.e. KB-sized both sides (a
+    * broadcast nested-loop on source< — |S|²/2 pairs of arrays, never
+    * touching the corpus again). Estimates are integer-count /
+    * integer-count — exact cross-engine parity despite being an
+    * approximate sketch. */
+  def sourceOverlap(docs: DataFrame, k: Int): DataFrame = {
+    val sh = docs.select(col("source"),
+        explode(call_function("shingle_hashes", col("text"))).as("p"))
+      .select(col("source"), shiftrightunsigned(col("p"), 32).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sig = sh.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("sig"))
+    val a = sig.select(col("source").as("src_a"), col("sig").as("sig_a"))
+    val b = sig.select(col("source").as("src_b"), col("sig").as("sig_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("un",
+        slice(array_sort(array_union(col("sig_a"), col("sig_b"))), 1, k))
+      .withColumn("inter_k", size(filter(col("un"),
+        x => array_contains(col("sig_a"), x) &&
+          array_contains(col("sig_b"), x))))
+      .select(col("src_a"), col("src_b"),
+        col("inter_k").cast("long").as("inter_k"),
+        round(col("inter_k").cast("double") / size(col("un")), 6)
+          .as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_keep_best" -> ((s, dir) => {
       // Keep-best twin of q30 on the same duplicated corpus: prefer
@@ -840,6 +882,9 @@ object Dedup {
 
     "q134_shingle_novelty" -> ((s, dir) =>
       shingleNovelty(table(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "q149_source_overlap" -> ((s, dir) =>
+      sourceOverlap(table(s, dir, "documents"), k = 128)),
 
     "q143_dedup_report" -> ((s, dir) => {
       // The dedup-impact dashboard: ONE row per family — exact,
@@ -1234,6 +1279,41 @@ object Dedup {
        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q149_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT d.source, array_to_string(toks[i:i+2], ' ') AS sh
+        |  FROM (SELECT source, regexp_split_to_array(text, '\s+') AS toks
+        |        FROM documents) d,
+        |    UNNEST(generate_series(1, len(toks)-2)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x'||substr(md5(sh),1,8))::BIGINT AS h
+        |  FROM sh),
+        |rk AS (
+        |  SELECT source, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        |  FROM h),
+        |sig AS (
+        |  SELECT source, list(h ORDER BY h) AS sig
+        |  FROM rk WHERE rk <= 128 GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM sig a JOIN sig b ON a.source < b.source),
+        |un AS (
+        |  SELECT src_a, src_b, sa, sb,
+        |    list_sort(list_distinct(sa || sb))[1:128] AS u
+        |  FROM p),
+        |i AS (
+        |  SELECT src_a, src_b,
+        |    len(list_filter(u, x -> list_contains(sa, x)
+        |      AND list_contains(sb, x))) AS inter_k,
+        |    len(u) AS uk
+        |  FROM un)
+        |SELECT src_a, src_b, CAST(inter_k AS BIGINT) AS inter_k,
+        |  ROUND(CAST(inter_k AS DOUBLE) / uk, 6) AS est_jaccard
+        |FROM i ORDER BY src_a, src_b""".stripMargin,
     "q126_keep_best" ->
       s"""WITH d AS (SELECT *, md5(text) AS text_hash FROM ($dupSql)),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text_hash

@@ -409,6 +409,30 @@ class DedupApiSpec extends AnyFunSuite {
       s"bloom passed ${probed.size - memberSet.size} of 19000 non-members")
   }
 
+  test("q149 KMV source overlap: estimate tracks exact Jaccard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // source A: 40 distinct docs; source B: 20 of A's docs + 20 fresh
+    // -> exact shingle-set Jaccard is known to be roughly 1/3
+    val mk = (i: Int) => (100 to 119).map(w => s"tok${i}_$w").mkString(" ")
+    val aDocs = (0 until 40).map(i => (i.toLong, mk(i), "srcA"))
+    val bDocs = (0 until 20).map(i => (100L + i, mk(i), "srcB")) ++
+      (40 until 60).map(i => (100L + i, mk(i), "srcB"))
+    val docs = (aDocs ++ bDocs).toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.sourceOverlap(docs, k = 128).collect()
+    assert(got.length == 1)
+    val est = got.head.getAs[Double]("est_jaccard")
+    // exact: |A∩B| = 20 docs' shingles, |A∪B| = 60 docs' shingles
+    val sh = docs.select(col("source"),
+      explode(call_function("shingle_hashes", col("text"))).as("p"))
+    val inter = sh.groupBy("p").agg(countDistinct("source").as("ns"))
+      .filter(col("ns") === 2).count().toDouble
+    val union = sh.select("p").distinct().count().toDouble
+    val exact = inter / union
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+    assert(est > 0.15 && est < 0.55, s"est=$est implausible for ~1/3")
+  }
+
   test("q81 bloom-prefiltered contamination screen equals q69 byte-for-byte") {
     val q69 = SparkEntry.queries("q69_contamination")(spark, sf).collect()
     val q81 = SparkEntry.queries("q81_contamination_bloom")(spark, sf).collect()
