@@ -643,8 +643,84 @@ object EventOps {
           round(col("est_overlap"), 3).as("est_overlap"),
           col("exact_overlap"), col("within_bounds"))
         .orderBy(col("seg_a"), col("seg_b"))
-    })
+    }),
+
+    "q150_cadence_spectrum" -> ((s, dir) =>
+      cadenceSpectrum(eventsTable(s, dir))
+        .orderBy(col("event_type"), col("period_h"))),
+
+    "q151_interarrival_bots" -> ((s, dir) =>
+      interarrivalRegularity(eventsTable(s, dir))
+        .orderBy(col("user_id")))
   )
+
+  /** Traffic-periodicity diagnostic per event type: correlate the
+    * hourly count series against quadrature SQUARE waves at 24 h /
+    * 168 h periods (Walsh correlation, the bot/cron-cadence signal a
+    * log pipeline watches). Square waves instead of a true DFT on
+    * purpose: the phase signs are pure integer arithmetic (t mod P),
+    * so both engines sum IDENTICAL longs and the gate stays
+    * hash-exact — libm cos/sin differ across engines in the last ulp.
+    * Scale: one scan -> hourly (type, hour) pre-agg (map-side
+    * combined, output |types|x|hours| rows), then a |rows|x2 explode
+    * and a |types|x2-row re-agg. Nothing downstream of the first
+    * shuffle scales with the event count. */
+  def cadenceSpectrum(events: DataFrame): DataFrame = {
+    val hc = events
+      .select(col("event_type"), expr("cast(ts as long) div 3600").as("t"))
+      .groupBy(col("event_type"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    hc.select(col("event_type"), col("t"), col("c"),
+        explode(array(lit(24L), lit(168L))).as("period_h"))
+      .withColumn("s1",
+        when(pmod(col("t"), col("period_h")) < expr("period_h div 2"), 1L)
+          .otherwise(-1L))
+      .withColumn("s2",
+        when(pmod(col("t") + expr("period_h div 4"), col("period_h")) <
+          expr("period_h div 2"), 1L).otherwise(-1L))
+      .groupBy(col("event_type"), col("period_h"))
+      .agg(sum(col("c") * col("s1")).as("a"),
+        sum(col("c") * col("s2")).as("b"),
+        sum(col("c")).as("total"))
+      .select(col("event_type"), col("period_h"), col("a"), col("b"),
+        col("total"),
+        round(sqrt(col("a").cast("double") * col("a") +
+          col("b").cast("double") * col("b")) / col("total"), 6).as("score"))
+  }
+
+  /** Inter-arrival regularity per user: the coefficient of variation
+    * of consecutive-event gaps. Organic (Poisson-ish) traffic has
+    * cv ~ 1; schedulers and bots fire metronomically (cv << 1), so
+    * (n >= 20, cv < 0.3) is the classic bot screen. Exactness: gaps
+    * are integer SECONDS, Σg fits a long, Σg² is summed in
+    * DECIMAL(38,0) (a 30-day gap squared is ~7e12 — fine here, but
+    * decimal keeps the operator correct at any retention), variance
+    * then assembles in double from exact integers — bit-identical
+    * across engines and partitionings. One shuffle on user_id
+    * serves the lag window and the per-user rollup. */
+  def interarrivalRegularity(events: DataFrame, minEvents: Int = 20,
+      cvThreshold: Double = 0.3): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("long").as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap")).as("m"),
+        sum(col("gap")).as("sg"),
+        sum((col("gap") * col("gap")).cast("decimal(38,0)")).as("sg2"))
+      .filter(col("n_events") >= minEvents)
+      .withColumn("mean_d", col("sg").cast("double") / col("m"))
+      .withColumn("var_d",
+        (col("m").cast("double") * col("sg2").cast("double") -
+          col("sg").cast("double") * col("sg").cast("double")) /
+          (col("m").cast("double") * col("m").cast("double")))
+      .withColumn("cv", round(sqrt(col("var_d")) / col("mean_d"), 6))
+      .select(col("user_id"), col("n_events"),
+        round(col("mean_d"), 6).as("mean_gap_s"), col("cv"),
+        (col("cv") < cvThreshold).as("regular"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q20_replay_from_offset" ->
@@ -938,6 +1014,51 @@ object EventOps {
     "q29_event_dedup" ->
       """SELECT user_id, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Integer square-wave phases (t mod P tests) mirror the Spark side
+    // verbatim, so a and b are identical longs in both engines.
+    "q150_cadence_spectrum" ->
+      """WITH hc AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS t, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT hc.*, p FROM hc, (VALUES (24), (168)) AS ps(p)),
+        |s AS (
+        |  SELECT event_type, p,
+        |    CAST(SUM(c * (CASE WHEN t % p < p // 2 THEN 1 ELSE -1 END))
+        |      AS BIGINT) AS a,
+        |    CAST(SUM(c * (CASE WHEN (t + p // 4) % p < p // 2 THEN 1 ELSE -1 END))
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(c) AS BIGINT) AS total
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, CAST(p AS BIGINT) AS period_h, a, b, total,
+        |  ROUND(SQRT(CAST(a AS DOUBLE) * a + CAST(b AS DOUBLE) * b)
+        |    / total, 6) AS score
+        |FROM s ORDER BY event_type, period_h""".stripMargin,
+
+    "q151_interarrival_bots" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+        |      - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT), 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS m,
+        |    CAST(SUM(gap) AS BIGINT) AS sg,
+        |    CAST(SUM(CAST(gap * gap AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg2
+        |  FROM g GROUP BY user_id HAVING COUNT(*) >= 20),
+        |v AS (
+        |  SELECT user_id, n_events,
+        |    CAST(sg AS DOUBLE) / m AS mean_d,
+        |    (CAST(m AS DOUBLE) * CAST(sg2 AS DOUBLE)
+        |      - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |      / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS var_d
+        |  FROM u)
+        |SELECT user_id, n_events, ROUND(mean_d, 6) AS mean_gap_s,
+        |  ROUND(SQRT(var_d) / mean_d, 6) AS cv,
+        |  ROUND(SQRT(var_d) / mean_d, 6) < 0.3 AS regular
+        |FROM v ORDER BY user_id""".stripMargin
   )
 }

@@ -97,7 +97,57 @@ object Featurize {
             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** md5-seeded ±1 sign for (dim d, output component k) — the same
+    * arithmetic the DuckDB mirror runs in SQL, evaluated driver-side
+    * here so the 64×16 sign matrix becomes a plan literal. */
+  private def jlSign(d: Int, k: Int): Double = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:$k".getBytes("UTF-8"))
+    val hex = dig.take(4).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss signed random projection, d=`dims` →
+    * k=`outDims`: y_k = Σ_d s(d,k)·x_d with s = ±1 seeded from
+    * md5("d:k"), distortion ratio = ‖y‖/(√k·‖x‖) (Achlioptas 2003 —
+    * ±1 entries are a database-friendly JL matrix; E[ratio²] = 1).
+    * Returns the per-band distortion histogram (band, n, min_ratio,
+    * max_ratio) — the empirical JL check a pipeline runs before
+    * trusting a cheap projection for clustering/dedup prefilters.
+    *
+    * Scale shape: the sign matrix is a 64×16 plan literal, so the
+    * whole projection is scan-side codegen (16 ordered zip-folds per
+    * row, no join, no shuffle); the only shuffle carries one
+    * ~10-row histogram. Exactness: folds are ORDERED (the q147
+    * pattern — identical add order in both engines), so ratios are
+    * bit-identical doubles. */
+  def jlDistortion(emb: DataFrame, dims: Int = 64, outDims: Int = 16)
+      : DataFrame = {
+    val sgn: IndexedSeq[Seq[Double]] =
+      (0 until outDims).map(k => (0 until dims).map(d => jlSign(d, k)).toSeq)
+    val x = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("xv"))
+    val yv = array((0 until outDims).map(k =>
+      aggregate(zip_with(col("xv"), typedLit(sgn(k)), (a, b) => a * b),
+        lit(0.0), (acc, e) => acc + e)): _*)
+    val nx2 = aggregate(transform(col("xv"), t => t * t),
+      lit(0.0), (acc, e) => acc + e)
+    val ny2 = aggregate(transform(col("yv"), t => t * t),
+      lit(0.0), (acc, e) => acc + e)
+    x.withColumn("yv", yv)
+      .withColumn("ratio",
+        sqrt(ny2 / lit(outDims.toDouble)) / sqrt(nx2))
+      .groupBy(round(col("ratio"), 1).as("band"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("ratio")), 6).as("min_ratio"),
+        round(max(col("ratio")), 6).as("max_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_rand_proj" -> ((s, dir) =>
+      jlDistortion(table(s, dir, "embeddings"), dims = 64, outDims = 16)
+        .orderBy(col("band"))),
+
     "q138_feature_hash" -> ((s, dir) =>
       featureHashEmbed(table(s, dir, "documents"), dims = 32)
         .orderBy(col("doc_id"))),
@@ -107,6 +157,34 @@ object Featurize {
   )
 
   val oracle: Map[String, String] = Map(
+    // Signs re-derived IN SQL from the same md5("d:k") parity; folds
+    // ordered identically, so every ratio is the same double.
+    "q153_rand_proj" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xv
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, xv,
+        |    list_transform(generate_series(0, 15), k ->
+        |      list_reduce(list_transform(generate_series(1, 64), i ->
+        |        xv[i] * (CASE WHEN ('0x' || substr(md5(
+        |            CAST(i - 1 AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+        |            1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)),
+        |      (a, b) -> a + b)) AS yv
+        |  FROM x),
+        |r AS (
+        |  SELECT vec_id,
+        |    SQRT(list_reduce(list_transform(yv, t -> t * t),
+        |      (a, b) -> a + b) / 16.0) /
+        |    SQRT(list_reduce(list_transform(xv, t -> t * t),
+        |      (a, b) -> a + b)) AS ratio
+        |  FROM p)
+        |SELECT ROUND(ratio, 1) AS band, COUNT(*) AS n,
+        |  ROUND(MIN(ratio), 6) AS min_ratio,
+        |  ROUND(MAX(ratio), 6) AS max_ratio
+        |FROM r GROUP BY 1 ORDER BY band""".stripMargin,
+
     "q138_feature_hash" ->
       """WITH tk AS (
         |  SELECT doc_id, tok FROM (

@@ -85,7 +85,66 @@ object Sampling {
       .drop("tw")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023): distribute
+    * `budgetTokens` across languages with a hard per-language repeat
+    * cap of `maxEpochs` — low-resource languages get their full
+    * (capped) corpus, and the surplus spreads UNIFORMLY over the
+    * high-resource ones, instead of the α-rule's fixed power law
+    * (q136). The greedy smallest-first allocation is exactly
+    * water-filling, so it has a closed form over sorted caps:
+    * language i (caps ascending, prefix sums P_i) is fully funded iff
+    * cap_i·(n−i+1) ≤ B−P_{i−1}, and everyone past the last fully
+    * funded language i* splits the remainder evenly:
+    * θ = (B−P_{i*})/(n−i*).
+    *
+    * Exactness: token counts, caps, prefix sums and B are all
+    * integers; θ is one division of two exact integers — both engines
+    * compute the identical double. Scale shape: one corpus scan with
+    * map-side-combined token sums to a |langs|-row frame; the sorted
+    * windows run on those few rows (single-partition by design —
+    * document-scale work ended at the first agg). */
+  def unimaxAlloc(docs: DataFrame, language: Column, tokens: Column,
+      maxEpochs: Int, budgetOfTotal: (Long, Long) = (4L, 5L)): DataFrame = {
+    val per = docs.groupBy(language.as("lang"))
+      .agg(sum(tokens).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    val wOrd = Window.orderBy(col("cap"), col("lang"))
+    val wAll = Window.partitionBy(lit(1))
+    val flagged = per
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("prefix", sum(col("cap")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("budget",
+        expr(s"(sum(n_tokens) over (partition by 1)) * ${budgetOfTotal._1}" +
+          s" div ${budgetOfTotal._2}"))
+      .withColumn("full",
+        col("cap") * (col("n") - col("i") + 1) <=
+          col("budget") - (col("prefix") - col("cap")))
+    val istar = flagged.agg(
+      coalesce(max(when(col("full"), col("i"))), lit(0L)).as("istar"),
+      coalesce(max(when(col("full"), col("prefix"))), lit(0L)).as("pstar"),
+      max(col("n")).as("nn"), max(col("budget")).as("bb"))
+    flagged.crossJoin(broadcast(istar))
+      .withColumn("alloc",
+        when(col("full"), col("cap").cast("double"))
+          .otherwise((col("bb") - col("pstar")).cast("double") /
+            (col("nn") - col("istar"))))
+      .select(col("lang"), col("n_tokens"), col("cap"), col("budget"),
+        col("full").as("fully_funded"), round(col("alloc"), 6).as("alloc"),
+        round(col("alloc") / col("n_tokens"), 6).as("epochs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_unimax" -> ((s, dir) => {
+      // One epoch cap, budget = 80% of the corpus: the low-resource
+      // languages are fully funded at one epoch and the head language
+      // absorbs the truncation — UniMax's point, as one gated query.
+      unimaxAlloc(table(s, dir, "documents"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long"),
+        maxEpochs = 1)
+        .orderBy(col("lang"))
+    }),
+
     "q136_mixture_weights" -> ((s, dir) => {
       // alpha=0.3 (the mBERT exponent), 1M-token budget: the mixing
       // table a pretraining sampler is configured from.
@@ -148,6 +207,37 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    // Water-filling closed form mirrored verbatim: caps/prefixes/B are
+    // integers in both engines, θ is one bigint/bigint division.
+    "q152_unimax" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |c AS (SELECT lang, n_tokens, n_tokens * 1 AS cap FROM per),
+        |f AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY cap, lang) AS i,
+        |    CAST(SUM(cap) OVER (ORDER BY cap, lang) AS BIGINT) AS prefix,
+        |    COUNT(*) OVER () AS n,
+        |    CAST((SUM(n_tokens) OVER ()) * 4 // 5 AS BIGINT) AS budget
+        |  FROM c),
+        |g AS (SELECT *,
+        |  cap * (n - i + 1) <= budget - (prefix - cap) AS funded FROM f),
+        |st AS (
+        |  SELECT COALESCE(MAX(CASE WHEN funded THEN i END), 0) AS istar,
+        |    CAST(COALESCE(MAX(CASE WHEN funded THEN prefix END), 0)
+        |      AS BIGINT) AS pstar,
+        |    MAX(n) AS nn, MAX(budget) AS bb
+        |  FROM g)
+        |SELECT lang, n_tokens, cap, budget, funded AS fully_funded,
+        |  ROUND(CASE WHEN funded THEN CAST(cap AS DOUBLE)
+        |    ELSE CAST(bb - pstar AS DOUBLE) / (nn - istar) END, 6) AS alloc,
+        |  ROUND(CASE WHEN funded THEN CAST(cap AS DOUBLE)
+        |    ELSE CAST(bb - pstar AS DOUBLE) / (nn - istar) END
+        |    / n_tokens, 6) AS epochs
+        |FROM g CROSS JOIN st ORDER BY lang""".stripMargin,
+
     "q136_mixture_weights" ->
       """WITH perdom AS (
         |  SELECT source AS domain, COUNT(*) AS n_docs,

@@ -42,12 +42,28 @@ object Spectral {
     * ‖X·v‖-style (the Rayleigh image under the final pre-normalized
     * matvec). Start vector is the exact-double uniform 1/√dims. */
   def topPc(emb: DataFrame, iters: Int, dims: Int): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1: $iters")
-    require((dims & (dims - 1)) == 0,
-      s"dims must be a power of two so 1/sqrt(dims) is an exact double: $dims")
     val spark = emb.sparkSession
     val x = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("xv"))
+    val (v, eig) = powerIter(x, iters, dims)
+    import spark.implicits._
+    // round via the Spark expression so tie semantics match DuckDB's
+    // ROUND (the suite-wide equivalence), not scala rint's half-even
+    v.zipWithIndex.map { case (l, d) => (d, l, eig) }
+      .toSeq.toDF("dim", "loading", "eigval")
+      .select(col("dim"), round(col("loading"), 6).as("loading"),
+        round(col("eigval"), 6).as("eigval"))
+  }
+
+  /** The power-iteration core over an `x` frame exposing `xv`
+    * (array<double> of `dims`): returns the unit dominant direction
+    * and its eigenvalue estimate. Each round's matvec is the nano-unit
+    * integer-sum shape documented above. */
+  private def powerIter(x: DataFrame, iters: Int, dims: Int)
+      : (Array[Double], Double) = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require((dims & (dims - 1)) == 0,
+      s"dims must be a power of two so 1/sqrt(dims) is an exact double: $dims")
     var v: Array[Double] = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     var eig = 0.0
     (1 to iters).foreach { _ =>
@@ -69,18 +85,57 @@ object Spectral {
       v = y.map(_ / nrm)
       eig = nrm
     }
+    (v, eig)
+  }
+
+  /** All-but-the-top whitening plan (Mu & Viswanath 2018): the
+    * per-dim corpus mean and the dominant principal direction of the
+    * CENTERED corpus — subtracting μ and the projection on this axis
+    * is the published post-processing that makes off-the-shelf
+    * embeddings isotropic enough for cosine retrieval. This emits the
+    * (μ, v) transform itself — the KB-sized artifact the scan-side
+    * `x − μ − v·⟨x−μ,v⟩` rewrite is configured from.
+    *
+    * Exactness: μ comes from nano-unit integer per-dim sums (exact
+    * longs, order-independent), centering is one exact double
+    * subtract per element, and the centered power iteration is the
+    * same integer-matvec core as topPc — every output is
+    * bit-identical cross-engine. Scale: one extra scan for μ (64-long
+    * collect), then topPc's per-round shape on the centered stream
+    * (centering is scan-side codegen, never materialized). */
+  def whitenPlan(emb: DataFrame, iters: Int, dims: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val x = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("xv"))
+    val sums = x.select(posexplode(col("xv")).as(Seq("dim", "xd")))
+      .select(col("dim"),
+        round(col("xd") * lit(1000000000.0), 0).cast("long").as("c"))
+      .groupBy(col("dim"))
+      .agg(sum(col("c")).as("sfp"), count(lit(1)).as("n"))
+      .collect()
+    require(sums.length == dims, s"mean returned ${sums.length} dims, want $dims")
+    val mu: Array[Double] = sums
+      .map(r => r.getAs[Int]("dim") ->
+        r.getAs[Long]("sfp") / 1e9 / r.getAs[Long]("n"))
+      .sortBy(_._1).map(_._2)
+    val cx = x.withColumn("xv",
+      zip_with(col("xv"), typedLit(mu.toSeq), (a, b) => a - b))
+    val (v, eig) = powerIter(cx, iters, dims)
     import spark.implicits._
-    // round via the Spark expression so tie semantics match DuckDB's
-    // ROUND (the suite-wide equivalence), not scala rint's half-even
-    v.zipWithIndex.map { case (l, d) => (d, l, eig) }
-      .toSeq.toDF("dim", "loading", "eigval")
-      .select(col("dim"), round(col("loading"), 6).as("loading"),
+    mu.zip(v).zipWithIndex.map { case ((m, l), d) => (d, m, l, eig) }
+      .toSeq.toDF("dim", "mu", "loading", "eigval")
+      .select(col("dim"), round(col("mu"), 6).as("mu"),
+        round(col("loading"), 6).as("loading"),
         round(col("eigval"), 6).as("eigval"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_top_pc" -> ((s, dir) =>
       topPc(table(s, dir, "embeddings"), iters = 2, dims = 64)
+        .orderBy(col("dim"))),
+
+    "q154_whiten" -> ((s, dir) =>
+      whitenPlan(table(s, dir, "embeddings"), iters = 2, dims = 64)
         .orderBy(col("dim")))
   )
 
@@ -89,12 +144,12 @@ object Spectral {
     * v{k}l (normalized direction list). Verbatim SQL image of the
     * Spark round: ordered zip-fold dot, nano-unit integer row-sums,
     * ordered norm fold. */
-  private def pirRound(k: Int, prevVl: String): String =
+  private def pirRound(k: Int, prevVl: String, src: String = "x"): String =
     s"""d$k AS (
        |  SELECT vec_id, xv,
        |    list_reduce(list_transform(generate_series(1, 64),
        |      i -> xv[i] * vl[i]), (a, b) -> a + b) AS d
-       |  FROM x CROSS JOIN $prevVl),
+       |  FROM $src CROSS JOIN $prevVl),
        |y$k AS (
        |  SELECT i - 1 AS dim,
        |    CAST(SUM(CAST(ROUND((xv[i] * d) * 1000000000.0) AS BIGINT))
@@ -123,6 +178,37 @@ object Spectral {
         """SELECT i - 1 AS dim, ROUND(vl[i], 6) AS loading,
           |  ROUND((SELECT nrm FROM n2), 6) AS eigval
           |FROM v2l, UNNEST(generate_series(1, 64)) AS u(i)
+          |ORDER BY dim""".stripMargin),
+
+    // Mean in nano-unit integer sums, centering one exact subtract per
+    // element, then the SAME unrolled rounds over the centered stream.
+    "q154_whiten" ->
+      ("""WITH x AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xv
+         |  FROM embeddings),
+         |msum AS (
+         |  SELECT i,
+         |    CAST(SUM(CAST(ROUND(xv[i] * 1000000000.0) AS BIGINT))
+         |      AS BIGINT) AS sfp,
+         |    COUNT(*) AS n
+         |  FROM x, UNNEST(generate_series(1, 64)) AS u(i) GROUP BY i),
+         |mul AS (
+         |  SELECT list(CAST(sfp AS DOUBLE) / 1000000000.0 / n ORDER BY i)
+         |    AS ml
+         |  FROM msum),
+         |cx AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(1, 64), i -> xv[i] - ml[i]) AS xv
+         |  FROM x CROSS JOIN mul),
+         |v0l AS (SELECT list_transform(generate_series(1, 64),
+         |  i -> 0.125) AS vl),
+         |""".stripMargin +
+        pirRound(1, "v0l", "cx") + ",\n" + pirRound(2, "v1l", "cx") + "\n" +
+        """SELECT i - 1 AS dim, ROUND(ml[i], 6) AS mu,
+          |  ROUND(vl[i], 6) AS loading,
+          |  ROUND((SELECT nrm FROM n2), 6) AS eigval
+          |FROM v2l CROSS JOIN mul, UNNEST(generate_series(1, 64)) AS u(i)
           |ORDER BY dim""".stripMargin)
   )
 }
