@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.{portableHash, table}
+
+/** Web-extraction rung (SURVEY.md §2.C91) — the HTML→text boilerplate
+  * strip that sits in front of every crawl-derived corpus (the WET
+  * step of a Common-Crawl-style pipeline): drop script/style blocks
+  * whole, strip tags, decode entities, collapse whitespace.
+  *
+  * The documents table is already plain text, so the gated query
+  * first WRAPS each doc in a deterministic HTML page (nav chrome,
+  * script/style payloads, entity-encoded footer — the q127
+  * fan-out pattern: synthesize the mess, then prove the cleanup), and
+  * extraction must recover text whose only deltas are the injected
+  * chrome. Everything is scan-side codegen'd string work — no UDF, no
+  * join, no shuffle before the output projection; at 100 TB this runs
+  * at scan speed per partition.
+  *
+  * Determinism: regexp_replace semantics agree between Spark (Java
+  * regex) and DuckDB (RE2) on this pattern subset — non-greedy
+  * dot-all block matches, `<[^>]+>` tags, `\s+` collapse; entity
+  * decode is plain replace chains with &amp; decoded LAST (decoding
+  * it first would re-interpret "&amp;lt;" as a tag opener — the
+  * classic double-decode bug, pinned by spec).
+  */
+object Extract {
+
+  /** Strip `html` to text: script/style blocks → ' ', tags → ' ',
+    * entities decoded, whitespace collapsed, trimmed. */
+  def extractText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    // entities: specific codes first, ampersand LAST
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The deterministic HTML wrapper for the gated query: chrome +
+    * script/style payloads + an entity-encoded footer around `text`. */
+  private[operators] def wrapHtml(docId: Column, text: Column): Column =
+    concat(
+      lit("<html><head><title>doc</title><script type=\"text/javascript\">" +
+        "var tracker = "), docId,
+      lit("; if (1 < 2) { track(); }</script><style>.nav{color:red} " +
+        "p > span{display:none}</style></head><body>" +
+        "<div class=\"nav\">Home &amp; About</div><p>"), text,
+      lit("</p><footer>&copy; 2024 Example &lt;corp&gt; &#39;legal&#39;" +
+        "</footer></body></html>"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_html_extract" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      docs
+        .withColumn("html", wrapHtml(col("doc_id"), col("text")))
+        .withColumn("extracted", extractText(col("html")))
+        .select(col("doc_id"),
+          length(col("html")).as("raw_len"),
+          length(col("extracted")).as("extracted_len"),
+          size(regexp_extract_all(col("html"), lit("<[^>]+>"), lit(0)))
+            .cast("long").as("n_tags"),
+          portableHash(col("extracted")).as("extract_hash"),
+          substring(col("extracted"), 1, 40).as("head40"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // The same wrap + strip chain in DuckDB's regexp dialect ('g' =
+    // replace-all, matching Spark's default).
+    "q155_html_extract" ->
+      """WITH wrapped AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc</title>' ||
+        |    '<script type="text/javascript">var tracker = ' || doc_id ||
+        |    '; if (1 < 2) { track(); }</script>' ||
+        |    '<style>.nav{color:red} p > span{display:none}</style>' ||
+        |    '</head><body><div class="nav">Home &amp; About</div><p>' ||
+        |    text ||
+        |    '</p><footer>&copy; 2024 Example &lt;corp&gt; &#39;legal&#39;' ||
+        |    '</footer></body></html>' AS html
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(
+        |                    regexp_replace(
+        |                      regexp_replace(html,
+        |                        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |                      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |                    '<[^>]+>', ' ', 'g'),
+        |                  '&lt;', '<', 'g'),
+        |                '&gt;', '>', 'g'),
+        |              '&quot;', '"', 'g'),
+        |            '&#39;', CHR(39), 'g'),
+        |          '&nbsp;', ' ', 'g'),
+        |        '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS extracted
+        |  FROM wrapped)
+        |SELECT doc_id, length(html) AS raw_len,
+        |  length(extracted) AS extracted_len,
+        |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |  ('0x' || substr(md5(extracted), 1, 8))::BIGINT AS extract_hash,
+        |  substr(extracted, 1, 40) AS head40
+        |FROM stripped ORDER BY doc_id""".stripMargin
+  )
+}

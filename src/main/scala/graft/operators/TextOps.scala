@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.GraftSession.{ckpt, table}
+import graft.GraftSession.{ckpt, portableHash, table}
 
 /** Pack C (text analysis) — language ID, quality scoring, token
   * counting, document fingerprinting over `documents`
@@ -940,6 +940,44 @@ object TextOps {
         .orderBy(col("est_count").desc, col("term"))
     }),
 
+    "q156_cms_heavy" -> ((s, dir) => {
+      // Count-min sketch rung of the vocab ladder (Cormode &
+      // Muthukrishnan 2005), complementing q102's Misra-Gries: MG
+      // keeps the top-k identities; CMS answers point frequency for
+      // ANY term off a fixed 4×512 integer grid. The sketch builds
+      // DIRECTLY from the token stream — the (r, bucket) partial aggs
+      // collapse to ≤2048 cells per map task, so the sketch shuffle is
+      // O(grid), never O(vocab): exactly why a 100 TB pipeline keeps a
+      // CMS when it can't afford the vocabulary shuffle. Unlike MG,
+      // the cell values are merge-order INDEPENDENT (plain sums), so
+      // this gate is hash-exact, not rows-only. The exact top-20 join
+      // is the evidence harness (q102 pattern): est >= exact per the
+      // CMS one-sided guarantee, overshoot published per term.
+      val tokens = table(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      def bucketOf(r: Column, term: Column): Column =
+        pmod(portableHash(concat(r.cast("string"), lit(":"), term)), lit(512L))
+      val sketch = tokens
+        .select(col("term"), explode(sequence(lit(0L), lit(3L))).as("r"))
+        .withColumn("bucket", bucketOf(col("r"), col("term")))
+        .groupBy(col("r"), col("bucket"))
+        .agg(count(lit(1)).as("cell"))
+      val top = ckpt(tokens.groupBy(col("term"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("term")).limit(20))
+      top.select(col("term"), col("exact_count"),
+          explode(sequence(lit(0L), lit(3L))).as("r"))
+        .withColumn("bucket", bucketOf(col("r"), col("term")))
+        .join(broadcast(sketch), Seq("r", "bucket"))
+        .groupBy(col("term"), col("exact_count"))
+        .agg(min(col("cell")).as("est_count"))
+        .withColumn("overshoot", col("est_count") - col("exact_count"))
+        .filter(col("est_count") >= col("exact_count"))
+        .select(col("term"), col("exact_count"), col("est_count"),
+          col("overshoot"))
+        .orderBy(col("exact_count").desc, col("term"))
+    }),
+
     "q100_domain_cap" -> ((s, dir) => {
       // Per-source quota curation: each source keeps at most its 30
       // best documents (longest first — the stand-in quality rank —
@@ -1108,6 +1146,36 @@ object TextOps {
         |  SELECT UNNEST(regexp_split_to_array(lower(text), '\s+')) AS tok
         |  FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    // CMS cells are plain md5-bucketed sums — merge-order independent,
+    // so the whole sketch mirrors exactly in SQL (unlike Misra-Gries).
+    "q156_cms_heavy" ->
+      """WITH tk AS (
+        |  SELECT UNNEST(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |cells AS (
+        |  SELECT rs.r,
+        |    ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || term),
+        |      1, 8))::BIGINT % 512 AS bucket,
+        |    COUNT(*) AS cell
+        |  FROM tk CROSS JOIN (VALUES (0), (1), (2), (3)) AS rs(r)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT term, COUNT(*) AS exact_count FROM tk GROUP BY term
+        |  ORDER BY exact_count DESC, term LIMIT 20),
+        |probes AS (
+        |  SELECT t.term, t.exact_count, rs.r,
+        |    ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || t.term),
+        |      1, 8))::BIGINT % 512 AS bucket
+        |  FROM top t CROSS JOIN (VALUES (0), (1), (2), (3)) AS rs(r)),
+        |est AS (
+        |  SELECT p.term, p.exact_count, MIN(c.cell) AS est_count
+        |  FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+        |  GROUP BY 1, 2)
+        |SELECT term, exact_count, est_count,
+        |  est_count - exact_count AS overshoot
+        |FROM est WHERE est_count >= exact_count
+        |ORDER BY exact_count DESC, term""".stripMargin,
 
     "q40_fingerprint" ->
       """WITH n AS (
