@@ -953,21 +953,26 @@ object TextOps {
       // this gate is hash-exact, not rows-only. The exact top-20 join
       // is the evidence harness (q102 pattern): est >= exact per the
       // CMS one-sided guarantee, overshoot published per term.
+      // the 4 row-hashes are the 4 disjoint 32-bit slices of ONE md5
+      // digest per term (not 4 digests): same independence class,
+      // quarter the hash cost on the hot stream
       val tokens = table(s, dir, "documents")
         .select(explode(split(lower(col("text")), "\\s+")).as("term"))
-      def bucketOf(r: Column, term: Column): Column =
-        pmod(portableHash(concat(r.cast("string"), lit(":"), term)), lit(512L))
+      def buckets(term: Column): Column = {
+        val h = md5(term)
+        array((0 until 4).map(r =>
+          pmod(conv(substring(h, 1 + 8 * r, 8), 16, 10).cast("long"),
+            lit(512L))): _*)
+      }
       val sketch = tokens
-        .select(col("term"), explode(sequence(lit(0L), lit(3L))).as("r"))
-        .withColumn("bucket", bucketOf(col("r"), col("term")))
+        .select(posexplode(buckets(col("term"))).as(Seq("r", "bucket")))
         .groupBy(col("r"), col("bucket"))
         .agg(count(lit(1)).as("cell"))
       val top = ckpt(tokens.groupBy(col("term"))
         .agg(count(lit(1)).as("exact_count"))
         .orderBy(col("exact_count").desc, col("term")).limit(20))
       top.select(col("term"), col("exact_count"),
-          explode(sequence(lit(0L), lit(3L))).as("r"))
-        .withColumn("bucket", bucketOf(col("r"), col("term")))
+          posexplode(buckets(col("term"))).as(Seq("r", "bucket")))
         .join(broadcast(sketch), Seq("r", "bucket"))
         .groupBy(col("term"), col("exact_count"))
         .agg(min(col("cell")).as("est_count"))
@@ -1155,8 +1160,8 @@ object TextOps {
         |  FROM documents),
         |cells AS (
         |  SELECT rs.r,
-        |    ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || term),
-        |      1, 8))::BIGINT % 512 AS bucket,
+        |    ('0x' || substr(md5(term), 1 + 8 * rs.r, 8))::BIGINT % 512
+        |      AS bucket,
         |    COUNT(*) AS cell
         |  FROM tk CROSS JOIN (VALUES (0), (1), (2), (3)) AS rs(r)
         |  GROUP BY 1, 2),
@@ -1165,8 +1170,8 @@ object TextOps {
         |  ORDER BY exact_count DESC, term LIMIT 20),
         |probes AS (
         |  SELECT t.term, t.exact_count, rs.r,
-        |    ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || t.term),
-        |      1, 8))::BIGINT % 512 AS bucket
+        |    ('0x' || substr(md5(t.term), 1 + 8 * rs.r, 8))::BIGINT % 512
+        |      AS bucket
         |  FROM top t CROSS JOIN (VALUES (0), (1), (2), (3)) AS rs(r)),
         |est AS (
         |  SELECT p.term, p.exact_count, MIN(c.cell) AS est_count
