@@ -20,7 +20,8 @@ object SparkEntry {
       Multimodal.queries ++ Curation.queries ++ Drift.queries ++
       Sampling.queries ++ LinkGraph.queries ++ Snapshot.queries ++
       Profile.queries ++ Bpe.queries ++ Featurize.queries ++
-      Spectral.queries ++ Extract.queries ++ Classify.queries
+      Spectral.queries ++ Extract.queries ++ Classify.queries ++
+      EventStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
       Multimodal.oracle ++ Curation.oracle ++ Drift.oracle ++
       Sampling.oracle ++ LinkGraph.oracle ++ Snapshot.oracle ++
       Profile.oracle ++ Bpe.oracle ++ Featurize.oracle ++
-      Spectral.oracle ++ Extract.oracle ++ Classify.oracle
+      Spectral.oracle ++ Extract.oracle ++ Classify.oracle ++
+      EventStats.oracle
 }
