@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession.table
@@ -215,8 +216,93 @@ object LinkGraph {
         .select(col("domain"), col("rk").cast("long").as("rk"),
           col("doc_id"), col("rank_fp"))
         .orderBy(col("domain"), col("rk"))
+    }),
+
+    "q162_label_prop" -> ((s, dir) => {
+      // Community sizes after 2 synchronous label-propagation rounds
+      // over the undirected q118 graph — the cheap community prior
+      // (domain clusters) next to PageRank's quality prior.
+      val (nodes, links) = documentLinks(s, dir)
+      labelPropagation(nodes, links, iters = 2)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("label"))
+    }),
+
+    "q163_triangles" -> ((s, dir) => {
+      // One-row triangle census of the same graph.
+      val (_, links) = documentLinks(s, dir)
+      triangleCensus(links)
     })
   )
+
+  /** `iters` synchronous label-propagation rounds over the UNDIRECTED
+    * graph: every node starts as its own label; each round a node
+    * adopts its neighbors' PLURALITY label (ties → smallest label;
+    * isolated nodes keep their own). The cheap community detector
+    * (Raghavan et al. 2007) — over a doc link graph the communities
+    * are site/domain clusters, the grouping prior next to q118's
+    * quality prior.
+    *
+    * Determinism: the vote is (count desc, label asc) — a total
+    * order, so the sync update is engine/partitioning-independent
+    * (async LPA is famously order-dependent; sync + total-order ties
+    * is the reproducible variant). Scale per round: one edge ⋈ labels
+    * join (uniform node key) + one (node, label) count + one per-node
+    * argmax window — Pregel-step cost, no driver state. */
+  def labelPropagation(nodes: DataFrame, links: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val und = links.select(col("src").as("a"), col("tgt").as("b"))
+      .union(links.select(col("tgt").as("a"), col("src").as("b")))
+      .distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    (1 to iters).foreach { _ =>
+      val votes = und
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("cnt").desc, col("label"))
+      val winner = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node"), col("label").as("new_label"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    }
+    labels
+  }
+
+  /** One-row triangle census of the undirected graph: triangle count,
+    * wedge (open-triad) count, and the global clustering coefficient
+    * 3T/wedges. Edges are ORIENTED by (degree, node) before the
+    * two-hop join — the classic arboricity bound (Chiba–Nishizeki /
+    * Suri–Vassilvitskii): every join bucket fans out by a node's
+    * LOWER-degree endpoints only, so skew from hub nodes can't
+    * quadratically explode the candidate wedges. All integers ⇒
+    * exact parity. */
+  def triangleCensus(links: DataFrame): DataFrame = {
+    val und = links.select(col("src").as("a"), col("tgt").as("b"))
+      .union(links.select(col("tgt").as("a"), col("src").as("b")))
+      .distinct()
+    val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a"), col("b"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.b") === col("e2.a"))
+      .join(oriented.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+  }
 
   /** The md5-derived document link graph as CTEs — string-shared by
     * every graph oracle (q118/q129 PageRank, q146 HITS) so all mirrors
@@ -318,6 +404,58 @@ object LinkGraph {
         |      ORDER BY k DESC, doc_id) AS rk
         |  FROM keyed)
         |SELECT domain, CAST(rk AS BIGINT) AS rk, doc_id, rank_fp
-        |FROM ranked WHERE rk <= 3 ORDER BY domain, rk""".stripMargin
+        |FROM ranked WHERE rk <= 3 ORDER BY domain, rk""".stripMargin,
+
+    // Two unrolled sync LPA rounds over the SAME links CTEs; the vote
+    // window mirrors the (cnt desc, label asc) total order verbatim.
+    "q162_label_prop" ->
+      ("WITH " + linkCtes + ",\n" +
+        """und AS (
+          |  SELECT src AS a, tgt AS b FROM links
+          |  UNION SELECT tgt, src FROM links),
+          |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+          |v1 AS (
+          |  SELECT u.a, l.label, COUNT(*) AS cnt
+          |  FROM und u JOIN l0 l ON l.node = u.b GROUP BY 1, 2),
+          |w1 AS (
+          |  SELECT a, label, ROW_NUMBER() OVER (PARTITION BY a
+          |    ORDER BY cnt DESC, label) AS rn FROM v1),
+          |l1 AS (
+          |  SELECT n.node, COALESCE(w.label, n.label) AS label
+          |  FROM l0 n LEFT JOIN (SELECT a, label FROM w1 WHERE rn = 1) w
+          |    ON w.a = n.node),
+          |v2 AS (
+          |  SELECT u.a, l.label, COUNT(*) AS cnt
+          |  FROM und u JOIN l1 l ON l.node = u.b GROUP BY 1, 2),
+          |w2 AS (
+          |  SELECT a, label, ROW_NUMBER() OVER (PARTITION BY a
+          |    ORDER BY cnt DESC, label) AS rn FROM v2),
+          |l2 AS (
+          |  SELECT n.node, COALESCE(w.label, n.label) AS label
+          |  FROM l1 n LEFT JOIN (SELECT a, label FROM w2 WHERE rn = 1) w
+          |    ON w.a = n.node)
+          |SELECT label, COUNT(*) AS n_members FROM l2
+          |GROUP BY 1 ORDER BY n_members DESC, label""".stripMargin),
+
+    "q163_triangles" ->
+      ("WITH " + linkCtes + ",\n" +
+        """und AS (
+          |  SELECT src AS a, tgt AS b FROM links
+          |  UNION SELECT tgt, src FROM links),
+          |deg AS (SELECT a AS v, COUNT(*) AS d FROM und GROUP BY 1),
+          |o AS (
+          |  SELECT u.a, u.b FROM und u
+          |  JOIN deg x ON x.v = u.a JOIN deg y ON y.v = u.b
+          |  WHERE x.d < y.d OR (x.d = y.d AND u.a < u.b)),
+          |tri AS (
+          |  SELECT COUNT(*) AS n_triangles
+          |  FROM o e1 JOIN o e2 ON e1.b = e2.a
+          |  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+          |w AS (
+          |  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+          |  FROM deg)
+          |SELECT n_triangles, n_wedges,
+          |  ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+          |FROM tri CROSS JOIN w""".stripMargin)
   )
 }

@@ -83,4 +83,39 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(stats.getLong(0) >= 150000000L, "teleport floor violated")
     assert(stats.getLong(1) > 1000000000L, "no doc accumulated rank")
   }
+
+  test("label propagation: cliques converge to one label, isolated keeps own") {
+    val nodes = (1L to 7L).toDF("node")
+    // two triangles + isolated node 7
+    val links = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "tgt")
+    val got = LinkGraph.labelPropagation(nodes, links, iters = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L, s"$got")
+    assert(got(4L) == 4L && got(5L) == 4L && got(6L) == 4L, s"$got")
+    assert(got(7L) == 7L, s"isolated: $got")
+  }
+
+  test("triangle census: hand-counted triangles and clustering coefficient") {
+    // two triangles (coeff contribution 1) + a path 8-9-10 (adds one
+    // open wedge at 9): T=2, wedges=7, coeff = 6/7
+    val links = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (8L, 9L), (9L, 10L)).toDF("src", "tgt")
+    val r = LinkGraph.triangleCensus(links).collect()(0)
+    assert(r.getAs[Long]("n_triangles") == 2L)
+    assert(r.getAs[Long]("n_wedges") == 7L)
+    assert(r.getAs[Double]("clustering_coeff") ==
+      math.rint(6.0 / 7 * 1e6) / 1e6)
+  }
+
+  test("triangle orientation is skew-safe: star has zero triangles") {
+    // hub 1 with 50 spokes: naive two-hop join from the hub explodes;
+    // degree-orientation sends every edge spoke->hub, so the two-hop
+    // join has ZERO candidates (each spoke has out-degree 1 to the
+    // same hub; hub has out-degree 0)
+    val links = (2L to 51L).map(i => (1L, i)).toDF("src", "tgt")
+    val r = LinkGraph.triangleCensus(links).collect()(0)
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Long]("n_wedges") == 1225L) // C(50,2)
+  }
 }
