@@ -338,6 +338,50 @@ object ScaleSmoke {
     require(novelHit <= 1000L,
       s"novel docs should rarely collide: $novelHit")
 
+    // Triangle-census phase: the degree-oriented two-hop join over the
+    // same 10M-edge graph — orientation bounds every join bucket by the
+    // LOWER-degree endpoint, so the wedge join stays linear-ish in
+    // edges on this near-regular graph instead of Σ deg² blind.
+    t0 = System.nanoTime()
+    val triRow = graft.operators.LinkGraph.triangleCensus(prLinks)
+      .collect().head
+    val triSec = (System.nanoTime() - t0) / 1e9
+    val (nTri, nWedge) = (triRow.getLong(0), triRow.getLong(1))
+    // a sparse random graph (p ~ 5e-6) has few but nonzero triangles
+    // and ~Σd²/2 wedges
+    require(nWedge > 50000000L, s"wedge count implausible: $nWedge")
+
+    // NB lang-id phase: train/score the multinomial NB classifier on a
+    // 600k-doc 4-"language" corpus whose scripts differ by case and a
+    // digit→letter translation — the model stays |langs|×|bigrams|
+    // (KB) while the corpus scales, and held-out accuracy must be
+    // near-perfect because the scripts are (near-)disjoint.
+    val nbCorpus = spark.range(150000L).select(col("id"),
+        md5(col("id").cast("string")).as("h"))
+      .select(col("id"), explode(array(
+        struct(lit(0L).as("o"), col("h").as("text"), lit("la").as("lang")),
+        struct(lit(1L).as("o"), upper(col("h")).as("text"), lit("ua").as("lang")),
+        struct(lit(2L).as("o"),
+          translate(col("h"), "0123456789", "ghijklmnop").as("text"),
+          lit("lt").as("lang")),
+        struct(lit(3L).as("o"),
+          translate(upper(col("h")), "0123456789", "GHIJKLMNOP").as("text"),
+          lit("ut").as("lang")))).as("e"))
+      .select((col("id") * 4 + col("e.o")).as("doc_id"),
+        col("e.text"), col("e.lang"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val nbConf = graft.operators.Classify.nbLangIdConfusion(nbCorpus)
+      .agg(sum(col("n")).as("total"),
+        sum(when(col("lang_true") === col("lang_pred"), col("n"))
+          .otherwise(0L)).as("diag"))
+      .collect().head
+    val nbSec = (System.nanoTime() - t0) / 1e9
+    val (nbTotal, nbDiag) = (nbConf.getLong(0), nbConf.getLong(1))
+    require(nbTotal == 300000L, s"held-out half must be 300k docs: $nbTotal")
+    require(nbDiag >= (nbTotal * 95) / 100,
+      s"separable scripts must classify >=95%: $nbDiag/$nbTotal")
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -365,6 +409,8 @@ object ScaleSmoke {
       f""""cdc_mask_sec":$cdcSec%.2f,"cdc_flagged":$cdcFlagged,""" +
       f""""incr_lsh_sec":$incrSec%.2f,"incr_pairs":$incrPairs,""" +
       f""""incr_copies_hit":$copiesHit,"incr_novel_hit":$novelHit,""" +
+      f""""tri_sec":$triSec%.2f,"tri_count":$nTri,"tri_wedges":$nWedge,""" +
+      f""""nb_sec":$nbSec%.2f,"nb_acc":${nbDiag.toDouble / nbTotal}%.4f,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }

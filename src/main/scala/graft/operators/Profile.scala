@@ -72,7 +72,28 @@ object Profile {
           .as("avg_len"))
   }
 
+  /** Corpus manifest — the provenance fingerprint a pipeline publishes
+    * with every snapshot so a re-run (or a consumer) can verify "same
+    * corpus" without row-level diffing: per source, counts, token/char
+    * mass, and an ORDER-INDEPENDENT content digest (sum of per-doc
+    * 32-bit md5 images of id‖text — addition commutes, so the digest
+    * is partitioning/engine-stable yet any changed/missing/extra doc
+    * changes it). One map-side-combined scan; |sources| output rows.
+    * Complements [[profile]] (schema health) with identity: profile
+    * says the shape is right, the manifest says the BYTES are. */
+  def manifest(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(graft.GraftSession.portableHash(
+          concat(col("doc_id").cast("string"), lit("|"), col("text"))))
+          .as("content_digest"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_corpus_manifest" -> ((s, dir) =>
+      manifest(table(s, dir, "documents")).orderBy(col("source"))),
+
     "q128_profile" -> ((s, dir) => {
       // Exact profile of the documents table's scalar columns. (text
       // is deliberately excluded from the GATED run: exact-distinct
@@ -84,6 +105,15 @@ object Profile {
   )
 
   val oracle: Map[String, String] = Map(
+    "q164_corpus_manifest" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+        |    || text), 1, 8))::BIGINT) AS BIGINT) AS content_digest
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q128_profile" ->
       """WITH pairs AS (
         |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v

@@ -155,4 +155,22 @@ class DiagnosticsSpec extends AnyFunSuite {
     val norm2 = rows.map(r => math.pow(r.getAs[Double]("loading"), 2)).sum
     assert(math.abs(norm2 - 1.0) < 1e-4, s"norm^2 = $norm2")
   }
+
+  // ---- q164 corpus manifest -----------------------------------------
+
+  test("manifest digest is order/partitioning-independent but byte-sensitive") {
+    import graft.operators.Profile
+    val docs = Seq((1L, "alpha beta", "s1"), (2L, "gamma", "s1"),
+      (3L, "delta", "s2")).toDF("doc_id", "text", "source")
+    def digest(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Profile.manifest(df).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("content_digest")).toMap
+    val base = digest(docs)
+    assert(digest(docs.orderBy(col("doc_id").desc).repartition(7)) == base,
+      "digest must not depend on row order or partitioning")
+    val flipped = digest(Seq((1L, "alpha betb", "s1"), (2L, "gamma", "s1"),
+      (3L, "delta", "s2")).toDF("doc_id", "text", "source"))
+    assert(flipped("s1") != base("s1"), "one changed byte must change s1")
+    assert(flipped("s2") == base("s2"), "untouched source must not change")
+  }
 }
