@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.GraftSession.eventsTable
+import graft.GraftSession.{eventsTable, table}
 
 /** Distribution-drift monitoring between two corpus/stream snapshots
   * (SURVEY.md §2.C54) — the Population Stability Index, the standard
@@ -254,6 +254,28 @@ object Drift {
         .select(col("g").as("event_type"), col("n_a"), col("n_b"),
           col("psi"))
         .orderBy(col("event_type"))
+    }),
+
+    "q165_filter_bias" -> ((s, dir) => {
+      // Filter-bias audit: per language, PSI between the LENGTH
+      // distributions of the docs the q145 Gopher rules keep vs drop —
+      // hard quality rules are known to disproportionately remove
+      // short docs and non-head scripts (the published critique of
+      // rule filters), and this is the per-snapshot report that makes
+      // that bias visible instead of silent. Composes the gated q145
+      // rules (oracle string-shares their CTEs) with the q116 PSI
+      // fold; bin = n_chars div 60 clamped to [0, 9]. One rules scan
+      // + one KB-sized count fold.
+      val docs = table(s, dir, "documents")
+      val keep = TextOps.gopherRules(docs).select(col("doc_id"), col("keep"))
+      psi(docs.join(keep, "doc_id"),
+        group = col("lang"),
+        bin = least(expr("n_chars div 60"), lit(9L)),
+        isA = col("keep") === 1,
+        nBins = 10)
+        .select(col("g").as("lang"), col("n_a").as("n_kept"),
+          col("n_b").as("n_dropped"), col("psi"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -369,6 +391,38 @@ object Drift {
         |    LN(((f.ca + 0.5) / (t.ta + 5.0)) / ((f.cb + 0.5) / (t.tb + 5.0)))
         |  ), 6) AS psi
         |FROM filled f JOIN tot t ON f.event_type = t.event_type
-        |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin
+        |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin,
+
+    // String-shares q145's rule CTEs (TextOps.gopherCtes) so the keep
+    // split is provably the gated rules' own, then the q116 PSI fold.
+    "q165_filter_bias" ->
+      ("WITH " + TextOps.gopherCtes + ",\n" +
+       """binned AS (
+         |  SELECT d2.lang AS g, LEAST(d2.n_chars // 60, 9) AS bin,
+         |    CASE WHEN m.fail_mask = 0 THEN 'a' ELSE 'b' END AS win
+         |  FROM documents d2 JOIN m ON m.doc_id = d2.doc_id),
+         |spine AS (
+         |  SELECT DISTINCT g, r.range AS bin
+         |  FROM binned CROSS JOIN range(10) r),
+         |cnt AS (
+         |  SELECT g, bin,
+         |    COUNT(*) FILTER (WHERE win = 'a') AS ca,
+         |    COUNT(*) FILTER (WHERE win = 'b') AS cb
+         |  FROM binned GROUP BY 1, 2),
+         |filled AS (
+         |  SELECT s.g, s.bin, COALESCE(c.ca, 0) AS ca,
+         |    COALESCE(c.cb, 0) AS cb
+         |  FROM spine s LEFT JOIN cnt c ON s.g = c.g AND s.bin = c.bin),
+         |tot AS (SELECT g, SUM(ca) AS ta, SUM(cb) AS tb
+         |        FROM filled GROUP BY 1)
+         |SELECT f.g AS lang,
+         |  CAST(SUM(f.ca) AS BIGINT) AS n_kept,
+         |  CAST(SUM(f.cb) AS BIGINT) AS n_dropped,
+         |  ROUND(SUM(
+         |    ((f.ca + 0.5) / (t.ta + 5.0) - (f.cb + 0.5) / (t.tb + 5.0)) *
+         |    LN(((f.ca + 0.5) / (t.ta + 5.0)) / ((f.cb + 0.5) / (t.tb + 5.0)))
+         |  ), 6) AS psi
+         |FROM filled f JOIN tot t ON f.g = t.g
+         |GROUP BY f.g ORDER BY lang""".stripMargin)
   )
 }

@@ -1045,6 +1045,33 @@ object TextOps {
       |  FROM bgs b JOIN model m USING (bg) CROSS JOIN tot t
       |  GROUP BY b.doc_id)""".stripMargin
 
+  /** The q145 Gopher-rule CTEs (toks → features → fail_mask), shared
+    * so composed mirrors (q165 filter-bias PSI) provably apply the
+    * SAME rules the q145 gate checks. Final CTE `m` exposes
+    * (doc_id, n_words, mwl, dupf, stop_hits, fail_mask). */
+  private[operators] val gopherCtes: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      t -> length(t) >= 1) AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |      / len(toks) AS mwl,
+      |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dupf,
+      |    CAST(len(list_intersect(list_distinct(toks),
+      |      ['the','a','of','to','and','in','is'])) AS BIGINT) AS stop_hits
+      |  FROM d),
+      |m AS (
+      |  SELECT doc_id, n_words, mwl, dupf, stop_hits,
+      |    (CASE WHEN n_words < 40 THEN 1 ELSE 0 END
+      |     + CASE WHEN mwl < 3.8 OR mwl > 10.0 THEN 2 ELSE 0 END
+      |     + CASE WHEN dupf > 0.55 THEN 4 ELSE 0 END
+      |     + CASE WHEN stop_hits < 2 THEN 8 ELSE 0 END) AS fail_mask
+      |  FROM f)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q127_url_normalize" ->
       """WITH rw AS (
@@ -1466,32 +1493,12 @@ object TextOps {
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q145_gopher_rules" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |      t -> length(t) >= 1) AS toks
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-        |      / len(toks) AS mwl,
-        |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dupf,
-        |    CAST(len(list_intersect(list_distinct(toks),
-        |      ['the','a','of','to','and','in','is'])) AS BIGINT) AS stop_hits
-        |  FROM d),
-        |m AS (
-        |  SELECT doc_id, n_words, mwl, dupf, stop_hits,
-        |    (CASE WHEN n_words < 40 THEN 1 ELSE 0 END
-        |     + CASE WHEN mwl < 3.8 OR mwl > 10.0 THEN 2 ELSE 0 END
-        |     + CASE WHEN dupf > 0.55 THEN 4 ELSE 0 END
-        |     + CASE WHEN stop_hits < 2 THEN 8 ELSE 0 END) AS fail_mask
-        |  FROM f)
-        |SELECT doc_id, n_words, ROUND(mwl, 6) AS mean_word_len,
-        |  ROUND(dupf, 6) AS dup_frac, stop_hits,
-        |  CAST(fail_mask AS BIGINT) AS fail_mask,
-        |  CAST(fail_mask = 0 AS INTEGER) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin,
+      ("WITH " + gopherCtes + "\n" +
+       """SELECT doc_id, n_words, ROUND(mwl, 6) AS mean_word_len,
+         |  ROUND(dupf, 6) AS dup_frac, stop_hits,
+         |  CAST(fail_mask AS BIGINT) AS fail_mask,
+         |  CAST(fail_mask = 0 AS INTEGER) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin),
 
     // the fold's addition order differs from AVG's; round(6) absorbs it
     "q109_char_lm_score" ->

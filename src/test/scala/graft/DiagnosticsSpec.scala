@@ -173,4 +173,37 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(flipped("s1") != base("s1"), "one changed byte must change s1")
     assert(flipped("s2") == base("s2"), "untouched source must not change")
   }
+
+  // ---- q165 filter-bias audit ---------------------------------------
+
+  test("filter bias: length-skewed drops score high psi, same-bin drops exactly 0") {
+    import graft.operators.{Drift, TextOps}
+    val stops = "the a of to and in is"
+    // keeper: 45 distinct words, stopwords present, mwl ~5.6 -> passes
+    val keeper = stops + " " + (1 to 38).map(i => s"word$i").mkString(" ")
+    // fair dropper: same length BIN as keeper but zero stopwords ->
+    // fails only the stopword rule
+    val fairDrop = (1 to 45).map(i => s"wrd$i").mkString(" ")
+    assert(keeper.length / 60 == fairDrop.length / 60, "must share a bin")
+    val tiny = "tiny doc" // fails word count; lands in bin 0
+    val rows =
+      (1 to 20).map(i => (i.toLong, keeper, "biased")) ++
+      (21 to 40).map(i => (i.toLong, tiny, "biased")) ++
+      (41 to 60).map(i => (i.toLong, keeper, "fair")) ++
+      (61 to 80).map(i => (i.toLong, fairDrop, "fair"))
+    val docs = rows.map { case (id, t, l) => (id, t, l, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val keep = TextOps.gopherRules(docs).select(col("doc_id"), col("keep"))
+    val got = Drift.psi(docs.join(keep, "doc_id"),
+        group = col("lang"),
+        bin = least(expr("n_chars div 60"), lit(9L)),
+        isA = col("keep") === 1, nBins = 10)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("psi"))))
+      .toMap
+    assert(got("biased")._1 == 20L && got("biased")._2 == 20L)
+    assert(got("biased")._3 > 3.0, s"biased psi: ${got("biased")._3}")
+    assert(got("fair") == ((20L, 20L, 0.0)), s"fair: ${got("fair")}")
+  }
 }
