@@ -378,7 +378,10 @@ object ScaleSmoke {
         struct(lit(3L).as("o"),
           translate(upper(col("h")), "0123456789", "GHIJKLMNOP").as("text"),
           lit("ut").as("lang")))).as("e"))
-      .select((col("id") * 4 + col("e.o")).as("doc_id"),
+      // block layout (NOT id*4+o): the classifier splits train/test on
+      // doc_id parity, and interleaved packing would give each parity
+      // class a disjoint language set
+      .select((col("e.o") * 1000000L + col("id")).as("doc_id"),
         col("e.text"), col("e.lang"))
       .localCheckpoint()
     t0 = System.nanoTime()

@@ -129,7 +129,128 @@ object EventStats {
       .withColumn("shifted", col("cusum_frac") > threshold)
   }
 
+  /** Conversion latency from each user's FIRST `fromType` to their
+    * FIRST `toType`, for users whose first `toType` does not precede
+    * their first `fromType` (strict funnel order — a user who
+    * purchased before ever viewing is not a conversion of the view
+    * funnel and is excluded): per-cohort (user parity) exact
+    * interpolated latency percentiles in seconds — the experiment
+    * readout that goes beyond q158's mean shift (latency is
+    * heavy-tailed; the median and p90 are what move decisions). One
+    * scan to per-user (first_from, first_to) pairs (map-side
+    * combinable min aggregates), then a |cohorts|-row percentile
+    * fold. */
+  def conversionLatency(events: DataFrame, fromType: String,
+      toType: String): DataFrame = {
+    val firsts = events
+      .filter(col("event_type").isin(fromType, toType))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === fromType, col("ts").cast("long")))
+          .as("t_from"),
+        min(when(col("event_type") === toType, col("ts").cast("long")))
+          .as("t_to"))
+      .filter(col("t_from").isNotNull && col("t_to").isNotNull &&
+        col("t_to") >= col("t_from"))
+      .select((col("user_id") % 2).cast("int").as("cohort"),
+        (col("t_to") - col("t_from")).as("latency_s"))
+    firsts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(latency_s, array(0.5, 0.9))").as("qp"))
+      .select(col("cohort"), col("n_converted"),
+        round(col("qp")(0), 6).as("p50_s"),
+        round(col("qp")(1), 6).as("p90_s"))
+  }
+
+  /** Burstiness (Fano factor) per event type over hourly counts:
+    * var/mean of the count series across the GLOBAL hour span
+    * (absent hours count as zero — computed via the span length, not
+    * a spine). Poisson traffic ⇒ ~1; schedulers/batch jobs ≫ 1.
+    * Exact: Fano = (T·Σc² − (Σc)²) / (T·Σc) from integer sums; the
+    * span is a 1-row broadcast aggregate. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val hc = events
+      .select(col("event_type"), expr("cast(ts as long) div 3600").as("t"))
+      .groupBy(col("event_type"), col("t")).agg(count(lit(1)).as("c"))
+    val span = hc.agg((max(col("t")) - min(col("t")) + 1).as("span_h"))
+    hc.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"),
+        count(lit(1)).as("active_h"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("sc").as("n_events"),
+        col("active_h"), col("span_h"),
+        round((col("span_h").cast("double") * col("sc2") -
+          col("sc").cast("double") * col("sc")) /
+          (col("span_h").cast("double") * col("sc")), 6).as("fano"))
+  }
+
+  /** Top session paths: the most frequent first-3-event-type
+    * sequences over 30-minute-gap sessions — the product-analytics
+    * "how do sessions start" report. Sessionization is the q27 shape
+    * (one user_id shuffle serves lag + session id + rank); the path
+    * agg is uniform-key with map-side combine. */
+  def topSessionPaths(events: DataFrame, k: Int = 10): DataFrame = {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("new_sess",
+        when(col("ts").cast("long") -
+          lag(col("ts").cast("long"), 1).over(wu) > 1800, 1L)
+          .otherwise(when(lag(col("ts"), 1).over(wu).isNull, 1L).otherwise(0L)))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sess.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(array_join(array_sort(collect_list(struct(col("rn"), col("event_type")))
+        .cast("array<struct<rn:int,event_type:string>>"))
+        .getField("event_type"), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Entropy rate of the first-order behavior chain (conditional
+    * entropy of next-type given current, weighted by state
+    * occupancy): H = Σ_{from,to} (n/T)·ln(n_from/n) nats — the
+    * predictability score of the event stream (0 = deterministic
+    * bots, ln|types| = uniform noise). Per-transition terms round to
+    * nano-units and sum as integers (order-independent), so H is
+    * bit-stable; composes [[markovTransitions]]' count table. */
+  def entropyRate(events: DataFrame): DataFrame = {
+    val trans = markovTransitions(events)
+      .select(col("from_type"), col("to_type"), col("n"))
+    val nf = trans.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    val tot = trans.agg(sum(col("n")).as("t"))
+    trans.join(broadcast(nf), Seq("from_type"))
+      .crossJoin(broadcast(tot))
+      .select(round((col("n").cast("double") / col("t")) *
+        log(col("n_from").cast("double") / col("n")) * lit(1e9), 0)
+        .cast("long").as("term_fp"), col("t"))
+      .groupBy(col("t"))
+      .agg(sum(col("term_fp")).as("h_fp"))
+      .select(col("t").as("n_transitions"),
+        round(col("h_fp") / lit(1e9), 6).as("entropy_nats"),
+        round(exp(col("h_fp") / lit(1e9)), 6).as("perplexity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_conversion_latency" -> ((s, dir) =>
+      conversionLatency(eventsTable(s, dir), "view", "purchase")
+        .orderBy(col("cohort"))),
+
+    "q168_burstiness" -> ((s, dir) =>
+      burstiness(eventsTable(s, dir)).orderBy(col("event_type"))),
+
+    "q169_session_paths" -> ((s, dir) =>
+      topSessionPaths(eventsTable(s, dir), k = 10)),
+
+    "q170_entropy_rate" -> ((s, dir) =>
+      entropyRate(eventsTable(s, dir))),
+
     "q158_ab_ttest" -> ((s, dir) =>
       abTest(eventsTable(s, dir)).orderBy(col("event_type"))),
 
@@ -145,6 +266,90 @@ object EventStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q167_conversion_latency" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view'
+        |      THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS t_from,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS t_to
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id),
+        |l AS (
+        |  SELECT CAST(user_id % 2 AS INTEGER) AS cohort,
+        |    t_to - t_from AS latency_s
+        |  FROM f WHERE t_from IS NOT NULL AND t_to IS NOT NULL
+        |    AND t_to >= t_from)
+        |SELECT cohort, COUNT(*) AS n_converted,
+        |  ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+        |  ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_s
+        |FROM l GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q168_burstiness" ->
+      """WITH hc AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS t, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT MAX(t) - MIN(t) + 1 AS span_h FROM hc),
+        |g AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(c * c) AS BIGINT) AS sc2, COUNT(*) AS active_h
+        |  FROM hc GROUP BY 1)
+        |SELECT event_type, sc AS n_events, active_h,
+        |  CAST(span_h AS BIGINT) AS span_h,
+        |  ROUND((CAST(span_h AS DOUBLE) * sc2 - CAST(sc AS DOUBLE) * sc)
+        |    / (CAST(span_h AS DOUBLE) * sc), 6) AS fano
+        |FROM g CROSS JOIN span ORDER BY event_type""".stripMargin,
+
+    "q169_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+        |        - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT), 1)
+        |          OVER w > 1800 THEN 1
+        |      WHEN LAG(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, sess_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, sess_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
+
+    "q170_entropy_rate" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |nf AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |       FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c),
+        |terms AS (
+        |  SELECT CAST(ROUND((CAST(n AS DOUBLE) / tt)
+        |      * LN(CAST(n_from AS DOUBLE) / n) * 1000000000.0) AS BIGINT)
+        |      AS term_fp, tt
+        |  FROM c JOIN nf USING (from_type) CROSS JOIN tot)
+        |SELECT tt AS n_transitions,
+        |  ROUND(CAST(SUM(term_fp) AS BIGINT) / 1000000000.0, 6)
+        |    AS entropy_nats,
+        |  ROUND(EXP(CAST(SUM(term_fp) AS BIGINT) / 1000000000.0), 6)
+        |    AS perplexity
+        |FROM terms GROUP BY tt""".stripMargin,
+
     "q158_ab_ttest" ->
       """WITH g AS (
         |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS cohort,

@@ -55,7 +55,52 @@ object Extract {
       lit("</p><footer>&copy; 2024 Example &lt;corp&gt; &#39;legal&#39;" +
         "</footer></body></html>"))
 
+  /** Crawl-stitch detection: find (A, B) pairs where A's 40-char
+    * SUFFIX equals B's 40-char PREFIX — the signature of one source
+    * page split across two crawl records with an overlapped window
+    * (truncation + re-fetch, paginated extraction). One uniform join
+    * on a 32-bit hash of the boundary window, verified on the exact
+    * strings so a hash collision can't fabricate a stitch; docs
+    * shorter than 2×40 chars are excluded (their halves can't carry a
+    * meaningful boundary). Scale: two scan-side projections of 40
+    * chars/doc and one hash-keyed join whose buckets are "docs
+    * sharing a boundary window" — df-bounded the same way the
+    * shingle blocking is. */
+  def stitchCandidates(docs: DataFrame, w: Int = 40): DataFrame = {
+    val eligible = docs.filter(length(col("text")) >= 2 * w)
+    val sfx = eligible.select(col("doc_id").as("doc_a"),
+      expr(s"substring(text, length(text) - ${w - 1}, $w)").as("boundary"))
+    val pfx = eligible.select(col("doc_id").as("doc_b"),
+      substring(col("text"), 1, w).as("boundary"))
+    sfx.withColumn("h", portableHash(col("boundary")))
+      .join(pfx.withColumn("h", portableHash(col("boundary"))),
+        Seq("h", "boundary"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("boundary"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_split_docs" -> ((s, dir) => {
+      // The q155 synthesize-the-mess pattern: split every doc into an
+      // overlapped (front, back) record pair — front carries the
+      // boundary window twice over the midpoint, back starts with it —
+      // then prove stitch detection recovers exactly the (2id, 2id+1)
+      // pairs. Docs under 160 chars are left whole (and must NOT
+      // produce pairs).
+      val docs = table(s, dir, "documents")
+      val split = docs.filter(length(col("text")) >= 160)
+        .select(col("doc_id"), col("text"),
+          expr("cast(length(text) div 2 as int)").as("m"))
+      val halves = split.select(col("doc_id"), posexplode(array(
+          expr("substring(text, 1, m + 39)"),
+          expr("substring(text, m, length(text) - m + 1)")))
+          .as(Seq("half", "text")))
+        .select((col("doc_id") * 2 + col("half")).as("doc_id"), col("text"))
+      stitchCandidates(halves)
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q155_html_extract" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       docs
@@ -73,6 +118,33 @@ object Extract {
   )
 
   val oracle: Map[String, String] = Map(
+    // The split fan-out and boundary join mirrored verbatim (the
+    // oracle joins on the exact boundary strings; the Spark side's
+    // 32-bit hash key is an optimization the exact-string equality
+    // already subsumes).
+    "q166_split_docs" ->
+      """WITH split AS (
+        |  SELECT doc_id, text, CAST(length(text) // 2 AS INTEGER) AS m
+        |  FROM documents WHERE length(text) >= 160),
+        |halves AS (
+        |  SELECT doc_id * 2 AS doc_id, substr(text, 1, m + 39) AS text
+        |  FROM split
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, substr(text, m, length(text) - m + 1)
+        |  FROM split),
+        |eligible AS (SELECT * FROM halves WHERE length(text) >= 80),
+        |sfx AS (
+        |  SELECT doc_id AS doc_a,
+        |    substr(text, length(text) - 39, 40) AS boundary
+        |  FROM eligible),
+        |pfx AS (
+        |  SELECT doc_id AS doc_b, substr(text, 1, 40) AS boundary
+        |  FROM eligible)
+        |SELECT s.doc_a, p.doc_b
+        |FROM sfx s JOIN pfx p
+        |  ON s.boundary = p.boundary AND s.doc_a <> p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // The same wrap + strip chain in DuckDB's regexp dialect ('g' =
     // replace-all, matching Spark's default).
     "q155_html_extract" ->

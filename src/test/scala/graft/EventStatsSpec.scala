@@ -91,4 +91,71 @@ class EventStatsSpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, sf).count() > 0, q)
     }
   }
+
+  test("conversion latency: strict funnel order, exact percentiles per cohort") {
+    def sec(s: Long) = new Timestamp(s * 1000L)
+    // even users 2/4 (cohort 0): latencies 100 s and 200 s -> p50 = 150;
+    // odd user 3: purchase BEFORE any view -> excluded (strict funnel);
+    // odd user 5: view only -> excluded
+    val ev2 = Seq(
+      (1L, sec(0), 2L, "view", 0.0, "{}"),
+      (2L, sec(100), 2L, "purchase", 0.0, "{}"),
+      (3L, sec(86400), 4L, "view", 0.0, "{}"),
+      (4L, sec(86600), 4L, "purchase", 0.0, "{}"),
+      (5L, sec(0), 3L, "purchase", 0.0, "{}"),
+      (6L, sec(18000), 3L, "view", 0.0, "{}"),
+      (7L, sec(0), 5L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventStats.conversionLatency(ev2, "view", "purchase").collect()
+      .map(r => r.getAs[Int]("cohort") ->
+        ((r.getAs[Long]("n_converted"), r.getAs[Double]("p50_s")))).toMap
+    assert(got == Map(0 -> ((2L, 150.0))), s"got: $got")
+  }
+
+  test("burstiness: flat hourly traffic is 0, single-burst traffic is T-1") {
+    val rows =
+      (0 until 100).map(h => (h.toLong, h.toLong, 1L, "flat", 0.0)) ++
+      (0 until 100).map(i => (1000L + i, 0L, 1L, "burst", 0.0)) ++
+      Seq((2000L, 99L, 1L, "burst", 0.0)) // pin burst's span to 100h too
+    val got = EventStats.burstiness(ev(rows)).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("fano")).toMap
+    assert(got("flat") == 0.0, s"flat: ${got("flat")}")
+    // burst: counts (100 at h0, 1 at h99): fano = (100*10001-101^2)/(100*101)
+    val expect = math.rint((100.0 * 10001 - 101.0 * 101) / (100.0 * 101) * 1e6) / 1e6
+    assert(got("burst") == expect, s"burst: ${got("burst")} want $expect")
+  }
+
+  test("session paths: 30-min gaps split sessions, paths truncate at 3") {
+    val rows = Seq(
+      (1L, 0L, 1L, "A", 0.0), (2L, 0L, 1L, "B", 0.0), (3L, 0L, 1L, "C", 0.0),
+      (4L, 0L, 1L, "D", 0.0), // same session, 4th event ignored by path
+      (5L, 10L, 1L, "D", 0.0), (6L, 10L, 1L, "E", 0.0), // new session
+      (7L, 20L, 2L, "A", 0.0), (8L, 20L, 2L, "B", 0.0), (9L, 20L, 2L, "C", 0.0))
+    val got = EventStats.topSessionPaths(ev(rows)).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_sessions")))
+    assert(got.toSeq == Seq(("A>B>C", 2L), ("D>E", 1L)), got.mkString(", "))
+  }
+
+  test("entropy rate: a deterministic alternating chain scores exactly 0") {
+    val rows = (0 until 20).map(i =>
+      (i.toLong, i.toLong, 1L, if (i % 2 == 0) "A" else "B", 0.0))
+    val r = EventStats.entropyRate(ev(rows)).collect()(0)
+    assert(r.getAs[Long]("n_transitions") == 19L)
+    assert(r.getAs[Double]("entropy_nats") == 0.0)
+    assert(r.getAs[Double]("perplexity") == 1.0)
+  }
+
+  test("stitch detection finds overlapped boundaries, skips short docs") {
+    import graft.operators.Extract
+    val boundary = "X" * 40
+    val docs = Seq(
+      (1L, "a" * 60 + boundary),        // ends with the boundary
+      (2L, boundary + "b" * 60),        // starts with it -> pair (1, 2)
+      (3L, "c" * 100),                  // unrelated
+      (4L, boundary)                    // 40 chars: too short, excluded
+    ).toDF("doc_id", "text")
+    val got = Extract.stitchCandidates(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(got.toSeq == Seq((1L, 2L)), got.mkString(", "))
+  }
 }
