@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CdcWindowHashes, CdcWindowHits, CharBigramsPacked, CosineSimilarity, FreqTopKAgg, HammingDistance, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, PackedLmSum, PqAdc, PqEncode, ShingleHashes, SimHashAgg, WinnowPrints}
+import graft.functions.{CdcWindowHashes, CdcWindowHits, CharBigramsPacked, CosineSimilarity, FreqTopKAgg, HammingDistance, KllQuantile, KllSketchAgg, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, PackedLmSum, PqAdc, PqEncode, ShingleHashes, SimHashAgg, WinnowPrints}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -122,6 +122,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "kmv_intersect_estimate(a, b[, k literal])")
       }))
+    // KLL streaming-quantiles sketch: `kll_sketch_agg(value[, k])`
+    // builds the mergeable level-weighted buffer (O(k) memory at any
+    // n; persistable array<array<double>> value), `kll_quantile(sk, p)`
+    // reads rank-based quantiles off it — the quantile rung of the
+    // sketch ladder next to HLL/KMV/MG/CMS (see KllSketch).
+    e.injectFunction((
+      new FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (exprs: Seq[Expression]) => (exprs match {
+        case Seq(c) => KllSketchAgg(c)
+        case Seq(c, k) => KllSketchAgg(c, litInt(k, "kll_sketch_agg k"))
+        case _ => throw new IllegalArgumentException(
+          "kll_sketch_agg(value[, k literal])")
+      }).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (exprs: Seq[Expression]) => KllQuantile(exprs.head, exprs(1))))
     // Spark's internal bloom sketch pair (used by its own runtime row
     // filters), surfaced as SQL functions: build a fixed-size filter
     // over a long column, probe it scan-side with codegen — the

@@ -363,21 +363,25 @@ object ScaleSmoke {
     require(nWedge > 20000000L, s"wedge count implausible: $nWedge")
 
     // NB lang-id phase: train/score the multinomial NB classifier on a
-    // 600k-doc 4-"language" corpus whose scripts differ by case and a
-    // digit→letter translation — the model stays |langs|×|bigrams|
-    // (KB) while the corpus scales, and held-out accuracy must be
-    // near-perfect because the scripts are (near-)disjoint.
+    // 600k-doc 4-"language" corpus whose scripts are DISJOINT after
+    // lowercasing (the bigram kernel lowercases, so case-paired
+    // scripts would collapse — the first run's exactly-50% accuracy
+    // was that collapse) — the model stays |langs|×|bigrams| (KB)
+    // while the corpus scales, and held-out accuracy must be
+    // near-perfect.
     val nbCorpus = spark.range(150000L).select(col("id"),
         md5(col("id").cast("string")).as("h"))
       .select(col("id"), explode(array(
-        struct(lit(0L).as("o"), col("h").as("text"), lit("la").as("lang")),
-        struct(lit(1L).as("o"), upper(col("h")).as("text"), lit("ua").as("lang")),
+        struct(lit(0L).as("o"), col("h").as("text"), lit("hex").as("lang")),
+        struct(lit(1L).as("o"),
+          translate(col("h"), "0123456789abcdef", "ghijklmnopqrstuv").as("text"),
+          lit("gv").as("lang")),
         struct(lit(2L).as("o"),
-          translate(col("h"), "0123456789", "ghijklmnop").as("text"),
-          lit("lt").as("lang")),
+          translate(col("h"), "0123456789abcdef", "wxyzwxyzwxyzwxyz").as("text"),
+          lit("wz").as("lang")),
         struct(lit(3L).as("o"),
-          translate(upper(col("h")), "0123456789", "GHIJKLMNOP").as("text"),
-          lit("ut").as("lang")))).as("e"))
+          translate(col("h"), "0123456789abcdef", ",.;:+-*/()[]{}<>").as("text"),
+          lit("pnc").as("lang")))).as("e"))
       // block layout (NOT id*4+o): the classifier splits train/test on
       // doc_id parity, and interleaved packing would give each parity
       // class a disjoint language set

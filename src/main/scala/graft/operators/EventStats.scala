@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.GraftSession.eventsTable
+import graft.GraftSession.{ckpt, eventsTable}
 
 /** Statistical event analytics (SURVEY.md §2.B53–B56) — the
   * experiment/monitoring layer over the event log: A/B testing,
@@ -250,6 +250,37 @@ object EventStats {
 
     "q170_entropy_rate" -> ((s, dir) =>
       entropyRate(eventsTable(s, dir))),
+
+    "q171_kll_quantiles" -> ((s, dir) => {
+      // KLL quantile-sketch rung with the q102/q115-style in-artifact
+      // evidence: one combinable sketch pass per event type (O(k)
+      // state, the shape that replaces a full per-group sort at
+      // 100 TB), quantiles read off the sketch, then the EXACT rank of
+      // each estimate computed with one more scan (15-row broadcast) —
+      // rows outside the ±0.05 normalized-rank bound are FILTERED, so
+      // a sketch regression shows up as a row-count drop in the
+      // rows-only gate. Estimates are merge-order dependent (like
+      // Misra-Gries); the bound is not.
+      val ev = eventsTable(s, dir)
+      val est = ckpt(ev.groupBy(col("event_type"))
+        .agg(expr("kll_sketch_agg(value, 200)").as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"), col("sk"),
+          explode(typedLit(Seq(0.5, 0.9, 0.99))).as("p"))
+        .withColumn("est", expr("kll_quantile(sk, p)"))
+        .drop("sk"))
+      ev.select(col("event_type"), col("value"))
+        .join(broadcast(est), Seq("event_type"))
+        .groupBy(col("event_type"), col("p"), col("est"), col("n"))
+        .agg(sum(when(col("value") <= col("est"), 1L).otherwise(0L))
+          .as("rank_le"))
+        .withColumn("rank_frac", col("rank_le").cast("double") / col("n"))
+        .withColumn("within_bounds", abs(col("rank_frac") - col("p")) <= 0.05)
+        .filter(col("within_bounds"))
+        .select(col("event_type"), col("p"), round(col("est"), 3).as("est"),
+          round(col("rank_frac"), 4).as("rank_frac"), col("within_bounds"))
+        .orderBy(col("event_type"), col("p"))
+    }),
 
     "q158_ab_ttest" -> ((s, dir) =>
       abTest(eventsTable(s, dir)).orderBy(col("event_type"))),

@@ -390,6 +390,11 @@ object TopicStream {
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(key: String, startMs: Long, endMs: Long, nEvents: Int)
 
+  case class RegEvent(key: String, ts: java.sql.Timestamp)
+  case class RegState(n: Long, last: Long, sg: Long, sg2: Long)
+  case class RegOut(key: String, nEvents: Long, meanGapS: Double,
+    cv: Double, regular: Boolean)
+
   /** Custom stateful sessionization via flatMapGroupsWithState: a
     * session closes (and is emitted) when a later event for the same key
     * arrives more than `gapMs` after the session's last event; with
@@ -441,6 +446,55 @@ object TopicStream {
               closed.reverseIterator
             }
           }
+      }.toDF()
+  }
+
+  /** The LIVE face of the q151 inter-arrival bot screen: per-key
+    * running gap statistics via mapGroupsWithState, emitting the
+    * current (n, mean gap, cv, regular) verdict for every key touched
+    * in a micro-batch (Update mode — the dashboard/alerting shape).
+    * State is FOUR longs per key: event count, last event second, Σgap
+    * and Σgap² — constant per key regardless of history length, so
+    * state size is O(active keys) at any stream volume. The gap
+    * arithmetic is integer-exact and ORDER-CONSISTENT with the batch
+    * operator (gaps accumulate in event-time order within and across
+    * batches), so a drained stream reproduces
+    * `EventOps.interarrivalRegularity` exactly — spec-proved, and
+    * proved batch-boundary-invariant (1 batch vs many). Late data
+    * caveat: events older than a key's last-seen second would need a
+    * watermark + reorder buffer; the monitor assumes per-key
+    * monotone-ish arrival (the log-offset order TopicLog guarantees
+    * per partition key). */
+  def interarrivalMonitor(spark: SparkSession, stream: DataFrame,
+      minEvents: Long = 20L, cvThreshold: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val typed = stream
+      .select(coalesce(col("key"), lit("")).as("key"), col("ts"))
+      .as[RegEvent]
+    typed
+      .groupByKey(_.key)
+      .mapGroupsWithState[RegState, RegOut](GroupStateTimeout.NoTimeout) {
+        (key: String, events: Iterator[RegEvent], state: GroupState[RegState]) =>
+          val sorted = events.map(_.ts.getTime / 1000L).toSeq.sorted
+          var s = state.getOption.getOrElse(RegState(0L, 0L, 0L, 0L))
+          sorted.foreach { t =>
+            s =
+              if (s.n == 0L) RegState(1L, t, 0L, 0L)
+              else {
+                val g = t - s.last
+                RegState(s.n + 1, t, s.sg + g, s.sg2 + g * g)
+              }
+          }
+          state.update(s)
+          val m = s.n - 1
+          if (s.n >= minEvents && m > 0 && s.sg > 0) {
+            val mean = s.sg.toDouble / m
+            val variance =
+              (m.toDouble * s.sg2.toDouble - s.sg.toDouble * s.sg.toDouble) /
+                (m.toDouble * m.toDouble)
+            val cv = math.sqrt(variance) / mean
+            RegOut(key, s.n, mean, cv, cv < cvThreshold)
+          } else RegOut(key, s.n, Double.NaN, Double.NaN, false)
       }.toDF()
   }
 }

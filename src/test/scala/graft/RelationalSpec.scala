@@ -26,7 +26,7 @@ class RelationalSpec extends AnyFunSuite {
     val weak = q.keySet -- o.keySet
     assert(weak == Set("q19_approx_distinct", "q88_hll_rollup",
       "q102_heavy_hitters", "q114_approx_percentiles",
-      "q115_segment_overlap"),
+      "q115_segment_overlap", "q171_kll_quantiles"),
       s"unexpected rows-only queries: $weak")
   }
 

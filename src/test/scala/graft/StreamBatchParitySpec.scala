@@ -100,4 +100,50 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed == batch, "streaming quality filter diverged from batch")
     } finally q.stop()
   }
+
+  test("streaming inter-arrival monitor equals batch q151, batch-boundary-invariant") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = GraftSession.eventsTable(spark, sf)
+    val batch = graft.operators.EventOps.interarrivalRegularity(ev)
+      .collect()
+      .map(r => r.getAs[Long]("user_id").toString ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("mean_gap_s"),
+          r.getAs[Double]("cv"), r.getAs[Boolean]("regular"))))
+      .toMap
+    assert(batch.nonEmpty, "need users with >= 20 events at this sf")
+
+    val rows = ev.select(col("user_id").cast("string").as("key"), col("ts"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[(String, java.sql.Timestamp)].collect().toSeq
+
+    def run(slices: Seq[Seq[(String, java.sql.Timestamp)]], name: String) = {
+      val ms = MemoryStream[(String, java.sql.Timestamp)]
+      val out = graft.streaming.TopicStream.interarrivalMonitor(
+        spark, ms.toDF().toDF("key", "ts"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        slices.foreach { s => ms.addData(s); q.processAllAvailable() }
+        spark.sql(s"SELECT * FROM $name").collect()
+          .map(r => r.getAs[String]("key") ->
+            ((r.getAs[Long]("nEvents"), r.getAs[Double]("meanGapS"),
+              r.getAs[Double]("cv"), r.getAs[Boolean]("regular"))))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 }
+      } finally q.stop()
+    }
+    def normalize(m: Map[String, (Long, Double, Double, Boolean)]) =
+      m.collect { case (k, (n, mean, cv, reg)) if n >= 20 =>
+        k -> ((n, math.rint(mean * 1e6) / 1e6, math.rint(cv * 1e6) / 1e6, reg))
+      }
+
+    val oneBatch = normalize(run(Seq(rows), "iam1").toMap)
+    val threeBatches = normalize(
+      run(rows.grouped((rows.length + 2) / 3).toSeq, "iam3").toMap)
+    assert(oneBatch == threeBatches, "batch-boundary variance detected")
+    assert(oneBatch == batch.map { case (k, (n, mean, cv, reg)) =>
+      k -> ((n, mean, cv, reg)) },
+      s"stream/batch divergence: ${oneBatch.take(2)} vs ${batch.take(2)}")
+  }
 }
