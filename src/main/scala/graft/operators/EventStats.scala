@@ -213,6 +213,25 @@ object EventStats {
       .limit(k)
   }
 
+  /** Hour-of-day activity profile per event type: share of the
+    * type's events per UTC hour plus its peak hour (ties → earliest)
+    * — the diurnal shape behind the cadence score (B51 says
+    * "24h-periodic"; this says WHEN). One map-side-combined scan to
+    * |types|×24 rows; shares from exact integers. */
+  def diurnalProfile(events: DataFrame): DataFrame = {
+    val hc = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type"))
+    hc.withColumn("share",
+        round(col("c").cast("double") / sum(col("c")).over(w), 6))
+      .withColumn("is_peak",
+        rank().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("c").desc, col("hod"))) === 1)
+      .select(col("event_type"), col("hod"), col("c").as("n_events"),
+        col("share"), col("is_peak"))
+  }
+
   /** Entropy rate of the first-order behavior chain (conditional
     * entropy of next-type given current, weighted by state
     * occupancy): H = Σ_{from,to} (n/T)·ln(n_from/n) nats — the
@@ -250,6 +269,10 @@ object EventStats {
 
     "q170_entropy_rate" -> ((s, dir) =>
       entropyRate(eventsTable(s, dir))),
+
+    "q173_diurnal_profile" -> ((s, dir) =>
+      diurnalProfile(eventsTable(s, dir))
+        .orderBy(col("event_type"), col("hod"))),
 
     "q171_kll_quantiles" -> ((s, dir) => {
       // KLL quantile-sketch rung with the q102/q115-style in-artifact
@@ -297,6 +320,17 @@ object EventStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q173_diurnal_profile" ->
+      """WITH hc AS (
+        |  SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(hod AS INTEGER) AS hod, c AS n_events,
+        |  ROUND(CAST(c AS DOUBLE) /
+        |    SUM(c) OVER (PARTITION BY event_type), 6) AS share,
+        |  RANK() OVER (PARTITION BY event_type ORDER BY c DESC, hod) = 1
+        |    AS is_peak
+        |FROM hc ORDER BY event_type, hod""".stripMargin,
+
     "q167_conversion_latency" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession.table
+import graft.operators.TextOps
 
 /** Column-level data profiling (SURVEY.md §2.C64) — the
   * schema-health summary a pipeline snapshots per ingest: row/null/
@@ -90,7 +91,55 @@ object Profile {
           concat(col("doc_id").cast("string"), lit("|"), col("text"))))
           .as("content_digest"))
 
+  /** One-row dataset card — the publishable summary a corpus release
+    * ships (HF dataset-card / datasheet numbers): sizes, token mass,
+    * language-distribution entropy (diversity), source concentration
+    * (Herfindahl index — is this corpus one crawl wearing twenty
+    * source labels?), and the Gopher-rule keep rate (q145's gated
+    * rules, passed in as a (doc_id, keep) frame so the card provably
+    * summarizes the SAME filter the gate checks). Entropy/HHI terms
+    * round to nano-units and sum as integers (order-independent).
+    * Scale: two corpus scans (stats + rules) collapsing to
+    * |langs|+|sources| rows before any math. */
+  def datasetCard(docs: DataFrame, keep: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
+    val langEnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(round((col("c").cast("double") / col("n")) *
+        log(col("n").cast("double") / col("c")) * lit(1e9), 0)
+        .cast("long").as("t"))
+      .agg(sum(col("t")).as("ent_fp"))
+    val hhi = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(round((col("c").cast("double") / col("n")) *
+        (col("c").cast("double") / col("n")) * lit(1e9), 0)
+        .cast("long").as("t"))
+      .agg(sum(col("t")).as("hhi_fp"))
+    val keepRate = keep.agg(
+      round(sum(col("keep").cast("long")).cast("double") / count(lit(1)), 6)
+        .as("keep_rate"))
+    base.crossJoin(broadcast(langEnt)).crossJoin(broadcast(hhi))
+      .crossJoin(broadcast(keepRate))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_doc_tokens"),
+        round(col("ent_fp") / lit(1e9), 6).as("lang_entropy_nats"),
+        round(col("hhi_fp") / lit(1e9), 6).as("source_hhi"),
+        col("keep_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_dataset_card" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      datasetCard(docs,
+        TextOps.gopherRules(docs).select(col("doc_id"), col("keep")))
+    }),
+
     "q164_corpus_manifest" -> ((s, dir) =>
       manifest(table(s, dir, "documents")).orderBy(col("source"))),
 
@@ -105,6 +154,40 @@ object Profile {
   )
 
   val oracle: Map[String, String] = Map(
+    // String-shares q145's rule CTEs so keep_rate provably summarizes
+    // the gated filter; entropy/HHI terms mirror the nano-unit sums.
+    "q172_dataset_card" ->
+      ("WITH " + TextOps.gopherCtes + ",\n" +
+       """base AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT source) AS n_sources,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |lent AS (
+         |  SELECT CAST(SUM(CAST(ROUND(
+         |      (CAST(c AS DOUBLE) / n) * LN(CAST(n AS DOUBLE) / c)
+         |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS ent_fp
+         |  FROM (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang)
+         |  CROSS JOIN (SELECT COUNT(*) AS n FROM documents)),
+         |hhi AS (
+         |  SELECT CAST(SUM(CAST(ROUND(
+         |      (CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n)
+         |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS hhi_fp
+         |  FROM (SELECT source, COUNT(*) AS c FROM documents GROUP BY source)
+         |  CROSS JOIN (SELECT COUNT(*) AS n FROM documents)),
+         |kr AS (
+         |  SELECT ROUND(CAST(SUM(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS keep_rate
+         |  FROM m)
+         |SELECT n_docs, n_sources, n_langs, n_tokens,
+         |  ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens,
+         |  ROUND(ent_fp / 1000000000.0, 6) AS lang_entropy_nats,
+         |  ROUND(hhi_fp / 1000000000.0, 6) AS source_hhi,
+         |  keep_rate
+         |FROM base CROSS JOIN lent CROSS JOIN hhi CROSS JOIN kr""".stripMargin),
+
     "q164_corpus_manifest" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)

@@ -145,6 +145,38 @@ class EventStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("perplexity") == 1.0)
   }
 
+  test("diurnal profile: single-hour type has share 1 at its hour, ties peak earliest") {
+    // "night" fires only at 03:00 UTC (two days); "flat" splits 05/06
+    val rows = Seq(
+      (1L, 3L, 1L, "night", 0.0), (2L, 27L, 1L, "night", 0.0),
+      (3L, 5L, 1L, "flat", 0.0), (4L, 6L, 1L, "flat", 0.0))
+    val got = EventStats.diurnalProfile(ev(rows)).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("hod")) ->
+        ((r.getAs[Double]("share"), r.getAs[Boolean]("is_peak")))).toMap
+    assert(got(("night", 3)) == ((1.0, true)))
+    assert(got(("flat", 5)) == ((0.5, true)), "tie must peak at the earliest hour")
+    assert(got(("flat", 6)) == ((0.5, false)))
+  }
+
+  test("dataset card: balanced synthetic corpus hits the closed forms") {
+    import graft.operators.{Profile, TextOps}
+    val stops = "the a of to and in is"
+    val keeper = stops + " " + (1 to 38).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, keeper, "aa", "s1"), (2L, "tiny", "aa", "s1"),
+      (3L, keeper, "bb", "s2"), (4L, "tiny", "bb", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val card = Profile.datasetCard(docs,
+      TextOps.gopherRules(docs).select(col("doc_id"), col("keep"))).collect()(0)
+    assert(card.getAs[Long]("n_docs") == 4L)
+    assert(card.getAs[Long]("n_sources") == 2L && card.getAs[Long]("n_langs") == 2L)
+    // 2 langs balanced -> entropy ln 2; 2 sources balanced -> HHI 0.5
+    assert(card.getAs[Double]("lang_entropy_nats") ==
+      math.rint(math.log(2.0) * 1e6) / 1e6)
+    assert(card.getAs[Double]("source_hhi") == 0.5)
+    assert(card.getAs[Double]("keep_rate") == 0.5)
+  }
+
   test("stitch detection finds overlapped boundaries, skips short docs") {
     import graft.operators.Extract
     val boundary = "X" * 40
