@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.GraftSession.table
+import graft.GraftSession.{eventsTable, table}
 
 /** Pack C (similarity) — ANN over the embeddings table
   * (SURVEY.md §2.C6-C7).
@@ -141,6 +141,54 @@ object Similarity {
     * (hours 24-63 zero-padded to the RHP plane width). Hourly sums are
     * decimal-exact and every entry rounds at 6 dp, so the vectors are
     * bit-identical cross-engine before any similarity math. */
+  /** SAX motif buckets over per-user activity series (Lin et al. 2003
+    * / the iSAX indexing route — the SYMBOLIC half of the time-series
+    * -similarity story next to q92's RHP-cosine): each user's 30-day
+    * event-count series is PAA'd into six 5-day segments,
+    * z-normalized, and symbolized over a 4-letter alphabet at the
+    * standard N(0,1) breakpoints; identical SAX words = a motif
+    * bucket (users with the same activity SHAPE regardless of
+    * volume). Exactness: segment counts are integers, mean/var
+    * assemble in double from exact Σc/Σc², and z-normalizing raw
+    * counts equals z-normalizing PAA means (affine invariance) so the
+    * /5 division — inexact in binary — never happens. Scale: one
+    * map-side-combined (user, seg) count, a 6-row-per-user spine
+    * fill, one word agg — the word table is ≤ 4^6 rows however large
+    * the log. */
+  def saxMotifs(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+      .filter(col("d").between(0, 29))
+      .groupBy(col("user_id"), expr("d div 5").as("seg"))
+      .agg(count(lit(1)).as("c"))
+    val users = events.select(col("user_id")).distinct()
+    val spine = users.crossJoin(broadcast(
+      spark.range(6).select(col("id").as("seg"))))
+    val filled = spine.join(daily, Seq("user_id", "seg"), "left")
+      .na.fill(0L, Seq("c"))
+    val stats = filled.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"))
+      .withColumn("mean", col("sc").cast("double") / 6.0)
+      .withColumn("sd", sqrt(col("sc2").cast("double") / 6.0 -
+        col("mean") * col("mean")))
+    val sym = filled.join(stats, Seq("user_id"))
+      // ANSI mode: the division must be guarded, not just the symbol
+      .withColumn("z", when(col("sd") > 0,
+        (col("c").cast("double") - col("mean")) / col("sd")).otherwise(0.0))
+      .withColumn("sym",
+        when(col("sd") <= 0, "b")
+          .when(col("z") < -0.6745, "a").when(col("z") < 0, "b")
+          .when(col("z") < 0.6745, "c").otherwise("d"))
+    sym.groupBy(col("user_id"))
+      .agg(array_join(
+        array_sort(collect_list(struct(col("seg"), col("sym"))))
+          .getField("sym"), "").as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_users"), min(col("user_id")).as("sample_user"))
+  }
+
   private def behaviorSeries(s: SparkSession, dir: String): DataFrame = {
     val hours = graft.GraftSession.eventsTable(s, dir)
       .withColumn("h", hour(col("ts")))
@@ -221,6 +269,10 @@ object Similarity {
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_semdedup" -> ((s, dir) =>
       semDedup(table(s, dir, "embeddings")).orderBy(col("cl"))),
+
+    "q174_sax_motifs" -> ((s, dir) =>
+      saxMotifs(eventsTable(s, dir))
+        .orderBy(col("n_users").desc, col("word"))),
 
     "q92_behavior_similarity" -> ((s, dir) => {
       // Time-series similarity search over user behavior (the EDBT'19
@@ -452,6 +504,49 @@ object Similarity {
         |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin,
 
     "q141_semdedup" -> semDedupSql,
+
+    // z over raw segment counts == z over PAA means (affine
+    // invariance), so both engines symbolize identical doubles.
+    "q174_sax_motifs" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 5
+        |      AS seg,
+        |    COUNT(*) AS c
+        |  FROM events
+        |  WHERE DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    BETWEEN 0 AND 29
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT u.user_id, r.range AS seg
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN range(6) r),
+        |filled AS (
+        |  SELECT s.user_id, s.seg, COALESCE(d.c, 0) AS c
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.user_id = s.user_id AND d.seg = s.seg),
+        |stats AS (
+        |  SELECT user_id,
+        |    CAST(SUM(c) AS DOUBLE) / 6.0 AS mean,
+        |    SQRT(CAST(SUM(c * c) AS DOUBLE) / 6.0
+        |      - (CAST(SUM(c) AS DOUBLE) / 6.0)
+        |        * (CAST(SUM(c) AS DOUBLE) / 6.0)) AS sd
+        |  FROM filled GROUP BY user_id),
+        |sym AS (
+        |  SELECT f.user_id, f.seg,
+        |    CASE
+        |      WHEN s.sd <= 0 THEN 'b'
+        |      WHEN (f.c - s.mean) / s.sd < -0.6745 THEN 'a'
+        |      WHEN (f.c - s.mean) / s.sd < 0 THEN 'b'
+        |      WHEN (f.c - s.mean) / s.sd < 0.6745 THEN 'c'
+        |      ELSE 'd' END AS sym
+        |  FROM filled f JOIN stats s USING (user_id)),
+        |words AS (
+        |  SELECT user_id, string_agg(sym, '' ORDER BY seg) AS word
+        |  FROM sym GROUP BY user_id)
+        |SELECT word, COUNT(*) AS n_users, MIN(user_id) AS sample_user
+        |FROM words GROUP BY word
+        |ORDER BY n_users DESC, word""".stripMargin,
 
     "q92_behavior_similarity" ->
       s"""WITH series AS ($behaviorSeriesSql),

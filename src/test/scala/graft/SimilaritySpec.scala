@@ -53,4 +53,20 @@ class SimilaritySpec extends AnyFunSuite {
     // band, 1-(1-p)^4 ~ 0.93 overall; assert a safe 80%
     assert(cands >= 32, s"recall too low: $cands/40 planted pairs collided")
   }
+
+  test("sax motifs: flat series symbolizes to all-b, a front burst to d-then-b") {
+    import spark.implicits._
+    def at(day: Int, i: Int) = new java.sql.Timestamp(
+      (java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L +
+        day * 86400L + i) * 1000L)
+    // user 1: one event per day for 30 days (sd = 0 -> "bbbbbb");
+    // user 2: 30 events all in days 0-4 -> seg0 z=2.24 'd', rest 'b'
+    val rows =
+      (0 until 30).map(d => (d.toLong, at(d, 0), 1L, "e", 0.0, "{}")) ++
+      (0 until 30).map(i => (100L + i, at(i % 5, i), 2L, "e", 0.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.Similarity.saxMotifs(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map("bbbbbb" -> 1L, "dbbbbb" -> 1L), s"got: $got")
+  }
 }
