@@ -213,6 +213,37 @@ object EventStats {
       .limit(k)
   }
 
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * user-value grid): per user, days since last event (vs the
+    * corpus's max date, a 1-row broadcast), event count, and exact
+    * decimal value volume; each metric quartiled by NTILE(4) with a
+    * TOTAL order (metric, user_id) so segment assignment is
+    * deterministic; output = the 4×4×4 segment grid with counts and
+    * mean value. Quartile 1 = best (most recent / most frequent /
+    * highest spend). Scale: the log collapses to one row per user
+    * map-side; the three ntiles sort that |users|-row frame — the
+    * standard RFM cost, trivially partitionable by metric range. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast("decimal(18,2)")).as("mon"))
+    val refDay = events.agg(max(to_date(col("ts"))).as("ref_day"))
+    val base = perUser.crossJoin(broadcast(refDay))
+      .withColumn("recency_d", datediff(col("ref_day"), col("last_day")))
+    val rq = Window.orderBy(col("recency_d"), col("user_id"))
+    val fq = Window.orderBy(col("freq").desc, col("user_id"))
+    val mq = Window.orderBy(col("mon").desc, col("user_id"))
+    base
+      .withColumn("r_q", ntile(4).over(rq))
+      .withColumn("f_q", ntile(4).over(fq))
+      .withColumn("m_q", ntile(4).over(mq))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("mon")).cast("double") / count(lit(1)), 6)
+          .as("mean_monetary"))
+  }
+
   /** Hour-of-day activity profile per event type: share of the
     * type's events per UTC hour plus its peak hour (ties → earliest)
     * — the diurnal shape behind the cadence score (B51 says
@@ -270,6 +301,10 @@ object EventStats {
     "q170_entropy_rate" -> ((s, dir) =>
       entropyRate(eventsTable(s, dir))),
 
+    "q175_rfm_segments" -> ((s, dir) =>
+      rfmSegments(eventsTable(s, dir))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))),
+
     "q173_diurnal_profile" -> ((s, dir) =>
       diurnalProfile(eventsTable(s, dir))
         .orderBy(col("event_type"), col("hod"))),
@@ -320,6 +355,29 @@ object EventStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q175_rfm_segments" ->
+      """WITH pu AS (
+        |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS mon
+        |  FROM events GROUP BY user_id),
+        |ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events),
+        |base AS (
+        |  SELECT pu.*, DATEDIFF('day', last_day, ref_day) AS recency_d
+        |  FROM pu CROSS JOIN ref),
+        |q AS (
+        |  SELECT user_id, mon,
+        |    CAST(NTILE(4) OVER (ORDER BY recency_d, user_id) AS INTEGER)
+        |      AS r_q,
+        |    CAST(NTILE(4) OVER (ORDER BY freq DESC, user_id) AS INTEGER)
+        |      AS f_q,
+        |    CAST(NTILE(4) OVER (ORDER BY mon DESC, user_id) AS INTEGER)
+        |      AS m_q
+        |  FROM base)
+        |SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
+        |  ROUND(CAST(SUM(mon) AS DOUBLE) / COUNT(*), 6) AS mean_monetary
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
+
     "q173_diurnal_profile" ->
       """WITH hc AS (
         |  SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS c

@@ -177,6 +177,19 @@ class EventStatsSpec extends AnyFunSuite {
     assert(card.getAs[Double]("keep_rate") == 0.5)
   }
 
+  test("rfm: aligned metrics produce the diagonal segment grid") {
+    // user u (1..8): events on day 9-u (u=1 most recent), 9-u events,
+    // value 10 each -> recency, frequency and monetary all rank user 1
+    // best; quartiles of 8 users hold 2 each -> four diagonal segments
+    val rows = for (u <- 1 to 8; e <- 0 until (9 - u))
+      yield ((u * 100 + e).toLong, (9L - u) * 24, u.toLong, "buy", 10.0)
+    val got = EventStats.rfmSegments(ev(rows)).collect()
+      .map(r => ((r.getAs[Int]("r_q"), r.getAs[Int]("f_q"), r.getAs[Int]("m_q")),
+        r.getAs[Long]("n_users"))).toMap
+    assert(got == Map((1, 1, 1) -> 2L, (2, 2, 2) -> 2L,
+      (3, 3, 3) -> 2L, (4, 4, 4) -> 2L), s"got: $got")
+  }
+
   test("stitch detection finds overlapped boundaries, skips short docs") {
     import graft.operators.Extract
     val boundary = "X" * 40
