@@ -15,6 +15,7 @@ import graft.functions.{CdcWindowHashes, CdcWindowHits, CharBigramsPacked, Cosin
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
+    e.injectPlannerStrategy(_ => new graft.plans.GroupTopKStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -21,7 +21,7 @@ object SparkEntry {
       Sampling.queries ++ LinkGraph.queries ++ Snapshot.queries ++
       Profile.queries ++ Bpe.queries ++ Featurize.queries ++
       Spectral.queries ++ Extract.queries ++ Classify.queries ++
-      EventStats.queries
+      EventStats.queries ++ TopK.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -32,5 +32,5 @@ object SparkEntry {
       Sampling.oracle ++ LinkGraph.oracle ++ Snapshot.oracle ++
       Profile.oracle ++ Bpe.oracle ++ Featurize.oracle ++
       Spectral.oracle ++ Extract.oracle ++ Classify.oracle ++
-      EventStats.oracle
+      EventStats.oracle ++ TopK.oracle
 }
