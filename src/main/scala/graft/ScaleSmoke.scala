@@ -400,6 +400,32 @@ object ScaleSmoke {
     require(nbDiag >= (nbTotal * 95) / 100,
       s"separable scripts must classify >=95%: $nbDiag/$nbTotal")
 
+    // Group-top-k phase: the native two-phase heap plan vs the window
+    // plan on 10M rows / 1000 groups, k=10 — the custom operator's
+    // shuffle carries <= k x parts x groups rows instead of all 10M,
+    // and the results must be IDENTICAL (total order).
+    val tkDf = spark.range(10000000L).select(
+        pmod(col("id"), lit(1000L)).as("g"), col("id"),
+        pmod(col("id") * 2654435761L, lit(1000000L)).as("score"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val tkNative = graft.operators.TopK.groupTopK(tkDf, Seq("g"),
+      Seq(("score", true), ("id", false)), 10)
+    val tkNativeCnt = tkNative.count()
+    val tkNativeSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+    val tkWindow = tkDf.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 10).drop("rn")
+    val tkWindowCnt = tkWindow.count()
+    val tkWindowSec = (System.nanoTime() - t0) / 1e9
+    require(tkNativeCnt == 10000L && tkWindowCnt == 10000L,
+      s"top-k counts diverged: native $tkNativeCnt window $tkWindowCnt")
+    val tkDiff = tkNative.exceptAll(tkWindow).count()
+    require(tkDiff == 0L, s"native top-k diverged from window: $tkDiff rows")
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -429,6 +455,8 @@ object ScaleSmoke {
       f""""incr_copies_hit":$copiesHit,"incr_novel_hit":$novelHit,""" +
       f""""tri_sec":$triSec%.2f,"tri_count":$nTri,"tri_wedges":$nWedge,""" +
       f""""nb_sec":$nbSec%.2f,"nb_acc":${nbDiag.toDouble / nbTotal}%.4f,""" +
+      f""""topk_native_sec":$tkNativeSec%.2f,""" +
+      f""""topk_window_sec":$tkWindowSec%.2f,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }

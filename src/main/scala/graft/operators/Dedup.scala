@@ -238,6 +238,15 @@ object Dedup {
         df.sparkSession.sparkContext.hadoopConfiguration)
       fs.delete(p, true)
       ()
+    } else df.queryExecution.logical match {
+      // local mode pins each round's blocks in executor storage until
+      // driver GC notices — a 30-round loop otherwise carries every
+      // superseded label set in memory (the ScaleSmoke CC phase tipped
+      // a 16G heap over exactly this). Same root-only contract as the
+      // reliable branch: only called once nothing reads the frame.
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false); ()
+      case _ => ()
     }
 
   /** Rounds the most recent connectedComponents* call took to converge

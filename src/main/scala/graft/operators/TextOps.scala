@@ -859,6 +859,32 @@ object TextOps {
       gopherRules(table(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    "q177_quality_calibration" -> ((s, dir) => {
+      // Filter-vs-scorer calibration: Gopher keep rate per char-LM
+      // score quintile — if the hard rules (q145) and the LM scorer
+      // (q109) rank quality consistently, keep_rate should rise
+      // monotonically toward the head quintile; a flat profile means
+      // the two signals disagree and the pipeline is filtering on
+      // noise. Composes the two GATED signals (oracle string-shares
+      // both CTE sets) — the per-snapshot sanity check a curation
+      // stack runs before trusting either. Quintiles over the ROUNDED
+      // score (identical doubles cross-engine) with doc_id tie-break;
+      // mean score sums exactly in decimal.
+      val docs = table(s, dir, "documents")
+      val sc = charLmScores(docs).select(col("doc_id"), col("avg_logp"))
+      val keep = gopherRules(docs).select(col("doc_id"), col("keep"))
+      val q = ntile(5).over(Window.orderBy(col("avg_logp").desc, col("doc_id")))
+      sc.join(keep, "doc_id")
+        .withColumn("quintile", q)
+        .groupBy(col("quintile"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("avg_logp").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_logp"),
+          round(sum(col("keep").cast("long")).cast("double") /
+            count(lit(1)), 6).as("keep_rate"))
+        .orderBy(col("quintile"))
+    }),
+
     "q144_ccnet_buckets" -> ((s, dir) => {
       // CCNet-style quality bucketing (Wenzek et al. 2020): rank each
       // language's docs by the q144-shared char-LM score and cut into
@@ -1504,6 +1530,24 @@ object TextOps {
     "q109_char_lm_score" ->
       ("WITH " + charLmScoreCtes + "\n" +
         "SELECT doc_id, n_bigrams, avg_logp FROM scored ORDER BY doc_id"),
+
+    // string-shares BOTH gated CTE sets (q109 scoring + q145 rules):
+    // the calibration provably relates the two gated signals
+    "q177_quality_calibration" ->
+      ("WITH " + charLmScoreCtes + ",\n" + gopherCtes + ",\n" +
+       """j AS (
+         |  SELECT s.doc_id, s.avg_logp,
+         |    CASE WHEN m.fail_mask = 0 THEN 1 ELSE 0 END AS keep
+         |  FROM scored s JOIN m ON m.doc_id = s.doc_id),
+         |qn AS (
+         |  SELECT *, CAST(NTILE(5) OVER (ORDER BY avg_logp DESC, doc_id)
+         |    AS INTEGER) AS quintile
+         |  FROM j)
+         |SELECT quintile, COUNT(*) AS n_docs,
+         |  ROUND(CAST(SUM(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_logp,
+         |  ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+         |FROM qn GROUP BY 1 ORDER BY quintile""".stripMargin),
 
     // string-shares q109's scoring CTEs: the bucketed scores are
     // provably the gated scorer's own numbers
