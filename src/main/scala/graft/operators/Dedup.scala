@@ -374,6 +374,37 @@ object Dedup {
   def lshCandidates(docs: DataFrame): DataFrame =
     lshCandidatesFromSignatures(minhashSignatures(docs))
 
+  /** The full near-dup pipeline as a pair table: LSH candidates →
+    * exact shingle-set Jaccard verification (the q61 machinery,
+    * public so composers — q178's per-doc kNN — reuse the verified
+    * pairs). Only candidate pairs (never the corpus cross-product)
+    * reach the verification join. Deliberately NOT checkpointed: the
+    * shingle scan re-runs per consumer, but it is cheap per pass while
+    * its materialization is enormous (every (doc, shingle-hash) row) —
+    * measured 2.31 s recomputed vs 2.99 s checkpointed at sf0.1.
+    * Returns (doc_a, doc_b, n_shared_bands, n_a, n_b, n_inter,
+    * jaccard) with doc_a < doc_b. */
+  def lshVerifiedPairs(docs: DataFrame): DataFrame = {
+    val cand = lshCandidates(docs)
+    val sh = shingleHashes(docs)
+    val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id")
+        && col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(cnts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 6))
+  }
+
   /** Incremental LSH probe: near-dup candidate pairs between a SMALL
     * re-crawl `batch` and the STANDING `corpus` — q97's exact-dedup
     * twin for near-dups, and the re-crawl path that matters at 100 TB.
@@ -1072,37 +1103,9 @@ object Dedup {
         .orderBy(col("doc_a"))
     }),
 
-    "q61_lsh_verified" -> ((s, dir) => {
-      // The full near-dup pipeline: LSH candidates -> exact shingle-set
-      // Jaccard verification. Only candidate pairs (not the corpus
-      // cross-product) reach the verification join.
-      val docs = table(s, dir, "documents")
-      // deliberately NOT checkpointed: the shingle scan re-runs per
-      // consumer, but it is cheap per pass while its materialization
-      // is enormous (every (doc, shingle-hash) row) — measured 2.31 s
-      // recomputed vs 2.99 s checkpointed at sf0.1. Checkpointing pays
-      // when the shared base is expensive AND small (q93's candidate
-      // PAIRS after the LSH pipeline), not when it is cheap and huge.
-      val cand = lshCandidates(docs)
-      val sh = shingleHashes(docs)
-      val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val inter = cand
-        .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(sh.as("y"), col("doc_b") === col("y.doc_id")
-          && col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      cand
-        .join(cnts.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(cnts.as("cb"), col("doc_b") === col("cb.doc_id"))
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
-          col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
-          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
-        .withColumn("jaccard", round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 6))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "q61_lsh_verified" -> ((s, dir) =>
+      lshVerifiedPairs(table(s, dir, "documents"))
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     "q72_dedup_clusters" -> ((s, dir) => {
       // The stage after pair generation: group near-dup pairs into
@@ -1265,6 +1268,39 @@ object Dedup {
   /** Ground truth for near-dup clustering (q72 + q77): LSH candidate
     * pairs, then components via a recursive reachability CTE. Shared by
     * both algorithm variants — they must agree byte-for-byte. */
+  /** The q61 verified-pair SQL (no ORDER BY) — string-shared by q178's
+    * per-doc kNN so the mirror provably ranks the gated pipeline's own
+    * pairs. */
+  private[operators] val lshVerifiedSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |shh AS ($shingleHashSql),
+       |sig AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    COUNT(*) AS n_shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |      AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN shh x ON x.doc_id = c.doc_a
+       |  JOIN shh y ON y.doc_id = c.doc_b
+       |    AND y.h1 = x.h1 AND y.h2 = x.h2
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       | ca.n_sh AS n_a, cb.n_sh AS n_b,
+       | COALESCE(i.n_inter, 0) AS n_inter,
+       | ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |   / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+       |FROM cand c
+       |JOIN cnts ca ON c.doc_a = ca.doc_id
+       |JOIN cnts cb ON c.doc_b = cb.doc_id
+       |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b""".stripMargin
+
   private val dedupClustersSql =
     s"""WITH RECURSIVE sh AS ($shinglesSql),
        |sig AS ($signaturesSql),
@@ -1614,35 +1650,7 @@ object Dedup {
     },
 
     "q61_lsh_verified" ->
-      s"""WITH sh AS ($shinglesSql),
-         |shh AS ($shingleHashSql),
-         |sig AS ($signaturesSql),
-         |bands AS ($bandsSql),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    COUNT(*) AS n_shared_bands
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-         |      AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-         |  FROM cand c
-         |  JOIN shh x ON x.doc_id = c.doc_a
-         |  JOIN shh y ON y.doc_id = c.doc_b
-         |    AND y.h1 = x.h1 AND y.h2 = x.h2
-         |  GROUP BY 1, 2)
-         |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
-         | ca.n_sh AS n_a, cb.n_sh AS n_b,
-         | COALESCE(i.n_inter, 0) AS n_inter,
-         | ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-         |   / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
-         |FROM cand c
-         |JOIN cnts ca ON c.doc_a = ca.doc_id
-         |JOIN cnts cb ON c.doc_b = cb.doc_id
-         |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+      (lshVerifiedSql + "\nORDER BY c.doc_a, c.doc_b"),
 
     "q34_simhash" -> {
       val bits = (0 until 16).map(i =>

@@ -40,7 +40,27 @@ object TopK {
           .select(col("source"), col("doc_id"), col("n_chars")),
         group = Seq("source"),
         order = Seq(("n_chars", true), ("doc_id", false)), k = 10)
-        .orderBy(col("source"), col("n_chars").desc, col("doc_id")))
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id"))),
+
+    "q178_knn_docs" -> ((s, dir) => {
+      // Per-doc k-nearest-documents from the VERIFIED near-dup pairs
+      // (q61's machinery, string-shared in the oracle) ranked through
+      // the NATIVE top-k plan — the "more like this" surface a corpus
+      // browser serves, and the custom operator composing inside a
+      // pipeline rather than standing alone. Pairs symmetrize first
+      // (kNN is per-endpoint); ordering (jaccard desc, neighbor asc)
+      // is total, so the gate stays hash-exact.
+      val pairs = Dedup.lshVerifiedPairs(table(s, dir, "documents"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val sym = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"),
+          col("doc_a").as("doc_b"), col("jaccard")))
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor"),
+          col("jaccard"))
+      groupTopK(sym, group = Seq("doc_id"),
+        order = Seq(("jaccard", true), ("neighbor", false)), k = 3)
+        .orderBy(col("doc_id"), col("jaccard").desc, col("neighbor"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -51,6 +71,20 @@ object TopK {
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 10
-        |ORDER BY source, n_chars DESC, doc_id""".stripMargin
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
+
+    "q178_knn_docs" ->
+      (s"""WITH pairs AS (${Dedup.lshVerifiedSql}),
+          |sym AS (
+          |  SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard FROM pairs
+          |  UNION ALL
+          |  SELECT doc_b, doc_a, jaccard FROM pairs),
+          |ranked AS (
+          |  SELECT doc_id, neighbor, jaccard,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_id
+          |      ORDER BY jaccard DESC, neighbor) AS rn
+          |  FROM sym)
+          |SELECT doc_id, neighbor, jaccard FROM ranked WHERE rn <= 3
+          |ORDER BY doc_id, jaccard DESC, neighbor""".stripMargin)
   )
 }
