@@ -93,6 +93,23 @@ class GroupTopKSpec extends AnyFunSuite {
     assert(shuffled.head < 20000L, s"shuffled ${shuffled.head} of 20000 rows")
   }
 
+  test("null group keys and null order values match the window plan") {
+    val df = spark.range(2000L)
+      .select(
+        when(col("id") % 5 === 0, lit(null)).otherwise(pmod(col("id"), lit(7L)))
+          .as("g"),
+        col("id"),
+        when(col("id") % 11 === 0, lit(null))
+          .otherwise(pmod(col("id") * 31L, lit(997L))).as("score"))
+      .repartition(6)
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).drop("rn").collect().map(_.toString).sorted
+    val got = TopK.groupTopK(df, Seq("g"), Seq(("score", true), ("id", false)), 4)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(expect), "null-handling diverged from window")
+  }
+
   test("gated q176: native result is the exact ROW_NUMBER head") {
     val rows = SparkEntry.queries("q176_group_topk")(spark, sf).collect()
     assert(rows.nonEmpty)
