@@ -1119,6 +1119,33 @@ object Dedup {
         .orderBy(col("cluster_id"))
     }),
 
+    "q179_cluster_density" -> ((s, dir) => {
+      // Cluster-quality audit: edge density of every near-dup cluster
+      // — density 1 means a clique (genuine duplicate set), low
+      // density means the cluster formed by CHAINING (A~B~C with A
+      // and C unrelated — the transitive-drift failure mode of
+      // connected-component dedup, made measurable per cluster so a
+      // curation run can route tight clusters to auto-drop and chainy
+      // ones to review). Pairs checkpointed ONCE for both consumers
+      // (labels + per-cluster edge counts); the density math is
+      // |edges| / C(n,2) from exact integers.
+      val cand = ckpt(lshCandidates(table(s, dir, "documents"))
+        .select(col("doc_a"), col("doc_b")))
+      val labels = connectedComponents(cand)
+      val sizes = labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+      val edges = cand
+        .join(labels.withColumnRenamed("node", "doc_a"), "doc_a")
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_edges"))
+      sizes.join(edges, Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+          round(col("n_edges").cast("double") * 2.0 /
+            (col("n_docs").cast("double") * (col("n_docs") - 1)), 6)
+            .as("density"))
+        .orderBy(col("cluster_id"))
+    }),
+
     "q93_cluster_representatives" -> ((s, dir) => {
       // Survivor selection UPGRADE over min-id: per near-dup cluster,
       // keep the best-CONNECTED doc (highest degree in the pair graph,
@@ -1301,7 +1328,10 @@ object Dedup {
        |JOIN cnts cb ON c.doc_b = cb.doc_id
        |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b""".stripMargin
 
-  private val dedupClustersSql =
+  /** The recursive-CC CTE chain up through `comp` (node, cluster_id)
+    * and `cand` (the LSH pairs) — shared by q72 and q179 so both
+    * mirrors provably cluster the same pairs. */
+  private val dedupClustersCtes =
     s"""WITH RECURSIVE sh AS ($shinglesSql),
        |sig AS ($signaturesSql),
        |bands AS ($bandsSql),
@@ -1319,9 +1349,13 @@ object Dedup {
        |  UNION
        |  SELECT e.src AS node, r.label
        |  FROM edges e JOIN reach r ON r.node = e.dst),
-       |comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
-       |SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
-       |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+       |comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  private val dedupClustersSql =
+    dedupClustersCtes +
+      """
+        |SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
+        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q149_source_overlap" ->
@@ -1574,6 +1608,21 @@ object Dedup {
          |ORDER BY doc_a""".stripMargin,
 
     "q72_dedup_clusters" -> dedupClustersSql,
+
+    // string-shares the q72 recursive-CC chain: the densities are
+    // provably measured over the gated clustering's own components
+    "q179_cluster_density" ->
+      (dedupClustersCtes + """,
+        |sizes AS (
+        |  SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1),
+        |ec AS (
+        |  SELECT c2.cluster_id, COUNT(*) AS n_edges
+        |  FROM cand JOIN comp c2 ON c2.node = cand.doc_a GROUP BY 1)
+        |SELECT s.cluster_id, s.n_docs, ec.n_edges,
+        |  ROUND(CAST(ec.n_edges AS DOUBLE) * 2.0 /
+        |    (CAST(s.n_docs AS DOUBLE) * (s.n_docs - 1)), 6) AS density
+        |FROM sizes s JOIN ec ON ec.cluster_id = s.cluster_id
+        |ORDER BY s.cluster_id""".stripMargin),
 
     // identical ground truth: the star-contraction variant must produce
     // byte-identical clusters to min-label propagation
