@@ -920,6 +920,25 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "q181_novelty_trend" -> ((s, dir) => {
+      // Crawl-saturation diagnostic: mean shingle novelty (q134's
+      // gated score) by doc_id DECILE — doc_id proxies crawl order, so
+      // a declining profile means each marginal batch contributes less
+      // new material (stop crawling this source; re-allocate budget).
+      // Decile = ntile over doc_id (deterministic), mean novelty
+      // summed exactly in decimal.
+      import org.apache.spark.sql.expressions.Window
+      val nv = shingleNovelty(table(s, dir, "documents"))
+        .select(col("doc_id"), col("novelty"))
+      nv.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("doc_id"))))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("novelty").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_novelty"))
+        .orderBy(col("decile"))
+    }),
+
     "q134_shingle_novelty" -> ((s, dir) =>
       shingleNovelty(table(s, dir, "documents")).orderBy(col("doc_id"))),
 
@@ -1473,6 +1492,27 @@ object Dedup {
          |    / COUNT(*), 6) AS novelty
          |FROM shh s JOIN df d USING (h1, h2)
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // same novelty arithmetic as q134 (shared shingle CTEs), bucketed
+    // by crawl-order decile
+    "q181_novelty_trend" ->
+      s"""WITH sh AS ($shinglesSql),
+         |shh AS ($shingleHashSql),
+         |df AS (SELECT h1, h2, COUNT(*) AS df FROM shh GROUP BY 1, 2),
+         |nv AS (
+         |  SELECT s.doc_id,
+         |    ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0
+         |      / COUNT(*), 6) AS novelty
+         |  FROM shh s JOIN df d USING (h1, h2)
+         |  GROUP BY s.doc_id),
+         |qd AS (
+         |  SELECT doc_id, novelty,
+         |    CAST(NTILE(10) OVER (ORDER BY doc_id) AS INTEGER) AS decile
+         |  FROM nv)
+         |SELECT decile, COUNT(*) AS n_docs,
+         |  ROUND(CAST(SUM(CAST(novelty AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_novelty
+         |FROM qd GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "q130_dup_span_merge" ->
       s"""WITH corpus AS ($cdcCorpusSql),

@@ -859,6 +859,35 @@ object TextOps {
       gopherRules(table(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    "q180_char_entropy" -> ((s, dir) => {
+      // Character-level Shannon entropy per doc — the compressibility
+      // proxy that catches what token-level screens miss: base64
+      // blobs and hex dumps score HIGH (≈ ln alphabet), stuck-key
+      // repetition scores near 0, natural text sits ~2.8–3.2 nats —
+      // so both tails are removal candidates. Per-term contributions
+      // round to nano-units and sum as integers (order-independent
+      // ⇒ hash-exact). Scale: the (doc, char) explode map-side
+      // combines to ≤|alphabet| rows per doc per task before the one
+      // uniform shuffle.
+      val chars = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      val n = chars.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+      chars.join(n, "doc_id")
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          round((col("c").cast("double") / col("n")) *
+            log(col("n").cast("double") / col("c")) * lit(1e9), 0)
+            .cast("long").as("t"))
+        .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+        .agg(sum(col("t")).as("h_fp"))
+        .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+          round(col("h_fp") / lit(1e9), 6).as("entropy_nats"))
+        .withColumn("suspicious",
+          col("entropy_nats") < 2.0 || col("entropy_nats") > 4.2)
+        .orderBy(col("doc_id"))
+    }),
+
     "q177_quality_calibration" -> ((s, dir) => {
       // Filter-vs-scorer calibration: Gopher keep rate per char-LM
       // score quintile — if the hard rules (q145) and the LM scorer
@@ -1530,6 +1559,31 @@ object TextOps {
     "q109_char_lm_score" ->
       ("WITH " + charLmScoreCtes + "\n" +
         "SELECT doc_id, n_bigrams, avg_logp FROM scored ORDER BY doc_id"),
+
+    "q180_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c FROM (
+        |    SELECT doc_id, UNNEST(regexp_split_to_array(text, '')) AS ch
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    COUNT(*) AS n_distinct
+        |  FROM chars GROUP BY 1),
+        |terms AS (
+        |  SELECT c.doc_id, n.n, n.n_distinct,
+        |    CAST(ROUND((CAST(c.c AS DOUBLE) / n.n)
+        |      * LN(CAST(n.n AS DOUBLE) / c.c) * 1000000000.0) AS BIGINT)
+        |      AS t
+        |  FROM chars c JOIN n USING (doc_id)),
+        |h AS (
+        |  SELECT doc_id, n AS n_chars, n_distinct,
+        |    ROUND(CAST(SUM(t) AS BIGINT) / 1000000000.0, 6)
+        |      AS entropy_nats
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_chars, n_distinct, entropy_nats,
+        |  entropy_nats < 2.0 OR entropy_nats > 4.2 AS suspicious
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // string-shares BOTH gated CTE sets (q109 scoring + q145 rules):
     // the calibration provably relates the two gated signals
