@@ -859,6 +859,32 @@ object TextOps {
       gopherRules(table(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    "q182_rule_firing_matrix" -> ((s, dir) => {
+      // Per-source rule-firing rates: which q145 Gopher rule removes
+      // what, where — the per-rule removal-rate table the MassiveText
+      // paper itself publishes, pivoted by source so a rule that
+      // disproportionately fires on ONE source (boilerplate farm, or
+      // a rule miscalibrated for a domain) is visible per snapshot.
+      // Rates from exact integer bitmask tests; one rules scan +
+      // a |sources|-row agg.
+      val r = gopherRules(table(s, dir, "documents"))
+        .join(table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+      r.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(expr("fail_mask & 1")).cast("double") /
+            count(lit(1)), 6).as("r_wordcount"),
+          round(sum(expr("(fail_mask >> 1) & 1")).cast("double") /
+            count(lit(1)), 6).as("r_wordlen"),
+          round(sum(expr("(fail_mask >> 2) & 1")).cast("double") /
+            count(lit(1)), 6).as("r_dupwords"),
+          round(sum(expr("(fail_mask >> 3) & 1")).cast("double") /
+            count(lit(1)), 6).as("r_stopwords"),
+          round(sum(col("keep").cast("long")).cast("double") /
+            count(lit(1)), 6).as("keep_rate"))
+        .orderBy(col("source"))
+    }),
+
     "q180_char_entropy" -> ((s, dir) => {
       // Character-level Shannon entropy per doc — the compressibility
       // proxy that catches what token-level screens miss: base64
@@ -1559,6 +1585,26 @@ object TextOps {
     "q109_char_lm_score" ->
       ("WITH " + charLmScoreCtes + "\n" +
         "SELECT doc_id, n_bigrams, avg_logp FROM scored ORDER BY doc_id"),
+
+    // string-shares the q145 rule CTEs: the matrix provably reports
+    // the gated rules' own firings
+    "q182_rule_firing_matrix" ->
+      ("WITH " + gopherCtes + """,
+        |j AS (
+        |  SELECT d2.source, m.fail_mask FROM m
+        |  JOIN documents d2 ON d2.doc_id = m.doc_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(fail_mask & 1) AS DOUBLE) / COUNT(*), 6)
+        |    AS r_wordcount,
+        |  ROUND(CAST(SUM((fail_mask >> 1) & 1) AS DOUBLE) / COUNT(*), 6)
+        |    AS r_wordlen,
+        |  ROUND(CAST(SUM((fail_mask >> 2) & 1) AS DOUBLE) / COUNT(*), 6)
+        |    AS r_dupwords,
+        |  ROUND(CAST(SUM((fail_mask >> 3) & 1) AS DOUBLE) / COUNT(*), 6)
+        |    AS r_stopwords,
+        |  ROUND(CAST(SUM(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS keep_rate
+        |FROM j GROUP BY source ORDER BY source""".stripMargin),
 
     "q180_char_entropy" ->
       """WITH chars AS (
