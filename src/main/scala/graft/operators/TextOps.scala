@@ -859,6 +859,63 @@ object TextOps {
       gopherRules(table(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    "q183_pmi_collocations" -> ((s, dir) => {
+      // Collocation extraction: top word pairs by pointwise mutual
+      // information within a 5-token window — the phrase-detection
+      // statistic (word2vec's phrase pass, tokenizer multi-word vocab
+      // candidates). PMI assembles from four exact integers
+      // (ln(n_ab·N/(n_a·n_b))); a min-count floor (n_ab ≥ 20) kills
+      // the hapax-pair explosion PMI is notorious for. Scale: the
+      // window pair join is per-DOC (uniform key) with fan-out ≤ 4
+      // per token; pair counts map-side combine.
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      val n = toks.agg(count(lit(1)).as("n_total"))
+      val tc = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      val pairs = toks.as("a").join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 4)
+        .groupBy(col("a.tok").as("w1"), col("b.tok").as("w2"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 20)
+      pairs
+        .join(broadcast(tc.select(col("tok").as("w1"), col("n_tok").as("n1"))),
+          Seq("w1"))
+        .join(broadcast(tc.select(col("tok").as("w2"), col("n_tok").as("n2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("n_pair"),
+          round(log((col("n_pair").cast("double") * col("n_total")) /
+            (col("n1").cast("double") * col("n2"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    "q184_next_word_suggest" -> ((s, dir) => {
+      // The autocomplete table: for each of the corpus's 20 most
+      // frequent words, its top-3 next-word continuations — adjacent
+      // bigram counts ranked through the NATIVE group-top-k plan
+      // (A34), so the continuation shuffle carries ≤3 rows per (head,
+      // partition) instead of every bigram. Total (count desc, word)
+      // order ⇒ hash-exact.
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      val heads = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+        .orderBy(col("n_tok").desc, col("tok")).limit(20)
+        .select(col("tok").as("w1"))
+      val bigrams = toks.as("a").join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") === col("a.pos") + 1)
+        .groupBy(col("a.tok").as("w1"), col("b.tok").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(heads), Seq("w1"))
+      TopK.groupTopK(bigrams, group = Seq("w1"),
+        order = Seq(("n", true), ("w2", false)), k = 3)
+        .orderBy(col("w1"), col("n").desc, col("w2"))
+    }),
+
     "q182_rule_firing_matrix" -> ((s, dir) => {
       // Per-source rule-firing rates: which q145 Gopher rule removes
       // what, where — the per-rule removal-rate table the MassiveText
@@ -1585,6 +1642,49 @@ object TextOps {
     "q109_char_lm_score" ->
       ("WITH " + charLmScoreCtes + "\n" +
         "SELECT doc_id, n_bigrams, avg_logp FROM scored ORDER BY doc_id"),
+
+    "q183_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM (
+        |    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |    FROM documents), UNNEST(generate_series(1, len(t))) AS u(i)),
+        |n AS (SELECT COUNT(*) AS n_total FROM toks),
+        |tc AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+        |pairs AS (
+        |  SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n_pair
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 4
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        |SELECT p.w1, p.w2, p.n_pair,
+        |  ROUND(LN((CAST(p.n_pair AS DOUBLE) * n.n_total)
+        |    / (CAST(t1.n_tok AS DOUBLE) * t2.n_tok)), 6) AS pmi
+        |FROM pairs p
+        |JOIN tc t1 ON t1.tok = p.w1
+        |JOIN tc t2 ON t2.tok = p.w2
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "q184_next_word_suggest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM (
+        |    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |    FROM documents), UNNEST(generate_series(1, len(t))) AS u(i)),
+        |heads AS (
+        |  SELECT tok AS w1 FROM (
+        |    SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok
+        |    ORDER BY n_tok DESC, tok LIMIT 20)),
+        |bg AS (
+        |  SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+        |    AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |hb AS (SELECT bg.* FROM bg JOIN heads USING (w1)),
+        |ranked AS (
+        |  SELECT w1, w2, n, ROW_NUMBER() OVER (PARTITION BY w1
+        |    ORDER BY n DESC, w2) AS rn
+        |  FROM hb)
+        |SELECT w1, w2, n FROM ranked WHERE rn <= 3
+        |ORDER BY w1, n DESC, w2""".stripMargin,
 
     // string-shares the q145 rule CTEs: the matrix provably reports
     // the gated rules' own firings
