@@ -213,6 +213,37 @@ object EventStats {
       .limit(k)
   }
 
+  /** Engagement concentration: the Gini coefficient and top-decile
+    * share of per-user event counts — the one-row "is this product
+    * ten whales or a community" readout (and, over a training corpus's
+    * per-source token mass, the data-concentration twin of the q172
+    * HHI). Exact: counts are integers, the Lorenz sum Σ i·x_(i) uses
+    * the rank window's total order (count asc, user_id), and
+    * G = 2Σi·x_i/(n·Σx) − (n+1)/n assembles in double from exact
+    * integers. The ranked frame is |users| rows — KB-scale after the
+    * one map-side-combined per-user count. */
+  def engagementGini(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c"), col("user_id"))
+    val ranked = per
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("decile_cut", expr("(n * 9 + 9) div 10")) // ceil(0.9n)
+    ranked.agg(
+        max(col("n")).as("n_users"),
+        sum(col("c")).as("total_events"),
+        sum(col("i") * col("c")).as("lorenz"),
+        sum(when(col("i") > col("decile_cut"), col("c")).otherwise(0L))
+          .as("top_events"))
+      .select(col("n_users"), col("total_events"),
+        round(lit(2.0) * col("lorenz") /
+          (col("n_users").cast("double") * col("total_events")) -
+          (col("n_users") + 1).cast("double") / col("n_users"), 6)
+          .as("gini"),
+        round(col("top_events").cast("double") / col("total_events"), 6)
+          .as("top_decile_share"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary — the classic
     * user-value grid): per user, days since last event (vs the
     * corpus's max date, a 1-row broadcast), event count, and exact
@@ -301,6 +332,9 @@ object EventStats {
     "q170_entropy_rate" -> ((s, dir) =>
       entropyRate(eventsTable(s, dir))),
 
+    "q185_engagement_gini" -> ((s, dir) =>
+      engagementGini(eventsTable(s, dir))),
+
     "q175_rfm_segments" -> ((s, dir) =>
       rfmSegments(eventsTable(s, dir))
         .orderBy(col("r_q"), col("f_q"), col("m_q"))),
@@ -355,6 +389,28 @@ object EventStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q185_engagement_gini" ->
+      """WITH per AS (
+        |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c, user_id) AS BIGINT) AS i,
+        |    COUNT(*) OVER () AS n
+        |  FROM per),
+        |a AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+        |    CAST(SUM(c) AS BIGINT) AS total_events,
+        |    CAST(SUM(i * c) AS BIGINT) AS lorenz,
+        |    CAST(SUM(CASE WHEN i > (n * 9 + 9) // 10 THEN c ELSE 0 END)
+        |      AS BIGINT) AS top_events
+        |  FROM r)
+        |SELECT n_users, total_events,
+        |  ROUND(2.0 * lorenz / (CAST(n_users AS DOUBLE) * total_events)
+        |    - CAST(n_users + 1 AS DOUBLE) / n_users, 6) AS gini,
+        |  ROUND(CAST(top_events AS DOUBLE) / total_events, 6)
+        |    AS top_decile_share
+        |FROM a""".stripMargin,
+
     "q175_rfm_segments" ->
       """WITH pu AS (
         |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,

@@ -190,6 +190,20 @@ class EventStatsSpec extends AnyFunSuite {
       (3, 3, 3) -> 2L, (4, 4, 4) -> 2L), s"got: $got")
   }
 
+  test("engagement gini: uniform activity scores 0, one whale scores 0.81") {
+    val uniform = for (u <- 1 to 10; e <- 0 until 2)
+      yield ((u * 10 + e).toLong, u.toLong, u.toLong, "e", 0.0)
+    val gu = EventStats.engagementGini(ev(uniform)).collect()(0)
+    assert(gu.getAs[Double]("gini") == 0.0)
+    assert(gu.getAs[Double]("top_decile_share") == 0.1)
+    // 9 users with 1 event + 1 whale with 91: G = 2*955/1000 - 1.1
+    val skewed = (1 to 9).map(u => (u.toLong, u.toLong, u.toLong, "e", 0.0)) ++
+      (0 until 91).map(e => (100L + e, 10L, 10L, "e", 0.0))
+    val gs = EventStats.engagementGini(ev(skewed)).collect()(0)
+    assert(gs.getAs[Double]("gini") == 0.81, s"gini: ${gs.getAs[Double]("gini")}")
+    assert(gs.getAs[Double]("top_decile_share") == 0.91)
+  }
+
   test("stitch detection finds overlapped boundaries, skips short docs") {
     import graft.operators.Extract
     val boundary = "X" * 40
