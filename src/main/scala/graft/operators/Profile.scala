@@ -133,7 +133,49 @@ object Profile {
         col("keep_rate"))
   }
 
+  /** Pearson chi² independence test over the (source × lang)
+    * contingency table: is the language mix the SAME across sources,
+    * or do sources carry distinct language profiles? (The corpus-
+    * design question behind per-source sampling: if independent, one
+    * global language quota suffices; if not, quotas must be
+    * per-source.) The statistic Σ(o−e)²/e assembles in double from
+    * exact integer counts (e = row·col/total); one-row output with
+    * dof and the large-sample significance flag (chi² > dof+4√(2·dof),
+    * a conservative ~2σ normal-approximation cut — exact both
+    * engines). The contingency table is |sources|×|langs| rows. */
+  def langSourceChi2(docs: DataFrame): DataFrame = {
+    val cell = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = docs.groupBy(col("source")).agg(count(lit(1)).as("rt"))
+    val colT = docs.groupBy(col("lang")).agg(count(lit(1)).as("ct"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val dims = docs.agg(
+      countDistinct(col("source")).as("nr"),
+      countDistinct(col("lang")).as("nc"))
+    cell.join(broadcast(rowT), "source").join(broadcast(colT), "lang")
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("o").cast("double") -
+          col("rt").cast("double") * col("ct") / col("n")).as("d"),
+        (col("rt").cast("double") * col("ct") / col("n")).as("e"))
+      // per-cell terms nano-round and sum as integers: the cell sum
+      // is order-independent, so chi2 is bit-identical cross-engine
+      .select(round(col("d") * col("d") / col("e") * lit(1e9), 0)
+        .cast("long").as("t"))
+      .agg(sum(col("t")).as("chi2_fp"))
+      .crossJoin(broadcast(dims))
+      .withColumn("dof", (col("nr") - 1) * (col("nc") - 1))
+      .select(round(col("chi2_fp") / lit(1e9), 6).as("chi2"),
+        col("dof"),
+        (col("chi2_fp") / lit(1e9) > col("dof").cast("double") +
+          lit(4.0) * sqrt(lit(2.0) * col("dof").cast("double")))
+          .as("dependent"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_lang_source_chi2" -> ((s, dir) =>
+      langSourceChi2(table(s, dir, "documents"))),
+
     "q172_dataset_card" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       datasetCard(docs,
@@ -154,6 +196,32 @@ object Profile {
   )
 
   val oracle: Map[String, String] = Map(
+    "q186_lang_source_chi2" ->
+      """WITH cell AS (
+        |  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT source, COUNT(*) AS rt FROM documents GROUP BY 1),
+        |ct AS (SELECT lang, COUNT(*) AS ct FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM documents),
+        |dims AS (
+        |  SELECT COUNT(DISTINCT source) AS nr, COUNT(DISTINCT lang) AS nc
+        |  FROM documents),
+        |de AS (
+        |  SELECT
+        |    CAST(c.o AS DOUBLE)
+        |      - CAST(r.rt AS DOUBLE) * ct.ct / tot.n AS d,
+        |    CAST(r.rt AS DOUBLE) * ct.ct / tot.n AS e
+        |  FROM cell c JOIN rt r USING (source) JOIN ct USING (lang)
+        |  CROSS JOIN tot),
+        |terms AS (
+        |  SELECT CAST(ROUND(d * d / e * 1000000000.0) AS BIGINT) AS t
+        |  FROM de),
+        |s AS (SELECT CAST(SUM(t) AS BIGINT) AS chi2_fp FROM terms)
+        |SELECT ROUND(chi2_fp / 1000000000.0, 6) AS chi2,
+        |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        |  chi2_fp / 1000000000.0 > CAST((nr - 1) * (nc - 1) AS DOUBLE)
+        |    + 4.0 * SQRT(2.0 * (nr - 1) * (nc - 1)) AS dependent
+        |FROM s CROSS JOIN dims""".stripMargin,
+
     // String-shares q145's rule CTEs so keep_rate provably summarizes
     // the gated filter; entropy/HHI terms mirror the nano-unit sums.
     "q172_dataset_card" ->
