@@ -441,7 +441,9 @@ object Dedup {
 
   /** doc_id, simhash16, bucket: 16-bit SimHash over tokens (weight =
     * term frequency): per bit, sum +-1 by the portable hash's bit, then
-    * reassemble; bucket = top 8 bits (near-dup blocking key). */
+    * reassemble; bucket = top 8 bits (coarse block INDEX only — simhash
+    * bits are content-correlated, so prefix buckets skew; pair blocking
+    * uses [[simhashPairsBanded]]'s capped band keys instead). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
@@ -472,6 +474,44 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(call_function("simhash_agg", col("h")).as("simhash16"))
       .withColumn("bucket", expr("simhash16 div 256"))
+
+  /** Skew-safe simhash16 near-dup pairs (doc_a, doc_b, hamming <= 3):
+    * block on 4x4-bit bands of the fingerprint (pigeonhole: a pair
+    * within hamming 3 always shares >= 1 clean band) and drop
+    * "stop-print" band keys held by more than 1/capDen of the corpus
+    * (the q112 stop-print rule; integer-exact `keyn*capDen <= n`), so
+    * no blocking key is ever quadratic in a duplicate cluster —
+    * candidate mass per key is bounded by (n/capDen)^2. Recall is 1
+    * for tight near-dups unless EVERY clean band of the pair is
+    * stop-capped, which by construction only happens inside corpus-
+    * fraction-scale duplicate clusters — exactly the pairs a dedup
+    * pipeline resolves via cluster representatives (q93), not via an
+    * O(cluster^2) pair list. */
+  def simhashPairsBanded(shIn: DataFrame, capDen: Int = 20): DataFrame = {
+    val sh = shIn.select(col("doc_id"), col("simhash16"))
+    val n = sh.count() // single scalar action: corpus size for the cap
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash16"), 4 * b).bitwiseAND(15L)
+          .as("bval")))
+    val bands = sh
+      .select(col("doc_id"), col("simhash16"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash16"),
+        col("bs.band").as("band"), col("bs.bval").as("bval"))
+    val okKeys = bands.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("keyn"))
+      .filter(col("keyn") * capDen <= n)
+      .select(col("band"), col("bval"))
+    val ok = bands.join(broadcast(okKeys), Seq("band", "bval"))
+    ok.as("a").join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(call_function("hamming_dist",
+        col("a.simhash16"), col("b.simhash16"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
 
   /** Upper 32 bits of the portable hash (md5 hex chars 9-16) — together
     * with [[baseHash]] this gives 64 independent portable bits. */
@@ -1251,17 +1291,18 @@ object Dedup {
       simhashDf(s, dir).orderBy(col("doc_id"))),
 
     "q50_simhash_pairs" -> ((s, dir) => {
-      // SimHash near-dup candidates: bucket on the top 8 bits (block
-      // index), compare within buckets via the native hamming_dist
-      // expression (popcount stays inside codegen).
-      val sh = simhashDf(s, dir)
-      sh.as("a").join(sh.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming",
-          call_function("hamming_dist", col("a.simhash16"), col("b.simhash16")))
-        .filter(col("hamming") <= 4)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("hamming"))
+      // SimHash near-dup candidates, skew-safe (r9 redesign). The r8
+      // top-8-bit-prefix blocking was content-correlated: simhash bits
+      // cluster for similar docs BY DESIGN, so one prefix held 27% of
+      // the sf0.1 corpus — a single quadratic reducer. Now: block on
+      // 4x4-bit bands of the fingerprint (pigeonhole: a pair within
+      // hamming 3 always shares >= 1 clean band), and drop
+      // "stop-print" band keys held by > 5% of the corpus (the q112
+      // stop-print rule; integer-exact `keyn*20 <= n`, mirrored in the
+      // oracle) so no blocking key is ever quadratic in a duplicate
+      // cluster. Candidate mass per key is <= cap^2; the hamming
+      // filter runs on candidates only, inside codegen.
+      simhashPairsBanded(simhashDf(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1729,12 +1770,26 @@ object Dedup {
          |  FROM documents),
          |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS h FROM toks),
          |bits AS (SELECT doc_id, $bits FROM h GROUP BY doc_id),
-         |sh AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash16,
-         |         CAST(($fp) // 256 AS BIGINT) AS bucket FROM bits)
+         |sh AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM bits),
+         |bands AS (
+         |  SELECT doc_id, simhash16, bb.band,
+         |         (simhash16 >> (4 * bb.band)) & 15 AS bval
+         |  FROM sh, (SELECT UNNEST([0,1,2,3]) AS band) bb),
+         |keyn AS (SELECT band, bval, COUNT(*) AS keyn
+         |         FROM bands GROUP BY 1, 2),
+         |total AS (SELECT COUNT(*) AS n FROM sh),
+         |ok AS (
+         |  SELECT d.doc_id, d.simhash16, d.band, d.bval
+         |  FROM bands d
+         |  JOIN keyn k ON d.band = k.band AND d.bval = k.bval
+         |  CROSS JOIN total t
+         |  WHERE k.keyn * 20 <= t.n)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         | CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
-         |FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 4
+         | MIN(CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT)) AS hamming
+         |FROM ok a JOIN ok b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING MIN(bit_count(xor(a.simhash16, b.simhash16))) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 

@@ -334,14 +334,41 @@ object Relational {
     }),
 
     "q48_ntile_rank" -> ((s, dir) => {
-      // Quartile + relative-rank windows per order status.
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      table(s, dir, "orders")
+      // Quartile + relative-rank windows per order status — r9 rewrite
+      // off ShardedCum. `Window.partitionBy(o_orderstatus)` has only 3
+      // distinct values, so the direct window plan sorts the whole
+      // table on 3 reducers (a 15M-row single-reducer sort at 100x).
+      // The order key (o_totalprice, o_orderkey) is unique per group,
+      // so rank == row_number == the sharded cumulative count, and all
+      // three window functions are arithmetic off (rn, n):
+      //   percent_rank = (rn-1)/(n-1), cume_dist = rn/n,
+      //   ntile(4) = SQL-standard first-(n%4)-buckets-get-one-extra.
+      // ShardedCum range-shards the sorted stream over 32 reducers; n
+      // per group is a 3-row broadcast. Oracle hash pins equivalence.
+      val o = table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pct_rank", percent_rank().over(w))
-        .withColumn("cume", cume_dist().over(w))
+      val withRn = ShardedCum.cumSums(o, Seq("o_orderstatus"),
+        Seq(col("o_totalprice"), col("o_orderkey")), Seq((lit(1L), "rn")))
+      val counts = o.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("_n"))
+      val rn = col("rn"); val nG = col("_n")
+      // Integer bucket math via `div` (Column./ would be double
+      // division). CASE evaluates lazily, so the div-by-zero in the
+      // otherwise-branch is unreachable when _n < 4 (cut == _n there).
+      val cut = expr("(_n div 4 + 1) * (_n % 4)")
+      val quartile = when(rn <= cut,
+          expr("(rn - 1) div (_n div 4 + 1) + 1"))
+        .otherwise(
+          expr("_n % 4 + (rn - (_n div 4 + 1) * (_n % 4) - 1) div (_n div 4) + 1"))
+        .cast("int")
+      withRn.join(broadcast(counts), Seq("o_orderstatus"))
+        .withColumn("quartile", quartile)
+        .withColumn("pct_rank",
+          when(nG > 1, (rn - 1).cast("double") / (nG - 1).cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("cume", rn.cast("double") / nG.cast("double"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("quartile"), col("pct_rank"), col("cume"))
         .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
     }),
 

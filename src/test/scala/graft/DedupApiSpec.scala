@@ -388,6 +388,44 @@ class DedupApiSpec extends AnyFunSuite {
       s"near-dup ${ham(sh(1L), sh(2L))} not closer than unrelated ${ham(sh(1L), sh(4L))}")
   }
 
+  test("simhashPairsBanded: stop-print cap bounds hot keys, rare near-dups survive") {
+    import spark.implicits._
+    // A corpus-fraction-scale exact-dup cluster (200 of 260 docs share
+    // one text => one fingerprint => every band key hot) plus a rare
+    // near-dup pair and unrelated filler.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val cluster = (0 until 200).map(i => (1000L + i, base))
+    val rareA = (1L, "orange bicycle thunder meadow crystal harbor velvet canyon sunrise ember willow frost")
+    val rareB = (2L, "orange bicycle thunder meadow crystal harbor velvet canyon sunrise ember willow mist")
+    val filler = (0 until 58).map(i =>
+      (3000L + i, s"filler${i}a word${i}b token${i}c item${i}d gram${i}e bit${i}f doc${i}g chunk${i}h"))
+    val docs = (cluster ++ Seq(rareA, rareB) ++ filler).toDF("doc_id", "text")
+    val sh = Dedup.simhashFast(docs)
+    val pairs = Dedup.simhashPairsBanded(sh).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // The hot cluster's quadratic pair list is stop-capped away...
+    assert(!pairs.exists { case (a, b) => a >= 1000L && b < 3000L && b >= 1000L },
+      s"stop-print cap failed: hot-cluster pairs emitted (${pairs.size} pairs)")
+    // ...while the rare near-dup pair (only if actually hamming<=3 —
+    // verify precondition first) survives band blocking.
+    val fp = sh.collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash16")).toMap
+    if (java.lang.Long.bitCount(fp(1L) ^ fp(2L)) <= 3)
+      assert(pairs.contains((1L, 2L)), s"rare near-dup pair missed: $pairs")
+    // Cap invariant by the same arithmetic the operator uses: every
+    // SURVIVING band key holds <= n/20 docs.
+    val n = docs.count()
+    val bandKeys = sh.select(col("doc_id"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash16"), 4 * b).bitwiseAND(15L)
+            .as("bval"))): _*)).as("bs"))
+      .select(col("bs.band"), col("bs.bval"))
+      .groupBy("band", "bval").count()
+      .filter(col("count") * 20 <= n)
+    val maxSurviving = bandKeys.agg(max(col("count"))).head.getLong(0)
+    assert(maxSurviving * 20 <= n,
+      s"surviving band key above the 5% cap: $maxSurviving of $n")
+  }
+
   test("bloom sketch functions: no false negatives, filters most non-members") {
     import spark.implicits._
     val members = (0L until 1000L).map(_ * 7 + 3)

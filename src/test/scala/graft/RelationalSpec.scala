@@ -82,6 +82,22 @@ class RelationalSpec extends AnyFunSuite {
       s"cube Expand factor ${expands.map(_.projections.size)} — expected 4")
   }
 
+  test("q48 range-shards its window — no 3-reducer status-partition sort") {
+    // r9 done-criterion: ntile/percent_rank/cume_dist derive from the
+    // ShardedCum prefix sum, so the plan must carry a RANGE exchange
+    // over (status, price, key) and every Window must partition on the
+    // shard column too — a Window partitioned on o_orderstatus alone
+    // is the 3-reducer funnel this rewrite removes.
+    val df = SparkEntry.queries("q48_ntile_rank")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(1200))
+    val windowSpecs = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("o_orderstatus"))
+      .toSeq
+    assert(windowSpecs.forall(l => l.contains("_shard")),
+      s"a window partitions on o_orderstatus without _shard:\n${windowSpecs.mkString("\n")}")
+  }
+
   test("q91 plans a broadcast stats join, never a low-cardinality window") {
     // the verdict's done-criterion for the z-score fix: the 5-row
     // per-type stats must broadcast back onto the unshuffled fact
