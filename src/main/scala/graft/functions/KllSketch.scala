@@ -235,12 +235,20 @@ case class KllQuantile(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType.isInstanceOf[ArrayType] && right.dataType == DoubleType)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // Exact sketch shape (array<array<double>>, modulo containsNull),
+    // not just "any array" — a mismatched input must fail at ANALYSIS
+    // time, not with getArray/getDouble garbage mid-execution.
+    val sketchOk = left.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (sketchOk && right.dataType == DoubleType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"kll_quantile(sketch array<array<double>>, p double); got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
 
   override def nullSafeEval(sk: Any, p: Any): Any = {
     val levels = sk.asInstanceOf[ArrayData]

@@ -35,7 +35,14 @@ object Extract {
       "(?s)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript,
       "(?s)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    // Truncated-record fallback (advisor, r9): a crawl record cut
+    // mid-block leaves an UNTERMINATED <script>/<style>; the closed-
+    // pair patterns above then strip only the opening tag and the
+    // whole JS/CSS payload leaks into the text. Drop any unclosed
+    // block to end-of-record — exactly the q166 truncation shape.
+    val noOpenScript = regexp_replace(noStyle, "(?s)<script[^>]*>.*$", " ")
+    val noOpenStyle = regexp_replace(noOpenScript, "(?s)<style[^>]*>.*$", " ")
+    val noTags = regexp_replace(noOpenStyle, "<[^>]+>", " ")
     // entities: specific codes first, ampersand LAST
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
@@ -170,9 +177,13 @@ object Extract {
         |                regexp_replace(
         |                  regexp_replace(
         |                    regexp_replace(
-        |                      regexp_replace(html,
-        |                        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |                      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |                      regexp_replace(
+        |                        regexp_replace(
+        |                          regexp_replace(html,
+        |                            '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |                          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |                        '(?s)<script[^>]*>.*$', ' ', 'g'),
+        |                      '(?s)<style[^>]*>.*$', ' ', 'g'),
         |                    '<[^>]+>', ' ', 'g'),
         |                  '&lt;', '<', 'g'),
         |                '&gt;', '>', 'g'),

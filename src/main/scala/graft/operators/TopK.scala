@@ -20,9 +20,18 @@ object TopK {
   def groupTopK(df: DataFrame, group: Seq[String],
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
     val lp = df.queryExecution.analyzed
-    def attr(n: String) = lp.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"no column $n in ${lp.output.map(_.name)}"))
+    // Resolve by name but THROW on duplicates (post-join plans often
+    // carry two attributes with the same name; silently binding the
+    // first yields wrong-but-plausible top-k results — advisor, r9).
+    def attr(n: String) = lp.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"no column $n in ${lp.output.map(_.name)}")
+      case many => throw new IllegalArgumentException(
+        s"ambiguous column $n: ${many.size} attributes match " +
+          s"(${many.map(a => s"$n#${a.exprId.id}").mkString(", ")}) — " +
+          "alias or select the intended one before groupTopK")
+    }
     val so = order.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending) }
     GraftPlanBridge.ofRows(df.sparkSession,

@@ -85,13 +85,30 @@ case class GroupTopKExec(
     val groupB = groupKeys.map(BindReferences.bindReference(_, childOutput))
     val orderB = order.map(BindReferences.bindReference(_, childOutput))
     val kk = k
+    // Memory bound (r9, advisor finding): the heap map holds k rows per
+    // DISTINCT group seen in the partition — unbounded when group
+    // cardinality approaches row count (e.g. grouping by doc_id). The
+    // PARTIAL phase therefore flushes: when buffered rows exceed
+    // flushRows, emit every heap and restart empty. Each flush may
+    // re-emit up to k rows for a group seen again later, but the final
+    // phase merges all partial batches of a group, so results are
+    // unchanged — the cost of a flush is only extra exchange rows,
+    // bounded by k x flushes, and the map never exceeds ~flushRows.
+    // The FINAL phase cannot flush (a group's survivors must be merged
+    // in one place); its bound is k x |groups in this hash partition| —
+    // the k-sized analogue of a hash aggregate's per-partition state,
+    // shrinkable by raising spark.sql.shuffle.partitions.
+    val flushRows =
+      if (!partial) Long.MaxValue
+      else conf.getConfString("spark.graft.topk.flushRows", "1048576").toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupB)
       val ordering = RowOrdering.create(orderB, Seq.empty)
       // head of the heap = WORST retained row (reverse ordering)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var nBuffered = 0L
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         val pq = heaps.get(key) match {
           case Some(q) => q
@@ -101,16 +118,38 @@ case class GroupTopKExec(
             heaps.put(key.copy(), q)
             q
         }
-        if (pq.size < kk) pq.add(row.copy())
+        if (pq.size < kk) { pq.add(row.copy()); nBuffered += 1 }
         else if (ordering.compare(row, pq.peek()) < 0) {
           pq.poll(); pq.add(row.copy())
         }
       }
-      heaps.iterator.flatMap { case (_, pq) =>
-        val arr = new Array[InternalRow](pq.size)
-        var i = arr.length - 1
-        while (i >= 0) { arr(i) = pq.poll(); i -= 1 } // drain worst-first
-        arr.iterator
+      def drain(): Iterator[InternalRow] = {
+        val qs = heaps.values.toArray
+        heaps.clear(); nBuffered = 0L
+        qs.iterator.flatMap { pq =>
+          val arr = new Array[InternalRow](pq.size)
+          var i = arr.length - 1
+          while (i >= 0) { arr(i) = pq.poll(); i -= 1 } // drain worst-first
+          arr.iterator
+        }
+      }
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!out.hasNext && iter.hasNext) {
+            var flushed = false
+            while (iter.hasNext && !flushed) {
+              insert(iter.next())
+              if (nBuffered >= flushRows) { out = drain(); flushed = true }
+            }
+            if (!flushed && !iter.hasNext) out = drain()
+          }
+          out.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          out.next()
+        }
       }
     }
   }

@@ -460,11 +460,12 @@ object TopicStream {
     * operator (gaps accumulate in event-time order within and across
     * batches), so a drained stream reproduces
     * `EventOps.interarrivalRegularity` exactly — spec-proved, and
-    * proved batch-boundary-invariant (1 batch vs many). Late data
-    * caveat: events older than a key's last-seen second would need a
-    * watermark + reorder buffer; the monitor assumes per-key
-    * monotone-ish arrival (the log-offset order TopicLog guarantees
-    * per partition key). */
+    * proved batch-boundary-invariant (1 batch vs many). Late data:
+    * events older than a key's last-seen second are DROPPED (they
+    * would fold a negative gap into the running sums and permanently
+    * corrupt the cv); in-order delivery is the normal case anyway —
+    * TopicLog guarantees offset order per partition key. A true
+    * reorder buffer would need a watermark + flatMapGroupsWithState. */
   def interarrivalMonitor(spark: SparkSession, stream: DataFrame,
       minEvents: Long = 20L, cvThreshold: Double = 0.3): DataFrame = {
     import spark.implicits._
@@ -480,6 +481,12 @@ object TopicStream {
           sorted.foreach { t =>
             s =
               if (s.n == 0L) RegState(1L, t, 0L, 0L)
+              // Guard, not just a scaladoc assumption (advisor, r9): a
+              // late cross-batch arrival (t < state.last) would fold a
+              // NEGATIVE gap into sg/sg2 and permanently corrupt the
+              // key's cv. Drop such events — the monitor's verdict
+              // stays a function of the in-order arrival process.
+              else if (t < s.last) s
               else {
                 val g = t - s.last
                 RegState(s.n + 1, t, s.sg + g, s.sg2 + g * g)

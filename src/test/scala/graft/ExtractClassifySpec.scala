@@ -28,6 +28,17 @@ class ExtractClassifySpec extends AnyFunSuite {
     assert(got == "Hello world", s"got: '$got'")
   }
 
+  test("extract: truncated record with unclosed <script>/<style> leaks no payload") {
+    // r9 advisor fix: a crawl record cut mid-block used to strip only
+    // the opening tag and leak the whole JS payload into the text.
+    assert(extract("<p>keep this</p><script>var secret = trackUser();")
+      == "keep this")
+    assert(extract("<p>body text</p><style>.x{color:red") == "body text")
+    // and the closed-block path is unaffected
+    assert(extract("<script>a()</script><p>ok</p><script>drop to end")
+      == "ok")
+  }
+
   test("extract: entities decode, &amp; LAST (no double decode)") {
     // &amp;lt; is the literal text "&lt;" — decoding &amp; first
     // would turn it into a real < (the classic double-decode bug)

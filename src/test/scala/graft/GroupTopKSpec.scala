@@ -41,6 +41,39 @@ class GroupTopKSpec extends AnyFunSuite {
     }
   }
 
+  test("partial-phase flush cap: tiny flushRows still window-identical") {
+    // r9 advisor fix: with group cardinality ~ row count the partial
+    // heap map is unbounded; the flush cap bounds it at ~flushRows
+    // buffered rows per partition, re-emitting and restarting. Force
+    // aggressive flushing (64 rows vs 5000 groups) and assert results
+    // are STILL exactly the window plan's — flushes only add exchange
+    // rows, never change the merged top-k.
+    val k = 3
+    val highCard = spark.range(20000L)
+      .select(pmod(col("id"), lit(5000L)).as("g"), col("id"),
+        pmod(col("id") * 2654435761L, lit(100000L)).as("score"))
+      .repartition(4)
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+    val expect = highCard.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn").collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.topk.flushRows", "64")
+    try {
+      val got = TopK.groupTopK(highCard, Seq("g"),
+        Seq(("score", true), ("id", false)), k)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(expect), "flushing changed top-k results")
+    } finally spark.conf.unset("spark.graft.topk.flushRows")
+  }
+
+  test("ambiguous column names throw instead of binding the first match") {
+    val a = corpus(2)
+    val joined = a.as("l").join(a.as("r"), Seq("id"))  // duplicate g, score
+    val e = intercept[IllegalArgumentException] {
+      TopK.groupTopK(joined, Seq("g"), Seq(("score", true)), 3)
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
   test("skewed groups: one giant group still matches the window plan") {
     // 90% of rows in group 0
     val df = spark.range(10000L)

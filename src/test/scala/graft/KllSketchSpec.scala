@@ -22,6 +22,18 @@ class KllSketchSpec extends AnyFunSuite {
     assert(s.quantile(1.0) == 100.0)
   }
 
+  test("kll_quantile rejects a non-sketch array at analysis time") {
+    // r9 advisor fix: array<string> used to pass the type check and
+    // die mid-execution with getDouble garbage; now it's a clean
+    // AnalysisException before any task runs.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Array("a", "b"))).toDF("notSketch")
+        .select(call_function("kll_quantile", col("notSketch"), lit(0.5)))
+        .collect()
+    }
+    assert(e.getMessage.contains("kll_quantile"), e.getMessage)
+  }
+
   test("rank error stays within bounds on a 100k stream, weight conserved") {
     val s = new KllSketch.State(200)
     // deterministic pseudo-shuffled permutation of 0..99999

@@ -146,4 +146,36 @@ class StreamBatchParitySpec extends AnyFunSuite {
       k -> ((n, mean, cv, reg)) },
       s"stream/batch divergence: ${oneBatch.take(2)} vs ${batch.take(2)}")
   }
+
+  test("inter-arrival monitor drops late cross-batch events instead of corrupting cv") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // Perfectly regular 10s cadence for key "u"...
+    val inOrder = (1 to 30).map(i => ("u", ts(i * 10L)))
+    def run(slices: Seq[Seq[(String, java.sql.Timestamp)]], name: String) = {
+      val ms = MemoryStream[(String, java.sql.Timestamp)]
+      val out = graft.streaming.TopicStream.interarrivalMonitor(
+        spark, ms.toDF().toDF("key", "ts"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        slices.foreach { s => ms.addData(s); q.processAllAvailable() }
+        spark.sql(s"SELECT * FROM $name").collect()
+          .map(r => (r.getAs[Long]("nEvents"), r.getAs[Double]("cv"),
+            r.getAs[Boolean]("regular")))
+          .maxBy(_._1)
+      } finally q.stop()
+    }
+    val clean = run(Seq(inOrder), "iamLate1")
+    // ...then one LATE straggler (t=5s, far below state.last=300s) in a
+    // second micro-batch. Pre-guard this folded gap=-295 into sg/sg2
+    // and flipped the key to irregular forever; now it must be dropped:
+    // same event count, same cv, still regular.
+    val withLate = run(Seq(inOrder, Seq(("u", ts(5L)))), "iamLate2")
+    assert(clean._3, s"precondition: clean cadence should be regular: $clean")
+    assert(withLate == clean,
+      s"late event corrupted monitor state: $withLate vs $clean")
+  }
 }
