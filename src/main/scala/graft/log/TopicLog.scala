@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   *    drop; plus [[retainAfter]] (time) and [[retainFrom]] (offset)
   *  - (Kafka analogue, not in reference)   -> [[compact]] latest-per-key
   *
+  * Slow-consumer contract (spec-pinned): when retention trims PAST a
+  * durable subscriber's acked watermark, [[replay]] resumes at the
+  * oldest RETAINED offset with no error — the records between the
+  * watermark and the retention horizon are a silent data-loss window,
+  * exactly the reference's capped-collection overwrite semantics
+  * (`topic.js:8-10`). Monitor [[q22-style consumer lag]] against the
+  * retention horizon to catch subscribers drifting toward the edge.
+  *
   * Scale design:
   *  - Offsets need no global coordination — each log_part numbers
   *    independently. Current heads live in a tiny `_offsets.json`

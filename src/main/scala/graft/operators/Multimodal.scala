@@ -9,10 +9,14 @@ import graft.GraftSession.table
 /** Pack C (multimodal) — opaque-binary column plumbing
   * (SURVEY.md §2.C12): media payloads travel as `binary` columns with
   * typed metadata beside them; decoding happens batch-wise per
-  * partition. The IMAGE branch decodes for real via the JDK's
-  * `javax.imageio` (PNG/GIF/BMP/JPEG — no external codec needed);
-  * payloads ImageIO cannot read, and the audio/video branches (which
-  * genuinely need external libs), fall back to a deterministic
+  * partition. All three branches now decode REAL headers (r9):
+  * IMAGE via the JDK's `javax.imageio` (PNG/GIF/BMP/JPEG), AUDIO via
+  * the JDK's `javax.sound.sampled` (WAV/RIFF, AIFF, AU — sample rate,
+  * channel count, frame count, encoding tag, all from the header),
+  * VIDEO via a hand-parsed ISO-BMFF/MP4 box walk (ftyp brand, mvhd
+  * duration/timescale, tkhd display dims, stsz frame count — pure
+  * big-endian arithmetic, no codec lib needed for header metadata).
+  * Payloads none of those can read fall back to a deterministic
   * disclosed stub, so the Spark-side plumbing — schema, partitioning,
   * per-partition batch shape — is exercised for real either way.
   *
@@ -20,17 +24,23 @@ import graft.GraftSession.table
   * narrow map); decode batches amortize per-partition setup exactly
   * the way an Arrow/pandas-UDF batch would on a real cluster, and the
   * decoded-feature schema is fixed so downstream ops stay columnar.
+  * Every header parse reads a bounded prefix of the payload — no
+  * full-raster/full-stream allocation on the metadata pass.
   */
 object Multimodal {
 
-  /** Typed result of the (stubbed) decoder. */
+  /** Typed result of the decoder (real header fields where the branch
+    * can parse them; zeros/"stub" from the fallback). */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("media_type", StringType),
     StructField("n_bytes", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("n_frames", IntegerType)))
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("codec", StringType)))
 
   /** Real image decode via the JDK's built-in readers
     * (`javax.imageio`): true width/height for PNG/GIF/BMP/JPEG
@@ -62,11 +72,107 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
-  /** STUB decoder for the branches a bare JVM cannot decode — audio
-    * and video codecs genuinely need external libs, and image payloads
-    * ImageIO rejects land here too. The fake is a pure function of the
-    * payload bytes, so tests are deterministic and the batch plumbing
-    * is exercised for real. */
+  /** Real audio header decode via the JDK's `javax.sound.sampled`
+    * (the audio analogue of the ImageIO path): WAV/RIFF, AIFF and AU
+    * headers answer (sampleRate, channels, frameCount, encoding)
+    * without decoding any samples. None = not a JDK-readable audio
+    * header (falls back to the stub). */
+  private[graft] def decodeAudio(payload: Array[Byte])
+      : Option[(Int, Int, Long, String)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, math.max(0L, frames),
+        fmt.getEncoding.toString))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Big-endian u32 read. */
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** Iterate ISO-BMFF boxes in [from, to): (type, contentStart,
+    * contentEnd). Handles 64-bit largesize (size==1) and to-end
+    * (size==0) boxes; malformed sizes end the walk. */
+  private def mp4Boxes(b: Array[Byte], lo: Int, hi: Int)
+      : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+    private var off = lo
+    override def hasNext: Boolean = off + 8 <= hi
+    override def next(): (String, Int, Int) = {
+      val size = be32(b, off)
+      val tpe = new String(b, off + 4, 4, "ISO-8859-1")
+      val (cs, boxEnd) =
+        if (size == 1L && off + 16 <= hi) {
+          val large = (be32(b, off + 8) << 32) | be32(b, off + 12)
+          (off + 16, math.min(hi.toLong, off + large).toInt)
+        } else if (size == 0L) (off + 8, hi)
+        else (off + 8, math.min(hi.toLong, off + size).toInt)
+      // malformed (size < header): emit to end-of-range, then stop
+      val end = if (boxEnd <= off + 8) hi else boxEnd
+      off = end
+      (tpe, cs, end)
+    }
+  }
+
+  private def findMp4Box(b: Array[Byte], lo: Int, hi: Int,
+      path: List[String]): Option[(Int, Int)] = path match {
+    case Nil => Some((lo, hi))
+    case head :: rest =>
+      mp4Boxes(b, lo, hi).collectFirst {
+        case (t, cs, ce) if t == head => (cs, ce)
+      }.flatMap { case (cs, ce) => findMp4Box(b, cs, ce, rest) }
+  }
+
+  /** Real ISO-BMFF/MP4 header decode, pure box arithmetic: major
+    * brand (codec tag) from `ftyp`, duration from `moov/mvhd`
+    * (duration/timescale, version 0 and 1), display dims from
+    * `moov/trak/tkhd` (16.16 fixed point), frame count from the
+    * sample-size table `moov/trak/mdia/minf/stbl/stsz`. None = not an
+    * MP4 (no ftyp) or no parsable moov. */
+  private[graft] def decodeMp4(payload: Array[Byte])
+      : Option[(Int, Int, Int, Long, String)] =
+    try {
+      if (payload.length < 16 ||
+        new String(payload, 4, 4, "ISO-8859-1") != "ftyp") None
+      else {
+        val brand = new String(payload, 8, 4, "ISO-8859-1").trim
+        findMp4Box(payload, 0, payload.length, List("moov")).map {
+          case (ms, me) =>
+            val durationMs = findMp4Box(payload, ms, me, List("mvhd"))
+              .map { case (cs, _) =>
+                val v = payload(cs) & 0xff
+                if (v == 1) {
+                  val scale = be32(payload, cs + 20)
+                  val dur = (be32(payload, cs + 24) << 32) |
+                    be32(payload, cs + 28)
+                  if (scale > 0) dur * 1000L / scale else 0L
+                } else {
+                  val scale = be32(payload, cs + 12)
+                  val dur = be32(payload, cs + 16)
+                  if (scale > 0) dur * 1000L / scale else 0L
+                }
+              }.getOrElse(0L)
+            val (w, h) = findMp4Box(payload, ms, me, List("trak", "tkhd"))
+              .map { case (cs, _) =>
+                val v = payload(cs) & 0xff
+                val base = if (v == 1) cs + 88 else cs + 76
+                ((be32(payload, base) >> 16).toInt,
+                  (be32(payload, base + 4) >> 16).toInt)
+              }.getOrElse((0, 0))
+            val nFrames = findMp4Box(payload, ms, me,
+              List("trak", "mdia", "minf", "stbl", "stsz"))
+              .map { case (cs, _) => be32(payload, cs + 8).toInt }
+              .getOrElse(0)
+            (w, h, nFrames, durationMs, brand)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decoder for payloads no JDK/header parser can read. The
+    * fake is a pure function of the payload bytes, so tests are
+    * deterministic and the batch plumbing is exercised for real. */
   private def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(payload) & 0x7fffffff
     mediaType match {
@@ -77,9 +183,9 @@ object Multimodal {
   }
 
   /** Batch decode: one decoder instance per partition (mapPartitions),
-    * payloads never leave their partition. Image payloads decode for
-    * REAL (JDK ImageIO header read); undecodable bytes and the
-    * audio/video branches fall back to the disclosed stub. */
+    * payloads never leave their partition. All branches parse REAL
+    * headers (ImageIO / javax.sound / MP4 box walk); undecodable
+    * bytes fall back to the disclosed stub with codec = "stub". */
   def decodeBatch(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = media.select(col("doc_id"), col("media_type"), col("payload"))
@@ -88,11 +194,23 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val mt = r.getAs[String]("media_type")
-          val (w, hgt, frames) =
-            (if (mt == "image") decodeImage(payload).map { case (iw, ih) =>
-              (iw, ih, 1)
-            } else None).getOrElse(decodeStub(mt, payload))
-          Row(r.getAs[Long]("doc_id"), mt, payload.length, w, hgt, frames)
+          // (w, h, frames, sampleRate, durationMs, codec)
+          val real: Option[(Int, Int, Int, Int, Long, String)] = mt match {
+            case "image" => decodeImage(payload).map { case (iw, ih) =>
+              (iw, ih, 1, 0, 0L, "image") }
+            case "audio" => decodeAudio(payload).map {
+              case (rate, ch, frames, enc) =>
+                val durMs = if (rate > 0) frames * 1000L / rate else 0L
+                (0, ch, frames.toInt, rate, durMs, enc) }
+            case _ => decodeMp4(payload).map {
+              case (w, h, nf, durMs, brand) => (w, h, nf, 0, durMs, brand) }
+          }
+          val (w, hgt, frames, rate, durMs, codec) = real.getOrElse {
+            val (sw, sh, sf) = decodeStub(mt, payload)
+            (sw, sh, sf, 0, 0L, "stub")
+          }
+          Row(r.getAs[Long]("doc_id"), mt, payload.length, w, hgt, frames,
+            rate, durMs, codec)
         }
       }
     spark.createDataFrame(out, decodedSchema)

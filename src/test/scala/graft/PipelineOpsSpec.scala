@@ -114,6 +114,69 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stubbed.getAs[Int]("width") >= 64 && stubbed.getAs[Int]("n_frames") == 1)
   }
 
+  test("decodeBatch parses REAL WAV and MP4 headers (r9: audio/video no longer stubbed)") {
+    import spark.implicits._
+    // Real WAV: rendered by the JDK's own javax.sound writer — 8000 Hz
+    // mono 16-bit PCM, 1600 frames (200 ms).
+    def wav(rate: Float, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val data = new Array[Byte](frames * 2)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // Real minimal MP4: hand-built ISO-BMFF boxes — ftyp(isom) +
+    // moov{mvhd v0 (timescale 1000, duration 2500ms), trak{tkhd v0
+    // (640x360 as 16.16 fixed point), mdia{minf{stbl{stsz (48
+    // samples)}}}}}.
+    def box(tpe: String, content: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + content.length)
+      bb.putInt(8 + content.length).put(tpe.getBytes("ISO-8859-1"))
+        .put(content).array()
+    }
+    def be(i: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    val mvhd = box("mvhd", Array.concat(
+      new Array[Byte](12),      // version/flags + ctime + mtime
+      be(1000), be(2500),       // timescale, duration
+      new Array[Byte](80)))     // rate/volume/matrix/predefines/next-id
+    val tkhd = box("tkhd", Array.concat(
+      new Array[Byte](76),      // v/f, times, id, dur, layer, matrix...
+      be(640 << 16), be(360 << 16)))
+    val stsz = box("stsz", Array.concat(
+      new Array[Byte](4), be(0), be(48))) // v/f, sample_size=0, count=48
+    val trak = box("trak", Array.concat(tkhd,
+      box("mdia", box("minf", box("stbl", stsz)))))
+    val mp4 = Array.concat(
+      box("ftyp", Array.concat("isom".getBytes("ISO-8859-1"), be(0))),
+      box("moov", Array.concat(mvhd, trak)))
+
+    val media = Seq(
+      (1L, "audio", wav(8000f, 1600)),
+      (2L, "video", mp4),
+      (3L, "audio", "not audio at all".getBytes("UTF-8"))) // stub path
+      .toDF("doc_id", "media_type", "payload").repartition(2)
+    val rows = Multimodal.decodeBatch(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val a = rows(1L)
+    assert(a.getAs[Int]("sample_rate") == 8000, a.toString)
+    assert(a.getAs[Int]("n_frames") == 1600, a.toString)
+    assert(a.getAs[Long]("duration_ms") == 200L, a.toString)
+    assert(a.getAs[String]("codec") == "PCM_SIGNED", a.toString)
+    val v = rows(2L)
+    assert(v.getAs[Int]("width") == 640 && v.getAs[Int]("height") == 360,
+      v.toString)
+    assert(v.getAs[Long]("duration_ms") == 2500L, v.toString)
+    assert(v.getAs[Int]("n_frames") == 48, v.toString)
+    assert(v.getAs[String]("codec") == "isom", v.toString)
+    // undecodable audio falls back to the deterministic stub
+    assert(rows(3L).getAs[String]("codec") == "stub", rows(3L).toString)
+    assert(rows(3L).getAs[Int]("n_frames") >= 1)
+  }
+
   test("malformed image payloads fall back instead of failing the job (NonFatal contract)") {
     // Payloads with a VALID format signature but corrupt innards — the
     // class where ImageIO readers are known to throw RuntimeExceptions

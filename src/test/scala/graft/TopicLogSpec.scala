@@ -597,4 +597,43 @@ class TopicLogSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(offs == heads)
   }
+
+  test("slow consumer: replay after retention trimmed past the acked watermark") {
+    // The classic production incident (reference analogue: the capped
+    // collection silently overwrites messages a durable subscriber has
+    // not read yet, topic.js:8-10). Pinned semantics: replay resumes at
+    // the OLDEST RETAINED offset with no error; the records between the
+    // watermark and the retention horizon are a silent data-loss window
+    // — exactly the reference's behavior, now spec-pinned (r9).
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(40))
+    val heads = topic.heads()
+    // durable subscriber acks ~mid-log...
+    val marks = heads.map { case (p, h) => p -> h / 2 }
+    topic.ack("slow", marks)
+    // ...then retention trims PAST that watermark: keep only the last
+    // 3 offsets of each partition (h-2 > h/2 at 20 records/part)
+    val horizon = heads.map { case (p, h) => p -> (h - 2) }
+    horizon.foreach { case (p, o) =>
+      assert(o > marks(p), "test shape: horizon must exceed watermark") }
+    topic.retainFrom(horizon)
+    val replayed = topic.replay("slow").collect()
+    // resumes at the oldest retained offset, drains to the head, no gap
+    // inside the retained range, no error
+    replayed.groupBy(_.getAs[Int]("log_part")).foreach { case (p, rows) =>
+      val got = rows.map(_.getAs[Long]("offset")).sorted
+      assert(got.sameElements(horizon(p) to heads(p)),
+        s"part $p: expected ${horizon(p)}..${heads(p)}, got ${got.toSeq}")
+    }
+    // the data-loss window (watermark+1 until horizon-1) is silently
+    // skipped — count pins its size so the contract is explicit
+    val lost = marks.map { case (p, m) => horizon(p) - 1 - m }.sum
+    assert(lost > 0, "test shape: a real loss window must exist")
+    assert(replayed.length ==
+      heads.map { case (p, h) => h - horizon(p) + 1 }.sum)
+    // after draining and acking the head, the subscriber is clean again
+    topic.ack("slow", heads)
+    assert(topic.replay("slow").count() == 0)
+  }
 }
