@@ -16,6 +16,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
     e.injectPlannerStrategy(_ => new graft.plans.GroupTopKStrategy)
+    // SQL-only reach for the custom whole-operator plans (r9): table-
+    // valued functions resolving catalog/view names through the active
+    // session and delegating to the df-level faces (SqlSurface).
+    e.injectTableFunction((
+      new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(SqlSurface.getClass.getName, "asof_join"),
+      (exprs: Seq[Expression]) => SqlSurface.asofJoinBuilder(exprs)))
+    e.injectTableFunction((
+      new FunctionIdentifier("group_topk"),
+      new ExpressionInfo(SqlSurface.getClass.getName, "group_topk"),
+      (exprs: Seq[Expression]) => SqlSurface.groupTopKBuilder(exprs)))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

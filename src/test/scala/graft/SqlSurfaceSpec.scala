@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsofNative, TopK}
+
+/** SQL-only reach for the custom whole-operator plans (r9): the
+  * `asof_join` / `group_topk` table-valued functions must round-trip
+  * through `spark.sql`, produce results identical to the Dataset
+  * faces, and plan the SAME custom physical operators.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private lazy val trades = (0 until 400).map { i =>
+    (i % 7L, 100L + i * 3L, s"trade-$i")
+  }.toDF("symbol", "ts", "tag")
+  private lazy val quotes = (0 until 150).map { i =>
+    (i % 7L, 90L + i * 7L, 10.0 + i)
+  }.toDF("symbol", "q_ts", "px")
+
+  test("asof_join TVF: spark.sql result equals the Dataset face, custom plan used") {
+    trades.createOrReplaceTempView("sqlsurf_trades")
+    quotes.createOrReplaceTempView("sqlsurf_quotes")
+    val viaSql = spark.sql(
+      "SELECT * FROM asof_join('sqlsurf_trades', 'sqlsurf_quotes', " +
+        "'symbol', 'ts', 'q_ts')")
+    val viaDs = AsofNative.asofJoin(trades, quotes,
+      "symbol", "symbol", "ts", "q_ts")
+    assert(viaSql.columns.sameElements(viaDs.columns))
+    assert(viaSql.collect().map(_.toString).sorted
+      .sameElements(viaDs.collect().map(_.toString).sorted),
+      "SQL and Dataset as-of joins diverged")
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom as-of operator not planned:\n$plan")
+  }
+
+  test("group_topk TVF: spark.sql result equals the Dataset face, custom plan used") {
+    trades.createOrReplaceTempView("sqlsurf_trades")
+    val viaSql = spark.sql(
+      "SELECT * FROM group_topk('sqlsurf_trades', 'symbol', 'ts DESC, tag', 5)")
+    val viaDs = TopK.groupTopK(trades, Seq("symbol"),
+      Seq(("ts", true), ("tag", false)), 5)
+    assert(viaSql.collect().map(_.toString).sorted
+      .sameElements(viaDs.collect().map(_.toString).sorted),
+      "SQL and Dataset group top-k diverged")
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), s"custom top-k operator not planned:\n$plan")
+  }
+
+  test("TVF argument validation: bad arity and non-literal args fail cleanly") {
+    trades.createOrReplaceTempView("sqlsurf_trades")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM group_topk('sqlsurf_trades', 'symbol', 'ts')")
+        .collect()
+    }
+    assert(e1.getMessage.contains("4 arguments") ||
+      e1.getMessage.contains("group_topk"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('sqlsurf_trades', 'nope_missing', " +
+        "'symbol', 'ts', 'q_ts')").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("nope_missing") ||
+      e2.getMessage.toLowerCase.contains("not found"), e2.getMessage)
+  }
+}
