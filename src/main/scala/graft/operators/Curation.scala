@@ -32,8 +32,11 @@ import graft.GraftSession.{ckpt, table}
   */
 object Curation {
 
+  /** Verdict values in pipeline order ("dup_spans" only occurs when
+    * [[curate]] runs with `spanTrim = true`). */
   val Stages: Seq[String] =
-    Seq("quality", "exact_dup", "near_dup", "contaminated", "source_cap")
+    Seq("quality", "exact_dup", "dup_spans", "near_dup", "contaminated",
+      "source_cap")
 
   /** The streaming face of the first two curation stages: the quality
     * gate is stateless scan-side work (it applies to a stream
@@ -50,8 +53,20 @@ object Curation {
       TextOps.qualityFilter(stream).filter(col("keep") === 1),
       contentCol = "text", tsCol = tsCol, watermark = watermark)
 
+  /** `spanTrim = true` (r9, verdict #9) inserts the Lee et al.
+    * exact-substring REMOVAL action between exact dedup and the late
+    * stages: duplicated anchored windows are cut from every
+    * non-canonical doc ([[Dedup.trimDupSpans]] — the q130 machinery as
+    * an action, not just a report). Docs reduced below one window of
+    * text get verdict `dup_spans`; survivors continue through
+    * near-dup/contamination/quota WITH their trimmed text (and
+    * recomputed n_chars), and the output gains `text_final` (the
+    * post-trim text, null for dropped docs) and `masked_chars`
+    * columns. With the default `spanTrim = false` the output schema
+    * and verdicts are byte-identical to prior rounds (the q113 gate). */
   def curate(docs: DataFrame, bench: DataFrame,
-      capPerSource: Int = 1000): DataFrame = {
+      capPerSource: Int = 1000, spanTrim: Boolean = false,
+      spanTrimWin: Int = 50): DataFrame = {
     // 1. quality: scan-side composite gate (TextOps.qualityFilter).
     // Checkpointed once (doc_id + flag — the narrow projection): the
     // regex/array-fold quality scan is the single most expensive
@@ -76,25 +91,62 @@ object Curation {
     val exactOk = ckpt(qualityOk.join(exactKeep,
       col("doc_id") === col("e_id"), "left_semi"))
 
+    // 2.5 (opt-in): exact-substring span trim over the content-distinct
+    // survivors — cut duplicated spans (canonical occurrence kept),
+    // drop docs trimmed to a husk, feed the TRIMMED text to the late
+    // stages so near-dup/contamination/quota judge what would actually
+    // ship.
+    val trimInfo = if (!spanTrim) None else Some(ckpt(
+      Dedup.trimDupSpans(exactOk, spanTrimWin)
+        .select(col("doc_id"), col("text_trimmed"), col("masked_chars"),
+          (length(col("text_trimmed")) < spanTrimWin).as("husk"))))
+    val lateInput = trimInfo match {
+      case None => exactOk
+      case Some(t) => exactOk.drop("text")
+        .join(t.filter(!col("husk"))
+          .select(col("doc_id"), col("text_trimmed")), Seq("doc_id"))
+        .withColumn("text", col("text_trimmed"))
+        .withColumn("n_chars", length(col("text_trimmed")).cast("long"))
+        .drop("text_trimmed")
+    }
+
     // 3-5. the corpus-wide late stages (near-dup, contamination,
     // quota) — shared with [[curateCycle]]'s batch phase so the
     // one-call and stream→batch faces are the same code by
     // construction, not by parallel maintenance
-    val late = lateStageVerdicts(exactOk, bench, capPerSource)
+    val late = lateStageVerdicts(lateInput, bench, capPerSource)
       .select(col("doc_id").as("l_id"), col("verdict").as("l_verdict"))
 
     // stitch: left-join each stage's drop/keep marker, precedence in
     // pipeline order
-    docs
+    val base = docs
       .join(qual, col("doc_id") === col("q_id"), "left")
       .join(exactKeep.withColumn("e_keep", lit(1)),
         col("doc_id") === col("e_id"), "left")
       .join(late, col("doc_id") === col("l_id"), "left")
-      .withColumn("verdict",
-        when(col("q_ok") =!= 1, lit("quality"))
-          .when(col("e_keep").isNull, lit("exact_dup"))
-          .otherwise(col("l_verdict")))
-      .drop("q_id", "q_ok", "e_id", "e_keep", "l_id", "l_verdict")
+    trimInfo match {
+      case None => base
+        .withColumn("verdict",
+          when(col("q_ok") =!= 1, lit("quality"))
+            .when(col("e_keep").isNull, lit("exact_dup"))
+            .otherwise(col("l_verdict")))
+        .drop("q_id", "q_ok", "e_id", "e_keep", "l_id", "l_verdict")
+      case Some(t) => base
+        .join(t.select(col("doc_id").as("t_id"), col("text_trimmed"),
+          col("masked_chars").as("t_masked"), col("husk")),
+          col("doc_id") === col("t_id"), "left")
+        .withColumn("verdict",
+          when(col("q_ok") =!= 1, lit("quality"))
+            .when(col("e_keep").isNull, lit("exact_dup"))
+            .when(col("husk") === true, lit("dup_spans"))
+            .otherwise(col("l_verdict")))
+        .withColumn("text_final",
+          when(col("verdict") === "keep", col("text_trimmed")))
+        .withColumn("masked_chars",
+          coalesce(col("t_masked"), lit(0L)))
+        .drop("q_id", "q_ok", "e_id", "e_keep", "l_id", "l_verdict",
+          "t_id", "text_trimmed", "t_masked", "husk")
+    }
   }
 
   /** Stages 3-5 over an already quality-passed, content-distinct

@@ -787,6 +787,66 @@ object Dedup {
           .as("masked_frac"))
   }
 
+  /** Exact-substring TRIM — the REMOVAL ACTION of Lee et al.-style
+    * substring dedup (q120 is the signal, q130 the span plan; this
+    * actually cuts): each duplicated anchored window keeps its
+    * CANONICAL occurrence (the min-doc_id holder keeps its text
+    * intact) and is excised from every other doc, with overlapping
+    * windows merged into maximal spans first (q130's gaps-and-islands
+    * merge). Returns the corpus columns plus `text_trimmed` (the doc
+    * with masked spans cut out), `n_spans`, `masked_chars` — docs with
+    * no duplicated spans pass through untouched.
+    *
+    * Scale shape: exactly q130's plan (bounded ~len/16 window stream,
+    * one uniform-key groupBy for the dup set + canonical holder, one
+    * join back, per-DOC windows for the island merge) plus one
+    * codegen'd `aggregate` HOF that rebuilds each trimmed doc from its
+    * kept segments scan-side — no shuffle beyond q130's, and the only
+    * extra state per doc is its span array (≤ len/16 entries). */
+  def trimDupSpans(corpus: DataFrame, win: Int = 50): DataFrame = {
+    val hits = corpus.filter(length(col("text")) >= win)
+      .select(col("doc_id"),
+        explode(call_function("cdc_window_hits", col("text"), lit(win)))
+          .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dup = hits.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("canon"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("canon"))
+    val masked = hits.join(dup, Seq("h"))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(win - 1)).as("e"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = masked
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("new_isl",
+        when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_isl")).over(wOrd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("masked_chars"))
+    corpus.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("text_trimmed",
+        when(col("__spans").isNull, col("text")).otherwise(expr(
+          """aggregate(__spans,
+            |  named_struct('last', 0, 'acc', ''),
+            |  (st, sp) -> named_struct(
+            |    'last', sp.e,
+            |    'acc', concat(st.acc,
+            |      substring(text, st.last + 1, sp.s - st.last - 1))),
+            |  st -> concat(st.acc, substring(text, st.last + 1)))"""
+            .stripMargin)))
+      .drop("__spans")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("masked_chars", coalesce(col("masked_chars"), lit(0L)))
+  }
+
   /** The q120/q121 test corpus: the base table plus exact re-posts
     * (every 10th doc verbatim) and embedded quotes (every 7th doc
     * wrapped in boilerplate — the ALIGNMENT-SHIFTED case stride

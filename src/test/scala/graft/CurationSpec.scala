@@ -83,6 +83,55 @@ class CurationSpec extends AnyFunSuite {
     assert(tight.getOrElse("source_cap", 0L) > 0L, tight.toString)
   }
 
+  test("curate spanTrim: quotes excised, canonical intact, husks drop as dup_spans") {
+    import spark.implicits._
+    // a long quality-passing real doc to quote from (off the bench split)
+    val qualOk = graft.operators.TextOps.qualityFilter(docs)
+      .filter(col("keep") === 1 && length(col("text")) >= 320
+        && col("doc_id") % 97 =!= 0)
+      .orderBy(col("doc_id")).limit(1).collect()
+    assert(qualOk.length == 1, "need a long quality-passing doc at this sf")
+    val dId = qualOk(0).getAs[Long]("doc_id")
+    val dText = qualOk(0).getAs[String]("text")
+    // own content: 40 all-distinct synthetic tokens — passes every
+    // quality rule by construction (n_tok >= 30, distinct_ratio 1.0,
+    // no punctuation, no duplicate bigrams) and shares no char window
+    // or word-3-gram with any corpus doc
+    val own = (0 until 40).map(i => s"ownword$i").mkString(" ")
+    val quote = dText.substring(60, 260)
+    val quoter = (800002L, own + " " + quote, "en", "srcTrim",
+      (own.length + 1 + quote.length).toLong)
+    // near-total copy of the canonical doc (first char dropped so
+    // exact dedup does NOT collapse it) — trims to a husk
+    val husk = (800003L, dText.substring(1), "en", "srcTrim2",
+      (dText.length - 1).toLong)
+    val corpus2 = docs.unionByName(
+      Seq(quoter, husk).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Curation.curate(corpus2, bench, capPerSource = 1000,
+      spanTrim = true)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // default output keeps the pre-r9 schema; spanTrim adds the columns
+    assert(!Curation.curate(corpus2, bench).columns.contains("text_final"))
+    assert(out.columns.contains("text_final")
+      && out.columns.contains("masked_chars"))
+    // the quoting doc survives WITH the quote excised
+    val k = byId(800002L)
+    assert(k.getAs[String]("verdict") == "keep", k.toString)
+    val tf = k.getAs[String]("text_final")
+    val masked = k.getAs[Long]("masked_chars")
+    assert(masked > 100L, s"quote barely trimmed: $masked")
+    assert(tf.length == quoter._2.length - masked, "masked_chars conservation")
+    assert(!tf.contains(quote.substring(50, 150)), "quote interior survived")
+    assert(tf.startsWith(own.substring(0, 50)), "own content damaged")
+    // the canonical doc keeps its text byte-intact
+    assert(byId(dId).getAs[Long]("masked_chars") == 0L, "canonical trimmed")
+    if (byId(dId).getAs[String]("verdict") == "keep")
+      assert(byId(dId).getAs[String]("text_final") == dText)
+    // the near-total copy is trimmed to a husk and dropped as dup_spans
+    assert(byId(800003L).getAs[String]("verdict") == "dup_spans",
+      byId(800003L).toString)
+  }
+
   test("curateStream keeps exactly the quality-passing distinct contents (batch parity)") {
     // batch expectation: distinct contents among quality keepers
     val batchKept = graft.operators.TextOps.qualityFilter(corpus)
