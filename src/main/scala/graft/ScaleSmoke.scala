@@ -426,6 +426,83 @@ object ScaleSmoke {
     val tkDiff = tkNative.exceptAll(tkWindow).count()
     require(tkDiff == 0L, s"native top-k diverged from window: $tkDiff rows")
 
+    // IVF-PQ phase (r8 verdict #5): the billion-scale ANN recipe at
+    // volume — 1M vectors / 32 dims / 10k natural clusters. Codebooks
+    // (256 IVF cells + 8x16 PQ) are trained on a 5% sample (the
+    // corpus-scale shape: training cost flat, only assign/encode scan
+    // every row), then the serving pipeline — probe 4 of 256 cells,
+    // ADC shortlist of 200, exact rerank to 10 — is measured for
+    // recall@10 against the brute-force full scan. Clusters are
+    // hash-derived (iid uniform centers, no sinusoid aliasing) with
+    // per-vector noise two orders below inter-center distance.
+    val annN = 1000000L
+    val annClusters = 10000L
+    val annD = 32
+    val annBase = spark.range(annN).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(annD - 1)), j =>
+          ((pmod(xxhash64((col("id") % annClusters) * annD + j), lit(1000L))
+              .cast("double") / 100.0 - 5.0)
+            + (pmod(col("id") * 31L + j * 7L, lit(17L)).cast("double") - 8.0)
+              * 0.002)
+          .cast("float")).as("embedding"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val annIdxRaw = graft.operators.IvfPq.build(annBase, nCells = 256,
+      m = 8, k = 16, trainFraction = 0.05)
+    val annIdx = annIdxRaw.copy(encoded = annIdxRaw.encoded.localCheckpoint())
+    val annBuildSec = (System.nanoTime() - t0) / 1e9
+    def sqDistTo(q: Array[Float]) = aggregate(
+      zip_with(col("embedding").cast("array<double>"),
+        typedLit(q.map(_.toDouble).toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    def bruteTop10(q: Array[Float]): Seq[Long] =
+      annBase.select(col("vec_id"), sqDistTo(q).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+    def annTop10(q: Array[Float]): Seq[Long] = {
+      val shortlist = graft.operators.IvfPq
+        .search(annIdx, q.toSeq, topK = 200, nprobe = 4)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      annBase.filter(col("vec_id").isin(shortlist: _*))
+        .select(col("vec_id"), sqDistTo(q).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val annQueryClusters = (0 until 10).map(q => q * 997L)
+    val annQueryEmb = annBase
+      .filter(col("vec_id").isin(annQueryClusters: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    var annBruteSec = 0.0; var annServeSec = 0.0; var annHits = 0
+    annQueryClusters.foreach { c =>
+      val q = annQueryEmb(c).map(_ + 0.003f)
+      var tq = System.nanoTime()
+      val exact = bruteTop10(q)
+      annBruteSec += (System.nanoTime() - tq) / 1e9
+      tq = System.nanoTime()
+      val approx = annTop10(q)
+      annServeSec += (System.nanoTime() - tq) / 1e9
+      annHits += exact.toSet.intersect(approx.toSet).size
+    }
+    val annRecall = annHits / (10.0 * annQueryClusters.size)
+    require(annRecall >= 0.9,
+      f"IVF-PQ recall@10 $annRecall%.3f below 0.9 at nprobe=4")
+    // probe volume: the 4 probed cells' mass IS the scan (the cell
+    // filter prunes everything else), and it must be a sliver of the
+    // corpus — 4/256 cells with generous imbalance slack is <=10%
+    val annQ0 = annQueryEmb(annQueryClusters.head).map(v => (v + 0.003f).toDouble)
+    val annProbes = annIdx.centroids.zipWithIndex
+      .map { case (cen, i) =>
+        var d = 0.0; var j = 0
+        while (j < cen.length) { val x = annQ0(j) - cen(j); d += x * x; j += 1 }
+        (i, d)
+      }.sortBy { case (i, d) => (d, i) }.take(4).map(_._1).toSeq
+    val annProbedRows = annIdx.encoded
+      .filter(col("cell").isin(annProbes: _*)).count()
+    require(annProbedRows <= annN / 10,
+      s"4 probed cells of 256 must hold <=10% of the corpus: $annProbedRows")
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -457,6 +534,10 @@ object ScaleSmoke {
       f""""nb_sec":$nbSec%.2f,"nb_acc":${nbDiag.toDouble / nbTotal}%.4f,""" +
       f""""topk_native_sec":$tkNativeSec%.2f,""" +
       f""""topk_window_sec":$tkWindowSec%.2f,""" +
+      f""""ivfpq_build_sec":$annBuildSec%.2f,"ivfpq_recall10":$annRecall%.3f,""" +
+      f""""ivfpq_serve_sec_per_q":${annServeSec / annQueryClusters.size}%.3f,""" +
+      f""""ivfpq_brute_sec_per_q":${annBruteSec / annQueryClusters.size}%.3f,""" +
+      f""""ivfpq_probed_rows":$annProbedRows,""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }

@@ -20,13 +20,21 @@ object IvfIndex {
   final case class Index(assignments: DataFrame, centroids: Array[Array[Double]])
 
   /** Train k-means cells and assign every vector (one extra `cell`
-    * column on the input frame). */
-  def build(emb: DataFrame, nCells: Int = 16, maxIter: Int = 10): Index = {
+    * column on the input frame). `trainFraction` < 1 fits the
+    * centroids on a seeded sample but still assigns the full frame —
+    * the corpus-scale shape: centroid quality converges long before
+    * the sample reaches the corpus, so training cost stays flat while
+    * assignment remains the one full scan it has to be. */
+  def build(emb: DataFrame, nCells: Int = 16, maxIter: Int = 10,
+      trainFraction: Double = 1.0): Index = {
     val withVec = emb.withColumn("__features", array_to_vector(col("embedding")))
+    val fitOn =
+      if (trainFraction >= 1.0) withVec
+      else withVec.sample(trainFraction, 42L)
     val model = new KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("cell")
-      .fit(withVec)
+      .fit(fitOn)
     val assigned = model.transform(withVec).drop("__features")
     Index(assigned, model.clusterCenters.map(_.toArray))
   }

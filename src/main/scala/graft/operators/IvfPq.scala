@@ -29,10 +29,13 @@ object IvfPq {
 
   /** Coarse-quantize into `nCells`, then PQ-train and encode the
     * residuals. `emb` needs `embedding` (array<float|double>) and an
-    * id column. */
+    * id column. `trainFraction` < 1 fits BOTH k-means stages (cells
+    * and PQ codebooks) on a seeded sample while still assigning and
+    * encoding the full frame — at corpus scale codebooks are always
+    * trained on a sliver; only assignment/encode touch every row. */
   def build(emb: DataFrame, nCells: Int = 16, m: Int = 8, k: Int = 16,
-      seed: Long = 42L): Index = {
-    val ivf = IvfIndex.build(emb, nCells)
+      seed: Long = 42L, trainFraction: Double = 1.0): Index = {
+    val ivf = IvfIndex.build(emb, nCells, trainFraction = trainFraction)
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = ivf.centroids.zipWithIndex
@@ -43,7 +46,10 @@ object IvfPq {
         zip_with(col("embedding").cast("array<double>"), col("__cent"),
           (a, b) => a - b))
       .drop("__cent")
-    val cb = PqIndex.train(resid, "residual", m, k, seed = seed)
+    val pqTrain =
+      if (trainFraction >= 1.0) resid
+      else resid.sample(trainFraction, seed)
+    val cb = PqIndex.train(pqTrain, "residual", m, k, seed = seed)
     val encoded = PqIndex.encode(resid, cb, "residual").drop("residual")
     Index(encoded, ivf.centroids, cb)
   }
