@@ -486,10 +486,12 @@ object Dedup {
     * stop-capped, which by construction only happens inside corpus-
     * fraction-scale duplicate clusters — exactly the pairs a dedup
     * pipeline resolves via cluster representatives (q93), not via an
-    * O(cluster^2) pair list. */
-  def simhashPairsBanded(shIn: DataFrame, capDen: Int = 20): DataFrame = {
+    * O(cluster^2) pair list. Keys with ≤ capFloor members are always
+    * kept (≤ 2,016 pairs at 64 — harmless on any reducer; without the
+    * floor a corpus smaller than capDen caps every key to zero). */
+  def simhashPairsBanded(shIn: DataFrame, capDen: Int = 20,
+      capFloor: Int = 64): DataFrame = {
     val sh = shIn.select(col("doc_id"), col("simhash16"))
-    val n = sh.count() // single scalar action: corpus size for the cap
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash16"), 4 * b).bitwiseAND(15L)
@@ -499,9 +501,15 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("simhash16"),
         col("bs.band").as("band"), col("bs.bval").as("bval"))
-    val okKeys = bands.groupBy(col("band"), col("bval"))
+    // corpus size in-plan: band rows = n×4 exactly, so the cap
+    // predicate keyn·capDen ≤ n becomes keyn·capDen·4 ≤ Σkeyn off a
+    // 1-row broadcast — no driver count() re-executing the fingerprint
+    val keyCounts = bands.groupBy(col("band"), col("bval"))
       .agg(count(lit(1)).as("keyn"))
-      .filter(col("keyn") * capDen <= n)
+    val total = keyCounts.agg(sum(col("keyn")).as("tot"))
+    val okKeys = keyCounts.crossJoin(broadcast(total))
+      .filter(col("keyn") * capDen * 4 <= col("tot")
+        || col("keyn") <= capFloor)
       .select(col("band"), col("bval"))
     val ok = bands.join(broadcast(okKeys), Seq("band", "bval"))
     ok.as("a").join(ok.as("b"),
@@ -565,6 +573,44 @@ object Dedup {
       shiftrightunsigned(col("simhash64"), 16 * b).bitwiseAND(0xFFFFL)
         .as(s"band$b"))
     withFp.select(col("doc_id") +: col("simhash64") +: bandCols: _*)
+  }
+
+  /** Skew-safe simhash64 near-dup pairs (q64): block on the 4×16-bit
+    * bands, but drop "stop-print" band keys held by more than
+    * 1/capDen of the corpus first — the same cull as
+    * [[simhashPairsBanded]], because 16-bit band VALUES are just as
+    * content-derived as 4-bit ones (measured at sf0.1: the hottest
+    * raw band key held 5.75% of the corpus, and that share is
+    * scale-invariant, so the uncapped join is skew-quadratic at
+    * 100×). `n_shared_bands` counts shared CLEAN bands. Recall: a
+    * hamming ≤ 3 pair always shares ≥ 1 band (pigeonhole over 4);
+    * it is lost only if every such band is stop-capped, which only
+    * happens inside corpus-fraction-scale duplicate clusters —
+    * q93 cluster-representative territory, not pair-list territory.
+    * Keys with ≤ capFloor members are always kept (bounded pairs,
+    * and tiny corpora would otherwise cap to zero candidates). */
+  def simhash64PairsBanded(shIn: DataFrame, capDen: Int = 20,
+      capFloor: Int = 64): DataFrame = {
+    val bands = simhash64Bands(shIn)
+    // corpus size in-plan: band rows = n×4 exactly, so the cap
+    // predicate keyn·capDen ≤ n becomes keyn·capDen·4 ≤ Σkeyn off a
+    // 1-row broadcast — no driver count() re-executing the fingerprint
+    val keyCounts = bands.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("keyn"))
+    val total = keyCounts.agg(sum(col("keyn")).as("tot"))
+    val okKeys = keyCounts.crossJoin(broadcast(total))
+      .filter(col("keyn") * capDen * 4 <= col("tot")
+        || col("keyn") <= capFloor)
+      .select(col("band"), col("bval"))
+    val ok = bands.join(broadcast(okKeys), Seq("band", "bval"))
+    ok.as("a").join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"),
+        min(call_function("hamming_dist",
+          col("a.simhash64"), col("b.simhash64"))).as("hamming"))
+      .filter(col("hamming") <= 8)
   }
 
   /** (doc_id, simhash64, band, bval) exploded band view for blocking. */
@@ -1371,18 +1417,12 @@ object Dedup {
 
     "q64_simhash64_pairs" -> ((s, dir) => {
       // Corpus-scale SimHash near-dup: 64-bit fingerprints blocked on
-      // 4x16-bit bands (multi-table blocking). Candidates = pairs
-      // sharing >= 1 band — a uniform-key self-join, never all-pairs;
-      // the hamming filter runs only on candidates, inside codegen.
-      val b = simhash64Bands(simhash64Fast(docsWithDups(s, dir)))
-      b.as("a").join(b.as("b"),
-          col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
-            && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared_bands"),
-          min(call_function("hamming_dist",
-            col("a.simhash64"), col("b.simhash64"))).as("hamming"))
-        .filter(col("hamming") <= 8)
+      // 4x16-bit bands (multi-table blocking) WITH the stop-print cap
+      // (r9 — band values are content-derived, so raw keys skew; the
+      // cap is mirrored in the oracle). Candidates = pairs sharing
+      // >= 1 clean band — never all-pairs, no key above n/20; the
+      // hamming filter runs only on candidates, inside codegen.
+      simhash64PairsBanded(simhash64Fast(docsWithDups(s, dir)))
         .orderBy(col("doc_a"), col("doc_b"))
     })
   )
@@ -1843,7 +1883,7 @@ object Dedup {
          |  FROM bands d
          |  JOIN keyn k ON d.band = k.band AND d.bval = k.bval
          |  CROSS JOIN total t
-         |  WHERE k.keyn * 20 <= t.n)
+         |  WHERE k.keyn * 20 <= t.n OR k.keyn <= 64)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | MIN(CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT)) AS hamming
          |FROM ok a JOIN ok b
@@ -1881,11 +1921,20 @@ object Dedup {
         s"SELECT doc_id, simhash64, $b AS band, band$b AS bval FROM sh")
         .mkString("\nUNION ALL\n")
       s"""WITH ${simhash64CteSql(s"($dupSql)")},
-         |bands AS ($bandsUnion)
+         |bands AS ($bandsUnion),
+         |keyn AS (SELECT band, bval, COUNT(*) AS keyn
+         |         FROM bands GROUP BY 1, 2),
+         |total AS (SELECT COUNT(*) AS n FROM sh),
+         |ok AS (
+         |  SELECT d.doc_id, d.simhash64, d.band, d.bval
+         |  FROM bands d
+         |  JOIN keyn k ON d.band = k.band AND d.bval = k.bval
+         |  CROSS JOIN total t
+         |  WHERE k.keyn * 20 <= t.n OR k.keyn <= 64)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | COUNT(*) AS n_shared_bands,
          | MIN(CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INT)) AS hamming
-         |FROM bands a JOIN bands b
+         |FROM ok a JOIN ok b
          |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
          |HAVING MIN(bit_count(xor(a.simhash64, b.simhash64))) <= 8

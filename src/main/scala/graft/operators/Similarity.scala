@@ -68,12 +68,37 @@ object Similarity {
   }
 
   /** Band-blocked candidate pairs (vec_a < vec_b), deduped across
-    * bands. The self-join key (band, bv) is uniform over
-    * bands × 2^bits values — no skew, and the join touches only
-    * colliding pairs. */
-  def rhpCandidatePairs(emb: DataFrame, planes: Int = 32, bands: Int = 4): DataFrame = {
+    * bands, with the stop-print cap (r9): band keys whose population
+    * exceeds n/capDen are dropped whole before the self-join. RHP
+    * sign bits are NOT uniform in general — they are content-derived
+    * exactly like simhash bits (the q50 lesson), so clustered or
+    * mean-shifted embedding corpora pile into few band values (a
+    * shared diurnal shape, a dominant topic cluster). On an isotropic
+    * corpus the cap is a no-op (sf0.1 audit: hottest raw key 1.3%);
+    * on a clustered one it bounds every join bucket at (n/capDen)²
+    * pairs instead of letting one hot key go quadratic. A capped pair
+    * is findable only inside corpus-fraction-scale clusters — the
+    * cluster-representative path (q93/q141), not a pair list.
+    * `capFloor`: keys with ≤ capFloor members are always kept — a
+    * 64-member key yields ≤ 2,016 pairs, harmless on any reducer at
+    * any corpus size, and without the floor a tiny corpus
+    * (n < capDen) would cap every key to zero candidates. */
+  def rhpCandidatePairs(emb: DataFrame, planes: Int = 32, bands: Int = 4,
+      capDen: Int = 20, capFloor: Int = 64): DataFrame = {
     val bb = rhpBandBlocks(emb, planes, bands)
-    bb.as("a").join(bb.as("b"),
+    // corpus size in-plan: band rows = n×bands exactly (fixed-size
+    // explode), so keyn·capDen ≤ n ⇔ keyn·capDen·bands ≤ Σkeyn — a
+    // 1-row broadcast instead of a driver count() that would
+    // re-execute the upstream frame
+    val keyCounts = bb.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("keyn"))
+    val total = keyCounts.agg(sum(col("keyn")).as("tot"))
+    val okKeys = keyCounts.crossJoin(broadcast(total))
+      .filter(col("keyn") * capDen * bands <= col("tot")
+        || col("keyn") <= capFloor)
+      .select(col("band"), col("bv"))
+    val ok = bb.join(broadcast(okKeys), Seq("band", "bv"))
+    ok.as("a").join(ok.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -189,7 +214,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_users"), min(col("user_id")).as("sample_user"))
   }
 
-  private def behaviorSeries(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def behaviorSeries(s: SparkSession, dir: String): DataFrame = {
     val hours = graft.GraftSession.eventsTable(s, dir)
       .withColumn("h", hour(col("ts")))
       .groupBy(col("user_id"), col("h"))
@@ -278,9 +303,11 @@ object Similarity {
       // Time-series similarity search over user behavior (the EDBT'19
       // streaming-similarity shape, Spark-first): each user's
       // mean-centered hourly activity profile is a vector, candidate
-      // pairs come from the SAME 4x8-bit RHP band blocking as q53 —
-      // never a quadratic user-user self-join — and only colliding
-      // pairs are scored by the codegen'd cosine.
+      // pairs come from the SAME stop-capped 4x8-bit RHP band blocking
+      // as q53 — never a quadratic user-user self-join, and behavior
+      // profiles share diurnal shape, which is exactly the correlated-
+      // sign-bit skew the cap bounds — and only colliding pairs are
+      // scored by the codegen'd cosine.
       val series = behaviorSeries(s, dir)
       rhpCandidatePairs(series)
         .join(series.select(col("vec_id").as("vec_a"),
@@ -308,12 +335,11 @@ object Similarity {
     "q53_embedding_near_dup" -> ((s, dir) => {
       // Embedding-cosine near-duplicate pairs, LSH-band-blocked:
       // candidates come from 4×8-bit bands of a 32-plane RHP sketch
-      // (NOT from a low-cardinality attribute key), then only the
-      // colliding pairs are scored by the native codegen'd cosine.
-      // Candidate volume is ~n²/64 with a uniform join key, so the
-      // sweep survives a 100× corpus; an attribute-blocked self-join
-      // (e.g. on the 10-value label) would be near-quadratic and
-      // skewed. Threshold 0.3 because this synthetic corpus is
+      // (NOT from a low-cardinality attribute key), stop-capped at
+      // n/20 per key (r9 — sign bits are content-derived, so a
+      // clustered corpus skews them; cap mirrored in the oracle),
+      // then only the colliding pairs are scored by the native
+      // codegen'd cosine. Threshold 0.3 because this synthetic corpus is
       // isotropic (pair cosines top out ~0.5); a real near-dup sweep
       // sits at ~0.95, where band recall is ~0.9.
       val emb = table(s, dir, "embeddings")
@@ -569,9 +595,18 @@ object Similarity {
         |bands AS (
         |  SELECT vec_id, bb.band, (bucket >> (8 * bb.band)) & 255 AS bv
         |  FROM sk, (SELECT UNNEST(generate_series(0,3)) AS band) bb),
+        |keyn AS (SELECT band, bv, COUNT(*) AS keyn
+        |         FROM bands GROUP BY 1, 2),
+        |total AS (SELECT COUNT(*) AS n FROM sk),
+        |ok AS (
+        |  SELECT d.vec_id, d.band, d.bv
+        |  FROM bands d
+        |  JOIN keyn k ON d.band = k.band AND d.bv = k.bv
+        |  CROSS JOIN total t
+        |  WHERE k.keyn * 20 <= t.n OR k.keyn <= 64),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM bands a JOIN bands b
+        |  FROM ok a JOIN ok b
         |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
         |p AS (
         |  SELECT c.vec_a, c.vec_b,
@@ -628,9 +663,18 @@ object Similarity {
         |bands AS (
         |  SELECT vec_id, bb.band, (bucket >> (8 * bb.band)) & 255 AS bv
         |  FROM sk, (SELECT UNNEST(generate_series(0,3)) AS band) bb),
+        |keyn AS (SELECT band, bv, COUNT(*) AS keyn
+        |         FROM bands GROUP BY 1, 2),
+        |total AS (SELECT COUNT(*) AS n FROM sk),
+        |ok AS (
+        |  SELECT d.vec_id, d.band, d.bv
+        |  FROM bands d
+        |  JOIN keyn k ON d.band = k.band AND d.bv = k.bv
+        |  CROSS JOIN total t
+        |  WHERE k.keyn * 20 <= t.n OR k.keyn <= 64),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM bands a JOIN bands b
+        |  FROM ok a JOIN ok b
         |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
         |p AS (
         |  SELECT c.vec_a, c.vec_b,

@@ -54,6 +54,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cands >= 32, s"recall too low: $cands/40 planted pairs collided")
   }
 
+  test("rhp stop-cap: a dominant cluster's band keys are culled, rare twins survive") {
+    import spark.implicits._
+    // RHP sign bits are content-derived: 300 near-identical vectors
+    // (a dominant topic cluster / shared diurnal shape) land all four
+    // of their band keys above the n/20 cap, so the cluster's ~45k
+    // internal pairs must NOT be emitted; isolated random twins keep
+    // their low-population keys and still collide.
+    val rnd = new scala.util.Random(7)
+    val hot = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val clones = (0 until 300).map(i =>
+      (5000 + i, hot.map(x => x + (rnd.nextDouble() * 0.002 - 0.001).toFloat)))
+    val bases = (0 until 100).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val twins = bases.take(20).map { case (i, v) =>
+      (1000 + i, v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat))
+    }
+    val emb = (clones ++ bases ++ twins).toDF("vec_id", "embedding")
+    val pairs = Similarity.rhpCandidatePairs(emb)
+    val clonePairs = pairs
+      .filter(col("vec_a") >= 5000 && col("vec_b") >= 5000).count()
+    assert(clonePairs == 0,
+      s"stop-cap failed: $clonePairs hot-cluster pairs emitted")
+    val twinHits = pairs
+      .filter(col("vec_b") === col("vec_a") + 1000 && col("vec_a") < 20)
+      .count()
+    assert(twinHits >= 16, s"rare twins lost to the cap: $twinHits/20")
+  }
+
   test("sax motifs: flat series symbolizes to all-b, a front burst to d-then-b") {
     import spark.implicits._
     def at(day: Int, i: Int) = new java.sql.Timestamp(
