@@ -87,15 +87,19 @@ object Bench {
     // was caught by the judge, not the tooling. Prior source: the
     // repo-committed bench_full_latest.json (or SPARK_GRAFT_BENCH_PRIOR),
     // read BEFORE this run overwrites it. Only meaningful when both
-    // runs measured the same sf; the artifact records the prior sf so
-    // a cross-sf comparison is visibly invalid rather than silent.
+    // runs measured the same sf; the artifact records prior_sf and a
+    // stderr notice fires when it mismatches, so a cross-sf comparison
+    // is visibly inert rather than silent.
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
       "bench_full_latest.json")
     val (priorSf, priorTimes): (String, Map[String, Double]) =
       try {
         val txt = scala.io.Source.fromFile(priorPath, "UTF-8").mkString
         val sfRe = "\"sf\":\"([^\"]*)\"".r
-        val qRe = "\"(q[0-9][^\"]*)\":(-?[0-9.]+)".r
+        // accept E-notation: qsFull writes raw Double.toString, so a
+        // sub-millisecond prior lands as 9.0E-4 — a digits-only regex
+        // would mis-read it as 9.0 and silently disarm the gate
+        val qRe = "\"(q[0-9][^\"]*)\":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)".r
         (sfRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
           qRe.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap)
@@ -108,6 +112,10 @@ object Bench {
         case _ => None
       }
     }
+    if (priorTimes.nonEmpty && priorSf != sfDir)
+      System.err.println(s"bench: regression gate INERT — prior artifact " +
+        s"measured sf '$priorSf', this run is '$sfDir' (see prior_sf in " +
+        "the artifact)")
     if (regressions.nonEmpty)
       System.err.println(s"bench: ${regressions.size} quer" +
         s"${if (regressions.size == 1) "y" else "ies"} regressed >2x " +
@@ -115,7 +123,7 @@ object Bench {
         regressions.mkString(" "))
     val regJson = regressions.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$failed,"errors":$errJson,"regressions":$regJson,"queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","prior_sf":"$priorSf","failed":$failed,"errors":$errJson,"regressions":$regJson,"queries":$qs,"value":$total}"""
     // cwd-relative default (sbt runs from the repo root); override with
     // SPARK_GRAFT_BENCH_OUT. A failed write is REPORTED, not swallowed —
     // the printed stdout line is still the primary artifact either way.
@@ -124,7 +132,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(
-        s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$failed,"errors":$errJson,"regressions":$regJson,"queries":$qsFull,"value":$total}""")
+        s"""{"metric":"total","unit":"sec","sf":"$sfDir","prior_sf":"$priorSf","failed":$failed,"errors":$errJson,"regressions":$regJson,"queries":$qsFull,"value":$total}""")
       finally w.close()
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not write $fullPath: $e")

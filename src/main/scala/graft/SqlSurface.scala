@@ -37,7 +37,8 @@ object SqlSurface {
 
   private def int(e: Expression, what: String): Int = e match {
     case Literal(i: Int, IntegerType) => i
-    case Literal(l: Long, LongType) => l.toInt
+    case Literal(l: Long, LongType) =>
+      require(l.isValidInt, s"$what out of Int range: $l"); l.toInt
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got: $other")
   }

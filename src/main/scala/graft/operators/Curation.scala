@@ -99,7 +99,11 @@ object Curation {
     val trimInfo = if (!spanTrim) None else Some(ckpt(
       Dedup.trimDupSpans(exactOk, spanTrimWin)
         .select(col("doc_id"), col("text_trimmed"), col("masked_chars"),
-          (length(col("text_trimmed")) < spanTrimWin).as("husk"))))
+          // husk = REDUCED below one window BY TRIMMING — a doc that
+          // was short to begin with (masked_chars = 0) is not a dup
+          // husk and must continue through the late stages untouched
+          (col("masked_chars") > 0 &&
+            length(col("text_trimmed")) < spanTrimWin).as("husk"))))
     val lateInput = trimInfo match {
       case None => exactOk
       case Some(t) => exactOk.drop("text")

@@ -496,11 +496,15 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash16"), 4 * b).bitwiseAND(15L)
           .as("bval")))
-    val bands = sh
+    // ckpt: the fingerprint aggregation (tokenize → explode →
+    // simhash_agg over the whole corpus) feeds three consumers —
+    // keyCounts, and both sides of the pair self-join; without the
+    // checkpoint it re-runs per branch (the Curation.curate rule)
+    val bands = ckpt(sh
       .select(col("doc_id"), col("simhash16"),
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("simhash16"),
-        col("bs.band").as("band"), col("bs.bval").as("bval"))
+        col("bs.band").as("band"), col("bs.bval").as("bval")))
     // corpus size in-plan: band rows = n×4 exactly, so the cap
     // predicate keyn·capDen ≤ n becomes keyn·capDen·4 ≤ Σkeyn off a
     // 1-row broadcast — no driver count() re-executing the fingerprint
@@ -591,7 +595,7 @@ object Dedup {
     * and tiny corpora would otherwise cap to zero candidates). */
   def simhash64PairsBanded(shIn: DataFrame, capDen: Int = 20,
       capFloor: Int = 64): DataFrame = {
-    val bands = simhash64Bands(shIn)
+    val bands = ckpt(simhash64Bands(shIn)) // one fingerprint pass for 3 consumers
     // corpus size in-plan: band rows = n×4 exactly, so the cap
     // predicate keyn·capDen ≤ n becomes keyn·capDen·4 ≤ Σkeyn off a
     // 1-row broadcast — no driver count() re-executing the fingerprint

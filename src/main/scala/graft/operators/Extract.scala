@@ -32,16 +32,20 @@ object Extract {
     * entities decoded, whitespace collapsed, trimmed. */
   def extractText(html: Column): Column = {
     val noScript = regexp_replace(html,
-      "(?s)<script[^>]*>.*?</script>", " ")
+      "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript,
-      "(?s)<style[^>]*>.*?</style>", " ")
+      "(?is)<style[^>]*>.*?</style>", " ")
+    // All four patterns are case-insensitive ((?i)): real HTML closes
+    // with </SCRIPT>/</Style> often enough that a case-sensitive
+    // closed-pair miss would hand the whole tail to the unclosed-block
+    // fallback below and destroy valid content.
     // Truncated-record fallback (advisor, r9): a crawl record cut
     // mid-block leaves an UNTERMINATED <script>/<style>; the closed-
     // pair patterns above then strip only the opening tag and the
     // whole JS/CSS payload leaks into the text. Drop any unclosed
     // block to end-of-record — exactly the q166 truncation shape.
-    val noOpenScript = regexp_replace(noStyle, "(?s)<script[^>]*>.*$", " ")
-    val noOpenStyle = regexp_replace(noOpenScript, "(?s)<style[^>]*>.*$", " ")
+    val noOpenScript = regexp_replace(noStyle, "(?is)<script[^>]*>.*$", " ")
+    val noOpenStyle = regexp_replace(noOpenScript, "(?is)<style[^>]*>.*$", " ")
     val noTags = regexp_replace(noOpenStyle, "<[^>]+>", " ")
     // entities: specific codes first, ampersand LAST
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -180,10 +184,10 @@ object Extract {
         |                      regexp_replace(
         |                        regexp_replace(
         |                          regexp_replace(html,
-        |                            '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |                          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-        |                        '(?s)<script[^>]*>.*$', ' ', 'g'),
-        |                      '(?s)<style[^>]*>.*$', ' ', 'g'),
+        |                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |                        '(?is)<script[^>]*>.*$', ' ', 'g'),
+        |                      '(?is)<style[^>]*>.*$', ' ', 'g'),
         |                    '<[^>]+>', ' ', 'g'),
         |                  '&lt;', '<', 'g'),
         |                '&gt;', '>', 'g'),

@@ -154,15 +154,28 @@ object Multimodal {
                   if (scale > 0) dur * 1000L / scale else 0L
                 }
               }.getOrElse(0L)
-            val (w, h) = findMp4Box(payload, ms, me, List("trak", "tkhd"))
-              .map { case (cs, _) =>
-                val v = payload(cs) & 0xff
-                val base = if (v == 1) cs + 88 else cs + 76
-                ((be32(payload, base) >> 16).toInt,
-                  (be32(payload, base + 4) >> 16).toInt)
-              }.getOrElse((0, 0))
-            val nFrames = findMp4Box(payload, ms, me,
-              List("trak", "mdia", "minf", "stbl", "stsz"))
+            // Pick the VIDEO trak, not the first trak: common muxer
+            // output orders [audio, video], and the audio tkhd has
+            // 0×0 dims while its stsz holds the audio SAMPLE count —
+            // first-trak reads would report (0, 0, ~86k) for a 2 s
+            // clip. A trak with nonzero tkhd dims is the video track;
+            // dims and frame count must come from the SAME trak.
+            val traks = mp4Boxes(payload, ms, me)
+              .collect { case ("trak", cs, ce) => (cs, ce) }.toList
+            def tkhdDims(tr: (Int, Int)): (Int, Int) =
+              findMp4Box(payload, tr._1, tr._2, List("tkhd"))
+                .map { case (cs, _) =>
+                  val v = payload(cs) & 0xff
+                  val base = if (v == 1) cs + 88 else cs + 76
+                  ((be32(payload, base) >> 16).toInt,
+                    (be32(payload, base + 4) >> 16).toInt)
+                }.getOrElse((0, 0))
+            val trak = traks.find { t =>
+              val (tw, th) = tkhdDims(t); tw > 0 && th > 0
+            }.orElse(traks.headOption)
+            val (w, h) = trak.map(tkhdDims).getOrElse((0, 0))
+            val nFrames = trak.flatMap(t => findMp4Box(payload, t._1,
+              t._2, List("mdia", "minf", "stbl", "stsz")))
               .map { case (cs, _) => be32(payload, cs + 8).toInt }
               .getOrElse(0)
             (w, h, nFrames, durationMs, brand)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.GraftSession.{eventsTable, table}
+import graft.GraftSession.{ckpt, eventsTable, table}
 
 /** Pack C (similarity) — ANN over the embeddings table
   * (SURVEY.md §2.C6-C7).
@@ -85,7 +85,10 @@ object Similarity {
     * (n < capDen) would cap every key to zero candidates. */
   def rhpCandidatePairs(emb: DataFrame, planes: Int = 32, bands: Int = 4,
       capDen: Int = 20, capFloor: Int = 64): DataFrame = {
-    val bb = rhpBandBlocks(emb, planes, bands)
+    // ckpt: the RHP sketch (scan-side plane folds, or a whole
+    // aggregation pipeline when emb is computed — q92) feeds three
+    // consumers: keyCounts and both sides of the pair self-join
+    val bb = ckpt(rhpBandBlocks(emb, planes, bands))
     // corpus size in-plan: band rows = n×bands exactly (fixed-size
     // explode), so keyn·capDen ≤ n ⇔ keyn·capDen·bands ≤ Σkeyn — a
     // 1-row broadcast instead of a driver count() that would

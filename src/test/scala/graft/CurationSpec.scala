@@ -130,6 +130,19 @@ class CurationSpec extends AnyFunSuite {
     // the near-total copy is trimmed to a husk and dropped as dup_spans
     assert(byId(800003L).getAs[String]("verdict") == "dup_spans",
       byId(800003L).toString)
+    // a short doc that was NEVER trimmed is not a husk (r9 review
+    // fix): with spanTrimWin above its length it must keep flowing —
+    // husk requires masked_chars > 0, not just "shorter than win"
+    val shortOwn = (0 until 30).map(i => s"b$i").mkString(" ") // ~100 ch
+    val corpus3 = docs.unionByName(Seq(
+      (800004L, shortOwn, "en", "srcTrim3", shortOwn.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out3 = Curation.curate(corpus3, bench, capPerSource = 1000,
+      spanTrim = true, spanTrimWin = 120)
+    val shortRow = out3.filter(col("doc_id") === 800004L).collect()(0)
+    assert(shortRow.getAs[String]("verdict") == "keep",
+      s"untrimmed short doc mislabeled: $shortRow")
+    assert(shortRow.getAs[Long]("masked_chars") == 0L)
   }
 
   test("curateStream keeps exactly the quality-passing distinct contents (batch parity)") {

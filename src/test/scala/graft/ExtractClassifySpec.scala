@@ -37,6 +37,12 @@ class ExtractClassifySpec extends AnyFunSuite {
     // and the closed-block path is unaffected
     assert(extract("<script>a()</script><p>ok</p><script>drop to end")
       == "ok")
+    // case-variant closers must match the CLOSED-pair rule — a
+    // case-sensitive miss would hand the tail to the unclosed-block
+    // fallback and wipe the article after the script (r9 review fix)
+    assert(extract("<p>intro</p><script>x()</SCRIPT><p>article body</p>")
+      == "intro article body")
+    assert(extract("<p>a</p><STYLE>.x{}</Style><p>b</p>") == "a b")
   }
 
   test("extract: entities decode, &amp; LAST (no double decode)") {

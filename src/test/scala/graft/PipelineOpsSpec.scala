@@ -153,11 +153,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     val mp4 = Array.concat(
       box("ftyp", Array.concat("isom".getBytes("ISO-8859-1"), be(0))),
       box("moov", Array.concat(mvhd, trak)))
+    // audio-FIRST variant (common muxer order): an audio trak with
+    // 0×0 tkhd dims and an 86,016-sample stsz ahead of the video trak
+    // — the decoder must skip to the trak with nonzero dims instead of
+    // reporting (0, 0, 86016)
+    val audioTkhd = box("tkhd", Array.concat(
+      new Array[Byte](76), be(0), be(0)))
+    val audioStsz = box("stsz", Array.concat(
+      new Array[Byte](4), be(0), be(86016)))
+    val audioTrak = box("trak", Array.concat(audioTkhd,
+      box("mdia", box("minf", box("stbl", audioStsz)))))
+    val mp4AudioFirst = Array.concat(
+      box("ftyp", Array.concat("isom".getBytes("ISO-8859-1"), be(0))),
+      box("moov", Array.concat(mvhd, audioTrak, trak)))
 
     val media = Seq(
       (1L, "audio", wav(8000f, 1600)),
       (2L, "video", mp4),
-      (3L, "audio", "not audio at all".getBytes("UTF-8"))) // stub path
+      (3L, "audio", "not audio at all".getBytes("UTF-8")), // stub path
+      (4L, "video", mp4AudioFirst))
       .toDF("doc_id", "media_type", "payload").repartition(2)
     val rows = Multimodal.decodeBatch(media).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -175,6 +189,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     // undecodable audio falls back to the deterministic stub
     assert(rows(3L).getAs[String]("codec") == "stub", rows(3L).toString)
     assert(rows(3L).getAs[Int]("n_frames") >= 1)
+    // audio-first MP4: dims and frame count come from the VIDEO trak
+    val af = rows(4L)
+    assert(af.getAs[Int]("width") == 640 && af.getAs[Int]("height") == 360,
+      af.toString)
+    assert(af.getAs[Int]("n_frames") == 48, af.toString)
   }
 
   test("malformed image payloads fall back instead of failing the job (NonFatal contract)") {
