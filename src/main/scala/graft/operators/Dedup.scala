@@ -771,8 +771,15 @@ object Dedup {
     * Containment is computed over the culled-window universe,
     * consistently for numerator and denominators. */
   def containmentPairs(corpus: DataFrame, win: Int = 50,
+      maxDocFreq: Int = 50, minContain: Double = 0.5): DataFrame =
+    containmentPairsFromWindows(anchoredWindows(corpus, win),
+      maxDocFreq, minContain)
+
+  /** [[containmentPairs]] over a pre-computed per-doc-distinct
+    * (doc_id, h) window frame (e.g. [[anchoredWindows]], or
+    * [[windowHits]]`.select(doc_id, h).distinct()`). */
+  def containmentPairsFromWindows(aw: DataFrame,
       maxDocFreq: Int = 50, minContain: Double = 0.5): DataFrame = {
-    val aw = anchoredWindows(corpus, win)
     val keep = aw.groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") <= maxDocFreq).select(col("h"))
     val awk = aw.join(keep, Seq("h"), "left_semi")
@@ -803,12 +810,25 @@ object Dedup {
     * uniform-key groupBy for the dup set, one left-semi back), then
     * per-DOC windows only — partitioned on doc_id, each partition
     * ≤ len/16 rows, never corpus-global ordering. */
-  def dupSpans(corpus: DataFrame, win: Int = 50): DataFrame = {
-    val hits = corpus.filter(length(col("text")) >= win)
+  def dupSpans(corpus: DataFrame, win: Int = 50): DataFrame =
+    dupSpansFromHits(corpus, windowHits(corpus, win), win)
+
+  /** Position-carrying anchored-window stream (doc_id, pos, h) — the
+    * shared input of [[dupSpansFromHits]] and (via doc-distinct h)
+    * [[containmentPairsFromWindows]]: `cdc_window_hits` rolls the SAME
+    * two polynomial hashes as `cdc_window_hashes` and packs them
+    * identically, so one pass serves both the span and containment
+    * faces (q143 ckpts it once instead of rolling the corpus twice). */
+  def windowHits(corpus: DataFrame, win: Int = 50): DataFrame =
+    corpus.filter(length(col("text")) >= win)
       .select(col("doc_id"),
         explode(call_function("cdc_window_hits", col("text"), lit(win)))
           .as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  /** [[dupSpans]] over a pre-computed [[windowHits]] frame. */
+  def dupSpansFromHits(corpus: DataFrame, hits: DataFrame,
+      win: Int = 50): DataFrame = {
     val dup = hits.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
@@ -1122,13 +1142,19 @@ object Dedup {
           lit("drop").as("action"))
       val cdc = cdcCorpus(s, dir)
       val cdcN = cdc.agg(count(lit(1)).as("n_universe"))
-      val span = dupSpans(cdc)
+      // ONE rolling-hash pass over the CDC corpus feeds both the span
+      // and containment rungs (cdc_window_hits packs the identical
+      // hash cdc_window_hashes would; r9 — previously each rung
+      // re-rolled the full corpus)
+      val hits = ckpt(windowHits(cdc))
+      val span = dupSpansFromHits(cdc, hits)
         .agg(sum(when(col("masked_chars") > 0, 1L).otherwise(0L))
           .as("n_affected"))
         .crossJoin(cdcN)
         .select(lit("dup_span").as("method"), col("n_universe"),
           col("n_affected"), lit("trim").as("action"))
-      val cpairs = ckpt(containmentPairs(cdc)
+      val cpairs = ckpt(containmentPairsFromWindows(
+          hits.select(col("doc_id"), col("h")).distinct())
         .select(col("doc_a"), col("doc_b")))
       val cont = cpairs.select(col("doc_a").as("doc_id"))
         .union(cpairs.select(col("doc_b").as("doc_id"))).distinct()
