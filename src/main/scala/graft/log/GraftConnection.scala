@@ -12,10 +12,19 @@ import scala.collection.concurrent.TrieMap
 final class GraftConnection(val spark: SparkSession, val root: String) {
   private val topics = TrieMap.empty[String, TopicLog]
 
-  /** prepareTopic: idempotent create-or-get (connection.js:42-55). */
-  def prepareTopic(name: String, numPartitions: Int = 8): TopicLog =
-    topics.getOrElseUpdate(name,
+  /** prepareTopic: idempotent create-or-get (connection.js:42-55).
+    * A cache hit with a DIFFERENT partition count is refused — every
+    * offset/idempotence computation keys off numPartitions, so
+    * silently returning the old topic would corrupt the caller's
+    * routing assumptions. */
+  def prepareTopic(name: String, numPartitions: Int = 8): TopicLog = {
+    val t = topics.getOrElseUpdate(name,
       TopicLog.prepare(spark, s"$root/$name", numPartitions))
+    require(t.numPartitions == numPartitions,
+      s"topic '$name' already prepared with ${t.numPartitions} " +
+        s"partitions; asked for $numPartitions")
+    t
+  }
 
   /** The reference's close() drops the db handle; here topics are
     * just paths — clear the cache. */

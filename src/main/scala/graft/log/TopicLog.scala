@@ -96,7 +96,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   recover()
-  new java.io.File(logDir).mkdirs() // prepareTopic creates the topic infra
+  fs.mkdirs(new Path(logDir)) // prepareTopic creates the topic infra (works for hdfs://, file://, plain paths alike)
 
   // ---------------------------------------------------------------- heads
 
@@ -106,7 +106,14 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * full scan and persisted. Heads survive retention: a fully-trimmed
     * partition keeps its head so offsets stay monotonic forever (Kafka's
     * log-end-offset semantics). */
-  def heads(): Map[Int, Long] = readSidecar().getOrElse {
+  def heads(): Map[Int, Long] = readSidecar().getOrElse(scanHeads())
+
+  /** [[heads]] + sidecar persist — called ONLY under the publish lock:
+    * a lock-free reader must never write the sidecar (its delete+
+    * rename could race a publisher's replace and resurrect stale heads
+    * → duplicate offsets). Readers pay the one-time scan until a
+    * locked operation materializes the sidecar. */
+  private def headsPersist(): Map[Int, Long] = readSidecar().getOrElse {
     val scanned = scanHeads()
     writeSidecar(scanned)
     scanned
@@ -126,7 +133,14 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     fs.delete(target, false)
-    fs.rename(tmp, target)
+    if (!fs.rename(tmp, target)) {
+      // a concurrent replace recreated target between delete and
+      // rename (HDFS rename returns false instead of overwriting) —
+      // retry once, then fail loudly rather than leave a stale sidecar
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"sidecar replace failed: $target")
+    }
   }
 
   private def readKv(p: Path): Option[Map[Int, Long]] =
@@ -248,7 +262,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   private def startLeaseRenewal(): LeaseRenewer = new LeaseRenewer
 
   private def publishLocked(records: DataFrame): Map[Int, TopicLog.OffsetRange] = {
-    val base = heads()
+    val base = headsPersist()
     val baseDf = spark.createDataFrame(
       java.util.Arrays.asList(
         (0 until numPartitions).map(p =>
@@ -422,19 +436,24 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       dropTombstones: Boolean = false): Unit =
     withPublishLock {
       pruneTxnMarkersLocked()
-      if (dropTombstones) heads() // pin heads before rows can vanish
+      if (dropTombstones) headsPersist() // pin heads before rows can vanish
       val affected = partitions.distinct.filter(p =>
         fs.exists(new Path(s"$logDir/log_part=$p")))
       if (affected.nonEmpty) {
         val w = Window.partitionBy(col("log_part"), col("key"))
           .orderBy(col("offset").desc)
-        val latest = read()
-          .filter(col("log_part").isin(affected: _*))
+        val src = read().filter(col("log_part").isin(affected: _*))
+        val latest = src.filter(col("key").isNotNull)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
-        val compacted =
+        val keptKeyed =
           if (dropTombstones) latest.filter(col("message").isNotNull)
           else latest
+        // null-key records are NOT compacted: with no key there is no
+        // "latest per key", and grouping all nulls as one key would
+        // silently keep a single record per partition (Kafka rejects
+        // null keys on compacted topics for the same reason)
+        val compacted = keptKeyed.unionByName(src.filter(col("key").isNull))
         swapLogSubdirs(compacted, affected.map(p => s"log_part=$p"))
       }
     }
@@ -447,7 +466,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * stay monotonic even if a partition empties. */
   def retainAfter(minTs: java.sql.Timestamp): Unit = withPublishLock {
     pruneTxnMarkersLocked()
-    heads() // materialize the sidecar before trimming (fallback = scan)
+    headsPersist() // materialize the sidecar before trimming (fallback = scan)
     // log_date was written via to_date(ts), which resolves in the SESSION
     // timezone — derive the whole-day cutoff in the same zone, or the
     // directory drops would misalign with the ts >= minTs predicate.
@@ -481,7 +500,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * Heads (sidecar) are unchanged. */
   def retainFrom(minOffsets: Map[Int, Long]): Unit = withPublishLock {
     pruneTxnMarkersLocked()
-    heads() // materialize the sidecar before trimming
+    headsPersist() // materialize the sidecar before trimming
     val affected = minOffsets.keys.toSeq.distinct.filter(p =>
       fs.exists(new Path(s"$logDir/log_part=$p")))
     if (affected.nonEmpty) {
@@ -500,7 +519,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * offsets/heads are stable (sidecar untouched). */
   def retainToSize(maxBytes: Long): Unit = withPublishLock {
     pruneTxnMarkersLocked()
-    heads() // materialize the sidecar before trimming
+    headsPersist() // materialize the sidecar before trimming
     case class DataFile(p: Path, date: String, mtime: Long, size: Long)
     val files = listSubdirs(logDir, "log_part=").flatMap { partDir =>
       listSubdirs(partDir.toString, "log_date=").flatMap { dateDir =>
@@ -563,11 +582,11 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     while (!acquired) {
       if (tryCreateLock()) acquired = true
       else {
-        val age =
-          try System.currentTimeMillis() -
-            fs.getFileStatus(lockPath).getModificationTime
+        val mod =
+          try fs.getFileStatus(lockPath).getModificationTime
           catch { case _: java.io.IOException => -1L } // just released
-        if (age > publishLeaseMs) breakStaleLock()
+        if (mod >= 0 && System.currentTimeMillis() - mod > publishLeaseMs)
+          breakStaleLock(mod)
         else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"timed out after ${waitMs}ms waiting for publish lock on $path")
@@ -581,9 +600,17 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   /** A stale lock means a publisher died somewhere between append and
     * sidecar write: reconcile, THEN free the lock (reconcile-first keeps
     * the invariant that a lock-free topic has a trustworthy sidecar). */
-  private def breakStaleLock(): Unit = {
+  private def breakStaleLock(observedMod: Long): Unit = {
     reconcileHeads()
-    fs.delete(lockPath, false)
+    // compare-and-delete: only break the lock OBSERVED as stale. The
+    // reconcile scan above takes seconds — if another waiter already
+    // broke this lock and a live publisher re-acquired it meanwhile,
+    // the new lock's modtime differs and deleting it would yield two
+    // concurrent holders assigning duplicate offsets (TOCTOU).
+    try {
+      if (fs.getFileStatus(lockPath).getModificationTime == observedMod)
+        fs.delete(lockPath, false)
+    } catch { case _: java.io.IOException => () } // already released
   }
 
   /** Heal the sidecar against the log itself: elementwise max of the
@@ -621,7 +648,11 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     subdirs.foreach { rel =>
       val live = new Path(s"$logDir/$rel")
       val stag = new Path(s"$tmp/$rel")
-      val old = new Path(s"$logDir/$rel.old")
+      // "_old." PREFIX, not ".old" suffix: these dirs sit inside the
+      // partition-discovery tree, and Spark ignores underscore-prefixed
+      // names — a lock-free concurrent read() planned mid-swap must not
+      // see "log_part=5.old" (unparseable partition value / double read)
+      val old = new Path(live.getParent, "_old." + live.getName)
       fs.delete(old, true)
       if (fs.exists(live)) fs.rename(live, old)
       if (fs.exists(stag)) { fs.mkdirs(live.getParent); fs.rename(stag, live) }
@@ -640,7 +671,11 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       if (!fs.exists(dir)) return
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
-        if (n.endsWith(".old")) {
+        if (n.startsWith("_old.")) {
+          val live = new Path(dir, n.stripPrefix("_old."))
+          if (!fs.exists(live)) fs.rename(st.getPath, live)
+          else fs.delete(st.getPath, true)
+        } else if (n.endsWith(".old")) { // legacy suffix (pre-r9 logs)
           val live = new Path(dir, n.stripSuffix(".old"))
           if (!fs.exists(live)) fs.rename(st.getPath, live)
           else fs.delete(st.getPath, true)
@@ -654,10 +689,13 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     // append and sidecar write; reconcile so heads() never re-issues
     // offsets. A FRESH lock is a live publisher in another process —
     // leave it alone (it will complete its own sidecar update).
-    if (fs.exists(lockPath) &&
-      System.currentTimeMillis() -
-        fs.getFileStatus(lockPath).getModificationTime > publishLeaseMs)
-      breakStaleLock()
+    val lockMod =
+      try { if (fs.exists(lockPath))
+        fs.getFileStatus(lockPath).getModificationTime else -1L }
+      catch { case _: java.io.IOException => -1L }
+    if (lockMod >= 0 &&
+      System.currentTimeMillis() - lockMod > publishLeaseMs)
+      breakStaleLock(lockMod)
   }
 }
 

@@ -228,22 +228,26 @@ case class AsofJoinExec(
   */
 object BroadcastAsofJoinExec {
   private type Index = java.util.HashMap[AnyRef, (Array[Long], Array[InternalRow])]
-  // Keyed by broadcast id — each task deserializes its own Broadcast
-  // WRAPPER, so object identity never repeats but the id does. Small
-  // LRU bound: an entry outliving its broadcast costs one dim index;
-  // read-only after construction so concurrent tasks share it safely.
+  // Keyed by (application id, broadcast id) — each task deserializes
+  // its own Broadcast WRAPPER, so object identity never repeats but
+  // the id does; and broadcast ids RESTART with a new SparkContext in
+  // the same JVM, so id alone could serve a stale index from a
+  // previous context (wrong join results). Small LRU bound: an entry
+  // outliving its broadcast costs one dim index; read-only after
+  // construction so concurrent tasks share it safely.
   private val indexCache =
-    new java.util.LinkedHashMap[Long, Index](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Index](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, Index]): Boolean = size() > 8
+          e: java.util.Map.Entry[String, Index]): Boolean = size() > 8
     }
 
   private[plans] def indexFor(
       bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]])(
       build: => Index): Index = indexCache.synchronized {
-    val cached = indexCache.get(bc.id)
+    val key = s"${org.apache.spark.SparkEnv.get.conf.getAppId}:${bc.id}"
+    val cached = indexCache.get(key)
     if (cached != null) cached
-    else { val idx = build; indexCache.put(bc.id, idx); idx }
+    else { val idx = build; indexCache.put(key, idx); idx }
   }
 }
 

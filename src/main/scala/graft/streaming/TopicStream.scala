@@ -58,7 +58,14 @@ final class Subscription private[streaming] (
     * replay under the same name continues after them. */
   def unsubscribe(): Unit = {
     if (query.isActive) query.stop()
-    query.awaitTermination()
+    // a dead query's awaitTermination RETHROWS its failure — but
+    // unsubscribe of an already-failed subscription must stay a clean
+    // teardown (the error already surfaced via onTerminated or the
+    // caller's own awaitTermination)
+    try query.awaitTermination()
+    catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+    }
   }
 }
 
@@ -268,7 +275,10 @@ object TopicStream {
     * subscriber sidecar, so interleaved [[graft.log.TopicLog.replay]]
     * calls and later drains all resume after the last processed
     * record, even with a fresh checkpoint per drain. Blocks until the
-    * drain completes; returns the number of micro-batches processed. */
+    * drain completes; returns the number of NON-EMPTY micro-batches
+    * (0 = the backlog was empty — an empty AvailableNow batch still
+    * runs `process` but is not counted, by the TopicStreamSpec
+    * drain-twice contract). */
   def drainOnce(topic: TopicLog, name: String,
       checkpointDir: String, event: Option[String] = None)
       (process: DataFrame => Unit): Long = {
@@ -438,7 +448,13 @@ object TopicStream {
                   closed ::= SessionOut(key, cur.start, cur.last, cur.n)
                   cur = SessionState(t, t, 1)
                 } else {
-                  cur = SessionState(cur.start, t, cur.n + 1)
+                  // clamp: a cross-batch LATE event (t < cur.last) must
+                  // not regress the session boundary — a regressed last
+                  // both splits sessions spuriously and can set an
+                  // event-time timeout at/below the watermark (fatal).
+                  // The late event still counts into the session.
+                  cur = SessionState(cur.start, math.max(cur.last, t),
+                    cur.n + 1)
                 }
               }
               state.update(cur)

@@ -17,6 +17,16 @@ class GraftConnectionSpec extends AnyFunSuite {
     }.toDF("event", "key", "message", "ts")
   }
 
+  test("prepareTopic refuses a cached topic with a different partition count") {
+    val conn = graft.log.GraftConnection.connect(spark,
+      Files.createTempDirectory("connp").toString)
+    conn.prepareTopic("orders", 4)
+    assert(conn.prepareTopic("orders", 4).numPartitions == 4)
+    intercept[IllegalArgumentException] {
+      conn.prepareTopic("orders", 16)
+    }
+  }
+
   test("prepareTopic is idempotent create-or-get per connection") {
     val root = Files.createTempDirectory("conn").toString
     val conn = GraftConnection.connect(spark, root)

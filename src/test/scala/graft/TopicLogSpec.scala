@@ -269,15 +269,67 @@ class TopicLogSpec extends AnyFunSuite {
     }
   }
 
-  test("cold sidecar is rebuilt from a one-time scan") {
+  test("cold sidecar: readers scan without persisting; a locked op rebuilds it") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
     topic.publish(mkRecords(20))
     val h = topic.heads()
     // simulate a pre-sidecar log (or lost sidecar)
     assert(new java.io.File(s"$dir/_offsets.json").delete())
-    assert(topic.heads() == h)
-    assert(new java.io.File(s"$dir/_offsets.json").exists(), "sidecar rebuilt")
+    assert(topic.heads() == h) // read-only scan fallback
+    // r9: a LOCK-FREE reader must not write the sidecar — its replace
+    // could race a publisher's and resurrect stale heads
+    assert(!new java.io.File(s"$dir/_offsets.json").exists(),
+      "reader persisted the sidecar without the lock")
+    topic.publish(mkRecords(1, startId = 20)) // locked op re-materializes
+    assert(new java.io.File(s"$dir/_offsets.json").exists(),
+      "sidecar not rebuilt by the locked publish")
+  }
+
+  test("compact keeps ALL null-key records (no latest-per-null-key collapse)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    // 10 keyed records (2 keys) + 30 keyless pub/sub events
+    val keyed = (0 until 10).map(i => (s"e$i", s"k${i % 2}", s"m$i",
+      new java.sql.Timestamp(1700000000000L + i * 1000L)))
+    val keyless = (0 until 30).map(i => (s"e$i", null: String, s"pub$i",
+      new java.sql.Timestamp(1700000100000L + i * 1000L)))
+    topic.publish((keyed ++ keyless)
+      .toDF("event", "key", "message", "ts"))
+    topic.compact()
+    val left = topic.read().collect()
+    val keylessLeft = left.count(_.getAs[String]("key") == null)
+    assert(keylessLeft == 30,
+      s"compaction dropped keyless records: $keylessLeft of 30 remain")
+    assert(left.count(_.getAs[String]("key") != null) == 2,
+      "keyed compaction broken")
+  }
+
+  test("in-tree swap leftovers use the _old. prefix and recover() heals them") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(20))
+    val n = topic.read().count()
+    // crash state mid-swap: live partition renamed to its staging-aside
+    // name (_old. prefix — Spark partition discovery ignores it, so a
+    // concurrent reader planned mid-swap can never see an unparseable
+    // "log_part=N.old" partition value)
+    val parts = new java.io.File(s"$dir/log").listFiles()
+      .filter(_.getName.startsWith("log_part=")).sortBy(_.getName)
+    val p0 = parts.head
+    assert(p0.renameTo(new java.io.File(
+      p0.getParent + "/_old." + p0.getName)))
+    val again = TopicLog.prepare(spark, dir, numPartitions = 2)
+    assert(again.read().count() == n, "rolled back from _old. prefix")
+  }
+
+  test("prepare works with an explicit file:// URI (Hadoop mkdirs, not java.io)") {
+    val dir = Files.createTempDirectory("topicuri").toString
+    val topic = TopicLog.prepare(spark, s"file://$dir/t", numPartitions = 2)
+    assert(topic.read().count() == 0, "empty just-prepared topic must read")
+    topic.publish(mkRecords(10))
+    assert(topic.read().count() == 10)
   }
 
   test("recover() heals a swap torn between the two renames") {
