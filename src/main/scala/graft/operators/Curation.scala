@@ -123,9 +123,13 @@ object Curation {
 
     // stitch: left-join each stage's drop/keep marker, precedence in
     // pipeline order
+    // e_keep marker from the ALREADY-materialized exactOk survivor set
+    // (its doc_ids ARE exactKeep's e_ids) — joining exactKeep here
+    // would re-run the full-corpus hash aggregation a second time
     val base = docs
       .join(qual, col("doc_id") === col("q_id"), "left")
-      .join(exactKeep.withColumn("e_keep", lit(1)),
+      .join(exactOk.select(col("doc_id").as("e_id"))
+          .withColumn("e_keep", lit(1)),
         col("doc_id") === col("e_id"), "left")
       .join(late, col("doc_id") === col("l_id"), "left")
     trimInfo match {

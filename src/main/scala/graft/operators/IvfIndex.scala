@@ -26,13 +26,13 @@ object IvfIndex {
     * the sample reaches the corpus, so training cost stays flat while
     * assignment remains the one full scan it has to be. */
   def build(emb: DataFrame, nCells: Int = 16, maxIter: Int = 10,
-      trainFraction: Double = 1.0): Index = {
+      trainFraction: Double = 1.0, seed: Long = 42L): Index = {
     val withVec = emb.withColumn("__features", array_to_vector(col("embedding")))
     val fitOn =
       if (trainFraction >= 1.0) withVec
-      else withVec.sample(trainFraction, 42L)
+      else withVec.sample(trainFraction, seed)
     val model = new KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(maxIter)
+      .setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("cell")
       .fit(fitOn)
     val assigned = model.transform(withVec).drop("__features")
@@ -66,10 +66,14 @@ object IvfIndex {
     * nearest the query (centroids are driver-side — they are the
     * index's tiny metadata, like any ANN library). */
   def search(index: Index, query: Seq[Float], k: Int = 10, nprobe: Int = 4): DataFrame = {
+    require(index.centroids.nonEmpty &&
+      query.length == index.centroids.head.length,
+      s"query dim ${query.length} != index dim " +
+        s"${index.centroids.headOption.map(_.length).getOrElse(0)}")
     val q = query.map(_.toDouble).toArray
     def cos(c: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(c.length, q.length)) {
+      while (i < c.length) {
         dot += c(i) * q(i); na += c(i) * c(i); nb += q(i) * q(i); i += 1
       }
       if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))

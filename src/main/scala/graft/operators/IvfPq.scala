@@ -35,7 +35,8 @@ object IvfPq {
     * trained on a sliver; only assignment/encode touch every row. */
   def build(emb: DataFrame, nCells: Int = 16, m: Int = 8, k: Int = 16,
       seed: Long = 42L, trainFraction: Double = 1.0): Index = {
-    val ivf = IvfIndex.build(emb, nCells, trainFraction = trainFraction)
+    val ivf = IvfIndex.build(emb, nCells, trainFraction = trainFraction,
+      seed = seed)
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = ivf.centroids.zipWithIndex
@@ -56,10 +57,16 @@ object IvfPq {
 
   /** Approximate top-`topK` by ADC over the `nprobe` nearest cells.
     * Each probed cell gets its own LUT (the query residual differs per
-    * cell); the scan is one `cell IN (...)` filter — partition-pruned
-    * against a by-cell layout. Returns (id cols, cell, adc_dist). */
+    * cell); the probed mass is materialized by one `cell IN (...)`
+    * filter — partition-pruned against a by-cell layout — and the
+    * per-cell LUT branches scan only that sliver.
+    * Returns (id cols, cell, adc_dist). */
   def search(index: Index, query: Seq[Float], topK: Int = 10,
       nprobe: Int = 4, idCol: String = "vec_id"): DataFrame = {
+    require(index.centroids.nonEmpty &&
+      query.length == index.centroids.head.length,
+      s"query dim ${query.length} != index dim " +
+        s"${index.centroids.headOption.map(_.length).getOrElse(0)}")
     val q = query.map(_.toDouble).toArray
     def l2(c: Array[Double]): Double = {
       var d = 0.0; var i = 0
@@ -76,8 +83,16 @@ object IvfPq {
         .map(j => (q(j) - index.centroids(cell)(j)).toFloat)
       cell -> PqIndex.adcTable(index.cb, res)
     }
+    // materialize the probed-cell mass ONCE (≤ nprobe/nCells of the
+    // corpus; directory-pruned against a by-cell layout), then each
+    // per-cell branch re-filters the small materialized set. pq_adc
+    // requires a FOLDABLE per-cell LUT, so the branches cannot share
+    // one scan — without this a NON-partitioned frame would be
+    // rescanned in full once per probe.
+    val probed = graft.GraftSession.ckpt(
+      index.encoded.filter(col("cell").isin(probes.toSeq: _*)))
     val perCell = luts.map { case (cell, lut) =>
-      index.encoded.filter(col("cell") === cell)
+      probed.filter(col("cell") === cell)
         .withColumn("adc_dist", round(
           call_function("pq_adc", col("codes"), typedLit(lut)), 6))
     }

@@ -95,6 +95,19 @@ object Layout {
     * min/max pruning needs. */
   def zorder(df: DataFrame, cols: Seq[String], numFiles: Int,
       bitsPerCol: Int = 8): DataFrame = {
+    // a non-castable column (string, array, ...) would cast("double")
+    // to all-null, hit the empty-boundary path, and SILENTLY stop
+    // clustering on that column — fail loudly instead
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.BooleanType,
+        s"zorder column '$c' has non-numeric type $dt — cast or encode " +
+          "it first (a raw cast would null out and drop the column " +
+          "from the clustering key)")
+    }
     val (base, z) = zValue(df, cols, bitsPerCol)
     base.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

@@ -45,7 +45,10 @@ object PqIndex {
     * array column of constant dimension divisible by `m`. */
   def train(emb: DataFrame, embCol: String = "embedding", m: Int = 8,
       k: Int = 16, maxIter: Int = 10, seed: Long = 42L): Codebook = {
-    val d = emb.select(size(col(embCol))).head.getInt(0)
+    val dims = emb.select(size(col(embCol))).head(1)
+    require(dims.nonEmpty,
+      s"PqIndex.train: empty training frame (check sample fraction / corpus size)")
+    val d = dims(0).getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val dsub = d / m
     val slices = emb.select((0 until m).map(s =>

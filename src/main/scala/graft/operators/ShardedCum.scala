@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.GraftSession.ckpt
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -44,8 +45,15 @@ object ShardedCum {
       shards: Int = 32): DataFrame = {
     val groupC = groupCols.map(col)
     val rangeCols = groupC ++ orderCols
-    val sharded = df.repartitionByRange(shards, rangeCols: _*)
-      .withColumn("_shard", spark_partition_id())
+    // ckpt PINS the shard assignment: both the local-window branch and
+    // the totals branch read `_shard` from the SAME materialized
+    // layout. Without it the two physical subtrees can prune the range
+    // exchange's child differently, defeat ReuseExchange, and execute
+    // the range SAMPLING twice — different boundary samples would give
+    // a row _shard=5 in one branch while its offsets were computed
+    // under a layout where it fell in shard 6 (silently wrong sums).
+    val sharded = ckpt(df.repartitionByRange(shards, rangeCols: _*)
+      .withColumn("_shard", spark_partition_id()))
     val localW = Window
       .partitionBy(groupC :+ col("_shard"): _*)
       .orderBy(orderCols: _*)
@@ -65,13 +73,21 @@ object ShardedCum {
       (groupC :+ col("_shard")) ++ sums.map { case (_, n) =>
         coalesce(sum(col(s"_tot_$n")).over(offW), lit(0L)).as(s"_off_$n")
       }: _*)
-    val joined = withLocal.join(broadcast(offsets),
-      groupCols :+ "_shard", "inner")
+    // NULL-SAFE group join (<=>): Window.partitionBy keeps a null
+    // group as its own partition, and this operator must agree — a
+    // plain equi-join would silently drop every null-group row.
+    val offsetsK = offsets.select(
+      groupCols.map(c => col(c).as(s"_k_$c")) ++
+        Seq(col("_shard").as("_k_shard")) ++
+        sums.map { case (_, n) => col(s"_off_$n") }: _*)
+    val cond = (groupCols.map(c => col(c) <=> col(s"_k_$c")) :+
+      (col("_shard") === col("_k_shard"))).reduce(_ && _)
+    val joined = withLocal.join(broadcast(offsetsK), cond, "inner")
     val withCums = sums.foldLeft(joined) { case (d, (_, name)) =>
       d.withColumn(name, col(s"_local_$name") + col(s"_off_$name"))
     }
-    withCums.drop("_shard" +: sums.flatMap { case (_, n) =>
-      Seq(s"_local_$n", s"_off_$n") }: _*)
+    withCums.drop("_shard" +: "_k_shard" +: groupCols.map(c => s"_k_$c") ++:
+      sums.flatMap { case (_, n) => Seq(s"_local_$n", s"_off_$n") }: _*)
   }
 
   /** Sampling-free variant: the shard is an explicit BUCKET expression
@@ -109,12 +125,19 @@ object ShardedCum {
       (groupC :+ col("_bucket")) ++ sums.map { case (_, n) =>
         coalesce(sum(col(s"_tot_$n")).over(offW), lit(0L)).as(s"_off_$n")
       }: _*)
-    val joined = withLocal.join(broadcast(offsets),
-      groupCols :+ "_bucket", "inner")
+    // null-safe on both the group cols AND the bucket (a bucket
+    // expression can yield null — e.g. on a null order key)
+    val offsetsK = offsets.select(
+      groupCols.map(c => col(c).as(s"_k_$c")) ++
+        Seq(col("_bucket").as("_k_bucket")) ++
+        sums.map { case (_, n) => col(s"_off_$n") }: _*)
+    val cond = (groupCols.map(c => col(c) <=> col(s"_k_$c")) :+
+      (col("_bucket") <=> col("_k_bucket"))).reduce(_ && _)
+    val joined = withLocal.join(broadcast(offsetsK), cond, "inner")
     val withCums = sums.foldLeft(joined) { case (d, (_, name)) =>
       d.withColumn(name, col(s"_local_$name") + col(s"_off_$name"))
     }
-    withCums.drop("_bucket" +: sums.flatMap { case (_, n) =>
-      Seq(s"_local_$n", s"_off_$n") }: _*)
+    withCums.drop("_bucket" +: "_k_bucket" +: groupCols.map(c => s"_k_$c") ++:
+      sums.flatMap { case (_, n) => Seq(s"_local_$n", s"_off_$n") }: _*)
   }
 }
