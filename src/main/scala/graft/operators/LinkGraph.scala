@@ -113,17 +113,25 @@ object LinkGraph {
   def hits(nodes: DataFrame, links: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val n = nodes.select(col("node"))
+    // Materialize the edge list once and truncate lineage at every
+    // half-round: hub_i depends on auth_i depends on hub_{i-1}, and
+    // the final auth⋈hub join carries BOTH chains — without the ckpts
+    // each half-round's normalizer broadcast re-executes the whole
+    // upstream (q146's md5+explode+distinct link derivation ran once
+    // per nested branch, lineage-dominating the query). Scores are
+    // node-sized frames, the pagerankConverged per-round discipline.
+    val edges = graft.GraftSession.ckpt(links.select(col("src"), col("tgt")))
     var hub = n.select(col("node"), lit(1000000000L).as("v"))
     var auth = hub
     (1 to iters).foreach { _ =>
-      auth = hitsNorm(n,
-        links.join(hub.withColumnRenamed("node", "src"), "src")
+      auth = graft.GraftSession.ckpt(hitsNorm(n,
+        edges.join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("tgt")).agg(sum(col("v")).as("s"))
-          .withColumnRenamed("tgt", "node"))
-      hub = hitsNorm(n,
-        links.join(auth.withColumnRenamed("node", "tgt"), "tgt")
+          .withColumnRenamed("tgt", "node")))
+      hub = graft.GraftSession.ckpt(hitsNorm(n,
+        edges.join(auth.withColumnRenamed("node", "tgt"), "tgt")
           .groupBy(col("src")).agg(sum(col("v")).as("s"))
-          .withColumnRenamed("src", "node"))
+          .withColumnRenamed("src", "node")))
     }
     auth.select(col("node"), col("v").as("auth_fp"))
       .join(hub.select(col("node"), col("v").as("hub_fp")), "node")
