@@ -38,6 +38,9 @@ object LinkGraph {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val n = nodes.select(col("node"))
     val outd = links.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // NOT ckpt'd: the identical per-round edge subtrees dedupe via
+    // ReuseExchange inside the one final plan — measured at sf0.1,
+    // materializing here costs more than it saves (1.13 → 1.55 s)
     val edges = links.join(outd, "src")
     var ranks = n.select(col("node"), lit(1000000000L).as("r"))
     (1 to iters).foreach { i =>
@@ -260,11 +263,14 @@ object LinkGraph {
   def labelPropagation(nodes: DataFrame, links: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // NOT ckpt'd (same ReuseExchange measurement as pagerank's edges);
+    // the labels chain below gets pagerank's every-CkptEvery lineage
+    // truncation so a deep run's plan stays O(CkptEvery) rounds
     val und = links.select(col("src").as("a"), col("tgt").as("b"))
       .union(links.select(col("tgt").as("a"), col("src").as("b")))
       .distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val votes = und
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -276,6 +282,7 @@ object LinkGraph {
       labels = labels.join(winner, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("label")).as("label"))
+      if (i % CkptEvery == 0 && i < iters) labels = graft.GraftSession.ckpt(labels)
     }
     labels
   }
