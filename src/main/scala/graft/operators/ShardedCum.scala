@@ -58,20 +58,27 @@ object ShardedCum {
       .partitionBy(groupC :+ col("_shard"): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // _lcnt tracks NON-NULL weights seen so far: SQL's running sum is
+    // NULL only while the whole group prefix is null-valued, and a
+    // shard whose local prefix is all-null must still surface the
+    // preceding shards' sum (NULL + offset would null it out)
     val withLocal = sums.foldLeft(sharded) { case (d, (c, name)) =>
       d.withColumn(s"_local_$name", sum(c).over(localW))
+        .withColumn(s"_lcnt_$name", count(c).over(localW))
     }
     // Per-(group, shard) totals ride the same exchange (ReuseExchange);
     // the offsets table is <= groups x shards rows — broadcast class.
+    val totAggs = sums.flatMap { case (c, n) =>
+      Seq(sum(c).as(s"_tot_$n"), count(c).as(s"_tcnt_$n")) }
     val totals = sharded
       .groupBy(groupC :+ col("_shard"): _*)
-      .agg(sum(sums.head._1).as(s"_tot_${sums.head._2}"),
-        sums.tail.map { case (c, n) => sum(c).as(s"_tot_$n") }: _*)
+      .agg(totAggs.head, totAggs.tail: _*)
     val offW = Window.partitionBy(groupC: _*).orderBy(col("_shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(
-      (groupC :+ col("_shard")) ++ sums.map { case (_, n) =>
-        coalesce(sum(col(s"_tot_$n")).over(offW), lit(0L)).as(s"_off_$n")
+      (groupC :+ col("_shard")) ++ sums.flatMap { case (_, n) => Seq(
+        coalesce(sum(col(s"_tot_$n")).over(offW), lit(0L)).as(s"_off_$n"),
+        coalesce(sum(col(s"_tcnt_$n")).over(offW), lit(0L)).as(s"_offcnt_$n"))
       }: _*)
     // NULL-SAFE group join (<=>): Window.partitionBy keeps a null
     // group as its own partition, and this operator must agree — a
@@ -79,15 +86,22 @@ object ShardedCum {
     val offsetsK = offsets.select(
       groupCols.map(c => col(c).as(s"_k_$c")) ++
         Seq(col("_shard").as("_k_shard")) ++
-        sums.map { case (_, n) => col(s"_off_$n") }: _*)
+        sums.flatMap { case (_, n) =>
+          Seq(col(s"_off_$n"), col(s"_offcnt_$n")) }: _*)
     val cond = (groupCols.map(c => col(c) <=> col(s"_k_$c")) :+
       (col("_shard") === col("_k_shard"))).reduce(_ && _)
     val joined = withLocal.join(broadcast(offsetsK), cond, "inner")
+    // NULL iff zero non-null weights in the whole group prefix —
+    // exactly the single-window plan's value (`when` with no otherwise
+    // keeps the branch's type)
     val withCums = sums.foldLeft(joined) { case (d, (_, name)) =>
-      d.withColumn(name, col(s"_local_$name") + col(s"_off_$name"))
+      d.withColumn(name,
+        when(col(s"_lcnt_$name") + col(s"_offcnt_$name") > 0,
+          coalesce(col(s"_local_$name"), lit(0L)) + col(s"_off_$name")))
     }
     withCums.drop("_shard" +: "_k_shard" +: groupCols.map(c => s"_k_$c") ++:
-      sums.flatMap { case (_, n) => Seq(s"_local_$n", s"_off_$n") }: _*)
+      sums.flatMap { case (_, n) =>
+        Seq(s"_local_$n", s"_off_$n", s"_lcnt_$n", s"_offcnt_$n") }: _*)
   }
 
   /** Sampling-free variant: the shard is an explicit BUCKET expression
@@ -112,32 +126,40 @@ object ShardedCum {
       .partitionBy(groupC :+ col("_bucket"): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same non-null-count tracking as [[cumSums]] (see there)
     val withLocal = sums.foldLeft(withB) { case (d, (c, name)) =>
       d.withColumn(s"_local_$name", sum(c).over(localW))
+        .withColumn(s"_lcnt_$name", count(c).over(localW))
     }
+    val totAggs = sums.flatMap { case (c, n) =>
+      Seq(sum(c).as(s"_tot_$n"), count(c).as(s"_tcnt_$n")) }
     val totals = withB
       .groupBy(groupC :+ col("_bucket"): _*)
-      .agg(sum(sums.head._1).as(s"_tot_${sums.head._2}"),
-        sums.tail.map { case (c, n) => sum(c).as(s"_tot_$n") }: _*)
+      .agg(totAggs.head, totAggs.tail: _*)
     val offW = Window.partitionBy(groupC: _*).orderBy(col("_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(
-      (groupC :+ col("_bucket")) ++ sums.map { case (_, n) =>
-        coalesce(sum(col(s"_tot_$n")).over(offW), lit(0L)).as(s"_off_$n")
+      (groupC :+ col("_bucket")) ++ sums.flatMap { case (_, n) => Seq(
+        coalesce(sum(col(s"_tot_$n")).over(offW), lit(0L)).as(s"_off_$n"),
+        coalesce(sum(col(s"_tcnt_$n")).over(offW), lit(0L)).as(s"_offcnt_$n"))
       }: _*)
     // null-safe on both the group cols AND the bucket (a bucket
     // expression can yield null — e.g. on a null order key)
     val offsetsK = offsets.select(
       groupCols.map(c => col(c).as(s"_k_$c")) ++
         Seq(col("_bucket").as("_k_bucket")) ++
-        sums.map { case (_, n) => col(s"_off_$n") }: _*)
+        sums.flatMap { case (_, n) =>
+          Seq(col(s"_off_$n"), col(s"_offcnt_$n")) }: _*)
     val cond = (groupCols.map(c => col(c) <=> col(s"_k_$c")) :+
       (col("_bucket") <=> col("_k_bucket"))).reduce(_ && _)
     val joined = withLocal.join(broadcast(offsetsK), cond, "inner")
     val withCums = sums.foldLeft(joined) { case (d, (_, name)) =>
-      d.withColumn(name, col(s"_local_$name") + col(s"_off_$name"))
+      d.withColumn(name,
+        when(col(s"_lcnt_$name") + col(s"_offcnt_$name") > 0,
+          coalesce(col(s"_local_$name"), lit(0L)) + col(s"_off_$name")))
     }
     withCums.drop("_bucket" +: "_k_bucket" +: groupCols.map(c => s"_k_$c") ++:
-      sums.flatMap { case (_, n) => Seq(s"_local_$n", s"_off_$n") }: _*)
+      sums.flatMap { case (_, n) =>
+        Seq(s"_local_$n", s"_off_$n", s"_lcnt_$n", s"_offcnt_$n") }: _*)
   }
 }
