@@ -503,6 +503,58 @@ object ScaleSmoke {
     require(annProbedRows <= annN / 10,
       s"4 probed cells of 256 must hold <=10% of the corpus: $annProbedRows")
 
+    // Curation phase (r9): the one-call curate() composition at
+    // volume — 360k docs through all five stages, every verdict
+    // exercised at a KNOWN planted rate. Corpus: 300k originals
+    // (40 unique md5 tokens each; ids < 30k truncated to 8 tokens so
+    // the r_short quality rule fires), + 30k verbatim clones of
+    // originals 30k-60k (exact_dup: originals win the min-doc_id
+    // survivorship), + 30k near-dups of originals 60k-90k (last token
+    // replaced → shingle Jaccard ≈ 0.9, LSH-band catchable), and a 5k
+    // bench set sharing originals 90k-95k's text verbatim
+    // (contamination). source = id mod 200 (~1.3k survivors/source)
+    // with capPerSource=500 gives the quota stage real work.
+    def curTok(idc: org.apache.spark.sql.Column, n: Int, last: String) =
+      concat_ws(" ", transform(sequence(lit(0), lit(n - 1)), j =>
+        when(j === n - 1 && lit(last != ""), lit(last))
+          .otherwise(md5(concat(idc.cast("string"), lit("-"), j)))))
+    val curBase = spark.range(300000L).select(col("id"),
+      when(col("id") < 30000L, curTok(col("id"), 8, ""))
+        .otherwise(curTok(col("id"), 40, "")).as("text"))
+    val curDocs = curBase.select(col("id").as("doc_id"), col("text"))
+      .unionByName(curBase.filter(col("id") >= 30000L && col("id") < 60000L)
+        .select((col("id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(spark.range(60000L, 90000L).select(
+        (col("id") + 2000000L).as("doc_id"),
+        curTok(col("id"), 40, "REPLACEDTOKEN").as("text")))
+      .withColumn("source", concat(lit("src-"), pmod(col("doc_id"), lit(200L))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint()
+    val curBench = curBase.filter(col("id") >= 90000L && col("id") < 95000L)
+      .select((-col("id") - 1L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val curCounts = graft.operators.Curation
+      .curate(curDocs, curBench, capPerSource = 500)
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val curateSec = (System.nanoTime() - t0) / 1e9
+    val curRows = curCounts.values.sum
+    require(curRows == 360000L, s"curate must verdict every doc: $curRows")
+    require(curCounts("quality") == 30000L,
+      s"planted 30k short docs: ${curCounts("quality")}")
+    require(curCounts("exact_dup") == 30000L,
+      s"planted 30k verbatim clones: ${curCounts("exact_dup")}")
+    // >= : LSH must catch ~all planted pairs; <= : a few extra drops
+    // from incidental signature-band collisions among 330k random docs
+    // are lawful (measured: +7), a flood is a blocking bug
+    require(curCounts("near_dup") >= 25000L && curCounts("near_dup") <= 31000L,
+      s"planted 30k near-dups, LSH should catch >=25k: ${curCounts("near_dup")}")
+    require(curCounts("contaminated") == 5000L,
+      s"planted 5k bench-sharing docs: ${curCounts("contaminated")}")
+    require(curCounts("source_cap") > 0L && curCounts("keep") > 0L,
+      s"quota and keep must both occur: $curCounts")
+
     t0 = System.nanoTime()
     topic.compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
@@ -538,6 +590,8 @@ object ScaleSmoke {
       f""""ivfpq_serve_sec_per_q":${annServeSec / annQueryClusters.size}%.3f,""" +
       f""""ivfpq_brute_sec_per_q":${annBruteSec / annQueryClusters.size}%.3f,""" +
       f""""ivfpq_probed_rows":$annProbedRows,""" +
+      f""""curate_sec":$curateSec%.2f,""" +
+      s""""curate_verdicts":"${curCounts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")}",""" +
       f""""compact_sec":$compactSec%.2f,"compacted_rows":$compacted}""")
     spark.stop()
   }
