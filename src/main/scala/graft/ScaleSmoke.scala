@@ -550,8 +550,15 @@ object ScaleSmoke {
     // are lawful (measured: +7), a flood is a blocking bug
     require(curCounts("near_dup") >= 25000L && curCounts("near_dup") <= 31000L,
       s"planted 30k near-dups, LSH should catch >=25k: ${curCounts("near_dup")}")
-    require(curCounts("contaminated") == 5000L,
+    // near_dup PRECEDES contaminated, so an incidental band collision
+    // that happens to involve one of the 5k bench-sharing originals
+    // lawfully steals its verdict — the same slack the near_dup upper
+    // bound grants, mirrored here (the joint bound below pins the sum)
+    require(curCounts("contaminated") >= 4980L &&
+        curCounts("contaminated") <= 5000L,
       s"planted 5k bench-sharing docs: ${curCounts("contaminated")}")
+    require(curCounts("near_dup") + curCounts("contaminated") >= 35000L,
+      s"near_dup+contaminated must cover the 35k planted: $curCounts")
     require(curCounts("source_cap") > 0L && curCounts("keep") > 0L,
       s"quota and keep must both occur: $curCounts")
 

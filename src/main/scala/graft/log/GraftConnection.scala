@@ -16,7 +16,9 @@ final class GraftConnection(val spark: SparkSession, val root: String) {
     * A cache hit with a DIFFERENT partition count is refused — every
     * offset/idempotence computation keys off numPartitions, so
     * silently returning the old topic would corrupt the caller's
-    * routing assumptions. */
+    * routing assumptions. The cache guard only covers THIS process;
+    * the durable backstop is TopicLog's on-disk `_partitions` pin,
+    * which refuses a wrong-count reopen from any process (r9). */
   def prepareTopic(name: String, numPartitions: Int = 8): TopicLog = {
     val t = topics.getOrElseUpdate(name,
       TopicLog.prepare(spark, s"$root/$name", numPartitions))

@@ -95,6 +95,28 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Partition count is LAYOUT, not a per-open knob: record routing
+  // (pmod(hash, numPartitions)), offset assignment, and the
+  // idempotence-marker packing (p / p + numPartitions) all key off it,
+  // so reopening an existing topic with a different count would
+  // silently break per-key partition affinity and the sidecar math
+  // with no error. The count is pinned in a `_partitions` sidecar on
+  // first prepare and validated on every subsequent open — the
+  // GraftConnection cache guard only protects a single process; this
+  // protects reopen-after-close and cross-process opens. A
+  // pre-sidecar log adopts the requested count once (unverifiable).
+  // Checked BEFORE recover(): a wrong-count open must not get to
+  // break locks or reconcile sidecars first.
+  readKv(new Path(s"$path/_partitions")) match {
+    case Some(kv) =>
+      val disk = kv.getOrElse(0, numPartitions.toLong)
+      require(disk == numPartitions.toLong,
+        s"topic at $path was created with $disk partitions; " +
+          s"reopening with $numPartitions would corrupt routing/offsets")
+    case None =>
+      writeKv(new Path(s"$path/_partitions"), Map(0 -> numPartitions.toLong))
+  }
+
   recover()
   fs.mkdirs(new Path(logDir)) // prepareTopic creates the topic infra (works for hdfs://, file://, plain paths alike)
 
@@ -452,8 +474,15 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
         // null-key records are NOT compacted: with no key there is no
         // "latest per key", and grouping all nulls as one key would
         // silently keep a single record per partition (Kafka rejects
-        // null keys on compacted topics for the same reason)
-        val compacted = keptKeyed.unionByName(src.filter(col("key").isNull))
+        // null keys on compacted topics for the same reason). Under
+        // dropTombstones a null-key NULL-MESSAGE record is dropped too:
+        // it deletes nothing (no key) and would otherwise be rewritten
+        // verbatim by every compaction forever.
+        val nullKey =
+          if (dropTombstones)
+            src.filter(col("key").isNull && col("message").isNotNull)
+          else src.filter(col("key").isNull)
+        val compacted = keptKeyed.unionByName(nullKey)
         swapLogSubdirs(compacted, affected.map(p => s"log_part=$p"))
       }
     }

@@ -63,7 +63,20 @@ object Curation {
     * recomputed n_chars), and the output gains `text_final` (the
     * post-trim text, null for dropped docs) and `masked_chars`
     * columns. With the default `spanTrim = false` the output schema
-    * and verdicts are byte-identical to prior rounds (the q113 gate). */
+    * and verdicts are byte-identical to prior rounds (the q113 gate).
+    *
+    * Span-canon caveat (documented contract, not a bug): trimming
+    * keeps each duplicated span only in its CANONICAL (min-doc_id)
+    * holder, and that holder can still be dropped by a LATER stage
+    * (contamination, quota) — in which case the span's text leaves
+    * the kept corpus entirely. This is the standard behavior of
+    * pipeline-ordered curation (Lee et al. dedup composed with
+    * downstream filters has the same property: any filter after dedup
+    * can kill a cluster's sole survivor), and it is usually wanted —
+    * a span whose canonical home is benchmark-contaminated SHOULD
+    * leave the corpus. Callers needing guaranteed span retention
+    * should run [[Dedup.trimDupSpans]] after the drop stages
+    * instead of using `spanTrim`. */
   def curate(docs: DataFrame, bench: DataFrame,
       capPerSource: Int = 1000, spanTrim: Boolean = false,
       spanTrimWin: Int = 50): DataFrame = {

@@ -505,17 +505,8 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("simhash16"),
         col("bs.band").as("band"), col("bs.bval").as("bval")))
-    // corpus size in-plan: band rows = n×4 exactly, so the cap
-    // predicate keyn·capDen ≤ n becomes keyn·capDen·4 ≤ Σkeyn off a
-    // 1-row broadcast — no driver count() re-executing the fingerprint
-    val keyCounts = bands.groupBy(col("band"), col("bval"))
-      .agg(count(lit(1)).as("keyn"))
-    val total = keyCounts.agg(sum(col("keyn")).as("tot"))
-    val okKeys = keyCounts.crossJoin(broadcast(total))
-      .filter(col("keyn") * capDen * 4 <= col("tot")
-        || col("keyn") <= capFloor)
-      .select(col("band"), col("bval"))
-    val ok = bands.join(broadcast(okKeys), Seq("band", "bval"))
+    val ok = Blocking.stopCapped(bands, Seq("band", "bval"),
+      fanout = 4, capDen = capDen, capFloor = capFloor)
     ok.as("a").join(ok.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
           && col("a.doc_id") < col("b.doc_id"))
@@ -596,17 +587,8 @@ object Dedup {
   def simhash64PairsBanded(shIn: DataFrame, capDen: Int = 20,
       capFloor: Int = 64): DataFrame = {
     val bands = ckpt(simhash64Bands(shIn)) // one fingerprint pass for 3 consumers
-    // corpus size in-plan: band rows = n×4 exactly, so the cap
-    // predicate keyn·capDen ≤ n becomes keyn·capDen·4 ≤ Σkeyn off a
-    // 1-row broadcast — no driver count() re-executing the fingerprint
-    val keyCounts = bands.groupBy(col("band"), col("bval"))
-      .agg(count(lit(1)).as("keyn"))
-    val total = keyCounts.agg(sum(col("keyn")).as("tot"))
-    val okKeys = keyCounts.crossJoin(broadcast(total))
-      .filter(col("keyn") * capDen * 4 <= col("tot")
-        || col("keyn") <= capFloor)
-      .select(col("band"), col("bval"))
-    val ok = bands.join(broadcast(okKeys), Seq("band", "bval"))
+    val ok = Blocking.stopCapped(bands, Seq("band", "bval"),
+      fanout = 4, capDen = capDen, capFloor = capFloor)
     ok.as("a").join(ok.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
           && col("a.doc_id") < col("b.doc_id"))
@@ -874,11 +856,7 @@ object Dedup {
     * kept segments scan-side — no shuffle beyond q130's, and the only
     * extra state per doc is its span array (≤ len/16 entries). */
   def trimDupSpans(corpus: DataFrame, win: Int = 50): DataFrame = {
-    val hits = corpus.filter(length(col("text")) >= win)
-      .select(col("doc_id"),
-        explode(call_function("cdc_window_hits", col("text"), lit(win)))
-          .as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val hits = windowHits(corpus, win)
     val dup = hits.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h"))
       .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("canon"))

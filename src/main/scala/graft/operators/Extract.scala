@@ -32,13 +32,15 @@ object Extract {
     * entities decoded, whitespace collapsed, trimmed. */
   def extractText(html: Column): Column = {
     val noScript = regexp_replace(html,
-      "(?is)<script[^>]*>.*?</script>", " ")
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
     val noStyle = regexp_replace(noScript,
-      "(?is)<style[^>]*>.*?</style>", " ")
-    // All four patterns are case-insensitive ((?i)): real HTML closes
-    // with </SCRIPT>/</Style> often enough that a case-sensitive
-    // closed-pair miss would hand the whole tail to the unclosed-block
-    // fallback below and destroy valid content.
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    // All four patterns are case-insensitive ((?i)), and the close tags
+    // tolerate trailing whitespace ('</script >' is emitted by real
+    // generators): any closed-pair miss — case or spacing — would hand
+    // the whole tail to the unclosed-block fallback below and destroy
+    // valid content, so the pair patterns must match every variant a
+    // parser would close on.
     // Truncated-record fallback (advisor, r9): a crawl record cut
     // mid-block leaves an UNTERMINATED <script>/<style>; the closed-
     // pair patterns above then strip only the opening tag and the
@@ -184,8 +186,8 @@ object Extract {
         |                      regexp_replace(
         |                        regexp_replace(
         |                          regexp_replace(html,
-        |                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |                            '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+        |                          '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
         |                        '(?is)<script[^>]*>.*$', ' ', 'g'),
         |                      '(?is)<style[^>]*>.*$', ' ', 'g'),
         |                    '<[^>]+>', ' ', 'g'),

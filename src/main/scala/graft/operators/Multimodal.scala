@@ -39,6 +39,7 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
     StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
     StructField("duration_ms", LongType),
     StructField("codec", StringType)))
 
@@ -207,23 +208,29 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val mt = r.getAs[String]("media_type")
-          // (w, h, frames, sampleRate, durationMs, codec)
-          val real: Option[(Int, Int, Int, Int, Long, String)] = mt match {
+          // (w, h, frames, sampleRate, channels, durationMs, codec) —
+          // width/height are PIXEL dims only (0 for audio); the audio
+          // channel count has its own column rather than being smuggled
+          // into height, so `height > 0` cleanly means "visual media".
+          val real: Option[(Int, Int, Int, Int, Int, Long, String)] = mt match {
             case "image" => decodeImage(payload).map { case (iw, ih) =>
-              (iw, ih, 1, 0, 0L, "image") }
+              (iw, ih, 1, 0, 0, 0L, "image") }
             case "audio" => decodeAudio(payload).map {
               case (rate, ch, frames, enc) =>
                 val durMs = if (rate > 0) frames * 1000L / rate else 0L
-                (0, ch, frames.toInt, rate, durMs, enc) }
+                // a >2^31-frame stream (~13.5 h of 44.1 kHz audio) must
+                // saturate, not wrap negative; duration_ms stays exact
+                (0, 0, math.min(frames, Int.MaxValue.toLong).toInt,
+                  rate, ch, durMs, enc) }
             case _ => decodeMp4(payload).map {
-              case (w, h, nf, durMs, brand) => (w, h, nf, 0, durMs, brand) }
+              case (w, h, nf, durMs, brand) => (w, h, nf, 0, 0, durMs, brand) }
           }
-          val (w, hgt, frames, rate, durMs, codec) = real.getOrElse {
+          val (w, hgt, frames, rate, ch, durMs, codec) = real.getOrElse {
             val (sw, sh, sf) = decodeStub(mt, payload)
-            (sw, sh, sf, 0, 0L, "stub")
+            (sw, sh, sf, 0, 0, 0L, "stub")
           }
           Row(r.getAs[Long]("doc_id"), mt, payload.length, w, hgt, frames,
-            rate, durMs, codec)
+            rate, ch, durMs, codec)
         }
       }
     spark.createDataFrame(out, decodedSchema)

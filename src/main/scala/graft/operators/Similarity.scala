@@ -89,18 +89,8 @@ object Similarity {
     // aggregation pipeline when emb is computed — q92) feeds three
     // consumers: keyCounts and both sides of the pair self-join
     val bb = ckpt(rhpBandBlocks(emb, planes, bands))
-    // corpus size in-plan: band rows = n×bands exactly (fixed-size
-    // explode), so keyn·capDen ≤ n ⇔ keyn·capDen·bands ≤ Σkeyn — a
-    // 1-row broadcast instead of a driver count() that would
-    // re-execute the upstream frame
-    val keyCounts = bb.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("keyn"))
-    val total = keyCounts.agg(sum(col("keyn")).as("tot"))
-    val okKeys = keyCounts.crossJoin(broadcast(total))
-      .filter(col("keyn") * capDen * bands <= col("tot")
-        || col("keyn") <= capFloor)
-      .select(col("band"), col("bv"))
-    val ok = bb.join(broadcast(okKeys), Seq("band", "bv"))
+    val ok = Blocking.stopCapped(bb, Seq("band", "bv"),
+      fanout = bands, capDen = capDen, capFloor = capFloor)
     ok.as("a").join(ok.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.vec_id") < col("b.vec_id"))

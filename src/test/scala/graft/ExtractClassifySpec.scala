@@ -43,6 +43,12 @@ class ExtractClassifySpec extends AnyFunSuite {
     assert(extract("<p>intro</p><script>x()</SCRIPT><p>article body</p>")
       == "intro article body")
     assert(extract("<p>a</p><STYLE>.x{}</Style><p>b</p>") == "a b")
+    // whitespace-bearing closers ('</script >', real-generator output)
+    // must ALSO match the closed-pair rule — before the r9 review fix
+    // they fell through to the fallback and destroyed the whole tail
+    assert(extract("<p>pre</p><script>x()</script ><p>article body</p>")
+      == "pre article body")
+    assert(extract("<p>a</p><style>.x{}</style\n><p>b</p>") == "a b")
   }
 
   test("extract: entities decode, &amp; LAST (no double decode)") {

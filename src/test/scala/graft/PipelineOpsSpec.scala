@@ -180,6 +180,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.getAs[Int]("n_frames") == 1600, a.toString)
     assert(a.getAs[Long]("duration_ms") == 200L, a.toString)
     assert(a.getAs[String]("codec") == "PCM_SIGNED", a.toString)
+    // channel count has its OWN column; width/height stay pixel dims
+    // (0 for audio), so `height > 0` means "visual media" downstream
+    assert(a.getAs[Int]("channels") == 1, a.toString)
+    assert(a.getAs[Int]("width") == 0 && a.getAs[Int]("height") == 0,
+      a.toString)
     val v = rows(2L)
     assert(v.getAs[Int]("width") == 640 && v.getAs[Int]("height") == 360,
       v.toString)

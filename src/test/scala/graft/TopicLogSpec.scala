@@ -200,6 +200,46 @@ class TopicLogSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstone compaction drops null-key null-message junk; keeps null-key data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    val ts = new java.sql.Timestamp(1700000100000L)
+    topic.publish(Seq(
+      ("evt", null.asInstanceOf[String], "unkeyed-data", ts),
+      ("evt", null.asInstanceOf[String], null.asInstanceOf[String], ts),
+      ("evt", "k1", "v1", ts))
+      .toDF("event", "key", "message", "ts"))
+    // plain compaction rewrites null-key records verbatim (no key =
+    // nothing to compact), junk row included
+    topic.compact()
+    assert(topic.read().count() == 3)
+    // dropTombstones: the null-key NULL-MESSAGE row deletes nothing
+    // and must not be rewritten forever — it is dropped; the null-key
+    // DATA row and the keyed row survive (r9 review fix)
+    topic.compact(dropTombstones = true)
+    val left = topic.read().select("key", "message")
+      .as[(Option[String], Option[String])].collect().toSet
+    assert(left == Set((None, Some("unkeyed-data")), (Some("k1"), Some("v1"))),
+      left.toString)
+  }
+
+  test("reopening a topic with a different partition count is refused (on-disk pin)") {
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publish(mkRecords(20))
+    // same count: fine, a fresh instance sees the same log
+    assert(TopicLog.prepare(spark, dir, numPartitions = 4).read().count() == 20)
+    // different count: routing (pmod(hash, n)) and idempotence-marker
+    // packing would silently corrupt — must throw even in a NEW
+    // process (the GraftConnection cache can't see this), which the
+    // on-disk _partitions pin simulates here via a fresh instance
+    val e = intercept[IllegalArgumentException] {
+      TopicLog.prepare(spark, dir, numPartitions = 8)
+    }
+    assert(e.getMessage.contains("partitions"), e.getMessage)
+  }
+
   test("typed read: Dataset[TopicRecord] round-trips the log") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
