@@ -87,6 +87,19 @@ final class Subscription private[streaming] (
   * (the log is append-only), state is bounded by watermarks, and
   * per-key session state lives in the state store (RocksDB-backed on a
   * real cluster).
+  *
+  * Compaction contract: [[graft.log.TopicLog.compact]] REWRITES log
+  * files (swap-in of new file names), and a file-source subscriber
+  * identifies records by FILE, not offset — a subscription running
+  * across a compaction sees the compacted survivors again as "new"
+  * files (duplicate delivery of already-seen offsets), the same
+  * at-least-once caveat Kafka consumers have around log-compaction
+  * races. Run compaction on topics with no live subscriptions (its
+  * writer lease already excludes concurrent PUBLISHERS, not readers),
+  * or dedup downstream on `(log_part, offset)` — [[dedupByContent]]'s
+  * keyed-state pattern does exactly this. Batch [[graft.log.TopicLog.replay]]
+  * is unaffected: offsets survive compaction, so a durable subscriber's
+  * watermark keeps meaning "everything after" (spec-pinned).
   */
 object TopicStream {
 

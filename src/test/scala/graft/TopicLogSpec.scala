@@ -728,4 +728,42 @@ class TopicLogSpec extends AnyFunSuite {
     topic.ack("slow", heads)
     assert(topic.replay("slow").count() == 0)
   }
+
+  test("durable replay across compaction: offsets keep meaning, only survivors above the watermark return") {
+    // Compaction rewrites files but PRESERVES offsets (latest-per-key
+    // keeps its original offset), so a durable subscriber's watermark
+    // stays meaningful across it: replay returns exactly the compacted
+    // survivors above the ack — with lawful gaps where compacted-away
+    // records used to be — and no error. (The STREAMING face does NOT
+    // get this for free — a live file-source subscription across a
+    // compaction re-sees survivors as new files; that contract is
+    // documented on TopicStream.)
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 4)
+    topic.publish(mkRecords(100)) // keys key-0..key-4, 20 records each
+    val heads = topic.heads()
+    // subscriber acks ~mid-log, then the topic is compacted
+    val marks = heads.map { case (p, h) => p -> h / 2 }
+    topic.ack("reader", marks)
+    topic.compact()
+    val survivors = topic.read().collect()
+    assert(survivors.length == 5) // latest record per key
+    val replayed = topic.replay("reader").collect()
+    val expected = survivors.filter(r =>
+      r.getAs[Long]("offset") > marks(r.getAs[Int]("log_part")))
+    assert(replayed.map(r => (r.getAs[Int]("log_part"),
+        r.getAs[Long]("offset"))).sorted.toSeq ==
+      expected.map(r => (r.getAs[Int]("log_part"),
+        r.getAs[Long]("offset"))).sorted.toSeq)
+    // offsets were NOT renumbered by compaction: every replayed offset
+    // exists in the pre-compaction numbering (≤ its partition's head)
+    replayed.foreach { r =>
+      assert(r.getAs[Long]("offset") <= heads(r.getAs[Int]("log_part")))
+    }
+    // publish continues from the preserved heads — no offset re-issue
+    val ranges = topic.publish(mkRecords(8, startId = 500))
+    ranges.foreach { case (p, r) =>
+      assert(r.base >= heads(p), s"part $p re-issued offsets")
+    }
+  }
 }
