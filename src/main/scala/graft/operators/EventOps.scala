@@ -21,6 +21,29 @@ import graft.GraftSession.{ckpt, dec, dsum, eventsTable, table}
   */
 object EventOps {
 
+  /** Gap-based sessions (30 min) per user: lag -> new-session flag ->
+    * running sum = session id; then per-session rollup. One shuffle on
+    * user_id serves both windows and the final groupBy. UNSORTED —
+    * q27's gate adds its output orderBy; internal consumers (q110's
+    * checkpoint) must not pay a global range sort whose order the next
+    * shuffle destroys (r9 review fix). */
+  private def sessionRollup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    eventsTable(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"),
+        dsum(col("value")).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_replay_from_offset" -> ((s, dir) => {
       // Durable replay (topic.js:142-197): resume after acked offset 500,
@@ -42,15 +65,23 @@ object EventOps {
     "q22_consumer_lag" -> ((s, dir) => {
       // Backlog per named subscriber = records past its acked watermark
       // (ack: topic.js:198-223). Subscriber table broadcast: the log
-      // never shuffles.
+      // never shuffles. INNER broadcast join + a subs-spine fill for
+      // zero-backlog subscribers — an OUTER join preserving the
+      // broadcast side can't take BNLJ's fast streamed path in either
+      // orientation (LeftOuter needs BuildRight, RightOuter BuildLeft),
+      // so the old broadcast(subs)+left shape silently fell into the
+      // non-codegen defaultJoin (r9 review fix).
       import s.implicits._
       val subs = Seq(("analytics", 100L), ("audit", 0L), ("billing", 750L))
         .toDF("sub_name", "last_offset")
       val events = eventsTable(s, dir)
-      broadcast(subs)
-        .join(events, col("event_id") > col("last_offset"), "left")
+      val counted = events
+        .join(broadcast(subs), col("event_id") > col("last_offset"))
         .groupBy(col("sub_name"), col("last_offset"))
-        .agg(count(col("event_id")).as("backlog"))
+        .agg(count(lit(1)).as("n"))
+      subs.join(broadcast(counted), Seq("sub_name", "last_offset"), "left")
+        .select(col("sub_name"), col("last_offset"),
+          coalesce(col("n"), lit(0L)).as("backlog"))
         .orderBy(col("sub_name"))
     }),
 
@@ -93,26 +124,8 @@ object EventOps {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
-    "q27_sessionize" -> ((s, dir) => {
-      // Gap-based sessions (30 min) per user: lag -> new-session flag ->
-      // running sum = session id; then per-session rollup. One shuffle
-      // on user_id serves both windows and the final groupBy.
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      eventsTable(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_ts").isNull ||
-            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
-            .otherwise(0))
-        .withColumn("session_id",
-          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("t_start"),
-          max(col("ts")).as("t_end"),
-          dsum(col("value")).as("sum_value"))
-        .orderBy(col("user_id"), col("session_id"))
-    }),
+    "q27_sessionize" -> ((s, dir) =>
+      sessionRollup(s, dir).orderBy(col("user_id"), col("session_id"))),
 
     "q28_enrich_join" -> ((s, dir) => {
       // Stream-table enrichment: events (the stream face) ⋈ broadcast
@@ -190,8 +203,8 @@ object EventOps {
       // shows the assignment is deterministic, portable, and balanced.
       eventsTable(s, dir)
         .withColumn("part",
-          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long"), lit(8)))
+          pmod(graft.GraftSession.portableHash(col("user_id").cast("string")),
+            lit(8)))
         .groupBy(col("part"))
         .agg(count(lit(1)).as("n_records"),
           countDistinct(col("user_id")).as("n_keys"))
@@ -401,7 +414,7 @@ object EventOps {
       // once (q93's rule: checkpoint when the shared base is consumed
       // repeatedly; r4's measurement only rejected checkpointing the
       // exploded per-BIN stream, which was 10-50x larger).
-      val sess = ckpt(queries("q27_sessionize")(s, dir)
+      val sess = ckpt(sessionRollup(s, dir)
         .select(col("user_id"), col("session_id"),
           col("t_start"), col("t_end")))
       val bounds = sess.select(col("user_id"), col("session_id"),
@@ -618,9 +631,7 @@ object EventOps {
             col("x.event_type") < col("y.event_type"))
         .groupBy(col("x.event_type").as("seg_a"),
           col("y.event_type").as("seg_b"))
-        .agg(count(lit(1)).as("exact_overlap"),
-          count(lit(1)).as("n_pair_rows"))
-        .drop("n_pair_rows")
+        .agg(count(lit(1)).as("exact_overlap"))
       val exactSeg = ue.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_seg"))
       pairs

@@ -102,7 +102,11 @@ object TextOps {
     * (the q145 operator): per-doc metrics + fail bitmask
     * (1=word-count, 2=mean-word-length, 4=duplicate-fraction,
     * 8=stopwords) + keep flag. Scan-side HOF folds only. */
-  def gopherRules(docs: DataFrame): DataFrame =
+  /** `carry`: extra input columns threaded through the projection so a
+    * grouped consumer (q182's per-source matrix) runs off ONE corpus
+    * scan instead of re-joining the doc table on doc_id (r9 review
+    * fix). */
+  def gopherRules(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     docs
       .withColumn("toks",
         filter(split(lower(col("text")), "\\s+"), t => length(t) >= 1))
@@ -122,11 +126,11 @@ object TextOps {
             .otherwise(0L) +
           when(col("dup_frac") > 0.55, 4L).otherwise(0L) +
           when(col("stop_hits") < 2, 8L).otherwise(0L))
-      .select(col("doc_id"), col("n_words"),
-        round(col("mean_word_len"), 6).as("mean_word_len"),
-        round(col("dup_frac"), 6).as("dup_frac"),
-        col("stop_hits"), col("fail_mask"),
-        (col("fail_mask") === 0L).cast("int").as("keep"))
+      .select(col("doc_id") +: carry.map(col) :+ col("n_words") :+
+        round(col("mean_word_len"), 6).as("mean_word_len") :+
+        round(col("dup_frac"), 6).as("dup_frac") :+
+        col("stop_hits") :+ col("fail_mask") :+
+        (col("fail_mask") === 0L).cast("int").as("keep"): _*)
 
   /** Quality features for any (doc_id, text) frame. Public df-level API
     * (the q38 operator): pure rational arithmetic, scan-side. */
@@ -879,10 +883,13 @@ object TextOps {
         .groupBy(col("a.tok").as("w1"), col("b.tok").as("w2"))
         .agg(count(lit(1)).as("n_pair"))
         .filter(col("n_pair") >= 20)
+      // tc is VOCAB-sized (corpus-dependent, unbounded) — no broadcast
+      // hint; AQE broadcasts it when small, shuffles it when not (the
+      // q83 rule). Only the 1-row total is force-broadcast.
       pairs
-        .join(broadcast(tc.select(col("tok").as("w1"), col("n_tok").as("n1"))),
+        .join(tc.select(col("tok").as("w1"), col("n_tok").as("n1")),
           Seq("w1"))
-        .join(broadcast(tc.select(col("tok").as("w2"), col("n_tok").as("n2"))),
+        .join(tc.select(col("tok").as("w2"), col("n_tok").as("n2")),
           Seq("w2"))
         .crossJoin(broadcast(n))
         .select(col("w1"), col("w2"), col("n_pair"),
@@ -924,9 +931,7 @@ object TextOps {
       // a rule miscalibrated for a domain) is visible per snapshot.
       // Rates from exact integer bitmask tests; one rules scan +
       // a |sources|-row agg.
-      val r = gopherRules(table(s, dir, "documents"))
-        .join(table(s, dir, "documents").select(col("doc_id"), col("source")),
-          "doc_id")
+      val r = gopherRules(table(s, dir, "documents"), carry = Seq("source"))
       r.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           round(sum(expr("fail_mask & 1")).cast("double") /
@@ -1155,9 +1160,8 @@ object TextOps {
           col("total") / col("n_sources") / col("n_src")))
         .select(col("source"), col("n_src"), col("keep_rate"))
       docs.join(broadcast(withTotal), "source")
-        .withColumn("h", conv(substring(
-          md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8),
-          16, 10).cast("long"))
+        .withColumn("h", graft.GraftSession.portableHash(
+          concat(lit("mix:"), col("doc_id").cast("string"))))
         .filter(col("h").cast("double") < col("keep_rate") * 4294967296.0)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
