@@ -31,10 +31,13 @@ object EventStats {
         sum((col("value").cast("decimal(18,2)") *
           col("value").cast("decimal(18,2)")).cast("decimal(38,4)")).as("s2"))
       .withColumn("mean", col("s").cast("double") / col("n"))
-      .withColumn("variance",
+      // n = 1 leaves the variance undefined (NULL), not a divide-by-
+      // zero: ANSI mode (Spark 4 default) would otherwise abort the
+      // whole job on one single-event cohort (the saxMotifs guard rule)
+      .withColumn("variance", when(col("n") > 1,
         (col("s2").cast("double") -
           col("s").cast("double") * col("s").cast("double") / col("n")) /
-          (col("n") - 1))
+          (col("n") - 1)))
     val a = g.filter(col("cohort") === 0)
       .select(col("event_type"), col("n").as("n0"), col("mean").as("mean0"),
         col("variance").as("v0"))
@@ -43,11 +46,15 @@ object EventStats {
         col("variance").as("v1"))
     val se2 = col("v0") / col("n0") + col("v1") / col("n1")
     a.join(b, Seq("event_type"))
-      .withColumn("t_stat", (col("mean0") - col("mean1")) / sqrt(se2))
-      .withColumn("df",
+      // se2 = 0 (both cohorts constant) leaves t/df undefined rather
+      // than dividing by zero; a NULL variance (n = 1) propagates NULL
+      // through se2 and both stats on its own
+      .withColumn("t_stat",
+        when(se2 > 0, (col("mean0") - col("mean1")) / sqrt(se2)))
+      .withColumn("df", when(se2 > 0,
         (se2 * se2) /
           ((col("v0") / col("n0")) * (col("v0") / col("n0")) / (col("n0") - 1) +
-           (col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1)))
+           (col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1))))
       .select(col("event_type"), col("n0"), col("n1"),
         round(col("mean0"), 6).as("mean0"), round(col("mean1"), 6).as("mean1"),
         round(col("t_stat"), 6).as("t_stat"), round(col("df"), 2).as("df"),
@@ -121,12 +128,17 @@ object EventStats {
         col("d_days") * col("prefix") - col("k") * col("total"))
     val wPick = Window.partitionBy(col("event_type"))
       .orderBy(abs(col("s_k")).desc, col("day"))
+    // shifted tests the UNROUNDED fraction — the oracle compares the
+    // raw value against the threshold, so testing the round(...,6)
+    // output would flip the boolean for values within 5e-7 of the
+    // threshold (latent parity break, r9 review fix)
+    val frac = abs(col("s_k")).cast("double") /
+      (col("d_days").cast("double") * col("total"))
     s.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
       .select(col("event_type"), col("d_days").as("n_days"), col("total"),
         col("day").as("peak_day"), abs(col("s_k")).as("s_abs"),
-        round(abs(col("s_k")).cast("double") /
-          (col("d_days").cast("double") * col("total")), 6).as("cusum_frac"))
-      .withColumn("shifted", col("cusum_frac") > threshold)
+        round(frac, 6).as("cusum_frac"),
+        (frac > threshold).as("shifted"))
   }
 
   /** Conversion latency from each user's FIRST `fromType` to their
@@ -175,7 +187,10 @@ object EventStats {
     val span = hc.agg((max(col("t")) - min(col("t")) + 1).as("span_h"))
     hc.groupBy(col("event_type"))
       .agg(sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("sc2"),
+        // Σc² in decimal: long accumulation overflows near 1e19 (a
+        // corpus-scale type at ~2.5e8/hour crosses it); the DuckDB
+        // mirror already accumulates in HUGEINT (abTest's s2 rule)
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"),
         count(lit(1)).as("active_h"))
       .crossJoin(broadcast(span))
       .select(col("event_type"), col("sc").as("n_events"),
@@ -232,7 +247,9 @@ object EventStats {
     ranked.agg(
         max(col("n")).as("n_users"),
         sum(col("c")).as("total_events"),
-        sum(col("i") * col("c")).as("lorenz"),
+        // Σ i·c in decimal: rank×count products sum past Long range on
+        // billion-user logs (the burstiness Σc² rule)
+        sum((col("i") * col("c")).cast("decimal(38,0)")).as("lorenz"),
         sum(when(col("i") > col("decile_cut"), col("c")).otherwise(0L))
           .as("top_events"))
       .select(col("n_users"), col("total_events"),

@@ -477,24 +477,26 @@ object Relational {
             min(when(col("cum") > ceil(h), col("v"))).as(s"${name}_vhi"),
             first(h - lo).as(s"${name}_frac"))
         }
+        // n_rows rides along: the caller needs per-group row counts and
+        // the checkpointed distribution already holds them — emitting
+        // them here saves a third full lineitem scan (r9 review fix)
         val g = t.groupBy(col("l_returnflag"))
-          .agg(aggs.head, aggs.tail: _*)
+          .agg(aggs.head, aggs.tail :+ max(col("n_rows")).as("n_rows"): _*)
         ps.foldLeft(g) { case (df, (name, _)) =>
           df.withColumn(name, round(
             col(s"${name}_vlo") +
               col(s"${name}_frac") * (col(s"${name}_vhi") - col(s"${name}_vlo")),
             6))
-        }.select(col("l_returnflag") +: ps.map(p => col(p._1)): _*)
+        }.select(col("l_returnflag") +: ps.map(p => col(p._1))
+          :+ col("n_rows"): _*)
       }
       // Bucket widths split each column's domain into O(10) uniform
       // value ranges (quantity 1..50, price ~0.9k..105k).
       val qty = dist("l_quantity", 8.0,
         Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95))
       val price = dist("l_extendedprice", 8192.0, Seq("p50_price" -> 0.5))
-      val nr = table(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"))
+        .drop("n_rows")
       qty.join(broadcast(price), "l_returnflag")
-        .join(broadcast(nr), "l_returnflag")
         .select(col("l_returnflag"), col("p50_qty"), col("p95_qty"),
           col("p50_price"), col("n_rows"))
         .orderBy(col("l_returnflag"))

@@ -20,8 +20,12 @@ import graft.GraftSession.{ckpt, eventsTable, table}
   */
 object Similarity {
 
-  private def cosine(a: String, b: String) =
-    call_function("cosine_sim", col(a), col(b))
+  import graft.functions.GraftFunctions.cosine_sim
+
+  // name-based convenience over the shared Column helper — all cosine
+  // call sites route through GraftFunctions.cosine_sim so a function-
+  // name typo is a compile error, not a runtime lookup failure
+  private def cosine(a: String, b: String) = cosine_sim(col(a), col(b))
 
   /** Brute-force cosine top-k of a (vec_id, label, embedding) frame
     * against a query vector. Public df-level API (the q35 operator,
@@ -29,8 +33,7 @@ object Similarity {
     * TakeOrdered — no shuffle. */
   def cosineTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame =
     emb
-      .withColumn("cos", call_function("cosine_sim",
-        col("embedding"), typedlit(query)))
+      .withColumn("cos", cosine_sim(col("embedding"), typedlit(query)))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
 
@@ -155,10 +158,6 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
   }
 
-  /** Per-user 24-hour activity profile as a mean-centered 64-dim vector
-    * (hours 24-63 zero-padded to the RHP plane width). Hourly sums are
-    * decimal-exact and every entry rounds at 6 dp, so the vectors are
-    * bit-identical cross-engine before any similarity math. */
   /** SAX motif buckets over per-user activity series (Lin et al. 2003
     * / the iSAX indexing route — the SYMBOLIC half of the time-series
     * -similarity story next to q92's RHP-cosine): each user's 30-day
@@ -207,6 +206,10 @@ object Similarity {
       .agg(count(lit(1)).as("n_users"), min(col("user_id")).as("sample_user"))
   }
 
+  /** Per-user 24-hour activity profile as a mean-centered 64-dim vector
+    * (hours 24-63 zero-padded to the RHP plane width). Hourly sums are
+    * decimal-exact and every entry rounds at 6 dp, so the vectors are
+    * bit-identical cross-engine before any similarity math. */
   private[graft] def behaviorSeries(s: SparkSession, dir: String): DataFrame = {
     val hours = graft.GraftSession.eventsTable(s, dir)
       .withColumn("h", hour(col("ts")))
@@ -271,8 +274,8 @@ object Similarity {
     val mem = a2.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val dropped = mem.as("a").join(mem.as("b"),
         col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(call_function("cosine_sim",
-        col("a.embedding"), col("b.embedding")), 6))
+      .withColumn("cos", round(
+        cosine_sim(col("a.embedding"), col("b.embedding")), 6))
       .filter(col("cos") >= threshold)
       .select(col("b.cl").as("cl"), col("b.vec_id").as("vec_id"))
       .distinct()
@@ -301,14 +304,18 @@ object Similarity {
       // profiles share diurnal shape, which is exactly the correlated-
       // sign-bit skew the cap bounds — and only colliding pairs are
       // scored by the codegen'd cosine.
-      val series = behaviorSeries(s, dir)
+      // ckpt: the profile pipeline (events scan → hourly agg → 24-col
+      // pivot) has THREE consumers — the band blocking plus both pair-
+      // enrichment joins; rhpCandidatePairs' internal ckpt covers only
+      // its derived band rows, so without this the whole aggregation
+      // re-ran twice more (r9 review fix)
+      val series = ckpt(behaviorSeries(s, dir))
       rhpCandidatePairs(series)
         .join(series.select(col("vec_id").as("vec_a"),
           col("embedding").as("ea")), Seq("vec_a"))
         .join(series.select(col("vec_id").as("vec_b"),
           col("embedding").as("eb")), Seq("vec_b"))
-        .withColumn("cos", round(call_function("cosine_sim",
-          col("ea"), col("eb")), 6))
+        .withColumn("cos", round(cosine_sim(col("ea"), col("eb")), 6))
         .filter(col("cos") >= 0.3)
         .select(col("vec_a").as("user_a"), col("vec_b").as("user_b"),
           col("cos"))
@@ -342,8 +349,7 @@ object Similarity {
           col("embedding").as("ea")), Seq("vec_a"))
         .join(emb.select(col("vec_id").as("vec_b"),
           col("embedding").as("eb")), Seq("vec_b"))
-        .withColumn("cos", round(call_function("cosine_sim",
-          col("ea"), col("eb")), 6))
+        .withColumn("cos", round(cosine_sim(col("ea"), col("eb")), 6))
         .filter(col("cos") >= 0.3)
         .select(col("vec_a"), col("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
