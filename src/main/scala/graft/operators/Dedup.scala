@@ -86,14 +86,6 @@ object Dedup {
        |WHERE len(toks) >= 3""".stripMargin
   private val shinglesSql = shinglesSqlFrom("documents")
 
-  /** Distinct shingle *hash* set of a (doc_id, text) frame: doc_id with
-    * the two independent 32-bit halves of md5(shingle). Fixed-width
-    * numeric keys — the distinct and every downstream join shuffle 16
-    * bytes per shingle instead of the shingle string, which is the
-    * dominant shuffle cost of exact-Jaccard verification at corpus
-    * scale. 64 collision bits keep "exact" honest; a collision perturbs
-    * both engines identically (same md5), so oracle parity holds.
-    * Public df-level API. */
   /** Per-doc novelty (q134): the fraction of a doc's distinct
     * shingles that appear NOWHERE else in the corpus (df = 1) — the
     * inverse of q120's dup-mask signal, and the score a curation pass
@@ -116,6 +108,14 @@ object Dedup {
         round(col("n_unique").cast("double") / col("n_sh"), 6))
   }
 
+  /** Distinct shingle *hash* set of a (doc_id, text) frame: doc_id with
+    * the two independent 32-bit halves of md5(shingle). Fixed-width
+    * numeric keys — the distinct and every downstream join shuffle 16
+    * bytes per shingle instead of the shingle string, which is the
+    * dominant shuffle cost of exact-Jaccard verification at corpus
+    * scale. 64 collision bits keep "exact" honest; a collision perturbs
+    * both engines identically (same md5), so oracle parity holds.
+    * Public df-level API. */
   def shingleHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(call_function("shingle_hashes", col("text"))).as("p"))
@@ -808,6 +808,26 @@ object Dedup {
           .as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
 
+  /** Gaps-and-islands merge of per-doc (pos, e) window intervals into
+    * maximal disjoint spans (doc_id, island, s, e): a running max of
+    * span ends over a per-doc window; a new island starts where a
+    * window clears the previous maximum by >1. Shared by the span
+    * REPORT ([[dupSpansFromHits]]) and the span TRIM ([[trimDupSpans]])
+    * so the adjacency rule lives in exactly one place. Per-DOC windows
+    * only — each partition ≤ len/16 rows, never corpus-global order. */
+  private def mergeSpans(ivals: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    ivals
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("new_isl",
+        when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_isl")).over(wOrd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+  }
+
   /** [[dupSpans]] over a pre-computed [[windowHits]] frame. */
   def dupSpansFromHits(corpus: DataFrame, hits: DataFrame,
       win: Int = 50): DataFrame = {
@@ -817,16 +837,7 @@ object Dedup {
     val dh = hits.join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"),
         (col("pos") + lit(win - 1)).as("e"))
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val isl = dh
-      .withColumn("pmax", max(col("e")).over(wPrev))
-      .withColumn("new_isl",
-        when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L)
-          .otherwise(0L))
-      .withColumn("island", sum(col("new_isl")).over(wOrd))
-    val spans = isl.groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val spans = mergeSpans(dh)
     val agg = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("masked"))
@@ -865,17 +876,7 @@ object Dedup {
     val masked = hits.join(dup, Seq("h"))
       .filter(col("doc_id") =!= col("canon"))
       .select(col("doc_id"), col("pos"), (col("pos") + lit(win - 1)).as("e"))
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val spans = masked
-      .withColumn("pmax", max(col("e")).over(wPrev))
-      .withColumn("new_isl",
-        when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L)
-          .otherwise(0L))
-      .withColumn("island", sum(col("new_isl")).over(wOrd))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
-    val perDoc = spans.groupBy(col("doc_id"))
+    val perDoc = mergeSpans(masked).groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"),
         count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("masked_chars"))

@@ -20,10 +20,13 @@ object TopK {
   def groupTopK(df: DataFrame, group: Seq[String],
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
     val lp = df.queryExecution.analyzed
-    // Resolve by name but THROW on duplicates (post-join plans often
-    // carry two attributes with the same name; silently binding the
-    // first yields wrong-but-plausible top-k results — advisor, r9).
-    def attr(n: String) = lp.output.filter(_.name == n) match {
+    // Resolve with the SESSION's resolver (case-insensitive by
+    // default, like every other df-level API) but THROW on duplicates
+    // (post-join plans often carry two attributes with the same name;
+    // silently binding the first yields wrong-but-plausible top-k
+    // results — advisor, r9).
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    def attr(n: String) = lp.output.filter(a => resolver(a.name, n)) match {
       case Seq(a) => a
       case Seq() => throw new IllegalArgumentException(
         s"no column $n in ${lp.output.map(_.name)}")
@@ -32,10 +35,17 @@ object TopK {
           s"(${many.map(a => s"$n#${a.exprId.id}").mkString(", ")}) — " +
           "alias or select the intended one before groupTopK")
     }
+    // Normalize float/double group keys (-0.0 → 0.0, canonical NaN):
+    // the optimizer's NormalizeFloatingNumbers rule canonicalizes
+    // Aggregate/Window grouping but does not match this custom node,
+    // and both the UnsafeRow map key AND the hash exchange distinguish
+    // the two zero bit patterns — without this a ±0.0 group splits in
+    // two, diverging from PARTITION BY semantics (r9 review fix).
+    val gk = group.map(n => GraftPlanBridge.normalizeFloats(attr(n)))
     val so = order.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending) }
     GraftPlanBridge.ofRows(df.sparkSession,
-      GroupTopKPlan(lp, group.map(attr), so, k))
+      GroupTopKPlan(lp, gk, so, k))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -59,8 +69,13 @@ object TopK {
       // pipeline rather than standing alone. Pairs symmetrize first
       // (kNN is per-endpoint); ordering (jaccard desc, neighbor asc)
       // is total, so the gate stays hash-exact.
-      val pairs = Dedup.lshVerifiedPairs(table(s, dir, "documents"))
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // ckpt: the verified-pair pipeline (LSH candidates + three-way
+      // verify joins) feeds BOTH union branches; ReuseExchange dedups
+      // only the shuffles, so without this every post-shuffle stage
+      // ran twice (the q93 multi-consumer rule — r9 review fix)
+      val pairs = graft.GraftSession.ckpt(
+        Dedup.lshVerifiedPairs(table(s, dir, "documents"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard")))
       val sym = pairs
         .union(pairs.select(col("doc_b").as("doc_a"),
           col("doc_a").as("doc_b"), col("jaccard")))

@@ -235,19 +235,30 @@ object BroadcastAsofJoinExec {
   // previous context (wrong join results). Small LRU bound: an entry
   // outliving its broadcast costs one dim index; read-only after
   // construction so concurrent tasks share it safely.
+  // Lazy holder so the map lock is held only for map MUTATION, never
+  // for the index build itself: concurrent tasks of the SAME broadcast
+  // serialize on the holder's lazy val (one build), while tasks of an
+  // UNRELATED as-of join (different broadcast) proceed without ever
+  // waiting on another join's sort (r9 review fix).
+  private final class Holder(build0: () => Index) {
+    lazy val value: Index = build0()
+  }
   private val indexCache =
-    new java.util.LinkedHashMap[String, Index](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Holder](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Index]): Boolean = size() > 8
+          e: java.util.Map.Entry[String, Holder]): Boolean = size() > 8
     }
 
   private[plans] def indexFor(
       bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]])(
-      build: => Index): Index = indexCache.synchronized {
+      build: => Index): Index = {
     val key = s"${org.apache.spark.SparkEnv.get.conf.getAppId}:${bc.id}"
-    val cached = indexCache.get(key)
-    if (cached != null) cached
-    else { val idx = build; indexCache.put(key, idx); idx }
+    val holder = indexCache.synchronized {
+      val cached = indexCache.get(key)
+      if (cached != null) cached
+      else { val h = new Holder(() => build); indexCache.put(key, h); h }
+    }
+    holder.value
   }
 }
 
@@ -285,10 +296,11 @@ case class BroadcastAsofJoinExec(
     val rightArity = right.output.size
     val outAttrs = output
     left.execute().mapPartitions { lIter =>
-      // index built ONCE PER EXECUTOR per broadcast (weak-keyed cache,
-      // entries die with the broadcast) — the same lifecycle as
-      // Spark's own executor-side HashedRelation, so a thousand tasks
-      // against a large dim don't re-sort it a thousand times
+      // index built ONCE PER EXECUTOR per broadcast (size-8 LRU keyed
+      // by appId:broadcastId — see indexCache; an entry can outlive
+      // its broadcast until 8 newer ones evict it, costing at most 8
+      // pinned dim indexes per executor), so a thousand tasks against
+      // a large dim don't re-sort it a thousand times
       val byKey = BroadcastAsofJoinExec.indexFor(bcast) {
         val ordering = RowOrdering.create(boundOrder, Nil)
         val idx = new java.util.HashMap[AnyRef, (Array[Long], Array[InternalRow])]()

@@ -143,6 +143,33 @@ class GroupTopKSpec extends AnyFunSuite {
     assert(got.sameElements(expect), "null-handling diverged from window")
   }
 
+  test("±0.0 double group keys form ONE group, like window PARTITION BY") {
+    // The optimizer's NormalizeFloatingNumbers rule canonicalizes
+    // Aggregate/Window grouping but does not match the custom plan;
+    // without explicit normalization the UnsafeRow map key AND the
+    // hash exchange split 0.0 vs -0.0 into two groups (r9 review fix).
+    val df = spark.range(40L)
+      .select(
+        // ids 0..19 -> -0.0 (0 * -1.0), ids 20..39 -> 0.0: same SQL
+        // group, different IEEE bit patterns
+        (when(col("id") < 20, lit(0.0) * lit(-1.0)).otherwise(lit(0.0)))
+          .as("g"),
+        col("id"))
+      .repartition(4)
+    val got = TopK.groupTopK(df, Seq("g"), Seq(("id", false)), 3).collect()
+    assert(got.length == 3, s"±0.0 split the group: ${got.length} rows")
+    assert(got.map(_.getLong(1)).sorted.sameElements(Array(0L, 1L, 2L)),
+      got.mkString(","))
+  }
+
+  test("group/order names resolve case-insensitively (session default)") {
+    val df = spark.range(30L)
+      .select(pmod(col("id"), lit(3L)).as("Grp"), col("id").as("Score"))
+    val got = TopK.groupTopK(df, Seq("grp"), Seq(("score", true)), 2)
+      .collect()
+    assert(got.length == 6, got.mkString(","))
+  }
+
   test("gated q176: native result is the exact ROW_NUMBER head") {
     val rows = SparkEntry.queries("q176_group_topk")(spark, sf).collect()
     assert(rows.nonEmpty)
