@@ -60,18 +60,32 @@ case class CdcWindowHashes(left: Expression, right: Expression)
 }
 
 object CdcWindowHashes {
+  /** The rolling loop — static so generated code calls straight into
+    * it from inside whole-stage codegen (one invokestatic per row; the
+    * loop itself is the work and JITs independently of plan shape). */
+  def compute(text: UTF8String, win: Int): ArrayData =
+    new GenericArrayData(CdcRoll.anchors(text, win)._2)
+}
+
+/** The ONE rolling-hash core behind both `cdc_window_hashes` (hash
+  * array) and `cdc_window_hits` (pos+hash structs): any change to the
+  * bases, modulus, anchor density, or packing lands in both faces —
+  * and their shared DuckDB mirror strings — from a single place (r9
+  * review fix: the two expressions previously carried verbatim copies
+  * of this loop). */
+private[functions] object CdcRoll {
   private val P = 2147483647L // 2^31 - 1 (prime; products stay < 2^52)
   private val B1 = 257L
   private val B2 = 263L
 
-  /** The rolling loop — static so generated code calls straight into
-    * it from inside whole-stage codegen (one invokestatic per row; the
-    * loop itself is the work and JITs independently of plan shape). */
-  def compute(text: UTF8String, win: Int): ArrayData = {
+  /** (1-based positions, packed 62-bit hashes) of every ANCHORED
+    * `win`-codepoint window (anchor: h1 % 16 == 0; pack:
+    * (h1 << 31) | h2). Empty pair for texts shorter than `win`. */
+  def anchors(text: UTF8String, win: Int): (Array[Int], Array[Long]) = {
     require(win >= 2 && win <= 10000, s"window length out of range: $win")
     val cp = text.toString.codePoints().toArray
     val n = cp.length
-    if (n < win) return new GenericArrayData(Array.emptyLongArray)
+    if (n < win) return (Array.emptyIntArray, Array.emptyLongArray)
     // b^(win-1) mod P: the outgoing codepoint's positional weight
     var b1w = 1L; var b2w = 1L
     var j = 0
@@ -79,20 +93,28 @@ object CdcWindowHashes {
     var h1 = 0L; var h2 = 0L
     j = 0
     while (j < win) { h1 = (h1 * B1 + cp(j)) % P; h2 = (h2 * B2 + cp(j)) % P; j += 1 }
-    val out = new java.util.ArrayList[java.lang.Long](n / 8 + 4)
+    var cap = n / 8 + 4
+    var pos = new Array[Int](cap); var hs = new Array[Long](cap)
+    var m = 0
     val last = n - win
     var i = 0
     while (i <= last) {
-      if (h1 % 16 == 0) out.add((h1 << 31) | h2)
+      if (h1 % 16 == 0) {
+        if (m == cap) {
+          cap *= 2
+          pos = java.util.Arrays.copyOf(pos, cap)
+          hs = java.util.Arrays.copyOf(hs, cap)
+        }
+        pos(m) = i + 1 // 1-based, codepoints (the substr convention)
+        hs(m) = (h1 << 31) | h2
+        m += 1
+      }
       if (i < last) {
         h1 = ((h1 - cp(i) * b1w % P + P) % P * B1 + cp(i + win)) % P
         h2 = ((h2 - cp(i) * b2w % P + P) % P * B2 + cp(i + win)) % P
       }
       i += 1
     }
-    val arr = new Array[Long](out.size)
-    var k = 0
-    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
-    new GenericArrayData(arr)
+    (java.util.Arrays.copyOf(pos, m), java.util.Arrays.copyOf(hs, m))
   }
 }

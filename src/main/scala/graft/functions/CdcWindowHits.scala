@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -52,35 +51,16 @@ case class CdcWindowHits(left: Expression, right: Expression)
 }
 
 object CdcWindowHits {
-  private val P = 2147483647L
-  private val B1 = 257L
-  private val B2 = 263L
-
+  /** Same [[CdcRoll]] core as `cdc_window_hashes`; this face only
+    * shapes the (pos, h) pairs into struct rows. */
   def compute(text: UTF8String, win: Int): ArrayData = {
-    require(win >= 2 && win <= 10000, s"window length out of range: $win")
-    val cp = text.toString.codePoints().toArray
-    val n = cp.length
-    if (n < win) return new GenericArrayData(Array.empty[Any])
-    var b1w = 1L; var b2w = 1L
-    var j = 0
-    while (j < win - 1) { b1w = b1w * B1 % P; b2w = b2w * B2 % P; j += 1 }
-    var h1 = 0L; var h2 = 0L
-    j = 0
-    while (j < win) { h1 = (h1 * B1 + cp(j)) % P; h2 = (h2 * B2 + cp(j)) % P; j += 1 }
-    val out = new java.util.ArrayList[InternalRow](n / 8 + 4)
-    val last = n - win
+    val (pos, hs) = CdcRoll.anchors(text, win)
+    val out = new Array[Any](pos.length)
     var i = 0
-    while (i <= last) {
-      if (h1 % 16 == 0)
-        out.add(new GenericInternalRow(
-          Array[Any](i + 1, (h1 << 31) | h2))) // 1-based pos
-      if (i < last) {
-        h1 = ((h1 - cp(i) * b1w % P + P) % P * B1 + cp(i + win)) % P
-        h2 = ((h2 - cp(i) * b2w % P + P) % P * B2 + cp(i + win)) % P
-      }
+    while (i < pos.length) {
+      out(i) = new GenericInternalRow(Array[Any](pos(i), hs(i)))
       i += 1
     }
-    new GenericArrayData(out.toArray(new Array[InternalRow](out.size))
-      .asInstanceOf[Array[Any]])
+    new GenericArrayData(out)
   }
 }

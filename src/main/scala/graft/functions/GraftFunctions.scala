@@ -16,14 +16,20 @@ object GraftFunctions {
     call_function("cosine_sim", a, b)
 
   /** Pure-builtin fallback with identical semantics (usable on sessions
-    * without the extension; not codegen-fused). */
+    * without the extension; not codegen-fused). Length-mismatched
+    * vectors truncate to the common prefix — matching the native
+    * expression, where zip_with alone would null-poison the fold and
+    * return NULL for ragged inputs (r9 review fix). */
   def cosine_sim_builtin(a: Column, b: Column): Column = {
+    val n = least(size(a), size(b))
+    val ap = slice(a, lit(1), n)
+    val bp = slice(b, lit(1), n)
     def dot(x: Column, y: Column) = aggregate(
       zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-    val d = dot(a, b)
-    val na = sqrt(dot(a, a))
-    val nb = sqrt(dot(b, b))
+    val d = dot(ap, bp)
+    val na = sqrt(dot(ap, ap))
+    val nb = sqrt(dot(bp, bp))
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
 

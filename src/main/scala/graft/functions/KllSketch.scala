@@ -107,7 +107,6 @@ object KllSketch {
     /** Rank-based quantile: the smallest retained value whose
       * cumulative weight reaches p·n. */
     def quantile(p: Double): Double = {
-      require(p >= 0.0 && p <= 1.0, s"quantile p must be in [0,1]: $p")
       val items = ArrayBuffer.empty[(Double, Long)]
       var lvl = 0
       while (lvl < levels.length) {
@@ -115,7 +114,21 @@ object KllSketch {
         levels(lvl).foreach(v => items += ((v, w)))
         lvl += 1
       }
-      if (items.isEmpty) return Double.NaN
+      KllSketch.weightedQuantile(items, p).getOrElse(Double.NaN)
+    }
+  }
+
+  /** Shared weighted-rank estimator — the smallest item whose
+    * cumulative weight reaches max(1, ceil(p·W)). Both the in-memory
+    * [[State.quantile]] and the SQL [[KllQuantile]] expression route
+    * here, so the rank rule (and the p ∈ [0,1] contract) lives in
+    * exactly one place (r9 review fix — the two copies could drift,
+    * and the SQL face silently clamped out-of-range p). None = empty. */
+  private[functions] def weightedQuantile(
+      items: ArrayBuffer[(Double, Long)], p: Double): Option[Double] = {
+    require(p >= 0.0 && p <= 1.0, s"quantile p must be in [0,1]: $p")
+    if (items.isEmpty) None
+    else {
       val sorted = items.sortBy(_._1)
       val totalW = sorted.map(_._2).sum
       val target = math.max(1L, math.ceil(p * totalW).toLong)
@@ -123,10 +136,10 @@ object KllSketch {
       var i = 0
       while (i < sorted.length) {
         cum += sorted(i)._2
-        if (cum >= target) return sorted(i)._1
+        if (cum >= target) return Some(sorted(i)._1)
         i += 1
       }
-      sorted.last._1
+      Some(sorted.last._1)
     }
   }
 
@@ -263,23 +276,10 @@ case class KllQuantile(left: Expression, right: Expression)
       }
       lvl += 1
     }
-    if (items.isEmpty) null
-    else {
-      val sorted = items.sortBy(_._1)
-      val totalW = sorted.map(_._2).sum
-      val target = math.max(1L,
-        math.ceil(p.asInstanceOf[Double] * totalW).toLong)
-      var cum = 0L
-      var i = 0
-      var out = sorted.last._1
-      var done = false
-      while (i < sorted.length && !done) {
-        cum += sorted(i)._2
-        if (cum >= target) { out = sorted(i)._1; done = true }
-        i += 1
-      }
-      out
-    }
+    // one shared estimator with State.quantile — same rank rule, same
+    // p ∈ [0,1] contract (empty sketch stays SQL-null)
+    KllSketch.weightedQuantile(items, p.asInstanceOf[Double])
+      .map(java.lang.Double.valueOf).orNull
   }
 
   override protected def withNewChildrenInternal(

@@ -59,7 +59,7 @@ case class KmvSketchAgg(
       s"kmv_sketch_agg expects string/bigint/int, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long](KmvSketch.UnsignedOrder)
+    KmvSketch.newBuffer()
 
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
@@ -71,36 +71,17 @@ case class KmvSketchAgg(
 
   override def merge(
       b1: java.util.TreeSet[java.lang.Long],
-      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = b2.iterator()
-    while (it.hasNext) KmvSketch.offer(b1, it.next(), k)
-    b1
-  }
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    KmvSketch.mergeBuffers(b1, b2, k)
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val arr = new Array[Any](buf.size)
-    var i = 0
-    val it = buf.iterator()
-    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
-    new GenericArrayData(arr)
-  }
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    KmvSketch.evalSet(buf)
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    KmvSketch.serializeSet(buf)
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    KmvSketch.deserializeSet(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -116,6 +97,50 @@ case class KmvSketchAgg(
 object KmvSketch {
   val DefaultK = 1024
   private val Seed = 0x6b6d76L // "kmv"
+
+  // ---- shared buffer plumbing for BOTH aggregates: union sketches
+  // must merge byte/semantics-identically with build sketches, so the
+  // order, codec, and merge live in exactly one place (r9 review fix)
+
+  private[functions] def newBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](UnsignedOrder)
+
+  private[functions] def mergeBuffers(
+      b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long],
+      k: Int): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) offer(b1, it.next(), k)
+    b1
+  }
+
+  private[functions] def evalSet(
+      buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  private[functions] def serializeSet(
+      buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  private[functions] def deserializeSet(
+      bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = newBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
 
   val UnsignedOrder: java.util.Comparator[java.lang.Long] =
     (a: java.lang.Long, b: java.lang.Long) =>
@@ -145,14 +170,30 @@ object KmvSketch {
   private[functions] def toUnit(h: Long): Double =
     math.max((h >>> 11).toDouble * (1.0 / (1L << 53)), java.lang.Double.MIN_NORMAL)
 
-  private[functions] def estimate(sorted: Array[Long], k: Int): Double =
+  /** `k` MUST be the sketch's build-time k: the array does not record
+    * it, so a mismatch is only detectable in one direction — a sketch
+    * LONGER than k throws (definitely built with a larger k), but a
+    * saturated sketch probed with a LARGER k is indistinguishable from
+    * an unsaturated exact set and silently returns its length as an
+    * "exact" count (a 128-length sketch of 10M distincts probed with
+    * k=1024 reads as 128). Callers pass the same literal to the agg
+    * and the estimator — every in-repo site does. */
+  private[functions] def estimate(sorted: Array[Long], k: Int): Double = {
+    require(sorted.length <= k,
+      s"kmv_estimate: ${sorted.length}-hash sketch exceeds k=$k — " +
+        "built with a larger k; pass the build-time k")
     if (sorted.length < k) sorted.length.toDouble
     else (k - 1).toDouble / toUnit(sorted(k - 1))
+  }
 
   /** Merged-union estimate + common-fraction intersection estimate
-    * over two sorted (unsigned asc) sketch arrays. */
+    * over two sorted (unsigned asc) sketch arrays. Same build-time-k
+    * contract (and the same one-sided check) as [[estimate]]. */
   private[functions] def intersectEstimate(a: Array[Long], b: Array[Long],
       k: Int): Double = {
+    require(a.length <= k && b.length <= k,
+      s"kmv_intersect_estimate: sketch lengths (${a.length}, ${b.length}) " +
+        s"exceed k=$k — built with a larger k; pass the build-time k")
     // merge to the union's k smallest distinct, counting members of both
     var ia = 0; var ib = 0; var n = 0; var common = 0
     var kth = 0L
@@ -203,7 +244,7 @@ case class KmvUnionAgg(
   }
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long](KmvSketch.UnsignedOrder)
+    KmvSketch.newBuffer()
 
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
@@ -222,36 +263,17 @@ case class KmvUnionAgg(
 
   override def merge(
       b1: java.util.TreeSet[java.lang.Long],
-      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = b2.iterator()
-    while (it.hasNext) KmvSketch.offer(b1, it.next(), k)
-    b1
-  }
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    KmvSketch.mergeBuffers(b1, b2, k)
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val arr = new Array[Any](buf.size)
-    var i = 0
-    val it = buf.iterator()
-    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
-    new GenericArrayData(arr)
-  }
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    KmvSketch.evalSet(buf)
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    KmvSketch.serializeSet(buf)
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    KmvSketch.deserializeSet(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvUnionAgg =
     copy(mutableAggBufferOffset = newOffset)

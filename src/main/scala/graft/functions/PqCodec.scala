@@ -80,6 +80,14 @@ object PqEncode {
   /** header: cb(0)=m, cb(1)=k, cb(2)=dsub, centroids follow. */
   def compute(vec: ArrayData, cb: Array[Double], isFloat: Boolean): ArrayData = {
     val m = cb(0).toInt; val k = cb(1).toInt; val dsub = cb(2).toInt
+    // Bounds check before the hot loops: on UnsafeArrayData an
+    // out-of-range getFloat reads arbitrary memory SILENTLY (wrong
+    // codes, no error) — a short/corrupt embedding row must fail
+    // loudly instead (r9 review fix).
+    if (vec.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${vec.numElements()} dims, codebook " +
+          s"expects m*dsub = ${m * dsub}")
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -151,10 +159,17 @@ object PqAdc {
   /** header: lut(0)=m, lut(1)=k, per-(subspace, code) values follow. */
   def compute(codes: ArrayData, lut: Array[Double]): Double = {
     val m = lut(0).toInt; val k = lut(1).toInt
+    if (codes.numElements() < m)
+      throw new IllegalArgumentException(
+        s"pq_adc: ${codes.numElements()} codes, LUT expects m = $m")
     var sum = 0.0
     var s = 0
     while (s < m) {
-      sum += lut(2 + s * k + codes.getInt(s))
+      val c = codes.getInt(s)
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $c out of [0, $k) in subspace $s")
+      sum += lut(2 + s * k + c)
       s += 1
     }
     sum

@@ -57,34 +57,55 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
 }
 
 object ShingleHashes {
-  private val Ws = Pattern.compile("\\s+")
-  private val md5Local = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest =
-      MessageDigest.getInstance("MD5")
-  }
   private val Empty = new GenericArrayData(Array.emptyLongArray)
 
   def compute(text: UTF8String): ArrayData = {
-    val toks = Ws.split(text.toString, -1)
+    val toks = GramHash.Ws.split(text.toString, -1)
     val m = toks.length
     if (m < 3) return Empty
-    val md = md5Local.get()
     val out = new Array[Long](m - 2)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < m - 2) {
-      sb.setLength(0)
-      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ')
-        .append(toks(i + 2))
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
-      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-      out(i) = (h1 << 32) | h2
+      val d = GramHash.digest3(toks, i, sb)
+      out(i) = (GramHash.u32(d, 0) << 32) | GramHash.u32(d, 4)
       i += 1
     }
     new GenericArrayData(out)
   }
+}
+
+/** The ONE 3-word-gram md5 core behind `shingle_hashes` and
+  * `winnow_prints`: the gram join (single spaces) and the
+  * unsigned-byte packing are the byte-faithfulness contract with the
+  * DuckDB mirror strings (`('0x'||substr(md5(sh),1,8))::BIGINT`), so
+  * they must live in exactly one place (r9 review fix — both
+  * expressions previously carried verbatim copies). Tokenization
+  * stays per-caller: winnowing lowercases first, shingles hash the
+  * raw text. */
+private[functions] object GramHash {
+  val Ws: Pattern = Pattern.compile("\\s+")
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** md5 of `toks(i) + ' ' + toks(i+1) + ' ' + toks(i+2)`. The
+    * returned buffer is the digest's own allocation — read it before
+    * the next call on this thread. */
+  def digest3(toks: Array[String], i: Int,
+      sb: java.lang.StringBuilder): Array[Byte] = {
+    sb.setLength(0)
+    sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ')
+      .append(toks(i + 2))
+    val md = md5Local.get()
+    md.reset()
+    md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Digest bytes [o, o+4) as an unsigned 32-bit value — exactly
+    * `conv(substring(md5_hex, 2o+1, 8), 16, 10)`. */
+  def u32(d: Array[Byte], o: Int): Long =
+    ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+      ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
 }

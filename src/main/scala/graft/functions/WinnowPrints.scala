@@ -54,31 +54,20 @@ case class WinnowPrints(child: Expression) extends UnaryExpression {
 }
 
 object WinnowPrints {
-  private val Ws = Pattern.compile("\\s+")
-  private val md5Local = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest =
-      MessageDigest.getInstance("MD5")
-  }
   private val Empty = new GenericArrayData(Array.emptyLongArray)
 
   def compute(text: UTF8String): ArrayData = {
-    // UTF8String.toLowerCase == the `lower` expression's semantics
-    val toks = Ws.split(text.toLowerCase.toString, -1)
+    // UTF8String.toLowerCase == the `lower` expression's semantics;
+    // gram digest + packing shared with shingle_hashes via GramHash
+    val toks = GramHash.Ws.split(text.toLowerCase.toString, -1)
     val m = toks.length
     if (m < 6) return Empty
-    val md = md5Local.get()
     val nGrams = m - 2
     val hs = new Array[Long](nGrams)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < nGrams) {
-      sb.setLength(0)
-      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ')
-        .append(toks(i + 2))
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
-      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      hs(i) = GramHash.u32(GramHash.digest3(toks, i, sb), 0)
       i += 1
     }
     val nWin = nGrams - 3

@@ -57,14 +57,20 @@ object LinkGraph {
 
   private def step(n: DataFrame, edges: DataFrame,
       ranks: DataFrame): DataFrame = {
+    // Σ contributions in DECIMAL: a mega-hub's long sum wraps negative
+    // past ~9e18 nano-units (reachable at CommonCrawl node counts —
+    // one node may receive a constant fraction of N·1e9 total mass);
+    // the DuckDB mirrors already accumulate in HUGEINT, so decimal is
+    // what keeps the engines bit-identical at every scale (r9 review)
     val contrib = edges
       .join(ranks.withColumnRenamed("node", "src"), "src")
       .select(col("tgt"), expr("r div od").as("c"))
-      .groupBy(col("tgt")).agg(sum(col("c")).as("m"))
+      .groupBy(col("tgt")).agg(sum(col("c").cast("decimal(38,0)")).as("m"))
     n.join(contrib.withColumnRenamed("tgt", "node"), Seq("node"), "left")
       .select(col("node"),
         (lit(150000000L) +
-          expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+          expr("(85 * coalesce(m, cast(0 as decimal(38,0)))) div 100"))
+          .as("r"))
   }
 
   /** Iterate to CONVERGENCE instead of a fixed round count: stop when
@@ -90,7 +96,11 @@ object LinkGraph {
         .agg(sum(abs(col("r1") - col("r0"))).as("d"),
           count(lit(1)).as("cnt"))
         .collect().head
-      moved = if (d.getLong(0) <= tolPerNode * d.getLong(1)) 0L else d.getLong(0)
+      // empty graph: the aggregate over zero joined rows is (NULL, 0)
+      // — converged by definition, not an NPE (r9 review fix)
+      moved = if (d.isNullAt(0)) 0L
+      else if (d.getLong(0) <= tolPerNode * d.getLong(1)) 0L
+      else d.getLong(0)
       ranks = next
       rounds += 1
     }
@@ -127,13 +137,18 @@ object LinkGraph {
     var hub = n.select(col("node"), lit(1000000000L).as("v"))
     var auth = hub
     (1 to iters).foreach { _ =>
+      // decimal contribution sums (the pagerank step rule): before the
+      // FIRST normalization every score is 1e9, so raw = indeg·1e9 and
+      // a ≥9.3e6-indegree authority would wrap the ×1000 in hitsNorm
       auth = graft.GraftSession.ckpt(hitsNorm(n,
         edges.join(hub.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("tgt")).agg(sum(col("v")).as("s"))
+          .groupBy(col("tgt"))
+          .agg(sum(col("v").cast("decimal(38,0)")).as("s"))
           .withColumnRenamed("tgt", "node")))
       hub = graft.GraftSession.ckpt(hitsNorm(n,
         edges.join(auth.withColumnRenamed("node", "tgt"), "tgt")
-          .groupBy(col("src")).agg(sum(col("v")).as("s"))
+          .groupBy(col("src"))
+          .agg(sum(col("v").cast("decimal(38,0)")).as("s"))
           .withColumnRenamed("src", "node")))
     }
     auth.select(col("node"), col("v").as("auth_fp"))
@@ -146,11 +161,16 @@ object LinkGraph {
     * relative (a bare `div (t div 1e9)` loses up to 25%: the divisor
     * floor is relative to t/1e9, which is single digits here).
     * greatest(…, 1) keeps the divisor nonzero on degenerate graphs —
-    * both engines' mirrors state the same guard. No overflow: raw ≤ t
-    * ≲ outdeg_max·1e9, ×1000 is still far under 2^63. */
+    * both engines' mirrors state the same guard. Contribution sums and
+    * raw·1000 run in DECIMAL (the IntegralDivide emits plain bigints):
+    * before the first normalization raw = indeg·1e9, so long
+    * arithmetic would wrap for ≥9.3e6-indegree authorities — real on
+    * any web graph; the HUGEINT oracle would keep going and the
+    * engines would diverge exactly at scale (r9 review fix). */
   private def hitsNorm(n: DataFrame, contrib: DataFrame): DataFrame = {
     val filled = n.join(contrib, Seq("node"), "left")
-      .select(col("node"), coalesce(col("s"), lit(0L)).as("raw"))
+      .select(col("node"),
+        coalesce(col("s"), lit(0).cast("decimal(38,0)")).as("raw"))
     val t = filled.agg(sum(col("raw")).as("t"))
     filled.crossJoin(broadcast(t))
       .select(col("node"),
