@@ -78,7 +78,9 @@ object Bpe {
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
       .select(col("w"), col("freq"), col("syms")))
     val rules = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (step <- 1 to numMerges) {
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
       val top = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -101,7 +103,13 @@ object Bpe {
                 element_at(acc, -1) === lit(a) && x === lit(b),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
               .otherwise(concat(acc, array(x))))))
+      } else {
+        // barren round: no word has >= 2 symbols left, and the vocab
+        // cannot change — every remaining round would re-run the same
+        // provably-empty argmax job (r9 review fix)
+        exhausted = true
       }
+      step += 1
     }
     (rules.result().toDF("step", "left", "right", "merged", "cnt"), vocab)
   }
@@ -201,12 +209,13 @@ object Bpe {
          |  ORDER BY cnt DESC, l, r LIMIT 1),
          |s$i AS (
          |  SELECT w, freq,
-         |    list_reduce(list_transform(syms, s -> [s]),
+         |    CASE WHEN t.l IS NULL THEN syms
+         |    ELSE list_reduce(list_transform(syms, s -> [s]),
          |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l
          |          AND x[1] = t.r
          |        THEN list_concat(acc[1:len(acc) - 1], [t.m])
-         |        ELSE list_concat(acc, x) END) AS syms
-         |  FROM s${i - 1} CROSS JOIN t$i t)""".stripMargin
+         |        ELSE list_concat(acc, x) END) END AS syms
+         |  FROM s${i - 1} LEFT JOIN t$i t ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""words AS ($wordsSql),
        |s0 AS (

@@ -52,7 +52,10 @@ object Featurize {
       .groupBy(col("doc_id"), col("dim"))
       .agg(sum(col("sgn")).as("v"))
     val spine = spark.range(0, dims).select(col("id").as("dim"))
-    tk.select(col("doc_id")).distinct()
+    // doc-id set off the POST-shuffle sums frame (every doc with a
+    // token has a (doc_id, dim) row), not a second full tokenize scan
+    // + token-stream distinct (r9 review fix)
+    sums.select(col("doc_id")).distinct()
       .crossJoin(broadcast(spine))
       .join(sums, Seq("doc_id", "dim"), "left")
       .na.fill(0L, Seq("v"))
@@ -86,15 +89,25 @@ object Featurize {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .select(col("n").cast("long").as("n_terms"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("slope"),
-        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
-          / col("n"), 6).as("intercept"),
-        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .select(zipfOlsCols: _*)
+  }
+
+  /** The OLS output projection off the (n, sx, sy, sxy, sxx, syy)
+    * sums row. Degenerate vocab (one distinct token, or all-equal
+    * head freqs) zeroes the denominators: NULL slope/r2, matching the
+    * oracle's NULLIF — Spark's NULL-on-/0 vs DuckDB's IEEE inf/NaN
+    * would otherwise diverge (r9 review fix). */
+  private def zipfOlsCols: Seq[Column] = {
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / denX
+    Seq(col("n").cast("long").as("n_terms"),
+      round(when(denX =!= 0, slope), 6).as("slope"),
+      round(when(denX =!= 0,
+        (col("sy") - slope * col("sx")) / col("n")), 6).as("intercept"),
+      round(when(denX =!= 0 && denY =!= 0,
+        pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          (denX * denY)), 6).as("r2"))
   }
 
   /** md5-seeded ±1 sign for (dim d, output component k) — the same
@@ -228,11 +241,12 @@ object Featurize {
         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
         |  FROM ranked)
         |SELECT CAST(n AS BIGINT) AS n_terms,
-        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-        |    AS intercept,
+        |  ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+        |    AS slope,
+        |  ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+        |    * sx) / n, 6) AS intercept,
         |  ROUND(POWER(n * sxy - sx * sy, 2)
-        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |    / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM s""".stripMargin
   )
 }

@@ -71,12 +71,16 @@ object IvfIndex {
       s"query dim ${query.length} != index dim " +
         s"${index.centroids.headOption.map(_.length).getOrElse(0)}")
     val q = query.map(_.toDouble).toArray
+    // query norm hoisted out of the per-centroid loop (it is constant
+    // across centroids — r9 review cleanup)
+    val qn = { var s = 0.0; var i = 0
+      while (i < q.length) { s += q(i) * q(i); i += 1 }; s }
     def cos(c: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      var dot = 0.0; var na = 0.0; var i = 0
       while (i < c.length) {
-        dot += c(i) * q(i); na += c(i) * c(i); nb += q(i) * q(i); i += 1
+        dot += c(i) * q(i); na += c(i) * c(i); i += 1
       }
-      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (na == 0 || qn == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(qn))
     }
     val probes = index.centroids.zipWithIndex
       .map { case (c, i) => (i, cos(c)) }

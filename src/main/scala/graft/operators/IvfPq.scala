@@ -78,10 +78,13 @@ object IvfPq {
       .sortBy { case (i, d) => (d, i) }
       .take(nprobe).map(_._1)
     // per-cell ADC tables from the query's residual against that cell
+    // — residuals stay DOUBLE end-to-end (adcTableD): stored codes
+    // were trained on double residuals, and a float round-trip here
+    // perturbed every distance by ~the rounding quantum (r9 review)
     val luts = probes.map { cell =>
       val res = index.centroids(cell).indices
-        .map(j => (q(j) - index.centroids(cell)(j)).toFloat)
-      cell -> PqIndex.adcTable(index.cb, res)
+        .map(j => q(j) - index.centroids(cell)(j))
+      cell -> PqIndex.adcTableD(index.cb, res)
     }
     // materialize the probed-cell mass ONCE (≤ nprobe/nCells of the
     // corpus; directory-pruned against a by-cell layout), then each

@@ -79,7 +79,15 @@ object PqIndex {
 
   /** The query-side m×k ADC table: exact squared L2 from the query's
     * subvectors to every centroid, in pq_adc's literal layout. */
-  def adcTable(cb: Codebook, query: Seq[Float]): Seq[Double] = {
+  def adcTable(cb: Codebook, query: Seq[Float]): Seq[Double] =
+    adcTableD(cb, query.map(_.toDouble))
+
+  /** Double-precision face of [[adcTable]] — IVF-PQ computes query
+    * residuals in double, and truncating them to Float on the way in
+    * perturbs every ADC distance by ~the round(...,6) quantum, enough
+    * to flip shortlist membership between near-tied candidates (r9
+    * review fix). */
+  def adcTableD(cb: Codebook, query: Seq[Double]): Seq[Double] = {
     require(query.length == cb.m * cb.dsub,
       s"query dim ${query.length} != ${cb.m * cb.dsub}")
     Seq(cb.m.toDouble, cb.k.toDouble) ++

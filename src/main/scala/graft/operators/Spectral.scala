@@ -75,10 +75,16 @@ object Spectral {
         .select(col("dim"),
           round((col("xd") * col("d")) * lit(1000000000.0), 0)
             .cast("long").as("c"))
-        .groupBy(col("dim")).agg(sum(col("c")).as("yfp"))
+        // Σc in DECIMAL: per-row contributions are nano-unit longs, so
+        // a long per-dim sum wraps (silently, wrong-sign eigenvector)
+        // near 1e9 rows while the HUGEINT oracle keeps going — decimal
+        // matches it at every scale (r9 review fix)
+        .groupBy(col("dim"))
+        .agg(sum(col("c").cast("decimal(38,0)")).as("yfp"))
         .collect()
       val y = matvec.map(r => r.getAs[Int]("dim") ->
-        r.getAs[Long]("yfp") / 1e9).sortBy(_._1).map(_._2)
+        r.getAs[java.math.BigDecimal]("yfp").doubleValue() / 1e9)
+        .sortBy(_._1).map(_._2)
       require(y.length == dims, s"matvec returned ${y.length} dims, want $dims")
       // ordered fold, the exact shape of the oracle's list_reduce
       val nrm = math.sqrt(y.map(t => t * t).foldLeft(0.0)(_ + _))
@@ -111,12 +117,14 @@ object Spectral {
       .select(col("dim"),
         round(col("xd") * lit(1000000000.0), 0).cast("long").as("c"))
       .groupBy(col("dim"))
-      .agg(sum(col("c")).as("sfp"), count(lit(1)).as("n"))
+      .agg(sum(col("c").cast("decimal(38,0)")).as("sfp"), // decimal: the matvec rule
+        count(lit(1)).as("n"))
       .collect()
     require(sums.length == dims, s"mean returned ${sums.length} dims, want $dims")
     val mu: Array[Double] = sums
       .map(r => r.getAs[Int]("dim") ->
-        r.getAs[Long]("sfp") / 1e9 / r.getAs[Long]("n"))
+        r.getAs[java.math.BigDecimal]("sfp").doubleValue() / 1e9 /
+          r.getAs[Long]("n"))
       .sortBy(_._1).map(_._2)
     val cx = x.withColumn("xv",
       zip_with(col("xv"), typedLit(mu.toSeq), (a, b) => a - b))
