@@ -14,6 +14,14 @@ import graft.functions.{CdcWindowHashes, CdcWindowHits, CharBigramsPacked, Cosin
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Fixed-arity builders validate BEFORE indexing so a wrong-arity
+    // SQL call gets a usage message, not a raw IndexOutOfBounds from
+    // exprs(1) during resolution (r9 review fix; the variadic sketch
+    // builders below already pattern-match their arity).
+    def arity(exprs: Seq[Expression], n: Int, usage: String): Seq[Expression] =
+      if (exprs.length == n) exprs
+      else throw new IllegalArgumentException(
+        s"$usage - got ${exprs.length} argument(s)")
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
     e.injectPlannerStrategy(_ => new graft.plans.GroupTopKStrategy)
     // SQL-only reach for the custom whole-operator plans (r9): table-
@@ -30,52 +38,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { val a = arity(exprs, 2, "cosine_sim(a, b)"); CosineSimilarity(a(0), a(1)) }))
     e.injectFunction((
       new FunctionIdentifier("cdc_window_hashes"),
       new ExpressionInfo(classOf[CdcWindowHashes].getName, "cdc_window_hashes"),
-      (exprs: Seq[Expression]) => CdcWindowHashes(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { val a = arity(exprs, 2, "cdc_window_hashes(text, win literal)"); CdcWindowHashes(a(0), a(1)) }))
     e.injectFunction((
       new FunctionIdentifier("cdc_window_hits"),
       new ExpressionInfo(classOf[CdcWindowHits].getName, "cdc_window_hits"),
-      (exprs: Seq[Expression]) => CdcWindowHits(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { val a = arity(exprs, 2, "cdc_window_hits(text, win literal)"); CdcWindowHits(a(0), a(1)) }))
     e.injectFunction((
       new FunctionIdentifier("char_bigrams_packed"),
       new ExpressionInfo(classOf[CharBigramsPacked].getName, "char_bigrams_packed"),
-      (exprs: Seq[Expression]) => CharBigramsPacked(exprs.head)))
+      (exprs: Seq[Expression]) => CharBigramsPacked(arity(exprs, 1, "char_bigrams_packed(text)").head)))
     e.injectFunction((
       new FunctionIdentifier("packed_lm_sum"),
       new ExpressionInfo(classOf[PackedLmSum].getName, "packed_lm_sum"),
-      (exprs: Seq[Expression]) => PackedLmSum(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { val a = arity(exprs, 2, "packed_lm_sum(packed, model literal)"); PackedLmSum(a(0), a(1)) }))
     e.injectFunction((
       new FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
-      (exprs: Seq[Expression]) => PqEncode(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { val a = arity(exprs, 2, "pq_encode(vec, codebook literal)"); PqEncode(a(0), a(1)) }))
     e.injectFunction((
       new FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
-      (exprs: Seq[Expression]) => PqAdc(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { val a = arity(exprs, 2, "pq_adc(codes, lut literal)"); PqAdc(a(0), a(1)) }))
     e.injectFunction((
       new FunctionIdentifier("winnow_prints"),
       new ExpressionInfo(classOf[WinnowPrints].getName, "winnow_prints"),
-      (exprs: Seq[Expression]) => WinnowPrints(exprs.head)))
+      (exprs: Seq[Expression]) => WinnowPrints(arity(exprs, 1, "winnow_prints(text)").head)))
     e.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
+      (exprs: Seq[Expression]) => ShingleHashes(arity(exprs, 1, "shingle_hashes(text)").head)))
     e.injectFunction((
       new FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist"),
-      (exprs: Seq[Expression]) => HammingDistance(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { val a = arity(exprs, 2, "hamming_dist(a, b)"); HammingDistance(a(0), a(1)) }))
     e.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
-      (exprs: Seq[Expression]) => SimHashAgg(exprs.head).toAggregateExpression()))
+      (exprs: Seq[Expression]) => SimHashAgg(arity(exprs, 1, "simhash_agg(hash)").head).toAggregateExpression()))
     e.injectFunction((
       new FunctionIdentifier("simhash64_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash64_agg"),
       (exprs: Seq[Expression]) =>
-        SimHashAgg(exprs.head, bits = 64).toAggregateExpression()))
+        SimHashAgg(arity(exprs, 1, "simhash64_agg(hash)").head,
+          bits = 64).toAggregateExpression()))
     // Misra-Gries heavy hitters: `freq_topk_agg(item[, capacity])` —
     // capacity counters per partial buffer instead of a token-key
     // shuffle of the whole stream; mergeable under any merge tree
@@ -151,7 +160,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
-      (exprs: Seq[Expression]) => KllQuantile(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { val a = arity(exprs, 2, "kll_quantile(sketch, p)"); KllQuantile(a(0), a(1)) }))
     // Spark's internal bloom sketch pair (used by its own runtime row
     // filters), surfaced as SQL functions: build a fixed-size filter
     // over a long column, probe it scan-side with codegen — the
@@ -173,6 +182,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) =>
-        BloomFilterMightContain(exprs.head, exprs(1))))
+        { val a = arity(exprs, 2, "bloom_might_contain(bloom, value)");
+          BloomFilterMightContain(a(0), a(1)) }))
   }
 }

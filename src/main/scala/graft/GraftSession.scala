@@ -21,6 +21,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Pin ANSI ON (Spark 4's default, but 3.x defaulted off): every
+      // operator and all 184 gates are tested under ANSI semantics —
+      // guarded divisions, error-on-overflow — and leaving it to the
+      // ambient default would flip division/cast edge behavior by
+      // deployment (r9 review fix; the same determinism altitude as
+      // the UTC and nanosAsLong pins).
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS), which Spark has no
       // native type for; read as long and normalize via eventsTable.

@@ -30,7 +30,13 @@ import graft.GraftSession.table
   * Bigram representation differs per engine (packed codepoints here,
   * 2-char substrings in the mirror) but the mapping is bijective on
   * lowercased text, so counts, vocab size and every score agree —
-  * the q137 pattern.
+  * the q137 pattern. Gate-side caveat (r9 review, the SURVEY §5 \\s
+  * family): the LOWERCASING itself differs on special-cased
+  * codepoints — Java full case mapping (U+0130 → "i" + U+0307, two
+  * codepoints) vs DuckDB's utf8proc simple 1:1 mapping — so a corpus
+  * containing such characters would produce different bigram streams
+  * per engine. A parity-harness property only (production is
+  * Spark-only); the synthetic corpora contain none.
   */
 object Classify {
 

@@ -31,12 +31,26 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Double image of a clustering column. Date/timestamp go through
+    * their epoch integers FIRST — a raw date→double cast fails
+    * analysis under ANSI (the session default) and nulls out under
+    * non-ANSI, silently dropping the column from the clustering key
+    * (r9 review fix; the same normalization AsofNative applies). */
+  private def numericImage(dt: org.apache.spark.sql.types.DataType,
+      c: Column): Column = dt match {
+    case org.apache.spark.sql.types.DateType => unix_date(c).cast("double")
+    case org.apache.spark.sql.types.TimestampType =>
+      unix_micros(c).cast("double")
+    case _ => c.cast("double")
+  }
+
   /** Per-column quantile boundaries: `buckets − 1` internal cut
     * points. One aggregation over the clustering columns only. */
   private def boundaries(df: DataFrame, cols: Seq[String],
       buckets: Int): Map[String, Array[Double]] = {
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
+    val aggs = cols.map(c => percentile_approx(
+      numericImage(df.schema(c).dataType, col(c)),
       lit(qs.toArray), lit(10000)).as(c))
     val row = df.select(aggs: _*).collect().head
     // percentile_approx returns null on an empty frame or an all-null
@@ -50,15 +64,16 @@ object Layout {
     }.toMap
   }
 
-  /** Scan-side bucket rank of `c` against broadcast-literal
-    * boundaries: count of cut points ≤ value, a codegen'd fold —
-    * O(buckets) comparisons per row, no join, no shuffle. */
+  /** Scan-side bucket rank of an already-double `c` against
+    * broadcast-literal boundaries: count of cut points ≤ value, a
+    * codegen'd fold — O(buckets) comparisons per row, no join, no
+    * shuffle. */
   private def bucketOf(c: Column, bounds: Array[Double]): Column =
     if (bounds.isEmpty) lit(0) // constant / all-null column (see boundaries)
     else {
       val arr = array(bounds.map(lit(_)): _*)
       aggregate(arr, lit(0),
-        (acc, b) => acc + when(c.cast("double") >= b, 1).otherwise(0))
+        (acc, b) => acc + when(c >= b, 1).otherwise(0))
     }
 
   /** Morton interleave of per-column bucket ranks (low bit first:
@@ -83,7 +98,8 @@ object Layout {
     require(cols.nonEmpty && cols.size * bitsPerCol <= 63,
       s"need 1..N cols with cols*bits <= 63: ${cols.size} * $bitsPerCol")
     val bds = boundaries(df, cols, 1 << bitsPerCol)
-    val z = interleave(cols.map(c => bucketOf(col(c), bds(c))), bitsPerCol)
+    val z = interleave(cols.map(c => bucketOf(
+      numericImage(df.schema(c).dataType, col(c)), bds(c))), bitsPerCol)
     (df, z.as("__z"))
   }
 

@@ -229,7 +229,11 @@ object Multimodal {
             val (sw, sh, sf) = decodeStub(mt, payload)
             (sw, sh, sf, 0, 0, 0L, "stub")
           }
-          Row(r.getAs[Long]("doc_id"), mt, payload.length, w, hgt, frames,
+          // null payload (missing blob) must be a stub row, not an NPE
+          // killing the pass — the decode branches already survive it
+          // via their NonFatal catches (r9 review fix)
+          val nBytes = if (payload == null) 0 else payload.length
+          Row(r.getAs[Long]("doc_id"), mt, nBytes, w, hgt, frames,
             rate, ch, durMs, codec)
         }
       }
@@ -338,7 +342,7 @@ object Multimodal {
     "q41_multimodal_meta" -> ((s, dir) => {
       // Metadata extraction over opaque binary payloads: byte length,
       // content hash, media tag, fake decoded dims — all scan-side.
-      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      val h = graft.GraftSession.portableHash(col("text"))
       table(s, dir, "documents")
         .withColumn("media_type",
           element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -361,7 +365,7 @@ object Multimodal {
       // the explode — at 100 TB only the tiny frame index fans out, and
       // the actual pixel fetch joins back by doc_id inside the decode
       // batch. Timestamps are exact 24fps rationals rounded to 6.
-      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      val h = graft.GraftSession.portableHash(col("text"))
       table(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(3)) === 2) // the 'video' rows
         .withColumn("n_frames", pmod(h, lit(240)) + 1)
@@ -395,7 +399,7 @@ object Multimodal {
       // stubbed decode; the PLAN — target dims per payload — is what
       // the pipeline schedules and is exact cross-engine). Upscaling
       // is clamped: media already inside the box keeps its dims.
-      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      val h = graft.GraftSession.portableHash(col("text"))
       table(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(3)) === 0) // the 'image' rows
         .withColumn("h", h)

@@ -40,17 +40,21 @@ object Profile {
       .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
     val lvl1 = pairs.groupBy(col("col_name"), col("v"))
       .agg(count(lit(1)).as("cnt"))
+    // all-null column: avg_len is NULL by contract — the division must
+    // be guarded or ANSI mode (the session default) aborts the whole
+    // profiling query on exactly the schema-drift case profiling
+    // exists to catch (r9 review fix)
+    val nnChars = sum(when(col("v").isNotNull, length(col("v")) * col("cnt"))
+      .otherwise(0L))
+    val nnCnt = sum(when(col("v").isNotNull, col("cnt")).otherwise(0L))
     lvl1.groupBy(col("col_name"))
       .agg(sum(col("cnt")).as("n_rows"),
         sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
         count(col("v")).as("n_distinct"),
         min(col("v")).as("min_str"),
         max(col("v")).as("max_str"),
-        round(
-          sum(when(col("v").isNotNull, length(col("v")) * col("cnt"))
-            .otherwise(0L)).cast("double") /
-            sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)),
-          6).as("avg_len"))
+        round(when(nnCnt > 0, nnChars.cast("double") / nnCnt), 6)
+          .as("avg_len"))
   }
 
   /** The 100 TB variant: identical output shape, but `n_distinct` is
@@ -107,14 +111,22 @@ object Profile {
       countDistinct(col("source")).as("n_sources"),
       countDistinct(col("lang")).as("n_langs"),
       sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
-    val langEnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+    // ONE (lang, source) rollup feeds both distribution branches and
+    // the total — previously each branch re-scanned the corpus just
+    // to recount it (5 scans for a "two corpus scans" card — r9
+    // review fix). The rollup is |langs×sources| rows; ckpt'd because
+    // three consumers read it.
+    val ls = graft.GraftSession.ckpt(
+      docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c")))
+    val nRow = ls.agg(sum(col("c")).as("n"))
+    val langEnt = ls.groupBy(col("lang")).agg(sum(col("c")).as("c"))
+      .crossJoin(broadcast(nRow))
       .select(round((col("c").cast("double") / col("n")) *
         log(col("n").cast("double") / col("c")) * lit(1e9), 0)
         .cast("long").as("t"))
       .agg(sum(col("t")).as("ent_fp"))
-    val hhi = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+    val hhi = ls.groupBy(col("source")).agg(sum(col("c")).as("c"))
+      .crossJoin(broadcast(nRow))
       .select(round((col("c").cast("double") / col("n")) *
         (col("c").cast("double") / col("n")) * lit(1e9), 0)
         .cast("long").as("t"))
