@@ -68,8 +68,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val errJson = errors.map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    // Full JSON string escape (Verify's q() rule): exception messages
+    // are routinely multi-line, and a raw newline inside the quoted
+    // string broke BOTH the one-line stdout artifact and json.load of
+    // the file artifact (r9 review fix).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map(jstr).mkString("[", ",", "]")
     // "failed" is an explicit first-class field (not just -1.000
     // sentinels a reader has to notice): round 7 shipped a green-rc
     // bench with a third of the suite erroring and nothing flagged it.
@@ -129,7 +141,15 @@ object Bench {
     // the printed stdout line is still the primary artifact either way.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_full_latest.json")
-    try {
+    // A FILTERED local run must not clobber the committed full map at
+    // the default path — a partial queries file would silently disarm
+    // the >2x regression gate for every unmeasured query on the next
+    // full run (r9 review fix). Explicit SPARK_GRAFT_BENCH_OUT still
+    // writes wherever the caller pointed it.
+    if (nameFilter.isDefined && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      System.err.println("bench: filter active — skipping the " +
+        s"$fullPath artifact write (set SPARK_GRAFT_BENCH_OUT to force)")
+    } else try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(
         s"""{"metric":"total","unit":"sec","sf":"$sfDir","prior_sf":"$priorSf","failed":$failed,"errors":$errJson,"regressions":$regJson,"queries":$qsFull,"value":$total}""")

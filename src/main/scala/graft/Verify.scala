@@ -28,6 +28,16 @@ object Verify {
           .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a REUSED outDir must not present a previous run's parquet as
+        // this run's result — a now-broken query would hash-compare
+        // green against its own stale output (r9 review fix)
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(stale)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -154,15 +154,17 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     try out.write(kv.toSeq.sorted.map { case (p, h) => s"$p:$h" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target)) {
-      // a concurrent replace recreated target between delete and
-      // rename (HDFS rename returns false instead of overwriting) —
-      // retry once, then fail loudly rather than leave a stale sidecar
-      fs.delete(target, false)
-      if (!fs.rename(tmp, target))
-        throw new java.io.IOException(s"sidecar replace failed: $target")
-    }
+    // ATOMIC replace (FileContext rename-with-OVERWRITE — rename(2) on
+    // posix, the namenode's atomic rename on HDFS): a concurrent
+    // reader always sees the old or the new file, never a missing one.
+    // The previous delete-then-rename opened a window in which
+    // replay() racing an ack() of the same subscriber read "no
+    // sidecar" and lawfully returned the WHOLE log as that consumer's
+    // backlog (r9 review fix).
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readKv(p: Path): Option[Map[Int, Long]] =
@@ -266,7 +268,14 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   private final class LeaseRenewer {
     private val done = new java.util.concurrent.CountDownLatch(1)
     private val t = new Thread(() => {
-      val interval = math.max(publishLeaseMs / 3, 50L)
+      // Renewal cadence is CAPPED at 60 s regardless of the holder's
+      // configured lease: staleness is judged by each OBSERVER's own
+      // publishLeaseMs, so a holder that raised its lease (the
+      // documented long-job path) but renewed at leaseMs/3 would look
+      // stale to a default-config peer, get its live lock broken, and
+      // duplicate offsets (r9 review fix). With the cap, any observer
+      // lease >= ~2 min can never see a live holder as stale.
+      val interval = math.min(math.max(publishLeaseMs / 3, 50L), 60000L)
       while (!done.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
         // refresh modtime IN PLACE: a delete-and-recreate overwrite
         // opens a just-released window in which a waiting publisher's

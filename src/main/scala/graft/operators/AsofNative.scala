@@ -53,6 +53,12 @@ object AsofNative {
       s"key arity mismatch: $leftKeys vs $rightKeys")
     // NTZ timestamps and dates have no direct long cast; route them
     // through TIMESTAMP (session-TZ; graft sessions pin UTC) first.
+    // String keys are accepted ONLY as numeric strings (a topic `key`
+    // is StringType and often numeric — enrichAsof's case): under the
+    // session's pinned ANSI mode a non-numeric string key fails the
+    // cast LOUDLY at runtime; a session with ANSI off would instead
+    // cast to null and silently enrich nothing (r9 review note) — use
+    // a numeric surrogate key there.
     def asLong(df: DataFrame, name: String): Column =
       df.schema(name).dataType match {
         case TimestampNTZType | DateType =>

@@ -256,6 +256,24 @@ object TopicStream {
     * Returns a [[Subscription]] handle; its `unsubscribe()` stops the
     * tail and the persisted acks let `replay(name)` pick up exactly
     * where processing stopped. */
+  /** The ONE ack-after-process micro-batch body shared by
+    * [[subscribeDurable]] and [[drainOnce]] (r9 review fix — two
+    * verbatim copies had already begun to drift): persist, run the
+    * caller's `process`, ack the batch's max offsets, unpersist.
+    * Returns true iff the batch was non-empty (an ack happened). */
+  private def processAndAck(topic: TopicLog, name: String,
+      batch: org.apache.spark.sql.Dataset[Row])
+      (process: DataFrame => Unit): Boolean = {
+    val b = batch.persist()
+    try {
+      process(b.toDF())
+      val marks = b.groupBy(col("log_part"))
+        .agg(max(col("offset")).as("o"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (marks.nonEmpty) { topic.ack(name, marks); true } else false
+    } finally { b.unpersist(); () }
+  }
+
   def subscribeDurable(topic: TopicLog, name: String,
       checkpointDir: String, event: Option[String] = None)
       (process: DataFrame => Unit): Subscription = {
@@ -264,14 +282,7 @@ object TopicStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val b = batch.persist()
-        try {
-          process(b.toDF())
-          val marks = b.groupBy(col("log_part"))
-            .agg(max(col("offset")).as("o"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          if (marks.nonEmpty) topic.ack(name, marks)
-        } finally { b.unpersist(); () }
+        processAndAck(topic, name, batch)(process); ()
       }
       .start()
     new Subscription(topic, name, query)
@@ -302,14 +313,9 @@ object TopicStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val b = batch.persist()
-        try {
-          process(b.toDF())
-          val marks = b.groupBy(col("log_part"))
-            .agg(max(col("offset")).as("o"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          if (marks.nonEmpty) { topic.ack(name, marks); batches.incrementAndGet(); () }
-        } finally { b.unpersist(); () }
+        if (processAndAck(topic, name, batch)(process)) {
+          batches.incrementAndGet(); ()
+        }
       }
       .start()
     query.awaitTermination()
@@ -363,12 +369,20 @@ object TopicStream {
     * min doc_id; the KEPT CONTENT set is identical, spec-proved).
     */
   def dedupByContent(stream: DataFrame, contentCol: String,
-      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
-    stream
-      .withWatermark(tsCol, watermark)
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    // NULL content bypasses dedup entirely: md5(null) is null and
+    // dropDuplicates treats null keys as EQUAL, so tombstones /
+    // metadata-only records (message = null is a first-class topic
+    // citizen — compaction's delete markers) would collapse to one
+    // per watermark horizon (r9 review fix). Contentless records have
+    // nothing to dedup on; they pass through unchanged.
+    val marked = stream.withWatermark(tsCol, watermark)
+    marked.filter(col(contentCol).isNotNull)
       .withColumn("__content_h", unhex(md5(col(contentCol))))
       .dropDuplicatesWithinWatermark("__content_h")
       .drop("__content_h")
+      .unionByName(marked.filter(col(contentCol).isNull))
+  }
 
   /** Back this session's streaming state with RocksDB instead of the
     * default in-memory HDFS-backed store. At corpus scale the state for
