@@ -426,6 +426,58 @@ object ScaleSmoke {
     val tkDiff = tkNative.exceptAll(tkWindow).count()
     require(tkDiff == 0L, s"native top-k diverged from window: $tkDiff rows")
 
+    // Sharded ntile/rank phase (r9): the q48 rewrite's scale claim,
+    // measured. 15M rows over THREE group keys — the 100x version of
+    // the orders table — through both plans: the direct
+    // Window.partitionBy(status) (whole table sorted on 3 reducers)
+    // and the ShardedCum two-phase prefix sum (32 range shards + a
+    // 3-row broadcast of group counts, q48's production plan). The
+    // quartile/percent_rank/cume_dist arithmetic off (rn, n) must be
+    // row-identical to the built-in window functions — unique
+    // (price, id) order keys make rank == row_number == rn. Doubles
+    // are rounded to 12 places on BOTH sides: same integer operands
+    // give the same IEEE result, the round only guards against a
+    // different evaluation order inside the builtin.
+    val ntDf = spark.range(15000000L).select(
+        pmod(col("id"), lit(3L)).cast("string").as("st"),
+        pmod(col("id") * 2654435761L, lit(1000000000L)).as("price"),
+        col("id"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val ntRn = graft.operators.ShardedCum.cumSums(ntDf, Seq("st"),
+      Seq(col("price"), col("id")), Seq((lit(1L), "rn")))
+    val ntCounts = ntDf.groupBy(col("st")).agg(count(lit(1)).as("_n"))
+    val ntCut = expr("(_n div 4 + 1) * (_n % 4)")
+    val ntQuart = when(col("rn") <= ntCut,
+        expr("(rn - 1) div (_n div 4 + 1) + 1"))
+      .otherwise(
+        expr("_n % 4 + (rn - (_n div 4 + 1) * (_n % 4) - 1) div (_n div 4) + 1"))
+      .cast("int")
+    val ntSharded = ntRn.join(broadcast(ntCounts), Seq("st"))
+      .select(col("st"), col("price"), col("id"), ntQuart.as("q4"),
+        round((col("rn") - 1).cast("double") / (col("_n") - 1).cast("double"),
+          12).as("pr"),
+        round(col("rn").cast("double") / col("_n").cast("double"), 12)
+          .as("cd"))
+      .localCheckpoint()
+    val ntShardedCnt = ntSharded.count()
+    val ntShardedSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val ntW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("st")).orderBy(col("price"), col("id"))
+    val ntWindow = ntDf.select(col("st"), col("price"), col("id"),
+        ntile(4).over(ntW).as("q4"),
+        round(percent_rank().over(ntW), 12).as("pr"),
+        round(cume_dist().over(ntW), 12).as("cd"))
+      .localCheckpoint()
+    val ntWindowCnt = ntWindow.count()
+    val ntWindowSec = (System.nanoTime() - t0) / 1e9
+    require(ntShardedCnt == 15000000L && ntWindowCnt == 15000000L,
+      s"ntile row counts diverged: sharded $ntShardedCnt window $ntWindowCnt")
+    val ntDiff = ntSharded.exceptAll(ntWindow).count()
+    require(ntDiff == 0L,
+      s"sharded ntile/rank diverged from window plan: $ntDiff rows")
+
     // IVF-PQ phase (r8 verdict #5): the billion-scale ANN recipe at
     // volume — 1M vectors / 32 dims / 10k natural clusters. Codebooks
     // (256 IVF cells + 8x16 PQ) are trained on a 5% sample (the
@@ -593,6 +645,8 @@ object ScaleSmoke {
       f""""nb_sec":$nbSec%.2f,"nb_acc":${nbDiag.toDouble / nbTotal}%.4f,""" +
       f""""topk_native_sec":$tkNativeSec%.2f,""" +
       f""""topk_window_sec":$tkWindowSec%.2f,""" +
+      f""""ntile_sharded_sec":$ntShardedSec%.2f,""" +
+      f""""ntile_window_sec":$ntWindowSec%.2f,""" +
       f""""ivfpq_build_sec":$annBuildSec%.2f,"ivfpq_recall10":$annRecall%.3f,""" +
       f""""ivfpq_serve_sec_per_q":${annServeSec / annQueryClusters.size}%.3f,""" +
       f""""ivfpq_brute_sec_per_q":${annBruteSec / annQueryClusters.size}%.3f,""" +
