@@ -846,7 +846,10 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("masked"), lit(0L)).cast("long").as("masked_chars"),
-        round(coalesce(col("masked"), lit(0L)).cast("double") / col("len"), 6)
+        // try_divide: a zero-length doc has len = 0 and masked_frac
+        // NULL (DuckDB x/0 semantics), not an ANSI crash.
+        round(try_divide(
+          coalesce(col("masked"), lit(0L)).cast("double"), col("len")), 6)
           .as("masked_frac"))
   }
 
@@ -1048,11 +1051,14 @@ object Dedup {
       // grouping.
       val d = docsWithDups(s, dir).withColumn("text_hash", md5(col("text")))
       val fam = d.groupBy(col("text_hash")).agg(count(lit(1)).as("n_copies"))
+      // <=> join: NULL-text docs hash to a NULL family (both engines
+      // group NULLs in window partitioning); a plain equi-join would
+      // silently drop that family's survivor (oracle keeps it).
       keepBest(d, col("text_hash"),
-        Seq(col("n_chars").desc, col("doc_id").desc))
-        .join(fam, "text_hash")
-        .select(col("text_hash"), col("doc_id").as("keep_id"),
-          col("n_chars"), col("n_copies"))
+        Seq(col("n_chars").desc, col("doc_id").desc)).as("k")
+        .join(fam.as("f"), col("k.text_hash") <=> col("f.text_hash"))
+        .select(col("k.text_hash"), col("k.doc_id").as("keep_id"),
+          col("k.n_chars"), col("f.n_copies"))
         .orderBy(col("text_hash"))
     }),
 

@@ -142,8 +142,13 @@ object Drift {
     * one-sided sample has no two-sample statistic. */
   def ksTest(df: DataFrame, group: Column, value: Column,
       isA: Column): DataFrame = {
+    // NULL samples are excluded: a missing value has no CDF position
+    // (and the engines disagree on where NULL sorts — Spark ASC puts
+    // it first, DuckDB last — so including it would also be
+    // non-portable). n_a/n_b are therefore non-null sample sizes.
     val cnt = df.select(group.as("g"), value.as("v"),
         when(isA, 1L).otherwise(0L).as("ia"))
+      .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v"))
       .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
     val cum = ShardedCum.cumSums(cnt, Seq("g"), Seq(col("v")),
@@ -284,7 +289,7 @@ object Drift {
       """WITH t AS (
         |  SELECT event_type AS g, value AS v,
         |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ia
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |cnt AS (SELECT g, v, SUM(ia) AS ca, SUM(1 - ia) AS cb
         |        FROM t GROUP BY 1, 2),
         |tot AS (SELECT g, SUM(ca) AS n_a, SUM(cb) AS n_b

@@ -216,7 +216,11 @@ object EventOps {
       // aggregated per event type — the "message is opaque JSON" face
       // of the topic model.
       eventsTable(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        // try_cast: a props payload whose $.k is a non-numeric scalar
+        // (or an object) must yield NULL, not an ANSI cast error —
+        // mirrored by TRY_CAST + json_valid in the oracle.
+        .withColumn("k",
+          expr("try_cast(get_json_object(props, '$.k') AS long)"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_with_k"),
           sum(col("k")).as("sum_k"),
@@ -572,13 +576,18 @@ object EventOps {
       // result needs no rounding at all — a non-dyadic alpha (0.3)
       // diverged from DuckDB by 1 ulp at sf0.1 and flipped round(6)
       // boundaries.
+      // NULL measures are SKIPPED, not poisoning: collect_list drops
+      // them (oracle mirrors with FILTER (WHERE value IS NOT NULL)),
+      // and an all-NULL frame yields ewma NULL — the size(xs)=0 guard
+      // also keeps element_at/slice off an empty array (ANSI error).
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
       eventsTable(s, dir)
         .withColumn("xs", collect_list(col("value")).over(w))
         .withColumn("ewma", expr(
-          "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1)," +
-            " (acc, v) -> 0.5D * acc + 0.5D * v)"))
+          "CASE WHEN size(xs) = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+            "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1)," +
+            " (acc, v) -> 0.5D * acc + 0.5D * v) END"))
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("ewma"))
         .orderBy(col("event_id"))
@@ -853,11 +862,14 @@ object EventOps {
         |FROM events GROUP BY 1 ORDER BY part""".stripMargin,
 
     "q47_json_extract" ->
-      """SELECT event_type,
-        | COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_type,
+        |    TRY_CAST(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(k) AS n_with_k,
+        | CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q42_asof_join" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
@@ -1016,11 +1028,16 @@ object EventOps {
 
     "q84_ewma" ->
       """SELECT event_id, user_id, ts, value,
-        | list_reduce(
-        |   list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-        |   (acc, v) -> 0.5 * acc + 0.5 * v) AS ewma
-        |FROM events ORDER BY event_id""".stripMargin,
+        | CASE WHEN xs IS NULL THEN NULL
+        |      ELSE list_reduce(xs, (acc, v) -> 0.5 * acc + 0.5 * v)
+        | END AS ewma
+        |FROM (
+        |  SELECT event_id, user_id, ts, value,
+        |    list(value) FILTER (WHERE value IS NOT NULL)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
 
     "q29_event_dedup" ->
       """SELECT user_id, COUNT(*) AS n_events,

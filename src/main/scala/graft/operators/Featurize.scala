@@ -148,8 +148,10 @@ object Featurize {
     val ny2 = aggregate(transform(col("yv"), t => t * t),
       lit(0.0), (acc, e) => acc + e)
     x.withColumn("yv", yv)
+      // try_divide: a zero vector has nx2 = 0; its ratio is NULL
+      // (DuckDB x/0) and lands in the NULL band, not an ANSI crash.
       .withColumn("ratio",
-        sqrt(ny2 / lit(outDims.toDouble)) / sqrt(nx2))
+        try_divide(sqrt(ny2 / lit(outDims.toDouble)), sqrt(nx2)))
       .groupBy(round(col("ratio"), 1).as("band"))
       .agg(count(lit(1)).as("n"),
         round(min(col("ratio")), 6).as("min_ratio"),

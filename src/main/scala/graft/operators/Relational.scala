@@ -451,9 +451,13 @@ object Relational {
         // the memory-bounded core of the design. Checkpointed once:
         // three consumers (cumulative chain, bucket totals, per-group
         // n) would otherwise each re-scan lineitem.
-        val counts = ckpt(table(s, dir, "lineitem")
+        val countsAll = ckpt(table(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col(valueCol).as("v"))
           .agg(count(lit(1)).as("c")))
+        // NULL measures stay OUT of the distribution (quantile_cont
+        // skips them) but IN n_rows (COUNT(*) counts them): the
+        // quantile offset h runs off n_vals, not n_rows.
+        val counts = countsAll.filter(col("v").isNotNull)
         // r4-verdict ask: the former per-group ordered window funneled
         // each group's whole distinct-value stream through ONE reducer
         // (3 tasks total). Two-phase sharded cumulative sum instead:
@@ -466,11 +470,12 @@ object Relational {
         val cum = ShardedCum.cumSumsBucketed(counts, Seq("l_returnflag"),
           Seq(col("v")), floor(col("v") / lit(bucketWidth)),
           Seq(col("c") -> "cum"))
-        val n = counts.groupBy(col("l_returnflag"))
-          .agg(sum(col("c")).as("n_rows"))
+        val n = countsAll.groupBy(col("l_returnflag"))
+          .agg(sum(col("c")).as("n_rows"),
+            sum(when(col("v").isNotNull, col("c"))).as("n_vals"))
         val t = cum.join(broadcast(n), "l_returnflag")
         val aggs = ps.flatMap { case (name, p) =>
-          val h = (col("n_rows") - 1) * lit(p)
+          val h = (col("n_vals") - 1) * lit(p)
           val lo = floor(h)
           Seq(
             min(when(col("cum") > lo, col("v"))).as(s"${name}_vlo"),
@@ -480,8 +485,11 @@ object Relational {
         // n_rows rides along: the caller needs per-group row counts and
         // the checkpointed distribution already holds them — emitting
         // them here saves a third full lineitem scan (r9 review fix)
-        val g = t.groupBy(col("l_returnflag"))
-          .agg(aggs.head, aggs.tail :+ max(col("n_rows")).as("n_rows"): _*)
+        // Left join from the per-group counts so a group whose values
+        // are ALL NULL still emits a row (quantiles NULL, n_rows real).
+        val g = n.select(col("l_returnflag"), col("n_rows"))
+          .join(broadcast(t.groupBy(col("l_returnflag"))
+            .agg(aggs.head, aggs.tail: _*)), Seq("l_returnflag"), "left")
         ps.foldLeft(g) { case (df, (name, _)) =>
           df.withColumn(name, round(
             col(s"${name}_vlo") +

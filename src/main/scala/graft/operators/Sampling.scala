@@ -197,7 +197,10 @@ object Sampling {
       // more likely): the per-domain quota draw a data-mixing pipeline
       // runs per snapshot. Output is the sampled ids — integers only,
       // the FP key never leaves the plan.
-      weightedSample(table(s, dir, "documents"),
+      // Zero/NULL-length docs are unsampleable (weight must be > 0 —
+      // aesKey fails fast by contract); exclude them up front, same
+      // WHERE as the oracle.
+      weightedSample(table(s, dir, "documents").filter(col("n_chars") > 0),
         stratum = col("source"), id = col("doc_id"),
         weight = col("n_chars"), k = 5)
         .select(col("source"), col("rk").cast("long").as("rk"),
@@ -283,7 +286,7 @@ object Sampling {
         |        + 1.0) / 4294967297.0) /
         |    CASE WHEN n_chars > 0 THEN n_chars
         |         ELSE error('weightedSample: weight must be > 0') END AS k
-        |  FROM documents),
+        |  FROM documents WHERE n_chars > 0),
         |ranked AS (
         |  SELECT doc_id, source, n_chars,
         |    ROW_NUMBER() OVER (PARTITION BY source

@@ -244,8 +244,11 @@ object Similarity {
         .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cl"))
       ex.join(broadcast(cent), Seq("pos"))
         .groupBy(col("vec_id"), col("cl"))
-        .agg(round(sum(col("v") * col("cv")) /
-          (sqrt(sum(col("v") * col("v"))) *
+        // try_divide: a zero-norm vector (or centroid) gets cos NULL
+        // (DuckDB x/0), sorting after every real score in BOTH engines
+        // (cos DESC is nulls-last on each side) — not an ANSI crash.
+        .agg(round(try_divide(sum(col("v") * col("cv")),
+          sqrt(sum(col("v") * col("v"))) *
             sqrt(sum(col("cv") * col("cv")))), 6).as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

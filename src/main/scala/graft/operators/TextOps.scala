@@ -111,12 +111,15 @@ object TextOps {
       .withColumn("toks",
         filter(split(lower(col("text")), "\\s+"), t => length(t) >= 1))
       .withColumn("n_words", size(col("toks")).cast("long"))
+      // try_divide: an empty doc has n_words = 0 and both metrics are
+      // NULL (DuckDB's x/0), not an ANSI divide-by-zero crash; the
+      // n_words < 40 rule still fails the doc.
       .withColumn("mean_word_len",
-        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / col("n_words"))
+        try_divide(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double"), col("n_words")))
       .withColumn("dup_frac",
-        lit(1.0) - size(array_distinct(col("toks"))).cast("double")
-          / col("n_words"))
+        lit(1.0) - try_divide(
+          size(array_distinct(col("toks"))).cast("double"), col("n_words")))
       .withColumn("stop_hits",
         size(array_intersect(array_distinct(col("toks")),
           typedLit(gopherStops))).cast("long"))
@@ -138,10 +141,12 @@ object TextOps {
     docs
       .withColumn("len_c", length(col("text")).cast("double"))
       .withColumn("n_tok", size(split(col("text"), "\\s+")).cast("double"))
-      .withColumn("punct_ratio",
-        (col("len_c") - length(regexp_replace(col("text"), punctRe, ""))) / col("len_c"))
-      .withColumn("upper_ratio",
-        (col("len_c") - length(regexp_replace(col("text"), upperRe, ""))) / col("len_c"))
+      // try_divide: zero-length text yields NULL ratios/score (DuckDB
+      // x/0 semantics) rather than an ANSI divide-by-zero crash.
+      .withColumn("punct_ratio", try_divide(
+        col("len_c") - length(regexp_replace(col("text"), punctRe, "")), col("len_c")))
+      .withColumn("upper_ratio", try_divide(
+        col("len_c") - length(regexp_replace(col("text"), upperRe, "")), col("len_c")))
       .withColumn("score", round(
         (col("n_tok") / (col("n_tok") + lit(100.0)))
           * (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("upper_ratio")), 6))
@@ -370,8 +375,13 @@ object TextOps {
       .withColumn("r_punct", (col("punct_ratio") > 0.08).cast("int"))
       .withColumn("r_repeat", (col("distinct_ratio") < 0.40).cast("int"))
       .withColumn("r_dup2", (col("dup_2gram_ratio") > 0.06).cast("int"))
+      // AND chain, NOT a flag sum: an empty doc has punct_ratio NULL
+      // (0-length denominator) so r_punct is NULL, and a sum would
+      // poison keep to NULL — but FALSE AND NULL = FALSE, so any rule
+      // that definitely fires still rejects the doc (oracle semantics).
       .withColumn("keep",
-        (col("r_short") + col("r_punct") + col("r_repeat") + col("r_dup2") === 0)
+        (col("n_tok") >= 30 && col("punct_ratio") <= 0.08 &&
+          col("distinct_ratio") >= 0.40 && col("dup_2gram_ratio") <= 0.06)
           .cast("int"))
 
   /** DuckDB mirror of [[qualityFilter]]'s flag ladder over an arbitrary
