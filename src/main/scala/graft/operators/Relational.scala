@@ -165,9 +165,12 @@ object Relational {
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data at
       // sf0.1 — l_quantity completes a total order (verified unique at
       // every sf), keeping the running sum deterministic in both engines.
+      // l_quantity can be NULL in hostile data: Spark's ASC default is
+      // NULLS FIRST while DuckDB's is NULLS LAST, so the tiebreak must pin
+      // NULLS LAST explicitly or the accumulation order diverges.
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"))
+          col("l_quantity").asc_nulls_last)
       table(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
           col("l_linenumber"), col("l_quantity"))
