@@ -1082,11 +1082,15 @@ object Dedup {
       // new material (stop crawling this source; re-allocate budget).
       // Decile = ntile over doc_id (deterministic), mean novelty
       // summed exactly in decimal.
-      import org.apache.spark.sql.expressions.Window
+      // The decile is a GLOBAL per-doc rank over doc_id — an
+      // unpartitioned ntile window is a one-reducer corpus sort at
+      // scale, so rank via ShardedCum + arithmetic bucket instead.
       val nv = shingleNovelty(table(s, dir, "documents"))
         .select(col("doc_id"), col("novelty"))
-      nv.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("doc_id"))))
+      val nTot = nv.agg(count(lit(1)).as("_n"))
+      ShardedCum.globalRank(nv, Seq(col("doc_id")), "_rn")
+        .crossJoin(broadcast(nTot))
+        .withColumn("decile", ShardedCum.ntileFromRank("_rn", "_n", 10))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
           round(sum(col("novelty").cast("decimal(18,6)")).cast("double") /

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -238,11 +238,15 @@ object EventStats {
     * integers. The ranked frame is |users| rows — KB-scale after the
     * one map-side-combined per-user count. */
   def engagementGini(events: DataFrame): DataFrame = {
+    // The Lorenz rank i is a GLOBAL row_number over |users| rows — an
+    // unpartitioned window funnels a billion-user frame through one
+    // reducer, so the rank is ShardedCum's range-sharded prefix count
+    // and n rides a 1-row broadcast instead of a global count window.
     val per = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c"), col("user_id"))
-    val ranked = per
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val nTot = per.agg(count(lit(1)).as("n"))
+    val ranked = ShardedCum
+      .globalRank(per, Seq(col("c"), col("user_id")), "i")
+      .crossJoin(broadcast(nTot))
       .withColumn("decile_cut", expr("(n * 9 + 9) div 10")) // ceil(0.9n)
     ranked.agg(
         max(col("n")).as("n_users"),
@@ -269,8 +273,9 @@ object EventStats {
     * deterministic; output = the 4×4×4 segment grid with counts and
     * mean value. Quartile 1 = best (most recent / most frequent /
     * highest spend). Scale: the log collapses to one row per user
-    * map-side; the three ntiles sort that |users|-row frame — the
-    * standard RFM cost, trivially partitionable by metric range. */
+    * map-side; each metric's rank then comes from a range-sharded
+    * ShardedCum prefix count (32 reducers per metric) — never an
+    * unpartitioned ntile window's single-reducer sort. */
   def rfmSegments(events: DataFrame): DataFrame = {
     val perUser = events.groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("last_day"),
@@ -279,13 +284,21 @@ object EventStats {
     val refDay = events.agg(max(to_date(col("ts"))).as("ref_day"))
     val base = perUser.crossJoin(broadcast(refDay))
       .withColumn("recency_d", datediff(col("ref_day"), col("last_day")))
-    val rq = Window.orderBy(col("recency_d"), col("user_id"))
-    val fq = Window.orderBy(col("freq").desc, col("user_id"))
-    val mq = Window.orderBy(col("mon").desc, col("user_id"))
-    base
-      .withColumn("r_q", ntile(4).over(rq))
-      .withColumn("f_q", ntile(4).over(fq))
-      .withColumn("m_q", ntile(4).over(mq))
+    // Each quartile is a GLOBAL ntile over |users| rows; three
+    // unpartitioned windows would each funnel the whole frame through
+    // one reducer. Instead: three range-sharded ShardedCum ranks (one
+    // per metric's total order) + arithmetic buckets off a broadcast n.
+    val nTot = base.agg(count(lit(1)).as("_n"))
+    val ranked = Seq[(Seq[Column], String)](
+      (Seq(col("recency_d"), col("user_id")), "_r_rn"),
+      (Seq(col("freq").desc, col("user_id")), "_f_rn"),
+      (Seq(col("mon").desc, col("user_id")), "_m_rn"))
+      .foldLeft(base) { case (d, (ord, a)) =>
+        ShardedCum.globalRank(d, ord, a) }
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn("r_q", ShardedCum.ntileFromRank("_r_rn", "_n", 4))
+      .withColumn("f_q", ShardedCum.ntileFromRank("_f_rn", "_n", 4))
+      .withColumn("m_q", ShardedCum.ntileFromRank("_m_rn", "_n", 4))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"),
         round(sum(col("mon")).cast("double") / count(lit(1)), 6)

@@ -355,17 +355,8 @@ object Relational {
       val counts = o.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("_n"))
       val rn = col("rn"); val nG = col("_n")
-      // Integer bucket math via `div` (Column./ would be double
-      // division). CASE evaluates lazily, so the div-by-zero in the
-      // otherwise-branch is unreachable when _n < 4 (cut == _n there).
-      val cut = expr("(_n div 4 + 1) * (_n % 4)")
-      val quartile = when(rn <= cut,
-          expr("(rn - 1) div (_n div 4 + 1) + 1"))
-        .otherwise(
-          expr("_n % 4 + (rn - (_n div 4 + 1) * (_n % 4) - 1) div (_n div 4) + 1"))
-        .cast("int")
       withRn.join(broadcast(counts), Seq("o_orderstatus"))
-        .withColumn("quartile", quartile)
+        .withColumn("quartile", ShardedCum.ntileFromRank("rn", "_n", 4))
         .withColumn("pct_rank",
           when(nG > 1, (rn - 1).cast("double") / (nG - 1).cast("double"))
             .otherwise(lit(0.0)))

@@ -162,4 +162,32 @@ object ShardedCum {
       sums.flatMap { case (_, n) =>
         Seq(s"_local_$n", s"_off_$n", s"_lcnt_$n", s"_offcnt_$n") }: _*)
   }
+
+  /** SQL-standard `NTILE(k)` bucket from a 1-based rank column `rnCol`
+    * and a group-size column `nCol` (integer-typed column NAMES): the
+    * first n%k buckets get one row more than the rest. Pure per-row
+    * arithmetic — pairs with a [[cumSums]] `lit(1L)` rank to replace a
+    * single-reducer `ntile(k).over(Window.orderBy(...))` plan. The
+    * otherwise-branch's `div (n div k)` cannot divide by zero: when
+    * n < k, cut == n, so every rank takes the then-branch (CASE
+    * evaluates lazily, ANSI-safe — the q48 precedent).
+    */
+  def ntileFromRank(rnCol: String, nCol: String, k: Int): Column = {
+    val cut = expr(s"($nCol div $k + 1) * ($nCol % $k)")
+    when(col(rnCol) <= cut,
+        expr(s"($rnCol - 1) div ($nCol div $k + 1) + 1"))
+      .otherwise(expr(s"$nCol % $k + " +
+        s"($rnCol - ($nCol div $k + 1) * ($nCol % $k) - 1) div ($nCol div $k) + 1"))
+      .cast("int")
+  }
+
+  /** Global deterministic 1-based rank over a TOTAL order (the caller
+    * must include a unique tiebreak in `orderCols`), range-sharded over
+    * `shards` reducers — the scale-safe replacement for
+    * `row_number().over(Window.orderBy(...))`, whose unpartitioned
+    * window otherwise funnels the whole frame through ONE reducer.
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[Column], alias: String,
+      shards: Int = 32): DataFrame =
+    cumSums(df, Nil, orderCols, Seq((lit(1L), alias)), shards)
 }

@@ -997,12 +997,19 @@ object TextOps {
       // stack runs before trusting either. Quintiles over the ROUNDED
       // score (identical doubles cross-engine) with doc_id tie-break;
       // mean score sums exactly in decimal.
+      // Quintile assignment is a GLOBAL per-doc rank: an unpartitioned
+      // ntile window would funnel the whole corpus through one reducer
+      // at 100 TB, so the rank comes from ShardedCum's range-sharded
+      // prefix count and the bucket is arithmetic off (rank, n).
       val docs = table(s, dir, "documents")
       val sc = charLmScores(docs).select(col("doc_id"), col("avg_logp"))
       val keep = gopherRules(docs).select(col("doc_id"), col("keep"))
-      val q = ntile(5).over(Window.orderBy(col("avg_logp").desc, col("doc_id")))
-      sc.join(keep, "doc_id")
-        .withColumn("quintile", q)
+      val scored = sc.join(keep, "doc_id")
+      val nTot = scored.agg(count(lit(1)).as("_n"))
+      ShardedCum.globalRank(scored,
+          Seq(col("avg_logp").desc, col("doc_id")), "_rn")
+        .crossJoin(broadcast(nTot))
+        .withColumn("quintile", ShardedCum.ntileFromRank("_rn", "_n", 5))
         .groupBy(col("quintile"))
         .agg(count(lit(1)).as("n_docs"),
           round(sum(col("avg_logp").cast("decimal(18,6)")).cast("double") /
@@ -1021,18 +1028,22 @@ object TextOps {
       // the ROUNDED score (identical doubles both engines; doc_id
       // tie-break), so bucket membership is deterministic. Scale
       // shape: scoring is q109's two-phase broadcast design; the
-      // tercile is ONE per-lang window sort. A lang that dominates the
-      // corpus makes that sort single-partition — CCNet itself cuts on
-      // ppl thresholds learned from a SAMPLE; at 100 TB swap the ntile
-      // for approx-quantile cuts (sample → 2 thresholds per lang →
-      // scan-side bucket assign, no global sort). The gated report is
-      // per (lang, bucket): count + mean/extreme scores.
+      // tercile rank comes from ShardedCum's range-sharded per-lang
+      // prefix count (a `Window.partitionBy(lang)` ntile would sort a
+      // dominant language's whole corpus on ONE reducer — the q48
+      // funnel class), with the bucket as arithmetic off (rank, n).
+      // CCNet itself cuts on ppl thresholds learned from a SAMPLE;
+      // approx-quantile cuts remain the sketch alternative, but the
+      // sharded exact rank already removes the global sort. The gated
+      // report is per (lang, bucket): count + mean/extreme scores.
       val docs = table(s, dir, "documents")
       val scored = docs.select(col("doc_id"), col("lang"))
         .join(charLmScores(docs), "doc_id")
-      val wl = Window.partitionBy(col("lang"))
-        .orderBy(col("avg_logp").desc, col("doc_id"))
-      scored.withColumn("bucket", ntile(3).over(wl))
+      val withRn = ShardedCum.cumSums(scored, Seq("lang"),
+        Seq(col("avg_logp").desc, col("doc_id")), Seq((lit(1L), "_rn")))
+      val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("_n"))
+      withRn.join(broadcast(counts), Seq("lang"))
+        .withColumn("bucket", ShardedCum.ntileFromRank("_rn", "_n", 3))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("avg_logp")), 6).as("mean_logp"),
@@ -1159,13 +1170,16 @@ object TextOps {
       // decision is a portable-hash threshold (sampling stays a FILTER;
       // the only shuffle is the 20-row source-count aggregate that gets
       // broadcast back).
+      // total/n_sources ride a 1-row broadcast cross-join rather than
+      // empty-partition windows: Window.partitionBy() would funnel the
+      // counts frame through one reducer, and at domain granularity
+      // that frame is millions of rows.
       val docs = table(s, dir, "documents")
       val counts = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_src"))
-      val withTotal = counts
-        .withColumn("total", sum(col("n_src")).over(Window.partitionBy()))
-        .withColumn("n_sources",
-          count(lit(1)).over(Window.partitionBy()).cast("double"))
+      val totals = counts.agg(sum(col("n_src")).as("total"),
+        count(lit(1)).cast("double").as("n_sources"))
+      val withTotal = counts.crossJoin(broadcast(totals))
         .withColumn("keep_rate", least(lit(1.0),
           col("total") / col("n_sources") / col("n_src")))
         .select(col("source"), col("n_src"), col("keep_rate"))

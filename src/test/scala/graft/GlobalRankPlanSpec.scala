@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins for the r9 global-rank de-funneling: q177/q181
+  * (per-doc ntile), q144 (per-lang tertile with a dominant-language
+  * worst case), q175 (three per-user ntiles) and q185 (per-user
+  * Lorenz rank) formerly ranked through an unpartitioned or
+  * low-cardinality window — the whole frame sorted on one (or few)
+  * reducer(s) at scale. They now derive ranks from ShardedCum's
+  * range-sharded prefix counts: every remaining window in the plan
+  * must carry the _shard column (the range exchange itself is eager
+  * inside ShardedCum's ckpt, so it does not always print in the
+  * final plan). q71's source totals must ride a broadcast, not an
+  * empty-partition window.
+  */
+class GlobalRankPlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val shardedQueries =
+    Seq("q177_quality_calibration", "q144_ccnet_buckets",
+      "q181_novelty_trend", "q175_rfm_segments", "q185_engagement_gini")
+
+  shardedQueries.foreach { name =>
+    test(s"$name ranks via range-sharded windows, no 1-reducer sort") {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val windows = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.nonEmpty && windows.forall(_.contains("_shard")),
+        s"$name has a window not partitioned on _shard:\n" +
+          windows.filterNot(_.contains("_shard")).mkString("\n"))
+      assert(!plan.contains("ntile("),
+        s"$name still plans an ntile window:\n${plan.take(1200)}")
+    }
+  }
+
+  test("q71_domain_mix broadcasts totals — no empty-partition window") {
+    val plan = SparkEntry.queries("q71_domain_mix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      s"q71 still plans a window:\n${plan.take(1200)}")
+  }
+
+  test("ntileFromRank matches SQL NTILE across k, n (incl. n < k)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 3, 4, 7, 100); k <- Seq(2, 4, 5, 10)) {
+      val df = spark.range(1, n + 1).toDF("v")
+        .withColumn("rn", col("v"))
+        .withColumn("_n", lit(n.toLong))
+      val got = df.withColumn("b",
+          graft.operators.ShardedCum.ntileFromRank("rn", "_n", k))
+        .select("v", "b")
+      val want = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("v"))))
+        .select("v", "b")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"ntile mismatch at n=$n k=$k")
+    }
+  }
+}
