@@ -188,32 +188,55 @@ object Curation {
     // contamination distincts after its broadcast-join cut.
     val sh = ckpt(Dedup.shingleHashStream(exactOk))
 
-    // near-dup: every non-representative component member drops
-    val nearDropped = Dedup
+    // near-dup: every non-representative component member drops.
+    // ckpt'd (a doc_id list — KB-class): the frame feeds BOTH the
+    // quota's survivor filter and the final verdict stitch, and
+    // without the pin each consumer re-runs the LSH aggregation and
+    // the whole CC contraction loop.
+    val nearDropped = ckpt(Dedup
       .connectedComponentsStar(
         Dedup.lshCandidatesFromSignatures(Dedup.minhashFromHashes(sh))
           .select(col("doc_a"), col("doc_b")))
       .filter(col("node") =!= col("label"))
-      .select(col("node").as("n_id"))
+      .select(col("node").as("n_id")))
 
     // contamination: any 3-gram shingle shared with the bench set;
-    // the bench grams broadcast (q69's shape)
+    // the bench grams broadcast (q69's shape). ckpt'd for the same
+    // two-consumer reason as nearDropped.
     val benchGrams = Dedup.shingleHashes(bench)
       .select(col("h1"), col("h2")).distinct()
-    val contaminated = sh
+    val contaminated = ckpt(sh
       .join(broadcast(benchGrams), Seq("h1", "h2"))
-      .select(col("doc_id").as("c_id")).distinct()
+      .select(col("doc_id").as("c_id")).distinct())
 
     // per-source quota among docs surviving all prior stages,
-    // best-first by n_chars (q100's shape)
+    // best-first by n_chars (q100's shape). The quota-th best
+    // (n_chars, doc_id) per source comes from the native bounded-heap
+    // groupTopK (≤ quota rows per (source, partition) cross the
+    // exchange — a source-partitioned window would sort a hot
+    // source's survivors on ONE reducer), collapses to a |sources|-row
+    // CUTOFF table, and the over-quota docs are a broadcast-join
+    // FILTER against that cutoff — the survivor corpus itself never
+    // shuffles. priorOk stays LAZY: its two consumers (heap + filter)
+    // each re-run only a scan of the ckpt'd exactOk anti-joined with
+    // the two ckpt'd id lists — cheap by construction. n_chars is
+    // non-null here: the quality gate rejects null-text docs, so the
+    // strict (n_chars, doc_id) comparison is total.
     val priorOk = exactOk
       .join(nearDropped, col("doc_id") === col("n_id"), "left_anti")
       .join(contaminated, col("doc_id") === col("c_id"), "left_anti")
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    val capped = priorOk
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") > capPerSource)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val cut = TopK.groupTopK(priorOk,
+        Seq("source"), Seq(("n_chars", true), ("doc_id", false)),
+        capPerSource)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kn"),
+        min(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("worst"))
+    val capped = priorOk.join(broadcast(cut), Seq("source"))
+      .filter(col("kn") === capPerSource &&
+        (col("n_chars") < col("worst.n_chars") ||
+          (col("n_chars") === col("worst.n_chars") &&
+            -col("doc_id") < col("worst.nd"))))
       .select(col("doc_id").as("k_id"))
 
     exactOk.select(col("doc_id"))

@@ -1021,9 +1021,11 @@ object Dedup {
         explode(call_function("shingle_hashes", col("text"))).as("p"))
       .select(col("source"), shiftrightunsigned(col("p"), 32).as("h"))
       .distinct()
-    val w = Window.partitionBy(col("source")).orderBy(col("h"))
-    val sig = sh.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // KMV signature = the k SMALLEST hashes per source. The bounded
+    // heap moves ≤ k rows per (source, partition) across the
+    // exchange; a source-partitioned window would shuffle the whole
+    // distinct shingle mass of a hot source onto one reducer.
+    val sig = TopK.groupTopK(sh, Seq("source"), Seq(("h", false)), k)
       .groupBy(col("source"))
       .agg(sort_array(collect_list(col("h"))).as("sig"))
     val a = sig.select(col("source").as("src_a"), col("sig").as("sig_a"))

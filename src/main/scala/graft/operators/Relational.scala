@@ -146,14 +146,19 @@ object Relational {
     }),
 
     "q11_window_rank" -> ((s, dir) => {
-      // Partitioned top-N: one shuffle on the partition key, in-partition
-      // sort, early filter on rank.
+      // Partitioned top-N through the native bounded-heap operator:
+      // c_mktsegment has 5 values, so a segment-partitioned window
+      // would sort the whole join output on 5 reducers. groupTopK
+      // moves ≤ 3 rows per (segment, partition) across the exchange;
+      // the rank window that numbers the survivors sees ≤ 15 rows.
+      val joined = table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      table(s, dir, "customer")
-        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      TopK.groupTopK(joined, Seq("c_mktsegment"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
         .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("c_mktsegment"), col("rk"))
     }),
@@ -319,18 +324,34 @@ object Relational {
     "q107_window_nav" -> ((s, dir) => {
       // Navigation windows (the family q11/q12 leave out): first /
       // last / nth value of the price over each status's full
-      // order-date frame. last_value needs the explicit
+      // order-date frame. Over an UNBOUNDED frame these are per-group
+      // VALUES-AT-RANK, not per-row state — so instead of a
+      // status-partitioned window (3 distinct values = the whole
+      // table sorted on 3 reducers), the 3 earliest and 1 latest
+      // (date, key) rows per status come from the native bounded-heap
+      // groupTopK and their prices broadcast back onto the unshuffled
+      // scan (q91's broadcast-stats pattern). The oracle keeps the
+      // window formulation — last_value with the explicit
       // unbounded-following frame (the default frame ends at CURRENT
       // ROW — the classic silent-wrong-answer); (o_orderdate,
-      // o_orderkey) makes the order total so the values are
-      // deterministic cross-engine.
-      val order = Seq(col("o_orderdate"), col("o_orderkey"))
-      val w = Window.partitionBy(col("o_orderstatus")).orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      table(s, dir, "orders")
-        .withColumn("first_price", first(col("o_totalprice")).over(w))
-        .withColumn("last_price", last(col("o_totalprice")).over(w))
-        .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(w))
+      // o_orderkey) makes the order total so both plans are
+      // deterministic and hash-identical.
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val wAsc = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val firstThird = TopK.groupTopK(o, Seq("o_orderstatus"),
+          Seq(("o_orderdate", false), ("o_orderkey", false)), 3)
+        .withColumn("r", row_number().over(wAsc))
+        .groupBy(col("o_orderstatus"))
+        .agg(max(when(col("r") === 1, col("o_totalprice"))).as("first_price"),
+          max(when(col("r") === 3, col("o_totalprice"))).as("third_price"))
+      val lastV = TopK.groupTopK(o, Seq("o_orderstatus"),
+          Seq(("o_orderdate", true), ("o_orderkey", true)), 1)
+        .select(col("o_orderstatus"), col("o_totalprice").as("last_price"))
+      o.join(broadcast(firstThird), Seq("o_orderstatus"))
+        .join(broadcast(lastV), Seq("o_orderstatus"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           col("first_price"), col("last_price"), col("third_price"))
         .orderBy(col("o_orderkey"))

@@ -46,12 +46,23 @@ object Sampling {
 
   /** Top-`k` weighted sample without replacement per stratum.
     * Returns the input columns plus `rk` (1-based rank within the
-    * stratum). Ties (astronomically unlikely) break on `id`. */
+    * stratum). Ties (astronomically unlikely) break on `id`.
+    * The cap runs through the native bounded-heap [[TopK.groupTopK]]
+    * (≤ k rows per (stratum, partition) cross the exchange) — a
+    * stratum-partitioned window would sort a hot domain's whole
+    * frame on ONE reducer; the rank window that numbers the
+    * survivors only ever sees k×|strata| rows. */
   def weightedSample(df: DataFrame, stratum: Column, id: Column,
       weight: Column, k: Int): DataFrame = {
-    val w = Window.partitionBy(stratum)
-      .orderBy(aesKey(id, weight).desc, id)
-    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val keyed = df.withColumn("_ws_stratum", stratum)
+      .withColumn("_ws_id", id)
+      .withColumn("_ws_key", aesKey(id, weight))
+    val top = TopK.groupTopK(keyed, Seq("_ws_stratum"),
+      Seq(("_ws_key", true), ("_ws_id", false)), k)
+    val w = Window.partitionBy(col("_ws_stratum"))
+      .orderBy(col("_ws_key").desc, col("_ws_id"))
+    top.withColumn("rk", row_number().over(w))
+      .drop("_ws_stratum", "_ws_id", "_ws_key")
   }
 
   /** Temperature-scaled mixture weights (the multilingual-sampling

@@ -846,10 +846,15 @@ object TextOps {
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("sfp")).as("score_fp"),
           count(lit(1)).as("n_terms_hit"))
+      // Top-5 per query via the native bounded heap: a common term can
+      // put most of the corpus in one query's candidate set, and a
+      // query_id-partitioned window would sort all of it on one
+      // reducer; groupTopK moves ≤ 5 rows per (query, partition).
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score_fp").desc, col("doc_id"))
-      perDoc.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      TopK.groupTopK(perDoc, Seq("query_id"),
+          Seq(("score_fp", true), ("doc_id", false)), 5)
+        .withColumn("rk", row_number().over(w))
         .select(col("query_id"), col("rk").cast("long").as("rk"),
           col("doc_id"), col("n_terms_hit"),
           round(col("score_fp").cast("double") / lit(1000000.0), 6)
@@ -1150,16 +1155,19 @@ object TextOps {
     "q100_domain_cap" -> ((s, dir) => {
       // Per-source quota curation: each source keeps at most its 30
       // best documents (longest first — the stand-in quality rank —
-      // doc_id as the deterministic tiebreak). One window over the
-      // uniform 20-value source key; the cap means per-reducer output
-      // is bounded by quota, and at 100 TB the same rank-then-cap runs
-      // per source partition without a global sort. rank emitted so
-      // the oracle pins ordering, not just membership.
+      // doc_id as the deterministic tiebreak), through the native
+      // bounded-heap groupTopK: ≤ 30 rows per (source, partition)
+      // cross the exchange, where a source-partitioned window would
+      // sort a hot domain's whole corpus on ONE reducer. The rank
+      // window that numbers the survivors sees ≤ 30×|sources| rows;
+      // rank emitted so the oracle pins ordering, not just membership.
       val w = Window.partitionBy(col("source"))
         .orderBy(col("n_chars").desc, col("doc_id"))
-      table(s, dir, "documents")
+      TopK.groupTopK(
+          table(s, dir, "documents")
+            .select(col("source"), col("doc_id"), col("n_chars")),
+          Seq("source"), Seq(("n_chars", true), ("doc_id", false)), 30)
         .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 30)
         .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
         .orderBy(col("source"), col("rk"))
     }),

@@ -35,6 +35,35 @@ class GlobalRankPlanSpec extends AnyFunSuite {
     }
   }
 
+  // Low-cardinality rank-CAP queries (top-k per segment/source/query/
+  // status): the cap must run through the native bounded-heap operator
+  // (≤ k rows per (group, partition) cross the exchange), never a
+  // group-partitioned window over the full frame — a 5-value segment
+  // key sorts the whole join output on 5 reducers at scale. A rank
+  // window may remain, but only AFTER GroupTopK has reduced the frame
+  // to k×|groups| rows.
+  private val heapCapped =
+    Seq("q11_window_rank", "q107_window_nav", "q100_domain_cap",
+      "q117_weighted_sample", "q148_bm25_search", "q149_source_overlap")
+
+  heapCapped.foreach { name =>
+    test(s"$name caps through the native bounded heap, not a window") {
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("GroupTopK"),
+        s"$name lost its GroupTopK node:\n${plan.take(1200)}")
+      // any surviving window must consume GroupTopK's bounded output,
+      // i.e. appear ABOVE the (last) GroupTopK node in the plan text
+      val winAt = plan.linesIterator.zipWithIndex
+        .filter(_._1.contains("windowspecdefinition")).map(_._2).toSeq
+      val topkAt = plan.linesIterator.zipWithIndex
+        .filter(_._1.contains("GroupTopK")).map(_._2).toSeq
+      assert(winAt.forall(w => topkAt.exists(t => t > w)),
+        s"$name has a window NOT fed by GroupTopK (line order):\n" +
+          plan.take(1500))
+    }
+  }
+
   test("q71_domain_mix broadcasts totals — no empty-partition window") {
     val plan = SparkEntry.queries("q71_domain_mix")(spark, sf)
       .queryExecution.executedPlan.toString
