@@ -379,9 +379,13 @@ object EventOps {
       val withMed = ev.join(broadcast(med), "event_type")
       val mad = withMed.groupBy(col("event_type").as("m_type"))
         .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      // try_divide: a constant-valued type has MAD = 0 and DuckDB's
+      // x/0 yields NULL (row filtered) — ANSI Spark would abort the
+      // job instead (tiny-corpus fuzz find)
       withMed.join(broadcast(mad), col("event_type") === col("m_type"))
         .withColumn("robust_z",
-          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+          round(try_divide(lit(0.6745) * (col("value") - col("med")),
+            col("mad")), 6))
         .filter(abs(col("robust_z")) > 3.5)
         .select(col("event_id"), col("event_type"), col("value"),
           col("robust_z"))
@@ -504,8 +508,12 @@ object EventOps {
       val stats = ev.groupBy(col("event_type"))
         .agg(avg(col("value")).as("mu"),
           stddev_samp(col("value")).as("sigma"))
+      // try_divide: a constant-valued (or single-event) type has
+      // sigma 0/NULL; DuckDB's /0 yields NULL z — ANSI Spark would
+      // abort the job (tiny-corpus fuzz find)
       ev.join(broadcast(stats), "event_type")
-        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+        .withColumn("z",
+          round(try_divide(col("value") - col("mu"), col("sigma")), 6))
         .select(col("event_id"), col("event_type"), col("z"))
         .orderBy(col("event_id"))
     }),

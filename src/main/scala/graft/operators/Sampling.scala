@@ -119,7 +119,11 @@ object Sampling {
     val per = docs.groupBy(language.as("lang"))
       .agg(sum(tokens).as("n_tokens"))
       .withColumn("cap", col("n_tokens") * maxEpochs)
-    val wOrd = Window.orderBy(col("cap"), col("lang"))
+    // asc_nulls_last: a language whose docs all have NULL token
+    // counts gets cap NULL, and Spark's ASC default (NULLS FIRST)
+    // diverges from DuckDB's (NULLS LAST) — the null lang must rank
+    // AFTER every funded one or prefix sums shift (tiny-corpus fuzz)
+    val wOrd = Window.orderBy(col("cap").asc_nulls_last, col("lang"))
     val wAll = Window.partitionBy(lit(1))
     val flagged = per
       .withColumn("i", row_number().over(wOrd))

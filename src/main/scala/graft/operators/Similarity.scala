@@ -125,10 +125,14 @@ object Similarity {
         .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
         .withColumn("qv", col("qv").cast("double"))
       // probe = 2 cells whose centroids are nearest the query
+      // try_divide: a cell whose only member is a zero vector has a
+      // zero centroid — DuckDB's /0 yields NULL (sorts last under
+      // DESC in both engines); ANSI Spark would abort (tiny-corpus
+      // fuzz find)
       val probes = cent.join(broadcast(qx), Seq("pos"))
         .groupBy(col("label"))
-        .agg(round(sum(col("cv") * col("qv")) /
-          (sqrt(sum(col("cv") * col("cv"))) * sqrt(sum(col("qv") * col("qv")))), 6)
+        .agg(round(try_divide(sum(col("cv") * col("qv")),
+          sqrt(sum(col("cv") * col("cv"))) * sqrt(sum(col("qv") * col("qv")))), 6)
           .as("ccos"))
         .orderBy(col("ccos").desc, col("label"))
         .limit(2)
@@ -751,14 +755,19 @@ object Similarity {
   // The dot/norm subqueries unnest both lists positionally (DuckDB zips
   // parallel UNNESTs) and accumulate left-to-right in double — the same
   // order as the native expression's loop, so round(6) is bit-stable.
+  // COALESCE(..., 0.0) mirrors the native cosine_sim Expression's
+  // documented zero-norm semantic (cos = 0.0, "no similarity"): the
+  // raw division yields NULL in DuckDB on a zero vector, which only
+  // surfaces when the candidate set is small enough for such rows to
+  // reach the emitted top-k (tiny-corpus fuzz find).
   private val cosSql =
-    """ROUND(
+    """ROUND(COALESCE(
       | (SELECT SUM(CAST(x.a AS DOUBLE)*CAST(x.b AS DOUBLE))
       |  FROM (SELECT UNNEST(e.embedding) AS a, UNNEST(q.qv) AS b) x)
       | / (SQRT((SELECT SUM(CAST(x.a AS DOUBLE)*CAST(x.a AS DOUBLE))
       |          FROM (SELECT UNNEST(e.embedding) AS a) x))
       |  * SQRT((SELECT SUM(CAST(x.b AS DOUBLE)*CAST(x.b AS DOUBLE))
-      |          FROM (SELECT UNNEST(q.qv) AS b) x))), 6)""".stripMargin
+      |          FROM (SELECT UNNEST(q.qv) AS b) x))), 0.0), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q35_cosine_topk" ->

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Seeded edge-case data generator for the differential fuzz gate.
 
-Usage: python3 tools/fuzz_data.py <seed> <outDir>
+Usage: python3 tools/fuzz_data.py <seed> <outDir> [--tiny]
+
+--tiny writes the same ten tables at single-digit row counts (groups
+smaller than every NTILE bucket count / top-k / quota in the catalog,
+languages and statuses absent entirely, one-user event logs) — the
+n < k and empty-group paths no realistic corpus exercises.
 
 Writes the ten driver tables (same schemas as /root/testdata/sf*) with
 randomized content deliberately spicier than the driver's generator:
@@ -57,8 +62,14 @@ def write(outdir, name, cols, schema):
     pq.write_table(pa.table(cols, schema=schema), f"{outdir}/{name}.parquet")
 
 
-def gen(seed, outdir):
+def gen(seed, outdir, tiny=False):
     rnd = random.Random(seed)
+    # tiny mode: every fact table at single-digit rows (dimension
+    # tables keep their natural 5/25); sizes chosen BELOW the
+    # catalog's k/quota/bucket constants so n < k branches run
+    sz = dict(nc=8, ns=2, np=6, no=12, nl=20, ne=15, nd=6, nv=6) if tiny \
+        else dict(nc=150, ns=10, np=200, no=1500, nl=6000, ne=1000,
+                  nd=500, nv=500)
 
     # region: 5 rows; one duplicated name (two keys, same name) to
     # stress group-by-name vs join-by-key assumptions equally.
@@ -82,7 +93,7 @@ def gen(seed, outdir):
 
     # customer: ties in acctbal (many exactly 0.00 / -1.23), 2% nulls,
     # one hot nation.
-    nc = 150
+    nc = sz['nc']
     hot_nation = rnd.randrange(25)
     cust = {
         "c_custkey": list(range(nc)),
@@ -101,7 +112,7 @@ def gen(seed, outdir):
                      ("c_mktsegment", pa.string())]))
 
     # supplier
-    ns = 10
+    ns = sz['ns']
     write(outdir, "supplier",
           {"s_suppkey": list(range(ns)),
            "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
@@ -111,7 +122,7 @@ def gen(seed, outdir):
                      ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())]))
 
     # part: duplicate names across keys, tied sizes/prices.
-    np_ = 200
+    np_ = sz['np']
     write(outdir, "part",
           {"p_partkey": list(range(np_)),
            "p_name": [f"{rnd.choice(PADJ)} {rnd.choice(PNOUN)}"
@@ -130,7 +141,7 @@ def gen(seed, outdir):
 
     # orders: 1500; ~3% dangling custkeys, tied totalprice (10% exactly
     # 1000.00), tied dates (10% on one day), full 1995-2001 range.
-    no = 1500
+    no = sz['no']
     tie_day = rnd.randrange(9131, 11536)
     orders = {"o_orderkey": list(range(no)), "o_custkey": [], "o_orderstatus": [],
               "o_totalprice": [], "o_orderdate": [], "o_orderpriority": []}
@@ -153,7 +164,7 @@ def gen(seed, outdir):
 
     # lineitem: ~6000; 2% null quantity/price/discount, tied ship
     # dates, 2% dangling order/part keys, discount exactly 0 often.
-    nl = 6000
+    nl = sz['nl']
     li = {k: [] for k in ["l_orderkey", "l_partkey", "l_suppkey",
                           "l_linenumber", "l_quantity", "l_extendedprice",
                           "l_discount", "l_tax", "l_returnflag",
@@ -190,7 +201,7 @@ def gen(seed, outdir):
     # events: 1000, one hot user (30%), tied timestamps within users
     # (~5%), null/zero/negative values, malformed props. event_id is
     # the log offset: assigned in ts order like the driver data.
-    ne = 1000
+    ne = sz['ne']
     hot_user = rnd.randrange(20)
     rows = []
     last_ts_by_user = {}
@@ -225,7 +236,7 @@ def gen(seed, outdir):
 
     # documents: 500. Planted exact-dup clusters, near-dup pairs, and
     # adversarial texts. n_chars == len(text) (None for null text).
-    nd = 500
+    nd = sz['nd']
     def salad(n):
         return " ".join(rnd.choice(VOCAB) for _ in range(n))
     texts = []
@@ -277,18 +288,22 @@ def gen(seed, outdir):
 
     # embeddings: 500 x 64 dims. Zero vectors, exact duplicates,
     # near-duplicates, one tiny-norm vector.
-    nv, dim = 500, 64
+    nv, dim = sz['nv'], 64
     vecs = []
     for i in range(nv):
         vecs.append([rnd.gauss(0, 0.1) for _ in range(dim)])
-    vecs[7] = [0.0] * dim                       # zero vector
-    vecs[8] = [0.0] * dim                       # second zero vector
-    vecs[9] = [1e-8] * dim                      # tiny norm
-    for (a, b) in [(20, 21), (22, 23), (24, 25)]:
-        vecs[b] = vecs[a][:]                    # exact dup pairs
-    for (a, b) in [(30, 31), (32, 33)]:
-        vecs[b] = vecs[a][:]
-        vecs[b][0] += 1e-4                      # near dup pairs
+    if nv > 35:
+        vecs[7] = [0.0] * dim                   # zero vector
+        vecs[8] = [0.0] * dim                   # second zero vector
+        vecs[9] = [1e-8] * dim                  # tiny norm
+        for (a, b) in [(20, 21), (22, 23), (24, 25)]:
+            vecs[b] = vecs[a][:]                # exact dup pairs
+        for (a, b) in [(30, 31), (32, 33)]:
+            vecs[b] = vecs[a][:]
+            vecs[b][0] += 1e-4                  # near dup pairs
+    else:
+        vecs[1] = [0.0] * dim                   # zero vector
+        vecs[3] = vecs[2][:]                    # one exact dup pair
     write(outdir, "embeddings",
           {"vec_id": list(range(nv)),
            "embedding": [[float(x) for x in v] for v in vecs],
@@ -300,7 +315,8 @@ def gen(seed, outdir):
 
 if __name__ == "__main__":
     seed, outdir = int(sys.argv[1]), sys.argv[2]
+    tiny = len(sys.argv) > 3 and sys.argv[3] == "--tiny"
     import os
     os.makedirs(outdir, exist_ok=True)
-    gen(seed, outdir)
-    print(f"fuzz dataset seed={seed} -> {outdir}")
+    gen(seed, outdir, tiny=tiny)
+    print(f"fuzz dataset seed={seed}{' tiny' if tiny else ''} -> {outdir}")
