@@ -1139,8 +1139,8 @@ object Dedup {
       // re-rolled the full corpus)
       val hits = ckpt(windowHits(cdc))
       val span = dupSpansFromHits(cdc, hits)
-        .agg(sum(when(col("masked_chars") > 0, 1L).otherwise(0L))
-          .as("n_affected"))
+        .agg(coalesce(sum(when(col("masked_chars") > 0, 1L).otherwise(0L)),
+          lit(0L)).as("n_affected")) // 0, not NULL, on an empty CDC band
         .crossJoin(cdcN)
         .select(lit("dup_span").as("method"), col("n_universe"),
           col("n_affected"), lit("trim").as("action"))
@@ -1158,10 +1158,13 @@ object Dedup {
           sum(col("n_dropped")).as("n_affected"))
         .select(lit("semantic").as("method"), col("n_universe"),
           col("n_affected"), lit("drop").as("action"))
+      // try_divide: an empty corpus (or empty CDC band) has
+      // n_universe 0/NULL and DuckDB's /0 yields a NULL rate — ANSI
+      // Spark would abort the whole report (empty-corpus fuzz find)
       exact.unionByName(near).unionByName(span).unionByName(cont)
         .unionByName(sem)
         .withColumn("rate", round(
-          col("n_affected").cast("double") / col("n_universe"), 6))
+          try_divide(col("n_affected").cast("double"), col("n_universe")), 6))
         .select(col("method"), col("n_universe"), col("n_affected"),
           col("rate"), col("action"))
         .orderBy(col("method"))
@@ -1617,7 +1620,7 @@ object Dedup {
          |  UNION ALL
          |  SELECT 'near_dup',
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
-         |    CAST(SUM(n_docs) - COUNT(*) AS BIGINT), 'drop'
+         |    CAST(COALESCE(SUM(n_docs), 0) - COUNT(*) AS BIGINT), 'drop'
          |  FROM ($dedupClustersSql) cc
          |  UNION ALL
          |  SELECT 'dup_span',

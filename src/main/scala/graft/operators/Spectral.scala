@@ -45,12 +45,17 @@ object Spectral {
     val spark = emb.sparkSession
     val x = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("xv"))
-    val (v, eig) = powerIter(x, iters, dims)
     import spark.implicits._
+    // Empty corpus → empty result (no dominant direction exists),
+    // matching the oracle's empty fixed-point CTEs — not an error.
+    val out = powerIter(x, iters, dims) match {
+      case None => Seq.empty[(Int, Double, Double)]
+      case Some((v, eig)) =>
+        v.zipWithIndex.map { case (l, d) => (d, l, eig) }.toSeq
+    }
     // round via the Spark expression so tie semantics match DuckDB's
     // ROUND (the suite-wide equivalence), not scala rint's half-even
-    v.zipWithIndex.map { case (l, d) => (d, l, eig) }
-      .toSeq.toDF("dim", "loading", "eigval")
+    out.toDF("dim", "loading", "eigval")
       .select(col("dim"), round(col("loading"), 6).as("loading"),
         round(col("eigval"), 6).as("eigval"))
   }
@@ -60,7 +65,7 @@ object Spectral {
     * and its eigenvalue estimate. Each round's matvec is the nano-unit
     * integer-sum shape documented above. */
   private def powerIter(x: DataFrame, iters: Int, dims: Int)
-      : (Array[Double], Double) = {
+      : Option[(Array[Double], Double)] = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require((dims & (dims - 1)) == 0,
       s"dims must be a power of two so 1/sqrt(dims) is an exact double: $dims")
@@ -82,6 +87,7 @@ object Spectral {
         .groupBy(col("dim"))
         .agg(sum(col("c").cast("decimal(38,0)")).as("yfp"))
         .collect()
+      if (matvec.isEmpty) return None // empty corpus: no direction
       val y = matvec.map(r => r.getAs[Int]("dim") ->
         r.getAs[java.math.BigDecimal]("yfp").doubleValue() / 1e9)
         .sortBy(_._1).map(_._2)
@@ -91,7 +97,7 @@ object Spectral {
       v = y.map(_ / nrm)
       eig = nrm
     }
-    (v, eig)
+    Some((v, eig))
   }
 
   /** All-but-the-top whitening plan (Mu & Viswanath 2018): the
@@ -120,18 +126,26 @@ object Spectral {
       .agg(sum(col("c").cast("decimal(38,0)")).as("sfp"), // decimal: the matvec rule
         count(lit(1)).as("n"))
       .collect()
-    require(sums.length == dims, s"mean returned ${sums.length} dims, want $dims")
-    val mu: Array[Double] = sums
-      .map(r => r.getAs[Int]("dim") ->
-        r.getAs[java.math.BigDecimal]("sfp").doubleValue() / 1e9 /
-          r.getAs[Long]("n"))
-      .sortBy(_._1).map(_._2)
-    val cx = x.withColumn("xv",
-      zip_with(col("xv"), typedLit(mu.toSeq), (a, b) => a - b))
-    val (v, eig) = powerIter(cx, iters, dims)
     import spark.implicits._
-    mu.zip(v).zipWithIndex.map { case ((m, l), d) => (d, m, l, eig) }
-      .toSeq.toDF("dim", "mu", "loading", "eigval")
+    // Empty corpus → empty transform (nothing to whiten), matching
+    // the oracle's empty CTEs — not an error. A PARTIAL dim count is
+    // still real corruption and keeps failing fast.
+    val out = if (sums.isEmpty) Seq.empty[(Int, Double, Double, Double)]
+    else {
+      require(sums.length == dims,
+        s"mean returned ${sums.length} dims, want $dims")
+      val mu: Array[Double] = sums
+        .map(r => r.getAs[Int]("dim") ->
+          r.getAs[java.math.BigDecimal]("sfp").doubleValue() / 1e9 /
+            r.getAs[Long]("n"))
+        .sortBy(_._1).map(_._2)
+      val cx = x.withColumn("xv",
+        zip_with(col("xv"), typedLit(mu.toSeq), (a, b) => a - b))
+      val (v, eig) = powerIter(cx, iters, dims)
+        .getOrElse((Array.fill(dims)(0.0), 0.0)) // unreachable: sums nonempty
+      mu.zip(v).zipWithIndex.map { case ((m, l), d) => (d, m, l, eig) }.toSeq
+    }
+    out.toDF("dim", "mu", "loading", "eigval")
       .select(col("dim"), round(col("mu"), 6).as("mu"),
         round(col("loading"), 6).as("loading"),
         round(col("eigval"), 6).as("eigval"))

@@ -20,7 +20,12 @@ and its DuckDB mirror, not a data problem.
 Deliberately excluded (documented harness caveats, SURVEY §6):
   - U+000B vertical tab (Java \\s vs RE2 \\s split difference);
   - doubles beyond ~1e9 (Decimal(18,2) money casts overflow BOTH
-    engines under ANSI -> uninteresting shared errors).
+    engines under ANSI -> uninteresting shared errors);
+  - FULLY EMPTY fact tables for q13_rollup/q106_cube only: Spark's
+    ROLLUP/CUBE (Expand-based) emit ZERO rows on empty input while
+    DuckDB follows the SQL standard and emits the one grand-total
+    row - an engine-level grouping-sets divergence, not a query bug
+    (every other query is empty-input clean; see the e0 sweep).
 Sizes track sf0.001 so blocking caps / thresholds engage realistically.
 """
 import json
