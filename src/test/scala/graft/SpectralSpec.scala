@@ -43,4 +43,23 @@ class SpectralSpec extends AnyFunSuite {
     val norm2 = rows.map(r => math.pow(r.getAs[Double]("loading"), 2)).sum
     assert(math.abs(norm2 - 1.0) < 1e-4, s"norm^2 = $norm2")
   }
+
+  test("empty corpus yields an empty transform, not an abort") {
+    // the empty-corpus fuzz contract: no dominant direction exists,
+    // so topPc/whitenPlan return ZERO rows with the full schema (a
+    // PARTIAL dim count is still corruption and still throws)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val pc = graft.operators.Spectral.topPc(empty, iters = 2, dims = 64)
+    assert(pc.count() === 0 &&
+      pc.columns.toSeq == Seq("dim", "loading", "eigval"))
+    val wh = graft.operators.Spectral.whitenPlan(empty, iters = 2, dims = 64)
+    assert(wh.count() === 0 &&
+      wh.columns.toSeq == Seq("dim", "mu", "loading", "eigval"))
+  }
 }
