@@ -482,16 +482,39 @@ object EventOps {
     "q90_autocorr" -> ((s, dir) => {
       // Time-series feature: lag-1 autocorrelation of each user's
       // value series (is behavior trending or mean-reverting?). One
-      // per-user window for the lag + one map-side-combinable corr
-      // aggregation; round(6) for cross-engine float accumulation.
+      // per-user window for the lag + one map-side-combinable moment
+      // aggregation. The correlation assembles in DOUBLE from EXACT
+      // decimal moment sums (the q158 abTest rule, oracle-mirrored
+      // term for term) rather than corr(): Spark's corr aggregate
+      // divides by the variance internally and ABORTS under ANSI on a
+      // constant series (tiny-corpus fuzz find), where DuckDB's CORR
+      // yields NULL — try_divide over explicit moments gives the NULL
+      // and keeps the sums order-independent exact.
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      eventsTable(s, dir)
+      val both = col("value").isNotNull && col("prev_value").isNotNull
+      val vx = when(both, col("value").cast("decimal(18,2)"))
+      val vy = when(both, col("prev_value").cast("decimal(18,2)"))
+      val m = eventsTable(s, dir)
         .withColumn("prev_value", lag(col("value"), 1).over(w))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          round(corr(col("value"), col("prev_value")), 6).as("lag1_corr"))
+          count(vx).cast("double").as("np"),
+          sum(vx).cast("double").as("sx"),
+          sum(vy).cast("double").as("sy"),
+          sum((vx * vy).cast("decimal(38,4)")).cast("double").as("sxy"),
+          sum((vx * vx).cast("decimal(38,4)")).cast("double").as("sxx"),
+          sum((vy * vy).cast("decimal(38,4)")).cast("double").as("syy"))
+      // greatest(_, 0): the double products can round a zero variance
+      // a hair negative; sqrt of that must be 0, not NaN/error
+      m.withColumn("lag1_corr", round(try_divide(
+          col("np") * col("sxy") - col("sx") * col("sy"),
+          sqrt(greatest(col("np") * col("sxx") - col("sx") * col("sx"),
+            lit(0.0))) *
+          sqrt(greatest(col("np") * col("syy") - col("sy") * col("sy"),
+            lit(0.0)))), 6))
         .filter(col("n_events") >= 3)
+        .select(col("user_id"), col("n_events"), col("lag1_corr"))
         .orderBy(col("user_id"))
     }),
 
@@ -1009,13 +1032,29 @@ object EventOps {
 
     "q90_autocorr" ->
       """WITH l AS (
-        |  SELECT user_id, value,
-        |    LAG(value, 1) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_value
-        |  FROM events)
-        |SELECT user_id, COUNT(*) AS n_events,
-        | ROUND(CORR(value, prev_value), 6) AS lag1_corr
-        |FROM l GROUP BY user_id HAVING COUNT(*) >= 3
+        |  SELECT user_id,
+        |    CASE WHEN value IS NOT NULL AND prev_value IS NOT NULL
+        |      THEN CAST(value AS DECIMAL(18,2)) END AS vx,
+        |    CASE WHEN value IS NOT NULL AND prev_value IS NOT NULL
+        |      THEN CAST(prev_value AS DECIMAL(18,2)) END AS vy
+        |  FROM (SELECT user_id, value,
+        |      LAG(value, 1) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev_value
+        |    FROM events) l0),
+        |m AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(COUNT(vx) AS DOUBLE) AS np,
+        |    CAST(SUM(vx) AS DOUBLE) AS sx,
+        |    CAST(SUM(vy) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(vx * vy AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(vx * vx AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(vy * vy AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM l GROUP BY user_id)
+        |SELECT user_id, n_events,
+        | ROUND((np * sxy - sx * sy) /
+        |   (SQRT(GREATEST(np * sxx - sx * sx, 0.0)) *
+        |    SQRT(GREATEST(np * syy - sy * sy, 0.0))), 6) AS lag1_corr
+        |FROM m WHERE n_events >= 3
         |ORDER BY user_id""".stripMargin,
 
     "q91_zscore" ->
