@@ -440,12 +440,8 @@ object Curation {
          |sh AS (${Dedup.shinglesSqlFrom("eok")}),
          |sig AS (${Dedup.signaturesSql}),
          |bands AS (${Dedup.bandsSql}),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-         |      AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
+         |bx AS (${Dedup.lshBxSql}),
+         |cand AS (${Dedup.lshCandSql}),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM cand
          |  UNION ALL SELECT doc_b, doc_a FROM cand),

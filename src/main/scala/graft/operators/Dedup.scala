@@ -424,15 +424,84 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Candidate pairs with the STAR-EMIT guard on oversized buckets.
+    *
+    * MinHash band keys are uniform for DISTINCT content, but exact
+    * duplicates share ALL their band keys — a viral doc duplicated m
+    * times is one m-member bucket in every band, and the raw
+    * self-join emits m(m-1)/2 pairs on one reducer (the q50
+    * skew-quadratic shape, reachable here through plain exact dups;
+    * measured by the --skew fuzz corpus: a 150-copy cluster = 11,175
+    * of q32's 16,117 pairs). The q50 cure (drop the hot key) is wrong
+    * for near-dup candidates — it would LOSE the corpus's biggest dup
+    * cluster, the one dedup most needs. Instead, a bucket whose
+    * membership exceeds the catalog cap rule (> n/20 AND > 64) emits
+    * only its STAR: (anchor = min doc_id, member) pairs — linear in
+    * bucket size, and connected-components downstream are PROVABLY
+    * identical (the star spans exactly the members the clique did).
+    * Effects of the cap, mirrored term-for-term in every consumer's
+    * oracle (q32/q61/q72/q77/q93/q178/q179/q113): pair LISTS lose
+    * non-anchor in-bucket pairs, n_shared_bands counts a hot band
+    * only toward its anchor's pairs, densities/degrees shift — but
+    * cluster membership and survivor choice never change. Buckets at
+    * or below the floor are untouched (64 members = 2,016 pairs,
+    * harmless on any reducer), so natural corpora (sf0.1 max bucket:
+    * 10 docs, SKEW_AUDIT_r9) never see the guard engage. */
   private[operators] def lshCandidatesFromSignatures(sig: DataFrame): DataFrame = {
-    val b = bands(sig)
-    b.as("a").join(b.as("b"),
+    // ckpt: bands feeds the key-count agg, both self-join sides and
+    // the hot-star branch (the q50 multi-consumer rule; narrow n×4
+    // rows, cheap to pin)
+    val b = ckpt(bands(sig))
+    val keyCounts = b.groupBy(col("band"), col("k1"), col("k2"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
+    // n docs = tot / BANDS (fixed fanout), so the cap predicate
+    // bn > n/20 evaluates in-plan off this 1-row broadcast. A hot key
+    // holds > 1/20 of each band's rows, so there are PROVABLY at most
+    // 20 × BANDS hot keys — broadcast class by construction, which
+    // keeps the cold side a map-side anti-join and the pair self-join
+    // its original single-exchange shape.
+    val tot = keyCounts.agg(sum(col("bn")).as("tot"))
+    val hotKeys = keyCounts.crossJoin(broadcast(tot))
+      .filter(col("bn") * lit(20 * BANDS) > col("tot") && col("bn") > lit(64))
+      .select(col("band"), col("k1"), col("k2"), col("anchor"))
+    val cold = b.join(broadcast(hotKeys.drop("anchor")),
+      Seq("band", "k1", "k2"), "left_anti")
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1")
           && col("a.k2") === col("b.k2")
           && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val hotStars = b.join(broadcast(hotKeys), Seq("band", "k1", "k2"))
+      .filter(col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+    coldPairs.union(hotStars)
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
+  /** Oracle mirrors of the star-capped candidate join: `bx` annotates
+    * a `bands` CTE with its bucket anchor + hot flag, `cand` is the
+    * star-capped pair list — string-shared by every LSH-consumer
+    * oracle so they all provably mirror [[lshCandidatesFromSignatures]]. */
+  private[operators] def lshBxSqlFrom(bandsCte: String): String =
+    s"""SELECT b.doc_id, b.band, b.k1, b.k2, s.anchor,
+       |  (s.bn * ${20 * BANDS} > t.tot AND s.bn > 64) AS hot
+       |FROM $bandsCte b
+       |JOIN (SELECT band, k1, k2, COUNT(*) AS bn, MIN(doc_id) AS anchor
+       |      FROM $bandsCte GROUP BY 1, 2, 3) s
+       |  ON b.band = s.band AND b.k1 = s.k1 AND b.k2 = s.k2
+       |CROSS JOIN (SELECT COUNT(*) AS tot FROM $bandsCte) t""".stripMargin
+  private[operators] val lshBxSql = lshBxSqlFrom("bands")
+  private[operators] val lshCandSql =
+    """SELECT doc_a, doc_b, COUNT(*) AS n_shared_bands FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bx a JOIN bx b
+      |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+      |      AND a.doc_id < b.doc_id
+      |  WHERE NOT a.hot
+      |  UNION ALL
+      |  SELECT anchor AS doc_a, doc_id AS doc_b FROM bx
+      |  WHERE hot AND doc_id <> anchor
+      |) p GROUP BY 1, 2""".stripMargin
   private[operators] def bandsSqlFrom(sigCte: String): String =
     (0 until BANDS).map { b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM $sigCte"
@@ -1487,13 +1556,8 @@ object Dedup {
        |shh AS ($shingleHashSql),
        |sig AS ($signaturesSql),
        |bands AS ($bandsSql),
-       |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    COUNT(*) AS n_shared_bands
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-       |      AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |bx AS ($lshBxSql),
+       |cand AS ($lshCandSql),
        |cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
@@ -1519,12 +1583,8 @@ object Dedup {
     s"""WITH RECURSIVE sh AS ($shinglesSql),
        |sig AS ($signaturesSql),
        |bands AS ($bandsSql),
-       |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-       |      AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |bx AS ($lshBxSql),
+       |cand AS ($lshCandSql),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM cand
        |  UNION ALL SELECT doc_b, doc_a FROM cand),
@@ -1786,13 +1846,11 @@ object Dedup {
     "q32_lsh_near_dup" ->
       s"""WITH sh AS ($shinglesSql),
          |sig AS ($signaturesSql),
-         |bands AS ($bandsSql)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         | COUNT(*) AS n_shared_bands
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-         |    AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+         |bands AS ($bandsSql),
+         |bx AS ($lshBxSql),
+         |cand AS ($lshCandSql)
+         |SELECT doc_a, doc_b, n_shared_bands
+         |FROM cand ORDER BY doc_a, doc_b""".stripMargin,
 
     "q33_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
@@ -1837,12 +1895,8 @@ object Dedup {
       s"""WITH RECURSIVE sh AS ($shinglesSql),
          |sig AS ($signaturesSql),
          |bands AS ($bandsSql),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-         |      AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
+         |bx AS ($lshBxSql),
+         |cand AS ($lshCandSql),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM cand
          |  UNION ALL SELECT doc_b, doc_a FROM cand),

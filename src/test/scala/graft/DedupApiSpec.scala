@@ -514,4 +514,31 @@ class DedupApiSpec extends AnyFunSuite {
     assert(q69.nonEmpty)
     assert(q81.toSeq === q69.toSeq)
   }
+
+  test("mega-dup bucket emits its star, not its clique — clusters intact") {
+    import spark.implicits._
+    // 200 docs: 150 exact copies (every band bucket 150-strong —
+    // over the n/20-and-64 cap) + 50 distinct. The raw clique is
+    // C(150,2) = 11,175 pairs on ONE join key; the star-cap contract
+    // is ≤ m-1 pairs per hot bucket with IDENTICAL components.
+    val mega = "one viral page copied verbatim across the whole crawl " +
+      "with enough distinct words to shingle into a realistic signature"
+    val docs = ((1L to 150L).map(i => (i, mega)) ++
+      (151L to 200L).map(i => (i, s"unique document number $i talking " +
+        s"about topic-$i in its own particular words and phrasing style")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidates(docs)
+    val n = pairs.count()
+    assert(n < 1000, s"star cap failed: $n pairs (clique would be 11k+)")
+    // the mega cluster must still be ONE component with min-id label 1
+    val labels = Dedup.connectedComponents(pairs
+      .select(col("doc_a"), col("doc_b"))).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    (1L to 150L).foreach(i => assert(labels.getOrElse(i, i) == 1L,
+      s"doc $i lost from the mega cluster: label=${labels.get(i)}"))
+    // star pairs all verify at jaccard 1.0 (exact copies)
+    val verified = Dedup.lshVerifiedPairs(docs)
+      .filter(col("doc_b") <= 150 && col("jaccard") < 1.0).count()
+    assert(verified == 0, s"$verified mega-cluster star pairs below jaccard 1")
+  }
 }

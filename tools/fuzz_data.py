@@ -1,12 +1,24 @@
 #!/usr/bin/env python3
 """Seeded edge-case data generator for the differential fuzz gate.
 
-Usage: python3 tools/fuzz_data.py <seed> <outDir> [--tiny]
+Usage: python3 tools/fuzz_data.py <seed> <outDir> [--tiny|--skew]
 
 --tiny writes the same ten tables at single-digit row counts (groups
 smaller than every NTILE bucket count / top-k / quota in the catalog,
 languages and statuses absent entirely, one-user event logs) — the
 n < k and empty-group paths no realistic corpus exercises.
+
+--skew writes normal-size tables with MEGA-HOT keys: ~30% of the
+corpus is ONE exact-duplicate text cluster plus a ~100-member one-word
+-mutation family (their shingle/simhash/minhash band keys exceed the
+catalog-wide stop-cap rule "drop iff members > n/20 AND > 64", so the
+capped band joins and their oracle mirrors must BOTH engage), one user
+owns ~60% of events, one event type is ~80% of the log with a CONSTANT
+value (sigma = MAD = 0 division guards), one source/language dominates
+documents, one customer owns half of orders, and ~30% of embeddings
+are copies of a single vector (one mega RHP/IVF bucket). Parity green
+means every cap, guard, and skew path fires identically in Spark and
+DuckDB — the q50 lesson as a standing differential gate.
 
 Writes the ten driver tables (same schemas as /root/testdata/sf*) with
 randomized content deliberately spicier than the driver's generator:
@@ -67,7 +79,7 @@ def write(outdir, name, cols, schema):
     pq.write_table(pa.table(cols, schema=schema), f"{outdir}/{name}.parquet")
 
 
-def gen(seed, outdir, tiny=False):
+def gen(seed, outdir, tiny=False, skew=False):
     rnd = random.Random(seed)
     # tiny mode: every fact table at single-digit rows (dimension
     # tables keep their natural 5/25); sizes chosen BELOW the
@@ -75,6 +87,13 @@ def gen(seed, outdir, tiny=False):
     sz = dict(nc=8, ns=2, np=6, no=12, nl=20, ne=15, nd=6, nv=6) if tiny \
         else dict(nc=150, ns=10, np=200, no=1500, nl=6000, ne=1000,
                   nd=500, nv=500)
+    # skew mode: hot-key probabilities jump from "mildly skewed" to
+    # "one key owns the table" — every stop-cap and zero-variance
+    # guard must fire, identically, in both engines
+    hp = dict(user=0.6, nation=0.8, source=0.8, lang=0.9, cust=0.5,
+              etype=0.8, part=0.4) if skew else \
+         dict(user=0.3, nation=0.3, source=0.3, lang=0.0, cust=0.0,
+              etype=0.0, part=0.0)
 
     # region: 5 rows; one duplicated name (two keys, same name) to
     # stress group-by-name vs join-by-key assumptions equally.
@@ -103,8 +122,8 @@ def gen(seed, outdir, tiny=False):
     cust = {
         "c_custkey": list(range(nc)),
         "c_name": [f"Customer#{i:09d}" for i in range(nc)],
-        "c_nationkey": [hot_nation if rnd.random() < 0.3 else rnd.randrange(25)
-                        for _ in range(nc)],
+        "c_nationkey": [hot_nation if rnd.random() < hp['nation']
+                        else rnd.randrange(25) for _ in range(nc)],
         "c_acctbal": [maybe_null(rnd, 0.02,
                                  rnd.choice([0.0, -1.23, 999.99,
                                              round(rnd.uniform(-999, 9999), 2)]))
@@ -150,9 +169,14 @@ def gen(seed, outdir, tiny=False):
     tie_day = rnd.randrange(9131, 11536)
     orders = {"o_orderkey": list(range(no)), "o_custkey": [], "o_orderstatus": [],
               "o_totalprice": [], "o_orderdate": [], "o_orderpriority": []}
+    # skew-only draws short-circuit so non-skew RNG streams stay
+    # byte-identical to the seeds validated before this mode existed
+    hot_cust = rnd.randrange(nc) if skew else None
     for _ in range(no):
         orders["o_custkey"].append(
-            nc + rnd.randrange(50) if rnd.random() < 0.03 else rnd.randrange(nc))
+            nc + rnd.randrange(50) if rnd.random() < 0.03
+            else hot_cust if (skew and rnd.random() < hp['cust'])
+            else rnd.randrange(nc))
         orders["o_orderstatus"].append(rnd.choice(STATUS))
         orders["o_totalprice"].append(
             1000.0 if rnd.random() < 0.1 else round(rnd.uniform(1, 400000), 2))
@@ -174,11 +198,14 @@ def gen(seed, outdir, tiny=False):
                           "l_linenumber", "l_quantity", "l_extendedprice",
                           "l_discount", "l_tax", "l_returnflag",
                           "l_linestatus", "l_shipdate"]}
+    hot_part = rnd.randrange(np_) if skew else None
     for _ in range(nl):
         li["l_orderkey"].append(
             no + rnd.randrange(50) if rnd.random() < 0.02 else rnd.randrange(no))
         li["l_partkey"].append(
-            np_ + rnd.randrange(20) if rnd.random() < 0.02 else rnd.randrange(np_))
+            np_ + rnd.randrange(20) if rnd.random() < 0.02
+            else hot_part if (skew and rnd.random() < hp['part'])
+            else rnd.randrange(np_))
         li["l_suppkey"].append(rnd.randrange(ns))
         li["l_linenumber"].append(rnd.randrange(1, 8))
         li["l_quantity"].append(maybe_null(rnd, 0.02, float(rnd.randrange(1, 51))))
@@ -208,10 +235,11 @@ def gen(seed, outdir, tiny=False):
     # the log offset: assigned in ts order like the driver data.
     ne = sz['ne']
     hot_user = rnd.randrange(20)
+    hot_etype = rnd.choice(ETYPES) if skew else None
     rows = []
     last_ts_by_user = {}
     for _ in range(ne):
-        u = hot_user if rnd.random() < 0.3 else rnd.randrange(20)
+        u = hot_user if rnd.random() < hp['user'] else rnd.randrange(20)
         if u in last_ts_by_user and rnd.random() < 0.05:
             t = last_ts_by_user[u]  # exact tie with an earlier event
         else:
@@ -224,11 +252,14 @@ def gen(seed, outdir, tiny=False):
             props = rnd.choice(['{}', '{"k": null}', '{"k": "str"}',
                                 'not json', '', '{"k": {"x": 1}}',
                                 '{"K": 5}', None])
-        rows.append((t, u, rnd.choice(ETYPES),
-                     maybe_null(rnd, 0.02,
-                                rnd.choice([0.0, -5.5,
-                                            round(rnd.uniform(0, 500), 2)])),
-                     props))
+        et = hot_etype if (skew and rnd.random() < hp['etype']) \
+            else rnd.choice(ETYPES)
+        # skew: the hot type's value is CONSTANT — per-type sigma and
+        # MAD are exactly 0, per-user series are zero-variance
+        val = 7.25 if (skew and et == hot_etype) else \
+            maybe_null(rnd, 0.02,
+                       rnd.choice([0.0, -5.5, round(rnd.uniform(0, 500), 2)]))
+        rows.append((t, u, et, val, props))
     rows.sort(key=lambda r: r[0])
     write(outdir, "events",
           {"event_id": list(range(ne)),
@@ -245,6 +276,18 @@ def gen(seed, outdir, tiny=False):
     def salad(n):
         return " ".join(rnd.choice(VOCAB) for _ in range(n))
     texts = []
+    if skew:
+        # one mega exact-dup cluster (~30% of the corpus: band keys
+        # far past the n/20-and-64 stop cap) + a ~100-member one-word
+        # -mutation family (hot but NOT identical — the capped band
+        # join must still find what the cap leaves reachable)
+        mega = salad(rnd.randrange(60, 120))
+        texts += [mega] * max(150, (nd * 3) // 10)
+        fam = salad(rnd.randrange(60, 120)).split()
+        for _ in range(100):
+            w = fam[:]
+            w[rnd.randrange(len(w))] = f"MUT{rnd.randrange(1000)}"
+            texts.append(" ".join(w))
     # 5 exact-dup clusters of 4
     for _ in range(5):
         t = salad(rnd.randrange(30, 120))
@@ -280,11 +323,13 @@ def gen(seed, outdir, tiny=False):
     texts = texts[:nd - 2] + [None, None]     # 2 null-text docs
     rnd.shuffle(texts)
     hot_source = rnd.randrange(20)
+    hot_lang = rnd.choice(LANGS) if skew else None
     write(outdir, "documents",
           {"doc_id": list(range(nd)),
            "text": texts,
-           "lang": [rnd.choice(LANGS) for _ in range(nd)],
-           "source": [f"src{hot_source if rnd.random() < 0.3 else rnd.randrange(20)}"
+           "lang": [hot_lang if (skew and rnd.random() < hp['lang'])
+                    else rnd.choice(LANGS) for _ in range(nd)],
+           "source": [f"src{hot_source if rnd.random() < hp['source'] else rnd.randrange(20)}"
                       for _ in range(nd)],
            "n_chars": [None if t is None else len(t) for t in texts]},
           pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
@@ -297,6 +342,16 @@ def gen(seed, outdir, tiny=False):
     vecs = []
     for i in range(nv):
         vecs.append([rnd.gauss(0, 0.1) for _ in range(dim)])
+    if skew:
+        # ~30% of vectors are copies of ONE vector: a single mega
+        # RHP/IVF bucket (plus scattered sign-flips that land in the
+        # mirror bucket) — bucketed kNN and near-dup caps must hold
+        base = vecs[0][:]
+        for i in range(1, nv):
+            if rnd.random() < 0.3:
+                vecs[i] = base[:]
+            elif rnd.random() < 0.05:
+                vecs[i] = [-x for x in base]
     if nv > 35:
         vecs[7] = [0.0] * dim                   # zero vector
         vecs[8] = [0.0] * dim                   # second zero vector
@@ -321,7 +376,9 @@ def gen(seed, outdir, tiny=False):
 if __name__ == "__main__":
     seed, outdir = int(sys.argv[1]), sys.argv[2]
     tiny = len(sys.argv) > 3 and sys.argv[3] == "--tiny"
+    skew = len(sys.argv) > 3 and sys.argv[3] == "--skew"
     import os
     os.makedirs(outdir, exist_ok=True)
-    gen(seed, outdir, tiny=tiny)
-    print(f"fuzz dataset seed={seed}{' tiny' if tiny else ''} -> {outdir}")
+    gen(seed, outdir, tiny=tiny, skew=skew)
+    mode = ' tiny' if tiny else ' skew' if skew else ''
+    print(f"fuzz dataset seed={seed}{mode} -> {outdir}")
