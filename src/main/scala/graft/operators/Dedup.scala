@@ -418,8 +418,27 @@ object Dedup {
     val bb = bands(minhashSignatures(batch))
       .select(col("doc_id").as("batch_id"), col("band"), col("k1"),
         col("k2"))
-    bands(minhashSignatures(corpus))
-      .join(broadcast(bb), Seq("band", "k1", "k2"))
+    // Same star-cap rule as [[lshCandidatesFromSignatures]], probe
+    // flavor: a probe doc landing in an oversized CORPUS bucket (a
+    // viral duplicate family) would otherwise match every member —
+    // batch × bucket candidate rows. The bucket's ANCHOR alone is the
+    // representative match (the q93/q141 cluster-representative
+    // discipline); cold buckets are untouched, so natural corpora
+    // never see the guard. ckpt: corpus bands feed the key-count agg
+    // and the probe join (the multi-consumer rule).
+    val cb = ckpt(bands(minhashSignatures(corpus)))
+    val keyCounts = cb.groupBy(col("band"), col("k1"), col("k2"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
+    val tot = keyCounts.agg(sum(col("bn")).as("tot"))
+    val hotKeys = keyCounts.crossJoin(broadcast(tot))
+      .filter(col("bn") * lit(20 * BANDS) > col("tot") && col("bn") > lit(64))
+      .select(col("band"), col("k1"), col("k2"), col("anchor"))
+    val cold = cb.join(broadcast(hotKeys.drop("anchor")),
+      Seq("band", "k1", "k2"), "left_anti")
+    val probeSide = cold.unionByName(
+      hotKeys.select(col("band"), col("k1"), col("k2"),
+        col("anchor").as("doc_id")))
+    probeSide.join(broadcast(bb), Seq("band", "k1", "k2"))
       .groupBy(col("batch_id"), col("doc_id").as("corpus_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -1774,11 +1793,24 @@ object Dedup {
          |sigb AS (${signaturesSqlFrom("shb")}),
          |bc AS (${bandsSqlFrom("sigc")}),
          |bb AS (${bandsSqlFrom("sigb")}),
+         |chot AS (
+         |  SELECT s.band, s.k1, s.k2, s.anchor
+         |  FROM (SELECT band, k1, k2, COUNT(*) AS bn,
+         |          MIN(doc_id) AS anchor
+         |        FROM bc GROUP BY 1, 2, 3) s
+         |  CROSS JOIN (SELECT COUNT(*) AS tot FROM bc) t
+         |  WHERE s.bn * ${20 * BANDS} > t.tot AND s.bn > 64),
+         |cprobe AS (
+         |  SELECT c.doc_id, c.band, c.k1, c.k2 FROM bc c
+         |  WHERE NOT EXISTS (SELECT 1 FROM chot h
+         |    WHERE h.band = c.band AND h.k1 = c.k1 AND h.k2 = c.k2)
+         |  UNION ALL
+         |  SELECT anchor AS doc_id, band, k1, k2 FROM chot),
          |cand AS (
-         |  SELECT bb.doc_id AS batch_id, bc.doc_id AS corpus_id,
+         |  SELECT bb.doc_id AS batch_id, c.doc_id AS corpus_id,
          |    COUNT(*) AS n_shared_bands
-         |  FROM bc JOIN bb
-         |    ON bc.band = bb.band AND bc.k1 = bb.k1 AND bc.k2 = bb.k2
+         |  FROM cprobe c JOIN bb
+         |    ON c.band = bb.band AND c.k1 = bb.k1 AND c.k2 = bb.k2
          |  GROUP BY 1, 2),
          |shhc AS (${shingleHashSqlFrom("shc")}),
          |shhb AS (${shingleHashSqlFrom("shb")}),
