@@ -48,9 +48,26 @@ object SkewAudit {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val nDocs = docs.count(); val nDup = dup.count(); val nEmb = emb.count()
 
-    // 1. MinHash LSH bands (q32/q61/q72/...): md5-derived band keys.
-    report("lsh_bands(q32)", Dedup.bands(Dedup.minhashSignatures(dup))
-      .select(concat_ws(":", col("band"), col("k1"), col("k2")).as("k")), nDup)
+    // 1. MinHash LSH bands (q32/q61/q72/...): md5-derived band keys —
+    // uniform for DISTINCT content but NOT for duplicate multiplicity
+    // (exact copies share every band key; the --skew fuzz find).
+    val lshBands = Dedup.bands(Dedup.minhashSignatures(dup))
+      .select(concat_ws(":", col("band"), col("k1"), col("k2")).as("k"))
+    report("lsh_bands_raw(q32)", lshBands, nDup)
+    // 1b. Post star-cap (r9): a hot key (> n/20 AND > 64 members)
+    // emits its (n-1)-pair star instead of its n(n-1)/2 clique.
+    val starStats = lshBands.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("keys"), max(col("n")).as("maxn"),
+        sum(when(col("n") * 20 > nDup && col("n") > 64, col("n") - 1)
+          .otherwise(col("n") * (col("n") - 1) / 2)).as("pairs"))
+      .collect()(0)
+    val starPairs = starStats.getAs[Number](2).longValue
+    val lshAll = nDup * (nDup - 1) / 2
+    println(f"[skew] lsh_bands_starcap(q32) :: docs=$nDup " +
+      f"keys=${starStats.getLong(0)} max_key_n=${starStats.getLong(1)} " +
+      f"max_share=${starStats.getLong(1).toDouble / nDup}%.4f " +
+      f"pairs=$starPairs allpairs=$lshAll " +
+      f"ratio=${if (starPairs > 0) lshAll.toDouble / starPairs else Double.PositiveInfinity}%.1f")
 
     // 2. SimHash16 4×4-bit bands (q50) — pre- and post-stop-cap.
     val sh16 = Dedup.simhashFast(dup).select(col("doc_id"), col("simhash16"))
