@@ -424,9 +424,10 @@ object Dedup {
     // batch × bucket candidate rows. The bucket's ANCHOR alone is the
     // representative match (the q93/q141 cluster-representative
     // discipline); cold buckets are untouched, so natural corpora
-    // never see the guard. ckpt: corpus bands feed the key-count agg
-    // and the probe join (the multi-consumer rule).
-    val cb = ckpt(bands(minhashSignatures(corpus)))
+    // never see the guard. ckpt the signatures (see
+    // [[lshCandidatesFromSignatures]]): corpus bands feed the
+    // key-count agg and the probe join (the multi-consumer rule).
+    val cb = bands(ckpt(minhashSignatures(corpus)))
     val keyCounts = cb.groupBy(col("band"), col("k1"), col("k2"))
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
     val tot = keyCounts.agg(sum(col("bn")).as("tot"))
@@ -467,10 +468,13 @@ object Dedup {
     * harmless on any reducer), so natural corpora (sf0.1 max bucket:
     * 10 docs, SKEW_AUDIT_r9) never see the guard engage. */
   private[operators] def lshCandidatesFromSignatures(sig: DataFrame): DataFrame = {
-    // ckpt: bands feeds the key-count agg, both self-join sides and
-    // the hot-star branch (the q50 multi-consumer rule; narrow n×4
-    // rows, cheap to pin)
-    val b = ckpt(bands(sig))
+    // ckpt the SIGNATURES, not the banded explode: the band rows feed
+    // the key-count agg, both self-join sides and the hot-star branch
+    // (the q50 multi-consumer rule), but re-exploding n×K pinned rows
+    // per consumer is free while pinning the n×4 band rows themselves
+    // costs an extra eager job (measured +1.9 s on q113's curation
+    // pipeline when this ckpt sat on bands)
+    val b = bands(ckpt(sig))
     val keyCounts = b.groupBy(col("band"), col("k1"), col("k2"))
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
     // n docs = tot / BANDS (fixed fanout), so the cap predicate
