@@ -1,10 +1,41 @@
 package graft
 
 /** Explain-plan audit: dumps red-flag indicators for every declared
-  * query — join strategies, exchange (shuffle) counts, scan pushdown.
+  * query — join strategies, exchange (shuffle) counts, scan pushdown —
+  * plus RUNTIME scan metrics (rows out of every parquet scan, bytes of
+  * the files read). Plan-shape counts catch cartesians and funnels,
+  * but a RE-EXECUTED subtree (the q131/q143 class: a shared frame
+  * recomputed per consumer) only shows up in how many rows the scans
+  * actually produced — rows_scanned makes a recompute regression
+  * visible in the artifact itself (r9 verdict ask #5).
   * Run: sbt "runMain graft.PlanAudit [sfDir]"
   */
 object PlanAudit {
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+  /** Every FileSourceScanExec in the FINAL adaptive plan, deduped by
+    * identity (a ReusedExchange shares its child's node — counting it
+    * twice would double its metrics, which are shared anyway).
+    * Shared with ScaleSmoke's index-probe scan-discipline assert. */
+  private[graft] def collectScans(p: SparkPlan,
+      seen: java.util.IdentityHashMap[SparkPlan, Boolean]):
+      Seq[FileSourceScanExec] = {
+    if (seen.containsKey(p)) Seq.empty
+    else {
+      seen.put(p, true)
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan, seen)
+        case q: QueryStageExec => collectScans(q.plan, seen)
+        case r: ReusedExchangeExec => collectScans(r.child, seen)
+        case s: FileSourceScanExec => Seq(s)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(collectScans(_, seen)) ++
+        p.subqueries.flatMap(collectScans(_, seen))
+    }
+  }
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     // optional second arg: regex filter over query names
@@ -41,7 +72,17 @@ object PlanAudit {
           "pushed" -> n("PushedFilters: \\[[^\\]]"),
           "codegen" -> codegenStages)
           .filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(" ")
-        println(s"[audit] $name :: $flags")
+        // runtime scan metrics off the executed plan: total rows the
+        // parquet scans emitted (post-pushdown — a recomputed subtree
+        // shows as a multiple of the table size) and file bytes read
+        val scans = collectScans(df.queryExecution.executedPlan,
+          new java.util.IdentityHashMap[SparkPlan, Boolean]())
+        val rowsScanned = scans
+          .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+        val scanBytes = scans
+          .flatMap(_.metrics.get("filesSize")).map(_.value).sum
+        println(s"[audit] $name :: $flags rows_scanned=$rowsScanned " +
+          s"scan_mb=${scanBytes / (1024 * 1024)}")
       } catch {
         case e: Throwable => println(s"[audit] $name :: ERROR ${e.getMessage}")
       }

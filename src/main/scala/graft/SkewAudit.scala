@@ -35,6 +35,44 @@ object SkewAudit {
       f"allpairs=$allPairs ratio=$ratio%.1f")
   }
 
+  /** Post-cap audit that mirrors the PRODUCTION cap predicate exactly
+    * (r9 ADVICE fix): `Blocking.stopCapped` and the LSH star-cap test
+    * `keyn·capDen·fanout > Σkeyn` against the total of the keyed frame
+    * itself — docs that produce no keys (shingles need ≥ 3 tokens,
+    * zero vectors skip RHP) are absent from that denominator, so an
+    * audit that divides by whole-corpus doc counts drifts from what
+    * the cap actually engages on short-doc-heavy corpora. Denominators
+    * here come from the audited frame: tot = Σ key counts,
+    * effDocs = tot / fanout. `star = true` prices a hot key at its
+    * (n−1)-pair star (the LSH rule); `false` drops it (the simhash/RHP
+    * stop-cap rule). */
+  private def cappedReport(name: String, keyed: DataFrame, fanout: Int,
+      star: Boolean, capDen: Int = 20, capFloor: Int = 64): Unit = {
+    val counts = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"))
+    val stats = counts.crossJoin(broadcast(tot))
+      .withColumn("hot",
+        col("n") * capDen * fanout > col("tot") && col("n") > capFloor)
+      .agg(count(lit(1)).as("keys"),
+        max(when(!col("hot"), col("n"))).as("maxn_cold"),
+        max(col("n")).as("maxn_raw"),
+        sum(when(col("hot"),
+            if (star) col("n") - 1 else lit(0L))
+          .otherwise(col("n") * (col("n") - 1) / 2)).as("pairs"),
+        max(col("tot")).as("tot"))
+      .collect()(0)
+    val totRows = stats.getAs[Number](4).longValue
+    val effDocs = totRows / fanout
+    val maxCold = Option(stats.get(1)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val pairs = Option(stats.get(3)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val allPairs = effDocs * (effDocs - 1) / 2
+    val ratio = if (pairs > 0) allPairs.toDouble / pairs else Double.PositiveInfinity
+    println(f"[skew] $name :: docs=$effDocs(keyed) keys=${stats.getLong(0)} " +
+      f"max_key_n=$maxCold(cold,raw=${stats.getLong(2)}) " +
+      f"max_share=${maxCold.toDouble / math.max(effDocs, 1)}%.4f " +
+      f"pairs=$pairs allpairs=$allPairs ratio=$ratio%.1f")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark: SparkSession = GraftSession.build("local[8]", 8)
@@ -54,20 +92,10 @@ object SkewAudit {
     val lshBands = Dedup.bands(Dedup.minhashSignatures(dup))
       .select(concat_ws(":", col("band"), col("k1"), col("k2")).as("k"))
     report("lsh_bands_raw(q32)", lshBands, nDup)
-    // 1b. Post star-cap (r9): a hot key (> n/20 AND > 64 members)
-    // emits its (n-1)-pair star instead of its n(n-1)/2 clique.
-    val starStats = lshBands.groupBy(col("k")).agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("keys"), max(col("n")).as("maxn"),
-        sum(when(col("n") * 20 > nDup && col("n") > 64, col("n") - 1)
-          .otherwise(col("n") * (col("n") - 1) / 2)).as("pairs"))
-      .collect()(0)
-    val starPairs = starStats.getAs[Number](2).longValue
-    val lshAll = nDup * (nDup - 1) / 2
-    println(f"[skew] lsh_bands_starcap(q32) :: docs=$nDup " +
-      f"keys=${starStats.getLong(0)} max_key_n=${starStats.getLong(1)} " +
-      f"max_share=${starStats.getLong(1).toDouble / nDup}%.4f " +
-      f"pairs=$starPairs allpairs=$lshAll " +
-      f"ratio=${if (starPairs > 0) lshAll.toDouble / starPairs else Double.PositiveInfinity}%.1f")
+    // 1b. Post star-cap (r9): a hot key (by the PRODUCTION predicate —
+    // band-row totals, not whole-corpus doc counts) emits its
+    // (n-1)-pair star instead of its n(n-1)/2 clique.
+    cappedReport("lsh_bands_starcap(q32)", lshBands, fanout = 4, star = true)
 
     // 2. SimHash16 4×4-bit bands (q50) — pre- and post-stop-cap.
     val sh16 = Dedup.simhashFast(dup).select(col("doc_id"), col("simhash16"))
@@ -77,9 +105,7 @@ object SkewAudit {
           .as("bval"))): _*)).as("bs"))
       .select(col("doc_id"), concat_ws(":", col("bs.band"), col("bs.bval")).as("k"))
     report("simhash16_bands_raw(q50)", b16, nDup)
-    val cap16 = b16.groupBy(col("k")).agg(count(lit(1)).as("n"))
-      .filter(col("n") * 20 <= nDup || col("n") <= 64).select(col("k"))
-    report("simhash16_bands_capped(q50)", b16.join(cap16, "k"), nDup)
+    cappedReport("simhash16_bands_capped(q50)", b16, fanout = 4, star = false)
 
     // 3. SimHash64 4×16-bit bands (q64) — pre/post stop-cap (cap
     // added in r9 after the raw audit showed a 5.75% hot key).
@@ -89,9 +115,7 @@ object SkewAudit {
         col(s"band$b").as("bval"))): _*)).as("bs"))
       .select(col("doc_id"), concat_ws(":", col("bs.band"), col("bs.bval")).as("k"))
     report("simhash64_bands_raw(q64)", b64, nDup)
-    val cap64 = b64.groupBy(col("k")).agg(count(lit(1)).as("n"))
-      .filter(col("n") * 20 <= nDup || col("n") <= 64).select(col("k"))
-    report("simhash64_bands_capped(q64)", b64.join(cap64, "k"), nDup)
+    cappedReport("simhash64_bands_capped(q64)", b64, fanout = 4, star = false)
 
     // 4. RHP 4×8-bit bands over embeddings (q53): sign bits are
     // content-correlated exactly like simhash bits — clustered
@@ -100,9 +124,7 @@ object SkewAudit {
       emb.select(col("vec_id"), col("embedding")))
       .select(concat_ws(":", col("band"), col("bv")).as("k"))
     report("rhp_bands_raw(q53)", rhpB, nEmb)
-    val capR = rhpB.groupBy(col("k")).agg(count(lit(1)).as("n"))
-      .filter(col("n") * 20 <= nEmb || col("n") <= 64).select(col("k"))
-    report("rhp_bands_capped(q53)", rhpB.join(capR, "k"), nEmb)
+    cappedReport("rhp_bands_capped(q53)", rhpB, fanout = 4, star = false)
 
     // 4b. RHP bands over user behavior profiles (q92): every user
     // shares diurnal shape, the worst case for correlated sign bits.
@@ -111,9 +133,7 @@ object SkewAudit {
     val behB = Similarity.rhpBandBlocks(beh)
       .select(concat_ws(":", col("band"), col("bv")).as("k"))
     report("rhp_bands_raw(q92)", behB, nBeh)
-    val capBeh = behB.groupBy(col("k")).agg(count(lit(1)).as("n"))
-      .filter(col("n") * 20 <= nBeh || col("n") <= 64).select(col("k"))
-    report("rhp_bands_capped(q92)", behB.join(capBeh, "k"), nBeh)
+    cappedReport("rhp_bands_capped(q92)", behB, fanout = 4, star = false)
 
     // 5. CDC anchored windows (q121 containment) — pre/post df cull.
     val aw = Dedup.anchoredWindows(

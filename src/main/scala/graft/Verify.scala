@@ -30,14 +30,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a REUSED outDir must not present a previous run's parquet as
         // this run's result — a now-broken query would hash-compare
-        // green against its own stale output (r9 review fix)
-        val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(stale)
-        }
+        // green against its own stale output (r9 review fix). Deleted
+        // via the Hadoop FS API so the guarantee holds for hdfs:// and
+        // file:// URI outDirs too, not just bare local paths (r9
+        // ADVICE fix).
+        val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(stale)) fs.delete(stale, true)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -82,6 +82,17 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * runs longer than this must raise it. */
   var publishLeaseMs: Long = 5 * 60 * 1000L
 
+  /** The horizon past which an un-renewed lock is judged dead. Floored
+    * at 2× the UNIVERSAL renewal cap (a shared constant, not this
+    * observer's own lease): a live holder refreshes at least every
+    * [[TopicLog.RenewalCapMs]], so no live lock can ever look older
+    * than that plus one tick — an observer with a short
+    * `publishLeaseMs` (fast-failover config, tests) would otherwise
+    * break a live long-lease holder and duplicate offsets (r9 ADVICE
+    * fix). */
+  private def staleAfterMs: Long =
+    math.max(publishLeaseMs, 2 * TopicLog.RenewalCapMs)
+
   /** How long committed-txn markers (`txns/<txnId>`, written by
     * [[publishIdempotent]]) are kept before maintenance prunes them. A
     * marker is only needed while a redelivery of its batch is still
@@ -109,7 +120,14 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   // break locks or reconcile sidecars first.
   readKv(new Path(s"$path/_partitions")) match {
     case Some(kv) =>
-      val disk = kv.getOrElse(0, numPartitions.toLong)
+      // a present-but-keyless sidecar is CORRUPTION, not absence: fall
+      // back to the caller's count and a truncated pin silently
+      // re-adopts whatever the caller passed — the exact failure the
+      // pin exists to prevent (r9 ADVICE fix). Fail loudly instead.
+      val disk = kv.getOrElse(0, throw new IllegalStateException(
+        s"topic at $path has a corrupt _partitions pin (no key 0) — " +
+          "refusing to guess the partition count; restore or delete " +
+          "the sidecar after verifying the layout"))
       require(disk == numPartitions.toLong,
         s"topic at $path was created with $disk partitions; " +
           s"reopening with $numPartitions would corrupt routing/offsets")
@@ -275,7 +293,8 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       // stale to a default-config peer, get its live lock broken, and
       // duplicate offsets (r9 review fix). With the cap, any observer
       // lease >= ~2 min can never see a live holder as stale.
-      val interval = math.min(math.max(publishLeaseMs / 3, 50L), 60000L)
+      val interval =
+        math.min(math.max(publishLeaseMs / 3, 50L), TopicLog.RenewalCapMs)
       while (!done.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
         // refresh modtime IN PLACE: a delete-and-recreate overwrite
         // opens a just-released window in which a waiting publisher's
@@ -599,19 +618,40 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * observed as concurrent `_offsets.json.tmp` writes. On the local
     * scheme use `File.createNewFile` (O_EXCL, genuinely atomic); HDFS
     * and object-store committers make `create(_, false)` itself atomic. */
-  private def tryCreateLock(): Boolean =
+  private def tryCreateLock(): Boolean = {
+    // a unique token identifies THIS acquisition in the stale-break CAS:
+    // mtime alone has filesystem-tick granularity, so a lock broken and
+    // re-acquired within one tick could be mistaken for the stale one
+    // and wrongly deleted (r9 ADVICE fix). The token write on the local
+    // scheme happens just after the atomic create — a reader in that
+    // window sees an empty token, which simply fails its later CAS (the
+    // safe direction).
+    val token = java.util.UUID.randomUUID().toString
     if (fs.getScheme == "file") {
       val f = new java.io.File(lockPath.toUri.getPath)
       f.getParentFile.mkdirs()
-      f.createNewFile()
+      val won = f.createNewFile()
+      if (won)
+        try java.nio.file.Files.writeString(f.toPath, token)
+        catch { case _: java.io.IOException => () }
+      won
     } else {
       try {
         val out = fs.create(lockPath, false) // throws if the lock exists
-        try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        try out.write(token.getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
     }
+  }
+
+  /** Lock-file token as written by [[tryCreateLock]]; empty when the
+    * file is unreadable/mid-write (participates in the CAS as-is). */
+  private def readLockToken(): String =
+    try {
+      val in = fs.open(lockPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch { case _: java.io.IOException => "" }
 
   private def acquirePublishLock(timeoutMs: Long = -1L): Unit = {
     val waitMs = if (timeoutMs > 0) timeoutMs else publishLeaseMs + 60 * 1000L
@@ -623,8 +663,8 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
         val mod =
           try fs.getFileStatus(lockPath).getModificationTime
           catch { case _: java.io.IOException => -1L } // just released
-        if (mod >= 0 && System.currentTimeMillis() - mod > publishLeaseMs)
-          breakStaleLock(mod)
+        if (mod >= 0 && System.currentTimeMillis() - mod > staleAfterMs)
+          breakStaleLock(mod, readLockToken())
         else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"timed out after ${waitMs}ms waiting for publish lock on $path")
@@ -638,15 +678,19 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   /** A stale lock means a publisher died somewhere between append and
     * sidecar write: reconcile, THEN free the lock (reconcile-first keeps
     * the invariant that a lock-free topic has a trustworthy sidecar). */
-  private def breakStaleLock(observedMod: Long): Unit = {
+  private def breakStaleLock(observedMod: Long, observedToken: String): Unit = {
     reconcileHeads()
     // compare-and-delete: only break the lock OBSERVED as stale. The
     // reconcile scan above takes seconds — if another waiter already
     // broke this lock and a live publisher re-acquired it meanwhile,
-    // the new lock's modtime differs and deleting it would yield two
-    // concurrent holders assigning duplicate offsets (TOCTOU).
+    // deleting the NEW lock would yield two concurrent holders
+    // assigning duplicate offsets (TOCTOU). Identity is the acquisition
+    // token (unique per tryCreateLock) AND the modtime — mtime alone
+    // has fs-tick granularity, so a break+re-acquire inside one tick
+    // would pass an mtime-only CAS (r9 ADVICE fix).
     try {
-      if (fs.getFileStatus(lockPath).getModificationTime == observedMod)
+      if (fs.getFileStatus(lockPath).getModificationTime == observedMod &&
+          readLockToken() == observedToken)
         fs.delete(lockPath, false)
     } catch { case _: java.io.IOException => () } // already released
   }
@@ -732,8 +776,8 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
         fs.getFileStatus(lockPath).getModificationTime else -1L }
       catch { case _: java.io.IOException => -1L }
     if (lockMod >= 0 &&
-      System.currentTimeMillis() - lockMod > publishLeaseMs)
-      breakStaleLock(lockMod)
+      System.currentTimeMillis() - lockMod > staleAfterMs)
+      breakStaleLock(lockMod, readLockToken())
   }
 }
 
@@ -748,6 +792,15 @@ case class TopicRecord(
 
 object TopicLog {
   import org.apache.spark.sql.types._
+
+  /** Universal lease-renewal cadence cap (ms). Every live holder
+    * refreshes its lock at LEAST this often (see LeaseRenewer), so
+    * staleness judgments floor at 2× this constant — a SHARED horizon,
+    * not each observer's own `publishLeaseMs`: an observer configured
+    * with a short lease must never judge a live-but-long-leased holder
+    * stale just because its own patience is shorter than the holder's
+    * renewal tick (r9 ADVICE fix). */
+  val RenewalCapMs: Long = 60 * 1000L
 
   /** The offsets a publish assigned in one partition: records got
     * offsets (base, base + count] — base is the partition's previous

@@ -44,8 +44,8 @@ object Dedup {
   private def seededHashSql(seed: Int, h: String): String =
     s"($h * ${HASH_A(seed)} + ${HASH_B(seed)}) % $M32"
 
-  private val K = 8          // minhash signature length
-  private val BANDS = 4      // LSH bands (2 rows each)
+  private[operators] val K = 8          // minhash signature length
+  private[operators] val BANDS = 4      // LSH bands (2 rows each)
 
   /** documents with every 10th doc duplicated under doc_id+100000 —
     * deterministic duplicate injection so dedup operators have real
@@ -427,14 +427,29 @@ object Dedup {
     // never see the guard. ckpt the signatures (see
     // [[lshCandidatesFromSignatures]]): corpus bands feed the
     // key-count agg and the probe join (the multi-consumer rule).
-    val cb = bands(ckpt(minhashSignatures(corpus)))
-    val keyCounts = cb.groupBy(col("band"), col("k1"), col("k2"))
+    //
+    // The guard is BATCH-PRICED, not corpus-priced (r9 verdict ask
+    // #2): corpus band rows semi-join the broadcast batch band keys
+    // BEFORE the key-count aggregate — a key the batch can't collide
+    // with can never contribute a candidate, and per-key counts are
+    // unchanged by dropping whole other keys, so the aggregate shrinks
+    // from |corpus × BANDS| rows to the matched keys' rows. The cap
+    // denominator `tot` (total corpus band rows) doesn't survive that
+    // pruning, but it equals count(signatures) × BANDS by construction
+    // (fixed-fanout explode) — a metadata-cheap count on the ckpt'd
+    // signature frame, not a corpus-wide sum.
+    val sig = ckpt(minhashSignatures(corpus))
+    val cb = bands(sig)
+    val bbKeys = bb.select(col("band"), col("k1"), col("k2")).distinct()
+    val hit = cb.join(broadcast(bbKeys), Seq("band", "k1", "k2"),
+      "left_semi")
+    val keyCounts = hit.groupBy(col("band"), col("k1"), col("k2"))
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
-    val tot = keyCounts.agg(sum(col("bn")).as("tot"))
+    val tot = sig.agg((count(lit(1)) * lit(BANDS)).as("tot"))
     val hotKeys = keyCounts.crossJoin(broadcast(tot))
       .filter(col("bn") * lit(20 * BANDS) > col("tot") && col("bn") > lit(64))
       .select(col("band"), col("k1"), col("k2"), col("anchor"))
-    val cold = cb.join(broadcast(hotKeys.drop("anchor")),
+    val cold = hit.join(broadcast(hotKeys.drop("anchor")),
       Seq("band", "k1", "k2"), "left_anti")
     val probeSide = cold.unionByName(
       hotKeys.select(col("band"), col("k1"), col("k2"),
@@ -1279,10 +1294,20 @@ object Dedup {
       // only shuffle) — the corpus never self-joins at any stage.
       // Candidate list is multi-consumed (verify join + sizes + final)
       // → checkpointed once, the q93 discipline.
+      //
+      // The probe runs against the STANDING LshIndex for this corpus
+      // snapshot (r10, verdict ask #1): signatures + the star-capped
+      // probe table are built ONCE per snapshot (fingerprint-keyed
+      // cache) and every subsequent probe is batch-sized work + one
+      // pruned index read — no corpus signature job, no corpus-wide
+      // aggregate. Byte-identical candidates to the index-free
+      // incrementalLshCandidates path (same probe-side construction,
+      // persisted).
       val corpus = table(s, dir, "documents")
       val batch = recrawlBatch(s, dir)
+      val ix = LshIndex.buildOrLoad(s, corpus, s"$dir/documents.parquet")
       val cand = graft.GraftSession.ckpt(
-        incrementalLshCandidates(corpus, batch))
+        LshIndex.probe(ix, batch))
       val candCorpus = cand.select(col("corpus_id").as("doc_id")).distinct()
       val shC = shingleHashes(
         corpus.join(broadcast(candCorpus), Seq("doc_id"), "left_semi"))

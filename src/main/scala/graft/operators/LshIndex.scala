@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted standing-corpus MinHash-LSH near-dup index — the ANN
+  * [[IvfIndex]] save/load discipline applied to near-duplicate
+  * detection (r9 verdict ask #1).
+  *
+  * Without an index, every re-crawl probe against a standing corpus
+  * (q131, each `curateCycle` batch phase) re-runs the corpus's
+  * tokenize → shingle → md5 → K-hash minhash pass AND a corpus-wide
+  * band key-count aggregate — at 100 TB that is a full-corpus job per
+  * probe for an artifact that only changes when the corpus does. The
+  * index persists, once per corpus snapshot:
+  *
+  *  - `signatures/` — (doc_id, mh0..mhK-1): the per-doc minhash row,
+  *    the root artifact everything else derives from (and the only
+  *    thing [[append]] has to compute for NEW docs);
+  *  - `keycounts/`  — (band, k1, k2, bn, anchor): per-band-key member
+  *    count and min-doc_id anchor, the star-cap's inputs;
+  *  - `probe/`      — the PRE-CAPPED probe side: cold band rows plus
+  *    one anchor row per hot key (a viral duplicate bucket is entered
+  *    through its representative, never fanned out — identical
+  *    connected components, see [[Dedup.lshCandidatesFromSignatures]]).
+  *
+  * A [[probe]] is then: read `probe/` (fixed-width longs, column-
+  * pruned), broadcast the BATCH's band rows against it, and aggregate
+  * the collisions — batch-sized work plus one pruned index read; the
+  * corpus text is never touched and no corpus-wide aggregate runs.
+  * [[append]] keeps the index alive across publishes: signatures are
+  * computed for the appended docs ONLY, and the derived tables are
+  * rebuilt from the persisted band rows (an explode over fixed-width
+  * signature rows — no text is ever re-hashed).
+  *
+  * Derived-table writes go through a staging + rename swap, so a
+  * reader never observes a half-written probe table, and a crashed
+  * [[append]] re-run is idempotent (the signature append anti-joins
+  * the already-indexed doc_ids first).
+  */
+object LshIndex {
+
+  /** Bump when the on-disk layout or the signature family changes —
+    * a cached index from an older build must not be trusted. */
+  private val FormatVersion = 1
+
+  final case class Index(spark: SparkSession, path: String) {
+    def signatures: DataFrame = spark.read.parquet(s"$path/signatures")
+    def keyCounts: DataFrame = spark.read.parquet(s"$path/keycounts")
+    def probeSide: DataFrame = spark.read.parquet(s"$path/probe")
+    def docIds: DataFrame = signatures.select(col("doc_id"))
+
+    /** Accumulated candidate pairs ([[appendPairs]]) — the incremental
+      * clustering ledger: CC over this set equals CC over a full
+      * corpus recompute (every pair of docs sharing a band key is
+      * transitively connected through the cycle that introduced the
+      * younger doc). Empty-schema frame when no pairs were recorded. */
+    def pairs: DataFrame = {
+      val p = new Path(s"$path/pairs")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(p.toString)
+      else spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"))
+    }
+  }
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markerPath(path: String) = new Path(s"$path/_graft_lsh_index")
+
+  /** An index exists iff its version marker says this build wrote it. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    try {
+      f.exists(markerPath(path)) && {
+        val in = f.open(markerPath(path))
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        txt.trim == marker
+      }
+    } catch { case _: java.io.IOException => false }
+  }
+
+  private def marker: String =
+    s"v$FormatVersion k=${Dedup.K} bands=${Dedup.BANDS}"
+
+  def load(spark: SparkSession, path: String): Index = {
+    require(exists(spark, path), s"no LSH index at $path (or version mismatch)")
+    Index(spark, path)
+  }
+
+  /** Build and persist an index over `docs` (doc_id, text). The one
+    * full-corpus signature job — paid once per corpus snapshot. */
+  def build(docs: DataFrame, path: String): Index =
+    buildFromSignatures(Dedup.minhashSignatures(docs), path)
+
+  /** Build from already-computed signatures (a caller that has the
+    * signature frame in hand — e.g. curateCycle's new-batch path —
+    * must not pay the text pass twice). */
+  def buildFromSignatures(sig: DataFrame, path: String): Index = {
+    val spark = sig.sparkSession
+    val f = fs(spark, path)
+    f.delete(new Path(path), true)
+    sig.write.mode("overwrite").parquet(s"$path/signatures")
+    deriveTables(spark, path)
+    writeMarker(spark, path)
+    Index(spark, path)
+  }
+
+  /** Append new docs' signatures and refresh the derived tables.
+    * Signature rows are computed for `newDocs` ONLY; `keycounts/` and
+    * `probe/` are rebuilt from the persisted signatures (fixed-width
+    * longs — no text is re-hashed, the rebuild is one band explode +
+    * one aggregate over the index itself, amortized across the probes
+    * that reuse it). Already-indexed doc_ids are skipped, which makes
+    * a crashed-append re-run idempotent. */
+  def append(index: Index, newDocs: DataFrame): Index =
+    appendSignatures(index, Dedup.minhashSignatures(newDocs))
+
+  def appendSignatures(index: Index, newSig: DataFrame): Index = {
+    val spark = index.spark
+    val fresh = newSig.join(index.docIds, Seq("doc_id"), "left_anti")
+    fresh.write.mode("append").parquet(s"${index.path}/signatures")
+    deriveTables(spark, index.path)
+    writeMarker(spark, index.path)
+    index
+  }
+
+  /** Record candidate pairs found by a probe/self-join cycle into the
+    * incremental clustering ledger (duplicate edges are harmless — CC
+    * is idempotent to them, so a re-run cycle cannot corrupt it). */
+  def appendPairs(index: Index, pairs: DataFrame): Unit =
+    pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .write.mode("append").parquet(s"${index.path}/pairs")
+
+  /** Near-dup candidates of `batch` against the indexed corpus:
+    * (batch_id, corpus_id, n_shared_bands). Byte-identical results to
+    * [[Dedup.incrementalLshCandidates]] on the same corpus — the
+    * probe side here is the same star-capped frame, just persisted —
+    * at batch-sized cost: the batch's band rows BROADCAST against one
+    * column-pruned read of `probe/`, and only colliding groups reach
+    * the aggregate. No corpus text scan, no corpus-wide aggregate. */
+  def probe(index: Index, batch: DataFrame): DataFrame =
+    probeSignatures(index, Dedup.minhashSignatures(batch))
+
+  def probeSignatures(index: Index, batchSig: DataFrame): DataFrame = {
+    val bb = Dedup.bands(batchSig)
+      .select(col("doc_id").as("batch_id"), col("band"), col("k1"), col("k2"))
+    index.probeSide.join(broadcast(bb), Seq("band", "k1", "k2"))
+      .groupBy(col("batch_id"), col("doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Rebuild `keycounts/` and `probe/` from the persisted signatures —
+    * the EXACT construction of [[Dedup.incrementalLshCandidates]]'s
+    * in-query probe side (cold rows ∪ hot-key anchors under the
+    * catalog cap rule `bn·20·BANDS > tot AND bn > 64`), so a probe
+    * against the index hashes identically to the index-free path.
+    * Staged + renamed so a concurrent reader never sees a torn table. */
+  private def deriveTables(spark: SparkSession, path: String): Unit = {
+    val sig = spark.read.parquet(s"$path/signatures")
+    val b = Dedup.bands(sig)
+    val keyCounts = b.groupBy(col("band"), col("k1"), col("k2"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
+    writeSwap(spark, path, "keycounts", keyCounts)
+    val kc = spark.read.parquet(s"$path/keycounts")
+    val tot = kc.agg(sum(col("bn")).as("tot"))
+    val hotKeys = kc.crossJoin(broadcast(tot))
+      .filter(col("bn") * lit(20 * Dedup.BANDS) > col("tot") &&
+        col("bn") > lit(64))
+      .select(col("band"), col("k1"), col("k2"), col("anchor"))
+    val cold = b.join(broadcast(hotKeys.drop("anchor")),
+      Seq("band", "k1", "k2"), "left_anti")
+    val probeSide = cold.unionByName(
+      hotKeys.select(col("band"), col("k1"), col("k2"),
+        col("anchor").as("doc_id")))
+    writeSwap(spark, path, "probe", probeSide)
+  }
+
+  private def writeSwap(spark: SparkSession, path: String, name: String,
+      df: DataFrame): Unit = {
+    val f = fs(spark, path)
+    val staging = new Path(s"$path/_staging.$name")
+    val live = new Path(s"$path/$name")
+    f.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val old = new Path(s"$path/_old.$name")
+    f.delete(old, true)
+    if (f.exists(live)) f.rename(live, old)
+    f.rename(staging, live)
+    f.delete(old, true)
+  }
+
+  private def writeMarker(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(markerPath(path), true)
+    try out.write(marker.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Content fingerprint of a parquet table directory (file names,
+    * sizes, mtimes + the index format) — the cache key for
+    * [[buildOrLoad]]: any rewrite of the corpus produces a new key, so
+    * a stale cached index can never answer for changed data. */
+  def pathFingerprint(spark: SparkSession, tablePath: String): String = {
+    val p = new Path(tablePath)
+    val f = fs(spark, tablePath)
+    val parts = scala.collection.mutable.ArrayBuffer(marker)
+    if (f.exists(p)) {
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        parts += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Load the index cached for this exact corpus snapshot, or build it
+    * once (the standing-index contract: signatures are computed when
+    * the corpus changes, never per probe). `cacheRoot` defaults to the
+    * JVM temp dir, overridable via GRAFT_LSH_CACHE for a cluster's
+    * shared store. */
+  def buildOrLoad(spark: SparkSession, docs: DataFrame, tablePath: String,
+      cacheRoot: String = sys.env.getOrElse("GRAFT_LSH_CACHE",
+        sys.props("java.io.tmpdir") + "/graft-lsh-cache")): Index =
+    synchronized {
+      val path = s"$cacheRoot/${pathFingerprint(spark, tablePath)}"
+      if (exists(spark, path)) load(spark, path) else build(docs, path)
+    }
+}

@@ -755,19 +755,24 @@ object Similarity {
   // The dot/norm subqueries unnest both lists positionally (DuckDB zips
   // parallel UNNESTs) and accumulate left-to-right in double — the same
   // order as the native expression's loop, so round(6) is bit-stable.
-  // COALESCE(..., 0.0) mirrors the native cosine_sim Expression's
-  // documented zero-norm semantic (cos = 0.0, "no similarity"): the
-  // raw division yields NULL in DuckDB on a zero vector, which only
-  // surfaces when the candidate set is small enough for such rows to
-  // reach the emitted top-k (tiny-corpus fuzz find).
+  // The zero-norm COALESCE mirrors the native cosine_sim Expression's
+  // documented semantic (cos = 0.0, "no similarity"): the raw division
+  // yields NULL in DuckDB on a zero vector, which only surfaces when
+  // the candidate set is small enough for such rows to reach the
+  // emitted top-k (tiny-corpus fuzz find). It is SCOPED to non-NULL
+  // inputs (r9 ADVICE fix): the native binary expression is
+  // null-intolerant — a NULL embedding must stay NULL in both engines,
+  // not be rescued to 0.0 by a guard meant for zero vectors.
   private val cosSql =
-    """ROUND(COALESCE(
-      | (SELECT SUM(CAST(x.a AS DOUBLE)*CAST(x.b AS DOUBLE))
-      |  FROM (SELECT UNNEST(e.embedding) AS a, UNNEST(q.qv) AS b) x)
-      | / (SQRT((SELECT SUM(CAST(x.a AS DOUBLE)*CAST(x.a AS DOUBLE))
-      |          FROM (SELECT UNNEST(e.embedding) AS a) x))
-      |  * SQRT((SELECT SUM(CAST(x.b AS DOUBLE)*CAST(x.b AS DOUBLE))
-      |          FROM (SELECT UNNEST(q.qv) AS b) x))), 0.0), 6)""".stripMargin
+    """ROUND(CASE
+      | WHEN e.embedding IS NULL OR q.qv IS NULL THEN NULL
+      | ELSE COALESCE(
+      |  (SELECT SUM(CAST(x.a AS DOUBLE)*CAST(x.b AS DOUBLE))
+      |   FROM (SELECT UNNEST(e.embedding) AS a, UNNEST(q.qv) AS b) x)
+      |  / (SQRT((SELECT SUM(CAST(x.a AS DOUBLE)*CAST(x.a AS DOUBLE))
+      |           FROM (SELECT UNNEST(e.embedding) AS a) x))
+      |   * SQRT((SELECT SUM(CAST(x.b AS DOUBLE)*CAST(x.b AS DOUBLE))
+      |           FROM (SELECT UNNEST(q.qv) AS b) x))), 0.0) END, 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q35_cosine_topk" ->

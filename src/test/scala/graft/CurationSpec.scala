@@ -226,6 +226,62 @@ class CurationSpec extends AnyFunSuite {
     assert(v3 === v2, "an empty cycle changed verdicts")
   }
 
+  test("curateCycle with a standing LshIndex: indexed cycles == one-call batch curate") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.log.TopicLog
+    // same scenario as the unindexed convergence test, but the batch
+    // phase maintains a persisted LshIndex: signatures computed for
+    // each cycle's NEW docs only, clustering over the accumulated pair
+    // ledger. Verdicts must equal the full-recompute batch composition
+    // (components are provably identical; this pins it end-to-end).
+    val byText = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val base = docs.withColumn("__rn", row_number().over(byText))
+      .filter(col("__rn") === 1).drop("__rn")
+    val clones = base
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") < 200000L)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+    val benchSplit = base.filter(col("doc_id") % 97 === 0)
+    val ts0 = timestamp_micros(lit(1700000000000000L))
+
+    val root = java.nio.file.Files.createTempDirectory("cycleix").toString
+    val docsTopic = TopicLog.prepare(spark, s"$root/docs", numPartitions = 2)
+    val verdictTopic = TopicLog.prepare(spark, s"$root/verdicts", numPartitions = 2)
+    val ixDir = Some(s"$root/lshix")
+
+    docsTopic.publish(Curation.docRecords(base.withColumn("ts", ts0)))
+    Curation.curateCycle(docsTopic, verdictTopic, s"$root/kept",
+      s"$root/ckpt", benchSplit, capPerSource = 20, lshIndexDir = ixDir)
+    docsTopic.publish(Curation.docRecords(clones.withColumn("ts", ts0)))
+    val v2 = Curation.curateCycle(docsTopic, verdictTopic, s"$root/kept",
+      s"$root/ckpt", benchSplit, capPerSource = 20, lshIndexDir = ixDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+
+    val expected = Curation.curate(base.unionByName(clones), benchSplit,
+      capPerSource = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(v2.size === expected.size)
+    val diff = expected.keys.filter(k => v2.get(k) != expected.get(k))
+    assert(diff.isEmpty,
+      diff.take(5).map(k => s"$k: got ${v2.get(k)}, want ${expected(k)}")
+        .mkString("; "))
+
+    // the index grew incrementally: cycle 2 indexed only the new docs
+    val ix = graft.operators.LshIndex.load(spark, s"$root/lshix")
+    val keptIds = spark.read.parquet(s"$root/kept")
+      .select(col("doc_id")).distinct().count()
+    assert(ix.signatures.count() === keptIds,
+      "index must cover exactly the kept corpus")
+
+    // an empty cycle (crash-rerun shape) changes nothing
+    val v3 = Curation.curateCycle(docsTopic, verdictTopic, s"$root/kept",
+      s"$root/ckpt", benchSplit, capPerSource = 20, lshIndexDir = ixDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(v3 === v2, "an empty indexed cycle changed verdicts")
+  }
+
   test("deterministic: a second run produces identical verdicts") {
     val again = Curation.curate(corpus, bench, capPerSource = 20).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
