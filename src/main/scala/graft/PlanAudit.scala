@@ -42,10 +42,28 @@ object PlanAudit {
     val nameFilter = args.lift(1).map(_.r)
     val spark = GraftSession.build(s"local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
+    // Listener-side input metrics: rows_scanned (plan walk) misses
+    // subtrees that execute as EAGER jobs during query construction —
+    // localCheckpoints, index builds — exactly where a recompute
+    // regression can hide. Task-level input metrics see every job the
+    // query triggers, whoever planned it.
+    val jobRows = new java.util.concurrent.atomic.AtomicLong
+    val jobBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(t.taskMetrics).foreach { m =>
+            jobRows.addAndGet(m.inputMetrics.recordsRead)
+            jobBytes.addAndGet(m.inputMetrics.bytesRead)
+            ()
+          }
+      })
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
       .foreach { case (name, fn) =>
       try {
+        val rows0 = jobRows.get(); val bytes0 = jobBytes.get()
         // Execute to a noop sink first: AQE only finalizes join
         // strategies and codegen stages at runtime, so the pre-execution
         // plan under-reports both. The final plan renders codegen stages
@@ -81,8 +99,19 @@ object PlanAudit {
           .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
         val scanBytes = scans
           .flatMap(_.metrics.get("filesSize")).map(_.value).sum
+        // listener delta covers EVERY job this query triggered, eager
+        // ckpts and index builds included (listener events are async —
+        // settle until the counters stop moving before snapshotting)
+        var prevSeen = -1L
+        var spins = 0
+        while (jobRows.get() != prevSeen && spins < 50) {
+          prevSeen = jobRows.get(); Thread.sleep(100); spins += 1
+        }
+        val totRows = jobRows.get() - rows0
+        val totMb = (jobBytes.get() - bytes0) / (1024 * 1024)
         println(s"[audit] $name :: $flags rows_scanned=$rowsScanned " +
-          s"scan_mb=${scanBytes / (1024 * 1024)}")
+          s"scan_mb=${scanBytes / (1024 * 1024)} " +
+          s"job_rows_read=$totRows job_mb_read=$totMb")
       } catch {
         case e: Throwable => println(s"[audit] $name :: ERROR ${e.getMessage}")
       }

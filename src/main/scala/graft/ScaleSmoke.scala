@@ -656,6 +656,18 @@ object ScaleSmoke {
     require(ixRowsScanned <= ixProbeTableRows + 1000,
       s"probe scanned $ixRowsScanned rows — more than the " +
         s"$ixProbeTableRows-row probe table (a corpus recompute leaked in)")
+    // the index survives publishes: append the probed batch itself
+    // (signatures computed for the 20k NEW docs only; derived tables
+    // rebuilt from the index's own fixed-width rows — no text
+    // re-hash), then re-probe — every batch doc must now self-match
+    // through the persisted probe table
+    t0 = System.nanoTime()
+    graft.operators.LshIndex.append(lshIx, incrBatch)
+    val ixAppendSec = (System.nanoTime() - t0) / 1e9
+    val ixSelfHits = graft.operators.LshIndex.probe(lshIx, incrBatch)
+      .filter(col("batch_id") === col("corpus_id")).count()
+    require(ixSelfHits == 20000L,
+      s"all 20k appended docs must self-match post-append: $ixSelfHits")
 
     // Streaming-state-at-volume phase (r10, verdict ask #6):
     // flatMapGroupsWithState sessionization and the interarrival
@@ -684,30 +696,33 @@ object ScaleSmoke {
     t0 = System.nanoTime()
     val sessVolRows =
       try {
-        def cycle(): Unit = {
-          val st = spark.readStream.schema(evSchema).parquet(s"$evDir/in")
-          val q = graft.streaming.TopicStream.sessionize(spark, st)
-            .writeStream.format("memory").queryName("sess_vol")
-            .outputMode("append")
-            .option("checkpointLocation", s"$evDir/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          try {
-            q.processAllAvailable()
-            Option(q.lastProgress).foreach { p =>
-              val so = p.stateOperators
-              if (so.nonEmpty) {
-                sessVolState = math.max(sessVolState, so(0).numRowsTotal)
-                // RocksDB engagement is visible in its custom metrics
-                sessRocksEngaged = sessRocksEngaged ||
-                  so(0).customMetrics.keySet.toString.contains("rocksdb")
-              }
+        // ONE long-lived query, TWO drained micro-batch waves (the
+        // memory sink does not support checkpoint-restart recovery, so
+        // cross-batch state is exercised within a run — which is what
+        // the state store actually mediates)
+        val st = spark.readStream.schema(evSchema).parquet(s"$evDir/in")
+        val q = graft.streaming.TopicStream.sessionize(spark, st)
+          .writeStream.format("memory").queryName("sess_vol")
+          .outputMode("append")
+          .option("checkpointLocation", s"$evDir/ckpt")
+          .start()
+        def drainAndSample(): Unit = {
+          q.processAllAvailable()
+          Option(q.lastProgress).foreach { p =>
+            val so = p.stateOperators
+            if (so.nonEmpty) {
+              sessVolState = math.max(sessVolState, so(0).numRowsTotal)
+              // RocksDB engagement is visible in its custom metrics
+              sessRocksEngaged = sessRocksEngaged ||
+                so(0).customMetrics.keySet.toString.contains("rocksdb")
             }
-          } finally q.stop()
+          }
         }
-        cycle() // batch 1: all sessions open -> pure state growth
-        evWave(7200L).write.mode("append").parquet(s"$evDir/in")
-        cycle() // batch 2: the gap-crossing wave closes 1M sessions
+        try {
+          drainAndSample() // wave 1: all sessions open -> pure state growth
+          evWave(7200L).write.mode("append").parquet(s"$evDir/in")
+          drainAndSample() // wave 2: gap-crossers close 1M sessions
+        } finally q.stop()
         spark.sql("SELECT COUNT(*) FROM sess_vol").collect().head.getLong(0)
       } finally restoreRocks()
     val sessVolSec = (System.nanoTime() - t0) / 1e9
@@ -753,7 +768,7 @@ object ScaleSmoke {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q2.processAllAvailable() finally q2.stop()
-        spark.sql("SELECT COUNT(DISTINCT key) FROM mon_vol WHERE n = 3")
+        spark.sql("SELECT COUNT(DISTINCT key) FROM mon_vol WHERE nEvents = 3")
           .collect().head.getLong(0)
       } finally restoreRocks3()
     require(monKeys == 1000000L,
@@ -789,6 +804,7 @@ object ScaleSmoke {
       f""""lsh_index_build_sec":$ixBuildSec%.2f,""" +
       f""""lsh_index_probe_sec":$ixProbeSec%.2f,""" +
       f""""lsh_index_probe_rows_scanned":$ixRowsScanned,""" +
+      f""""lsh_index_append_sec":$ixAppendSec%.2f,""" +
       f""""sess_volume_sec":$sessVolSec%.2f,""" +
       f""""sess_volume_closed":$sessVolRows,""" +
       f""""sess_volume_state_rows":$sessVolState,""" +

@@ -1230,8 +1230,18 @@ object Dedup {
         .select(lit("exact").as("method"), col("n_universe"),
           col("n_affected"), lit("drop").as("action"))
       val nDocs = docs.agg(count(lit(1)).as("n_universe"))
+      // near-dup rung off the STANDING LshIndex for this corpus
+      // snapshot (r10): the report is a per-snapshot artifact, so its
+      // signatures are by definition the index's — a column-pruned
+      // parquet read instead of re-running tokenize→shingle→minhash
+      // over the corpus (identical signatures ⇒ identical candidates
+      // ⇒ identical components; the oracle recomputes them in SQL and
+      // still hash-matches)
       val near = connectedComponents(
-          lshCandidates(docs).select(col("doc_a"), col("doc_b")))
+          lshCandidatesFromSignatures(
+            LshIndex.buildOrLoad(s, docs, s"$dir/documents.parquet")
+              .signatures)
+            .select(col("doc_a"), col("doc_b")))
         .agg(count(lit(1)).as("nodes"),
           countDistinct(col("label")).as("labels"))
         .crossJoin(nDocs)
@@ -1251,11 +1261,14 @@ object Dedup {
         .crossJoin(cdcN)
         .select(lit("dup_span").as("method"), col("n_universe"),
           col("n_affected"), lit("trim").as("action"))
-      val cpairs = ckpt(containmentPairsFromWindows(
+      // both pair endpoints in ONE pass (explode, not a self-union) —
+      // the pair frame then has a single consumer, so it needs no ckpt
+      // job and the report sheds an eager stage (r10; distinct of the
+      // exploded endpoints == distinct of the two-select union)
+      val cont = containmentPairsFromWindows(
           hits.select(col("doc_id"), col("h")).distinct())
-        .select(col("doc_a"), col("doc_b")))
-      val cont = cpairs.select(col("doc_a").as("doc_id"))
-        .union(cpairs.select(col("doc_b").as("doc_id"))).distinct()
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
         .agg(count(lit(1)).as("n_affected"))
         .crossJoin(cdcN)
         .select(lit("containment").as("method"), col("n_universe"),
@@ -1306,12 +1319,20 @@ object Dedup {
       val corpus = table(s, dir, "documents")
       val batch = recrawlBatch(s, dir)
       val ix = LshIndex.buildOrLoad(s, corpus, s"$dir/documents.parquet")
-      val cand = graft.GraftSession.ckpt(
-        LshIndex.probe(ix, batch))
+      // The batch's DISTINCT shingle-hash set is the shared root of
+      // everything batch-side: signatures derive from it (min over the
+      // seeded family is multiset-invariant, so the distinct stream
+      // yields identical minhashes), the size count and the
+      // intersection join consume it directly. ckpt'd once — without
+      // the pin the batch text would tokenize THREE times (probe
+      // signatures, n_batch, intersection; measured 3×0.3 s at sf0.1).
+      // shC likewise feeds two consumers (n_corpus + intersection).
+      val shB = graft.GraftSession.ckpt(shingleHashes(batch))
+      val cand = graft.GraftSession.ckpt(LshIndex.probeSignatures(ix,
+        minhashFromHashes(shB.select(col("doc_id"), col("h1")))))
       val candCorpus = cand.select(col("corpus_id").as("doc_id")).distinct()
-      val shC = shingleHashes(
-        corpus.join(broadcast(candCorpus), Seq("doc_id"), "left_semi"))
-      val shB = shingleHashes(batch)
+      val shC = graft.GraftSession.ckpt(shingleHashes(
+        corpus.join(broadcast(candCorpus), Seq("doc_id"), "left_semi")))
       val cntB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_batch"))
       val cntC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_corpus"))
       val inter = cand

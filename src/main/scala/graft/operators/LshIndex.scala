@@ -171,9 +171,17 @@ object LshIndex {
       .select(col("band"), col("k1"), col("k2"), col("anchor"))
     val cold = b.join(broadcast(hotKeys.drop("anchor")),
       Seq("band", "k1", "k2"), "left_anti")
+    // key-sorted layout: parquet row-group min/max stats on the band
+    // key columns line up with the probe join's key, so engines that
+    // inject runtime key filters (Spark's bloom-filter join, literal
+    // key probes) can skip row groups, and sorted fixed-width longs
+    // compress far better — both save-time costs, paid once per
+    // snapshot, never per probe
     val probeSide = cold.unionByName(
       hotKeys.select(col("band"), col("k1"), col("k2"),
         col("anchor").as("doc_id")))
+      .repartitionByRange(col("band"), col("k1"), col("k2"))
+      .sortWithinPartitions("band", "k1", "k2")
     writeSwap(spark, path, "probe", probeSide)
   }
 
