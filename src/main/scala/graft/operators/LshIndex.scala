@@ -235,6 +235,24 @@ object LshIndex {
         sys.props("java.io.tmpdir") + "/graft-lsh-cache")): Index =
     synchronized {
       val path = s"$cacheRoot/${pathFingerprint(spark, tablePath)}"
-      if (exists(spark, path)) load(spark, path) else build(docs, path)
+      if (exists(spark, path)) load(spark, path)
+      else {
+        // build into a private staging dir, then publish with one
+        // rename: `synchronized` only serializes THIS JVM — two
+        // processes racing the same cache key must not interleave
+        // writes under the final path. The rename loser just loads
+        // the winner's (identical) index.
+        val staging = s"$cacheRoot/.build-${java.util.UUID.randomUUID()}"
+        build(docs, staging)
+        val f = fs(spark, cacheRoot)
+        f.mkdirs(new Path(cacheRoot))
+        if (f.rename(new Path(staging), new Path(path))) Index(spark, path)
+        else {
+          f.delete(new Path(staging), true)
+          require(exists(spark, path),
+            s"lost the build race for $path but no valid index appeared")
+          Index(spark, path)
+        }
+      }
     }
 }
