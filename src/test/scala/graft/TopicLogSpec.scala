@@ -766,4 +766,50 @@ class TopicLogSpec extends AnyFunSuite {
       assert(r.base >= heads(p), s"part $p re-issued offsets")
     }
   }
+
+  test("staleness floors at the shared renewal cap: a short-leased observer honors a 90s-old lock") {
+    // r9 ADVICE fix: a live holder renews at most every RenewalCapMs
+    // (60 s), so its lock can look up to ~60 s old to any observer. An
+    // observer configured with a short lease (fast-failover config)
+    // judging staleness by its OWN lease would break that live lock
+    // and duplicate offsets. The floor is 2× the shared cap: a lock
+    // 90 s old is NOT stale to anyone, whatever their lease.
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(4))
+    val lock = new java.io.File(s"$dir/_publish.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 90 * 1000L))
+    val impatient = TopicLog.prepare(spark, dir, numPartitions = 2)
+    impatient.publishLeaseMs = 500L // would have judged 90s-old stale pre-fix
+    val ex = intercept[IllegalStateException] {
+      val m = impatient.getClass.getDeclaredMethod(
+        "acquirePublishLock", classOf[Long])
+      m.setAccessible(true)
+      try m.invoke(impatient, java.lang.Long.valueOf(400L))
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+    assert(ex.getMessage.contains("publish lock"))
+    assert(lock.exists(), "the 90s-old lock must be honored, not broken")
+    // past the 2-minute floor the same observer DOES break it
+    assert(lock.setLastModified(System.currentTimeMillis() - 150 * 1000L))
+    assert(impatient.publish(mkRecords(4, startId = 10)).values
+      .map(_.count).sum == 4)
+    assert(!new java.io.File(s"$dir/_publish.lock").exists(),
+      "the truly-stale lock was broken and publish released its own")
+  }
+
+  test("corrupt _partitions pin (present but keyless) fails loudly, never re-adopts the caller's count") {
+    val dir = Files.createTempDirectory("topic").toString
+    TopicLog.prepare(spark, dir, numPartitions = 4).publish(mkRecords(4))
+    // truncate the pin to a keyless file: key 0 is gone but the file
+    // exists — pre-fix this silently adopted whatever the caller
+    // passed, which is exactly the corruption the pin guards against
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_partitions"), "9:9\n")
+    new java.io.File(s"$dir/._partitions.crc").delete()
+    val ex = intercept[IllegalStateException] {
+      TopicLog.prepare(spark, dir, numPartitions = 16)
+    }
+    assert(ex.getMessage.contains("corrupt _partitions"))
+  }
 }
