@@ -34,10 +34,15 @@ import org.apache.spark.sql.functions._
   * rebuilt from the persisted band rows (an explode over fixed-width
   * signature rows — no text is ever re-hashed).
   *
-  * Derived-table writes go through a staging + rename swap, so a
-  * reader never observes a half-written probe table, and a crashed
-  * [[append]] re-run is idempotent (the signature append anti-joins
-  * the already-indexed doc_ids first).
+  * Derived tables are published as GENERATIONS: each rebuild writes a
+  * fresh `gen-N/` dir and then atomically replaces the marker that
+  * names the current one, so a reader never observes a half-written
+  * table AND an in-flight probe planned against gen-N-1 keeps its
+  * files until the NEXT rebuild retires them (one generation is always
+  * kept behind). A crashed [[append]] re-run is idempotent (the
+  * signature append anti-joins the already-indexed doc_ids first; an
+  * orphaned gen dir with no marker pointing at it is overwritten or
+  * GC'd by the next rebuild).
   */
 object LshIndex {
 
@@ -47,8 +52,15 @@ object LshIndex {
 
   final case class Index(spark: SparkSession, path: String) {
     def signatures: DataFrame = spark.read.parquet(s"$path/signatures")
-    def keyCounts: DataFrame = spark.read.parquet(s"$path/keycounts")
-    def probeSide: DataFrame = spark.read.parquet(s"$path/probe")
+    // derived tables live under generation dirs; the marker names the
+    // CURRENT one, so an append publishes a new generation atomically
+    // (one marker replace) and an in-flight probe keeps reading the
+    // files it planned against — the previous generation is retained
+    // until the next append retires it (see [[deriveTables]])
+    def keyCounts: DataFrame =
+      spark.read.parquet(s"$path/gen-${currentGen(spark, path)}/keycounts")
+    def probeSide: DataFrame =
+      spark.read.parquet(s"$path/gen-${currentGen(spark, path)}/probe")
     def docIds: DataFrame = signatures.select(col("doc_id"))
 
     /** Accumulated candidate pairs ([[appendPairs]]) — the incremental
@@ -69,17 +81,31 @@ object LshIndex {
 
   private def markerPath(path: String) = new Path(s"$path/_graft_lsh_index")
 
-  /** An index exists iff its version marker says this build wrote it. */
-  def exists(spark: SparkSession, path: String): Boolean = {
+  private def readMarker(spark: SparkSession, path: String): Option[String] = {
     val f = fs(spark, path)
     try {
-      f.exists(markerPath(path)) && {
+      if (!f.exists(markerPath(path))) None
+      else {
         val in = f.open(markerPath(path))
         val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        txt.trim == marker
+        Some(txt.trim)
       }
-    } catch { case _: java.io.IOException => false }
+    } catch { case _: java.io.IOException => None }
   }
+
+  /** An index exists iff its version marker says this build wrote it. */
+  def exists(spark: SparkSession, path: String): Boolean =
+    readMarker(spark, path).exists(_.startsWith(marker + " gen="))
+
+  /** The generation the marker currently points at — the unit of
+    * atomic publish for the derived tables. */
+  private def currentGen(spark: SparkSession, path: String): Long =
+    readMarker(spark, path) match {
+      case Some(m) if m.startsWith(marker + " gen=") =>
+        m.stripPrefix(marker + " gen=").trim.toLong
+      case other => throw new IllegalStateException(
+        s"no valid LSH index marker at $path (found: $other)")
+    }
 
   private def marker: String =
     s"v$FormatVersion k=${Dedup.K} bands=${Dedup.BANDS}"
@@ -103,7 +129,6 @@ object LshIndex {
     f.delete(new Path(path), true)
     sig.write.mode("overwrite").parquet(s"$path/signatures")
     deriveTables(spark, path)
-    writeMarker(spark, path)
     Index(spark, path)
   }
 
@@ -122,7 +147,6 @@ object LshIndex {
     val fresh = newSig.join(index.docIds, Seq("doc_id"), "left_anti")
     fresh.write.mode("append").parquet(s"${index.path}/signatures")
     deriveTables(spark, index.path)
-    writeMarker(spark, index.path)
     index
   }
 
@@ -156,14 +180,31 @@ object LshIndex {
     * in-query probe side (cold rows ∪ hot-key anchors under the
     * catalog cap rule `bn·20·BANDS > tot AND bn > 64`), so a probe
     * against the index hashes identically to the index-free path.
-    * Staged + renamed so a concurrent reader never sees a torn table. */
+    *
+    * Published as a new GENERATION: tables land in a fresh `gen-N/`
+    * dir, the marker is atomically replaced to point at N (FileContext
+    * rename-with-OVERWRITE — rename(2) on posix, the namenode's atomic
+    * rename on HDFS), and only generations ≤ N−2 are garbage-collected
+    * — a probe that planned against gen N−1 keeps every file it will
+    * read until the NEXT rebuild, so concurrent probe-during-append is
+    * safe without any reader-side coordination. A crash before the
+    * marker replace leaves an orphan gen dir (overwritten or GC'd
+    * later) and a still-consistent index at N−1. */
   private def deriveTables(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val gen = readMarker(spark, path) match {
+      case Some(m) if m.startsWith(marker + " gen=") =>
+        m.stripPrefix(marker + " gen=").trim.toLong + 1
+      case _ => 1L
+    }
+    val genDir = s"$path/gen-$gen"
+    f.delete(new Path(genDir), true) // orphan from a crashed rebuild
     val sig = spark.read.parquet(s"$path/signatures")
     val b = Dedup.bands(sig)
     val keyCounts = b.groupBy(col("band"), col("k1"), col("k2"))
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
-    writeSwap(spark, path, "keycounts", keyCounts)
-    val kc = spark.read.parquet(s"$path/keycounts")
+    keyCounts.write.parquet(s"$genDir/keycounts")
+    val kc = spark.read.parquet(s"$genDir/keycounts")
     val tot = kc.agg(sum(col("bn")).as("tot"))
     val hotKeys = kc.crossJoin(broadcast(tot))
       .filter(col("bn") * lit(20 * Dedup.BANDS) > col("tot") &&
@@ -182,27 +223,30 @@ object LshIndex {
         col("anchor").as("doc_id")))
       .repartitionByRange(col("band"), col("k1"), col("k2"))
       .sortWithinPartitions("band", "k1", "k2")
-    writeSwap(spark, path, "probe", probeSide)
+    probeSide.write.parquet(s"$genDir/probe")
+    writeMarker(spark, path, gen)
+    // retire generations no in-flight reader can still hold: anything
+    // older than the one we just replaced
+    try {
+      f.listStatus(new Path(path)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("gen-") &&
+            scala.util.Try(n.stripPrefix("gen-").toLong)
+              .toOption.exists(_ <= gen - 2))
+          f.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () } // GC is best-effort
   }
 
-  private def writeSwap(spark: SparkSession, path: String, name: String,
-      df: DataFrame): Unit = {
+  private def writeMarker(spark: SparkSession, path: String, gen: Long): Unit = {
     val f = fs(spark, path)
-    val staging = new Path(s"$path/_staging.$name")
-    val live = new Path(s"$path/$name")
-    f.delete(staging, true)
-    df.write.mode("overwrite").parquet(staging.toString)
-    val old = new Path(s"$path/_old.$name")
-    f.delete(old, true)
-    if (f.exists(live)) f.rename(live, old)
-    f.rename(staging, live)
-    f.delete(old, true)
-  }
-
-  private def writeMarker(spark: SparkSession, path: String): Unit = {
-    val f = fs(spark, path)
-    val out = f.create(markerPath(path), true)
-    try out.write(marker.getBytes("UTF-8")) finally out.close()
+    val tmp = new Path(s"$path/_graft_lsh_index.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$marker gen=$gen".getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(markerPath(path)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Content fingerprint of a parquet table directory (file names,

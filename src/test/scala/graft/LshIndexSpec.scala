@@ -113,6 +113,31 @@ class LshIndexSpec extends AnyFunSuite {
     assert(ix3.signatures.count() == 1L)
   }
 
+  test("generations: an in-flight probe survives one append; older gens retire") {
+    val dir = Files.createTempDirectory("lshix").toString
+    val ix = LshIndex.build(corpus.filter(col("doc_id") <= 2), s"$dir/ix")
+    // plan a probe against gen-1 BEFORE appending
+    val inFlight = LshIndex.probe(ix, batch)
+    val expectedOld = probeSet(LshIndex.probe(ix, batch))
+    LshIndex.append(ix, corpus.filter(col("doc_id") > 2)) // publishes gen-2
+    // the in-flight plan still reads gen-1's files — executing it after
+    // the append must neither throw nor see gen-2
+    assert(probeSet(inFlight) == expectedOld,
+      "a probe planned before an append must keep its snapshot")
+    assert(new java.io.File(s"$dir/ix/gen-1").exists(),
+      "one generation must be retained for in-flight readers")
+    // fresh probes see the appended corpus
+    assert(probeSet(LshIndex.probe(ix, batch)) ==
+      probeSet(Dedup.incrementalLshCandidates(corpus, batch)))
+    // a second append publishes gen-3 and retires gen-1
+    LshIndex.append(ix, docs(42L ->
+      "completely novel appended document with fresh vocabulary about lighthouses"))
+    assert(!new java.io.File(s"$dir/ix/gen-1").exists(),
+      "generations older than current-1 must be garbage-collected")
+    assert(new java.io.File(s"$dir/ix/gen-2").exists() &&
+      new java.io.File(s"$dir/ix/gen-3").exists())
+  }
+
   test("pairs ledger: append accumulates, empty index reads an empty frame") {
     val dir = Files.createTempDirectory("lshix").toString
     val ix = LshIndex.build(corpus, s"$dir/ix")
