@@ -1,0 +1,128 @@
+package graft.log
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Reusable filesystem lease lock — [[TopicLog]]'s `_publish.lock`
+  * discipline extracted for other single-writer artifacts (the
+  * standing [[graft.operators.LshIndex]]'s generation publish, r10
+  * verdict ask #2). Semantics, kept identical to the topic lock:
+  *
+  *  - acquisition is an atomic create-if-absent (`O_EXCL` via
+  *    `File.createNewFile` on the local scheme — Hadoop's local
+  *    `create(path, overwrite=false)` is check-then-create and two
+  *    racers can both "win"; HDFS/object-store committers make
+  *    `create(_, false)` itself atomic);
+  *  - each acquisition writes a UNIQUE TOKEN into the lock file, so a
+  *    stale-break is a compare-and-delete on (mtime, token) — mtime
+  *    alone has filesystem-tick granularity, and a lock broken and
+  *    re-acquired within one tick could otherwise be mistaken for the
+  *    stale one and wrongly deleted;
+  *  - a daemon refreshes the lock mtime IN PLACE every `leaseMs / 3`,
+  *    CAPPED at [[TopicLog.RenewalCapMs]] — staleness is judged by
+  *    each observer's own floor, so a holder configured with a long
+  *    lease must still renew fast enough for a default-config peer;
+  *  - staleness floors at `2 × RenewalCapMs` so a mis-configured tiny
+  *    lease cannot break a live, renewing holder.
+  *
+  * Unlike the topic lock there is no sidecar to reconcile on a stale
+  * break — callers pass `onStaleBreak` when breaking a dead holder's
+  * lock must first repair the artifact it was mid-way through writing
+  * (the LshIndex passes its signature-watermark repair).
+  */
+final class FsLease(fs: FileSystem, lockPath: Path,
+    leaseMs: Long = 5 * 60 * 1000L, onStaleBreak: () => Unit = () => ()) {
+
+  private def staleAfterMs: Long = math.max(leaseMs, 2 * TopicLog.RenewalCapMs)
+
+  private def tryCreate(token: String): Boolean =
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(lockPath.toUri.getPath)
+      f.getParentFile.mkdirs()
+      val won = f.createNewFile()
+      if (won)
+        try java.nio.file.Files.writeString(f.toPath, token)
+        catch { case _: java.io.IOException => () }
+      won
+    } else {
+      try {
+        val out = fs.create(lockPath, false) // throws if the lock exists
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
+  private def readToken(): String =
+    try {
+      val in = fs.open(lockPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch { case _: java.io.IOException => "" }
+
+  /** Compare-and-delete of a lock OBSERVED as stale: `onStaleBreak`
+    * (the artifact repair) may take seconds, so only delete if the
+    * lock is still the exact (mtime, token) we judged dead — another
+    * waiter may have broken it and a live holder re-acquired. */
+  private def breakStale(observedMod: Long, observedToken: String): Unit = {
+    onStaleBreak()
+    try {
+      if (fs.getFileStatus(lockPath).getModificationTime == observedMod &&
+          readToken() == observedToken)
+        fs.delete(lockPath, false)
+    } catch { case _: java.io.IOException => () } // already released
+  }
+
+  /** Blocks until the lease is held; returns a handle whose `release()`
+    * stops renewal and frees the lock. Default wait outlasts a live
+    * holder's full lease plus margin — giving up earlier than the
+    * lease can expire turns a slow-but-alive holder into a spurious
+    * failure. */
+  def acquire(timeoutMs: Long = -1L): FsLease.Held = {
+    val waitMs = if (timeoutMs > 0) timeoutMs else staleAfterMs + 60 * 1000L
+    val deadline = System.currentTimeMillis() + waitMs
+    val token = java.util.UUID.randomUUID().toString
+    while (!tryCreate(token)) {
+      val mod =
+        try fs.getFileStatus(lockPath).getModificationTime
+        catch { case _: java.io.IOException => -1L } // just released
+      if (mod >= 0 && System.currentTimeMillis() - mod > staleAfterMs)
+        breakStale(mod, readToken())
+      else if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"timed out after ${waitMs}ms waiting for lease on $lockPath")
+      else Thread.sleep(25)
+    }
+    new FsLease.Held(fs, lockPath, leaseMs)
+  }
+
+  /** Run `body` under the lease, releasing on all paths. */
+  def withLease[T](body: => T): T = {
+    val held = acquire()
+    try body finally held.release()
+  }
+}
+
+object FsLease {
+  /** A held lease: renewal daemon + release. Renewal refreshes mtime
+    * IN PLACE (a delete-and-recreate would open a just-released window
+    * in which a waiter's create-if-absent succeeds → two holders).
+    * Stop signalling is a latch, not interruption — Hadoop's local-FS
+    * calls can swallow the interrupt flag. */
+  final class Held private[log] (fs: FileSystem, lockPath: Path, leaseMs: Long) {
+    private val done = new java.util.concurrent.CountDownLatch(1)
+    private val t = new Thread(() => {
+      val interval =
+        math.min(math.max(leaseMs / 3, 50L), TopicLog.RenewalCapMs)
+      while (!done.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try fs.setTimes(lockPath, System.currentTimeMillis(), -1L)
+        catch { case _: java.io.IOException => () } // transient: retry next tick
+      }
+    })
+    t.setDaemon(true)
+    t.setName(s"graft-lease-renewal-$lockPath")
+    t.start()
+    def release(): Unit = {
+      done.countDown(); t.join()
+      try fs.delete(lockPath, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+}

@@ -405,11 +405,14 @@ object Curation {
         val ix =
           if (!LshIndex.exists(spark, ixPath)) {
             val sig = ckpt(Dedup.minhashSignatures(keptD))
-            val ix0 = LshIndex.buildFromSignatures(sig, ixPath)
-            LshIndex.appendPairs(ix0,
-              Dedup.lshCandidatesFromSignatures(sig)
-                .select(col("doc_a"), col("doc_b")))
-            ix0
+            // the base corpus's pairs ride INTO the initial build (it
+            // writes the ledger before publishing the marker): a crash
+            // anywhere in here leaves exists() false and the re-run
+            // rebuilds — a valid-looking index can never sit over an
+            // empty ledger (r10 ADVICE)
+            LshIndex.buildFromSignatures(sig, ixPath,
+              initialPairs = Some(Dedup.lshCandidatesFromSignatures(sig)
+                .select(col("doc_a"), col("doc_b"))))
           } else {
             val ix0 = LshIndex.load(spark, ixPath)
             val newDocs = keptD.join(ix0.docIds, Seq("doc_id"), "left_anti")
@@ -420,7 +423,12 @@ object Curation {
               .select(col("batch_id").as("doc_a"),
                 col("corpus_id").as("doc_b"))
             LshIndex.appendPairs(ix0, selfPairs.unionByName(probePairs))
-            LshIndex.appendSignatures(ix0, sig)
+            // sig is anti-joined against the index's own ids just
+            // above — assumeNew skips the redundant doc_id re-read.
+            // Crash re-runs stay safe: the watermark repair inside
+            // appendSignatures dedups, and re-appended pairs are
+            // CC-idempotent.
+            LshIndex.appendSignatures(ix0, sig, assumeNew = true)
             ix0
           }
         lateStageVerdicts(keptDocs, bench, capPerSource,

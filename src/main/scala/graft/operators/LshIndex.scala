@@ -1,67 +1,141 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.log.FsLease
 
 /** Persisted standing-corpus MinHash-LSH near-dup index — the ANN
   * [[IvfIndex]] save/load discipline applied to near-duplicate
-  * detection (r9 verdict ask #1).
+  * detection (r9 verdict ask #1), with O(batch) append maintenance and
+  * lease-serialized writers (r10 verdict asks #1–2).
   *
   * Without an index, every re-crawl probe against a standing corpus
   * (q131, each `curateCycle` batch phase) re-runs the corpus's
   * tokenize → shingle → md5 → K-hash minhash pass AND a corpus-wide
   * band key-count aggregate — at 100 TB that is a full-corpus job per
-  * probe for an artifact that only changes when the corpus does. The
-  * index persists, once per corpus snapshot:
+  * probe for an artifact that only changes when the corpus does.
   *
-  *  - `signatures/` — (doc_id, mh0..mhK-1): the per-doc minhash row,
-  *    the root artifact everything else derives from (and the only
-  *    thing [[append]] has to compute for NEW docs);
-  *  - `keycounts/`  — (band, k1, k2, bn, anchor): per-band-key member
-  *    count and min-doc_id anchor, the star-cap's inputs;
-  *  - `probe/`      — the PRE-CAPPED probe side: cold band rows plus
-  *    one anchor row per hot key (a viral duplicate bucket is entered
-  *    through its representative, never fanned out — identical
-  *    connected components, see [[Dedup.lshCandidatesFromSignatures]]).
+  * == Layout ==
   *
-  * A [[probe]] is then: read `probe/` (fixed-width longs, column-
-  * pruned), broadcast the BATCH's band rows against it, and aggregate
-  * the collisions — batch-sized work plus one pruned index read; the
-  * corpus text is never touched and no corpus-wide aggregate runs.
-  * [[append]] keeps the index alive across publishes: signatures are
-  * computed for the appended docs ONLY, and the derived tables are
-  * rebuilt from the persisted band rows (an explode over fixed-width
-  * signature rows — no text is ever re-hashed).
+  *  - `signatures/` — (doc_id, mh0..mhK-1) per-doc minhash rows, the
+  *    root artifact (append-only; the only thing [[append]] computes
+  *    for NEW docs). A repair may swap the live dir to a deduplicated
+  *    rewrite (`sigs-N/`, named by the manifest).
+  *  - `seg-N/bands/` — IMMUTABLE band-row segments (doc_id, band, k1,
+  *    k2). Each append adds one batch-sized segment; existing segments
+  *    are carried forward BY REFERENCE, never rewritten — the r10
+  *    O(index)-per-append probe rewrite is gone by construction.
+  *  - `seg-N/kc/` — per-segment key counts (band, k1, k2, bn, anchor):
+  *    exact (count, min-doc_id) of that segment's docs alone. Summing
+  *    a key across segments gives its exact corpus count; consulted
+  *    only on the rare "risky key" path below and at compaction.
+  *  - `gen-N/manifest` — the generation manifest: signature watermark,
+  *    segment list, corpus fingerprint, and the inlined WARM LIST (see
+  *    below). Atomically published by replacing `_graft_lsh_index`.
+  *  - `pairs/` — the incremental clustering ledger ([[appendPairs]]).
   *
-  * Derived tables are published as GENERATIONS: each rebuild writes a
-  * fresh `gen-N/` dir and then atomically replaces the marker that
-  * names the current one, so a reader never observes a half-written
-  * table AND an in-flight probe planned against gen-N-1 keeps its
-  * files until the NEXT rebuild retires them (one generation is always
-  * kept behind). A crashed [[append]] re-run is idempotent (the
-  * signature append anti-joins the already-indexed doc_ids first; an
-  * orphaned gen dir with no marker pointing at it is overwritten or
-  * GC'd by the next rebuild).
+  * == The warm list: exact star-caps without corpus-wide aggregates ==
+  *
+  * The probe side must star-cap HOT keys (bn > 64 AND bn·20·BANDS >
+  * tot — [[Dedup.lshCandidatesFromSignatures]]'s catalog rule) to stay
+  * byte-identical to the index-free path. Maintaining that exactly
+  * used to cost a corpus-wide key-count aggregate per append. Instead
+  * the manifest inlines the WARM list — every key holding more than
+  * `1/(2·20·BANDS)` = 1/160 of all band rows, with its exact (bn,
+  * anchor). Since Σbn = tot, the warm list provably holds < 160
+  * entries, and hot ⊆ warm always (hot needs twice the warm ratio).
+  *
+  * Warm stays EXACT with batch-sized work by induction on the ratio
+  * bn/tot: an append adds Δbn ≤ batch share to a key and ΔBands to
+  * tot, so a key below the warm ratio can only CROSS it in an append
+  * where its share of the BATCH's own band rows exceeds 1/160 — and
+  * there are provably < 160 such "risky" keys per batch. Per append:
+  *  - warm keys get their exact batch contribution from a broadcast
+  *    semi-join against the batch's key counts (≤160 rows collected);
+  *  - risky keys NOT already warm — typically none; a dup-heavy batch
+  *    has some — get their exact standing totals from one narrow scan
+  *    of the `kc` segments (the only non-batch-sized step, paid only
+  *    when such keys exist);
+  *  - everything else provably cannot be warm at the new total, no
+  *    read required.
+  *
+  * A [[probe]] is then: union the band segments (column-pruned fixed-
+  * width longs), anti-join the ≤80-entry broadcast hot list, union one
+  * literal anchor row per hot key, and join the broadcast batch bands
+  * — batch-sized work plus one pruned index read; the corpus text is
+  * never touched and no corpus-wide aggregate runs.
+  *
+  * == Concurrency and crash safety ==
+  *
+  * All writers (build, append, repair) serialize under a `_writer.lock`
+  * lease ([[graft.log.FsLease]] — the TopicLog `publishLocked`
+  * discipline: atomic create-if-absent, capped renewal, staleness
+  * floor, token-CAS stale break). Generations publish atomically via
+  * one marker rename; an in-flight probe planned against gen-N keeps
+  * every file it will read (segments are immutable and retained while
+  * referenced by the current OR previous generation's manifest), so
+  * probe-during-append needs no reader-side coordination. A crash
+  * between the signature append and the generation publish leaves the
+  * signatures AHEAD of the manifest watermark; validation detects the
+  * disagreement (distinct signature count ≠ manifest `sigRows`, with
+  * no live writer lease) and re-derives under the lease — the crashed
+  * docs can never be silently skipped (r10 ADVICE).
   */
 object LshIndex {
 
   /** Bump when the on-disk layout or the signature family changes —
     * a cached index from an older build must not be trusted. */
-  private val FormatVersion = 1
+  private val FormatVersion = 2
+
+  /** Warm-list ratio denominator: 2 × the hot rule's `20·BANDS`, so
+    * hot ⊆ warm with a full 2× maintenance margin. Also the bound on
+    * warm-list size and per-batch risky keys (see the scaladoc). */
+  private val WarmFactor = 2 * 20 * Dedup.BANDS
+
+  /** Merge band/kc segments into one when an append would exceed this
+    * many — bounds per-probe file listings at O(1) amortized
+    * O(index / CompactAt) rewrite cost per append. */
+  private val CompactAt = 32
+
+  /** Exact per-key stats: member count and min-doc_id anchor. */
+  final case class KeyStat(band: Int, k1: Long, k2: Long, bn: Long, anchor: Long)
+
+  /** One generation's published state. `warm` carries exact stats for
+    * every key above the warm ratio (< [[WarmFactor]] entries). */
+  final case class Manifest(gen: Long, sigRows: Long, sigDir: String,
+      fingerprint: String, segs: Seq[String], warm: Seq[KeyStat]) {
+    def tot: Long = sigRows * Dedup.BANDS
+    /** The star-cap set, derived from warm (hot ⊆ warm by the 2×
+      * ratio margin): the catalog cap rule, evaluated exactly. */
+    def hot: Seq[KeyStat] =
+      warm.filter(w => w.bn > 64 && w.bn * (20L * Dedup.BANDS) > tot)
+  }
 
   final case class Index(spark: SparkSession, path: String) {
-    def signatures: DataFrame = spark.read.parquet(s"$path/signatures")
-    // derived tables live under generation dirs; the marker names the
-    // CURRENT one, so an append publishes a new generation atomically
-    // (one marker replace) and an in-flight probe keeps reading the
-    // files it planned against — the previous generation is retained
-    // until the next append retires it (see [[deriveTables]])
-    def keyCounts: DataFrame =
-      spark.read.parquet(s"$path/gen-${currentGen(spark, path)}/keycounts")
-    def probeSide: DataFrame =
-      spark.read.parquet(s"$path/gen-${currentGen(spark, path)}/probe")
+    /** The current generation's manifest, watermark-validated (and
+      * crash-repaired if the signatures disagree with it). */
+    def currentManifest: Manifest = validatedManifest(spark, path)
+    def signatures: DataFrame =
+      spark.read.parquet(s"$path/${currentManifest.sigDir}")
     def docIds: DataFrame = signatures.select(col("doc_id"))
+    /** Exact corpus-wide key counts — a lazy aggregate over the kc
+      * segments (diagnostics / verification; probes never run it). */
+    def keyCounts: DataFrame = {
+      val m = currentManifest
+      m.segs.map(sg => spark.read.parquet(s"$path/$sg/kc"))
+        .reduce(_.unionByName(_))
+        .groupBy(col("band"), col("k1"), col("k2"))
+        .agg(sum(col("bn")).as("bn"), min(col("anchor")).as("anchor"))
+    }
+    /** The star-capped probe side for the CURRENT generation: segment
+      * band rows minus hot keys (map-side anti-join against the ≤80-
+      * entry broadcast hot list) plus one anchor row per hot key. The
+      * manifest is resolved ONCE here, so a planned probe keeps its
+      * generation snapshot across concurrent appends. */
+    def probeSide: DataFrame = probeSideFor(this, currentManifest)
 
     /** Accumulated candidate pairs ([[appendPairs]]) — the incremental
       * clustering ledger: CC over this set equals CC over a full
@@ -70,8 +144,8 @@ object LshIndex {
       * younger doc). Empty-schema frame when no pairs were recorded. */
     def pairs: DataFrame = {
       val p = new Path(s"$path/pairs")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.parquet(p.toString)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) spark.read.parquet(p.toString)
       else spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"))
     }
   }
@@ -80,6 +154,20 @@ object LshIndex {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def markerPath(path: String) = new Path(s"$path/_graft_lsh_index")
+  private def lockPath(path: String) = new Path(s"$path/_writer.lock")
+
+  private def lease(spark: SparkSession, path: String): FsLease =
+    new FsLease(fs(spark, path), lockPath(path))
+
+  /** A writer lease that looks alive right now — during a live append
+    * the signatures lawfully run ahead of the manifest watermark, so
+    * validation must not mistake that window for a crash. */
+  private def writerLockLive(spark: SparkSession, path: String): Boolean =
+    try {
+      val st = fs(spark, path).getFileStatus(lockPath(path))
+      System.currentTimeMillis() - st.getModificationTime <=
+        math.max(5 * 60 * 1000L, 2 * graft.log.TopicLog.RenewalCapMs)
+    } catch { case _: java.io.IOException => false }
 
   private def readMarker(spark: SparkSession, path: String): Option[String] = {
     val f = fs(spark, path)
@@ -98,7 +186,7 @@ object LshIndex {
     readMarker(spark, path).exists(_.startsWith(marker + " gen="))
 
   /** The generation the marker currently points at — the unit of
-    * atomic publish for the derived tables. */
+    * atomic publish for the derived state. */
   private def currentGen(spark: SparkSession, path: String): Long =
     readMarker(spark, path) match {
       case Some(m) if m.startsWith(marker + " gen=") =>
@@ -110,43 +198,448 @@ object LshIndex {
   private def marker: String =
     s"v$FormatVersion k=${Dedup.K} bands=${Dedup.BANDS}"
 
+  // ------------------------------------------------------ manifest IO
+
+  private def manifestPath(path: String, gen: Long) =
+    new Path(s"$path/gen-$gen/manifest")
+
+  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"graft-lsh-manifest $marker\n")
+    sb.append(s"gen ${m.gen}\n")
+    sb.append(s"sigRows ${m.sigRows}\n")
+    sb.append(s"sigDir ${m.sigDir}\n")
+    sb.append(s"fingerprint ${m.fingerprint}\n")
+    m.segs.foreach(sg => sb.append(s"seg $sg\n"))
+    m.warm.foreach(w =>
+      sb.append(s"warm ${w.band} ${w.k1} ${w.k2} ${w.bn} ${w.anchor}\n"))
+    sb.append("end\n") // truncation sentinel: a torn manifest never parses
+    val f = fs(spark, path)
+    val out = f.create(manifestPath(path, m.gen), true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readManifest(spark: SparkSession, path: String,
+      gen: Long): Option[Manifest] =
+    try {
+      val f = fs(spark, path)
+      val in = f.open(manifestPath(path, gen))
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = txt.split("\n").map(_.trim).filter(_.nonEmpty)
+      if (lines.isEmpty || lines.head != s"graft-lsh-manifest $marker" ||
+          lines.last != "end") None
+      else {
+        var g = -1L; var rows = -1L; var sigDir = "signatures"; var fp = "-"
+        val segs = Seq.newBuilder[String]
+        val warm = Seq.newBuilder[KeyStat]
+        lines.tail.dropRight(1).foreach { ln =>
+          val p = ln.split(" ")
+          p(0) match {
+            case "gen" => g = p(1).toLong
+            case "sigRows" => rows = p(1).toLong
+            case "sigDir" => sigDir = p(1)
+            case "fingerprint" => fp = p(1)
+            case "seg" => segs += p(1)
+            case "warm" => warm += KeyStat(p(1).toInt, p(2).toLong,
+              p(3).toLong, p(4).toLong, p(5).toLong)
+            case _ => () // forward-compatible: ignore unknown keys
+          }
+        }
+        if (g == gen && rows >= 0) Some(Manifest(g, rows, sigDir, fp,
+          segs.result(), warm.result()))
+        else None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  // --------------------------------------------- validation + repair
+
+  /** (path, gen) pairs whose signature watermark this JVM has already
+    * verified — validation is one metadata-cheap count per generation,
+    * not per probe. */
+  private val validated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+
+  /** Signature row count from the parquet FOOTERS — driver-side
+    * metadata, zero data rows read, so the per-generation watermark
+    * validation costs nothing measurable even against a huge index.
+    * −1 when the dir is missing/unreadable (reads as "disagrees" →
+    * repair). Appends write exactly the rows they count, and the
+    * repair path rewrites the dir deduplicated, so footer row count ==
+    * manifest `sigRows` is the clean-state invariant. */
+  private def sigRowCount(spark: SparkSession, path: String,
+      sigDir: String): Long =
+    try {
+      val f = fs(spark, path)
+      val dir = new Path(s"$path/$sigDir")
+      if (!f.exists(dir)) -1L
+      else {
+        var n = 0L
+        val it = f.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+            val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+                st, spark.sparkContext.hadoopConfiguration))
+            try n += in.getRecordCount finally in.close()
+          }
+        }
+        n
+      }
+    } catch { case _: Exception => -1L }
+
+  /** The current manifest, cross-checked against the signatures
+    * themselves (r10 ADVICE: a crash between the signature append and
+    * the generation publish must not leave docs counted-but-invisible;
+    * a partially tmp-cleaned cache entry must not answer). A torn
+    * manifest or a watermark disagreement with NO live writer lease
+    * triggers a full re-derive under the lease. */
+  private def validatedManifest(spark: SparkSession, path: String): Manifest = {
+    val gen = currentGen(spark, path)
+    readManifest(spark, path, gen) match {
+      case Some(m) if validated.contains((path, m.gen)) => m
+      case maybe =>
+        val consistent = maybe.filter(m =>
+          sigRowCount(spark, path, m.sigDir) == m.sigRows)
+        consistent match {
+          case Some(m) => validated.add((path, m.gen)); m
+          case None if maybe.isDefined && writerLockLive(spark, path) =>
+            // an append is in flight: signatures lawfully run ahead of
+            // the watermark; answer from the still-consistent published
+            // generation (and do NOT cache the verdict)
+            maybe.get
+          case _ => lease(spark, path).withLease {
+            validatedManifestLocked(spark, path)
+          }
+        }
+    }
+  }
+
+  /** [[validatedManifest]] for a caller ALREADY HOLDING the writer
+    * lease (the lock is not reentrant): re-checks first — a racing
+    * writer may have just finished the repair (or the append) we were
+    * about to do — then re-derives in place. */
+  private def validatedManifestLocked(spark: SparkSession, path: String): Manifest = {
+    val gen = currentGen(spark, path)
+    readManifest(spark, path, gen) match {
+      case Some(m) if validated.contains((path, m.gen)) => m
+      case maybe =>
+        maybe.filter(m => sigRowCount(spark, path, m.sigDir) == m.sigRows)
+          .map { m => validated.add((path, m.gen)); m }
+          .getOrElse(deriveAll(spark, path, gen + 1, maybe))
+    }
+  }
+
   def load(spark: SparkSession, path: String): Index = {
     require(exists(spark, path), s"no LSH index at $path (or version mismatch)")
-    Index(spark, path)
+    val ix = Index(spark, path)
+    ix.currentManifest // validate (and repair) eagerly, not mid-probe
+    ix
   }
+
+  // --------------------------------------------------------- building
 
   /** Build and persist an index over `docs` (doc_id, text). The one
     * full-corpus signature job — paid once per corpus snapshot. */
-  def build(docs: DataFrame, path: String): Index =
-    buildFromSignatures(Dedup.minhashSignatures(docs), path)
+  def build(docs: DataFrame, path: String,
+      fingerprint: String = "-"): Index =
+    buildFromSignatures(Dedup.minhashSignatures(docs), path,
+      fingerprint = fingerprint)
 
   /** Build from already-computed signatures (a caller that has the
     * signature frame in hand — e.g. curateCycle's new-batch path —
-    * must not pay the text pass twice). */
-  def buildFromSignatures(sig: DataFrame, path: String): Index = {
+    * must not pay the text pass twice). `initialPairs`, when given,
+    * lands in the pair ledger BEFORE the marker publishes (r10
+    * ADVICE: a crash between marker and ledger writes must not leave
+    * a valid-looking index with an empty ledger — `exists()` stays
+    * false until the ledger is complete). */
+  def buildFromSignatures(sig: DataFrame, path: String,
+      initialPairs: Option[DataFrame] = None,
+      fingerprint: String = "-"): Index = {
     val spark = sig.sparkSession
-    val f = fs(spark, path)
-    f.delete(new Path(path), true)
-    sig.write.mode("overwrite").parquet(s"$path/signatures")
-    deriveTables(spark, path)
+    lease(spark, path).withLease {
+      // destructive rebuild: clear everything except the held lock
+      val f = fs(spark, path)
+      val root = new Path(path)
+      if (f.exists(root)) f.listStatus(root).foreach { st =>
+        if (st.getPath.getName != lockPath(path).getName)
+          f.delete(st.getPath, true)
+      }
+      sig.write.mode("overwrite").parquet(s"$path/signatures")
+      initialPairs.foreach(p =>
+        p.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .write.mode("append").parquet(s"$path/pairs"))
+      deriveAll(spark, path, 1L, None, fingerprint)
+    }
     Index(spark, path)
   }
 
-  /** Append new docs' signatures and refresh the derived tables.
-    * Signature rows are computed for `newDocs` ONLY; `keycounts/` and
-    * `probe/` are rebuilt from the persisted signatures (fixed-width
-    * longs — no text is re-hashed, the rebuild is one band explode +
-    * one aggregate over the index itself, amortized across the probes
-    * that reuse it). Already-indexed doc_ids are skipped, which makes
-    * a crashed-append re-run idempotent. */
-  def append(index: Index, newDocs: DataFrame): Index =
-    appendSignatures(index, Dedup.minhashSignatures(newDocs))
+  /** Full derive from the persisted signatures: one segment holding
+    * every band row + its key counts, warm list from the one full
+    * aggregate. The BUILD/REPAIR path — appends never run this. Must
+    * hold the writer lease. Tolerates duplicate signature rows (a
+    * crashed assume-new re-run): derives from the deduplicated view
+    * and, when duplicates exist, swaps the live signature dir to a
+    * deduplicated rewrite (old dir retired with its generation). */
+  private def deriveAll(spark: SparkSession, path: String, gen: Long,
+      prev: Option[Manifest], fingerprint: String = ""): Manifest = {
+    val f = fs(spark, path)
+    // resolve the live signature dir: the previous manifest names it; a
+    // torn manifest falls back to the fullest candidate dir on disk
+    val sigDir0 = prev.map(_.sigDir).getOrElse {
+      val cands = (f.listStatus(new Path(path)).map(_.getPath.getName)
+        .filter(n => n == "signatures" || n.startsWith("sigs-"))).toSeq
+      if (cands.size <= 1) cands.headOption.getOrElse("signatures")
+      else cands.maxBy(d =>
+        try spark.read.parquet(s"$path/$d").count() catch { case _: Exception => -1L })
+    }
+    val raw = spark.read.parquet(s"$path/$sigDir0")
+    val rawN = raw.count()
+    val sig0 = raw.dropDuplicates("doc_id")
+    val distinctN = sig0.count()
+    val sigDir = if (rawN == distinctN) sigDir0 else {
+      val d = s"sigs-$gen"
+      sig0.write.parquet(s"$path/$d")
+      d
+    }
+    val sig = spark.read.parquet(s"$path/$sigDir")
+    val segName = s"seg-${gen}f"
+    f.delete(new Path(s"$path/$segName"), true) // orphan from a crashed rebuild
+    // key-sorted layout: parquet row-group min/max stats on the band
+    // key columns line up with the probe join's key, and sorted
+    // fixed-width longs compress far better — build-time costs, paid
+    // once per snapshot, never per probe
+    Dedup.bands(sig)
+      .repartitionByRange(col("band"), col("k1"), col("k2"))
+      .sortWithinPartitions("band", "k1", "k2")
+      .write.parquet(s"$path/$segName/bands")
+    val b = spark.read.parquet(s"$path/$segName/bands")
+    writeKc(b.groupBy(col("band"), col("k1"), col("k2"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor")),
+      s"$path/$segName/kc", wide = true)
+    val tot = distinctN * Dedup.BANDS
+    val warm = spark.read.parquet(s"$path/$segName/kc")
+      .filter(col("bn") * lit(WarmFactor) > lit(tot))
+      .collect().map(rowToKeyStat).toSeq
+    val fp = if (fingerprint.nonEmpty) fingerprint
+      else prev.map(_.fingerprint).getOrElse("-")
+    val m = Manifest(gen, distinctN, sigDir, fp, Seq(segName), warm)
+    publish(spark, path, m, prev)
+    m
+  }
 
-  def appendSignatures(index: Index, newSig: DataFrame): Index = {
+  /** kc segments land sorted by `bn` DESCENDING so the risky-key
+    * lookup's pushed `bn >= threshold` filter row-group-prunes to the
+    * heavy head of each segment — a clean corpus's segments (max bn of
+    * 2–3) are skipped entirely via footer stats, rows read: zero. */
+  private def writeKc(kc: DataFrame, dest: String, wide: Boolean): Unit =
+    (if (wide) kc.repartitionByRange(col("bn").desc) else kc.coalesce(1))
+      .sortWithinPartitions(col("bn").desc)
+      .write.parquet(dest)
+
+  private def rowToKeyStat(r: Row): KeyStat =
+    KeyStat(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+
+  private def keyStatSchema(withStats: Boolean): StructType = {
+    val keys = Seq(StructField("band", IntegerType), StructField("k1", LongType),
+      StructField("k2", LongType))
+    StructType(if (withStats) keys ++ Seq(StructField("bn", LongType),
+      StructField("anchor", LongType)) else keys)
+  }
+
+  private def keysDf(spark: SparkSession, ks: Seq[KeyStat]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(ks.map(k => Row(k.band, k.k1, k.k2)): _*),
+      keyStatSchema(withStats = false))
+
+  // ------------------------------------------------------- publishing
+
+  /** Atomically publish a new generation: manifest first, then one
+    * marker rename. Retires generation dirs ≤ gen−2 and any segment /
+    * signature dir referenced by NEITHER the new nor the previous
+    * manifest — an in-flight probe planned against gen−1 keeps every
+    * file it will read until the NEXT publish. */
+  private def publish(spark: SparkSession, path: String, m: Manifest,
+      prev: Option[Manifest]): Unit = {
+    val f = fs(spark, path)
+    writeManifest(spark, path, m)
+    writeMarkerFile(spark, path, m.gen)
+    val live: Set[String] =
+      (m.segs ++ prev.toSeq.flatMap(_.segs)).toSet +
+        m.sigDir ++ prev.map(_.sigDir) + "signatures"
+    try {
+      f.listStatus(new Path(path)).foreach { st =>
+        val n = st.getPath.getName
+        val retiredGen = n.startsWith("gen-") &&
+          scala.util.Try(n.stripPrefix("gen-").toLong)
+            .toOption.exists(_ <= m.gen - 2)
+        val retiredSeg = (n.startsWith("seg-") || n.startsWith("sigs-")) &&
+          !live.contains(n)
+        if (retiredGen || retiredSeg) f.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () } // GC is best-effort
+  }
+
+  private def writeMarkerFile(spark: SparkSession, path: String, gen: Long): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(s"$path/_graft_lsh_index.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$marker gen=$gen".getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(markerPath(path)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // --------------------------------------------------------- appends
+
+  /** Append new docs and refresh the published state — O(batch):
+    * signatures and one band/kc segment are computed for `newDocs`
+    * ONLY, existing segments carry forward by reference, and the warm
+    * list updates from ≤2 collected ≤160-row frames (see the class
+    * scaladoc). Already-indexed doc_ids are skipped, which makes a
+    * crashed-append re-run idempotent (the skip is one column-pruned
+    * anti-join against the persisted doc_ids; callers that GUARANTEE
+    * fresh ids — e.g. a cycle that already anti-joined — pass
+    * `assumeNew = true` to skip even that read). */
+  def append(index: Index, newDocs: DataFrame,
+      assumeNew: Boolean = false): Index =
+    appendSignatures(index, Dedup.minhashSignatures(newDocs), assumeNew)
+
+  def appendSignatures(index: Index, newSig: DataFrame,
+      assumeNew: Boolean = false): Index = {
     val spark = index.spark
-    val fresh = newSig.join(index.docIds, Seq("doc_id"), "left_anti")
-    fresh.write.mode("append").parquet(s"${index.path}/signatures")
-    deriveTables(spark, index.path)
+    val path = index.path
+    lease(spark, path).withLease {
+      // watermark check FIRST (under the lease): a crashed previous
+      // append leaves signatures ahead of the manifest — repair before
+      // compounding on top of it
+      val m0 = validatedManifestLocked(spark, path)
+      val fresh = graft.GraftSession.ckpt(
+        if (assumeNew) newSig
+        else newSig.join(
+          spark.read.parquet(s"$path/${m0.sigDir}").select(col("doc_id")),
+          Seq("doc_id"), "left_anti"))
+      val freshN = fresh.count()
+      if (freshN > 0L) {
+        fresh.write.mode("append").parquet(s"$path/${m0.sigDir}")
+        val gen = m0.gen + 1
+        val segName = s"seg-$gen"
+        val f = fs(spark, path)
+        f.delete(new Path(s"$path/$segName"), true) // crashed-append orphan
+        Dedup.bands(fresh)
+          .sortWithinPartitions("band", "k1", "k2")
+          .write.parquet(s"$path/$segName/bands")
+        writeKc(spark.read.parquet(s"$path/$segName/bands")
+          .groupBy(col("band"), col("k1"), col("k2"))
+          .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor")),
+          s"$path/$segName/kc", wide = false)
+        val kcB = spark.read.parquet(s"$path/$segName/kc")
+        val batchBands = freshN * Dedup.BANDS
+        val totNew = (m0.sigRows + freshN) * Dedup.BANDS
+        def kcUnion(segs: Seq[String]): DataFrame =
+          segs.map(sg => spark.read.parquet(s"$path/$sg/kc"))
+            .reduce(_.unionByName(_))
+
+        // Below ~2,560 docs the whole key-count table is smaller than
+        // one shuffle partition: recompute warm outright. Above it the
+        // warm ratio ALONE implies the 64-member hot floor
+        // (tot/WarmFactor ≥ 64), which the incremental path's
+        // soundness argument relies on.
+        val warmNew: Seq[KeyStat] =
+          if (totNew < 64L * WarmFactor)
+            kcUnion(m0.segs :+ segName)
+              .groupBy(col("band"), col("k1"), col("k2"))
+              .agg(sum(col("bn")).as("bn"), min(col("anchor")).as("anchor"))
+              .filter(col("bn") * lit(WarmFactor) > lit(totNew))
+              .collect().map(rowToKeyStat).toSeq
+          else {
+            // exact batch contribution to each standing warm key
+            // (≤160 collected rows)
+            val touched: Map[(Int, Long, Long), (Long, Long)] =
+              if (m0.warm.isEmpty) Map.empty
+              else kcB.join(broadcast(keysDf(spark, m0.warm)),
+                  Seq("band", "k1", "k2"), "left_semi")
+                .collect()
+                .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+                  (r.getLong(3), r.getLong(4))).toMap
+            val warmUpdated = m0.warm.map { w =>
+              val (dBn, dAnchor) =
+                touched.getOrElse((w.band, w.k1, w.k2), (0L, Long.MaxValue))
+              KeyStat(w.band, w.k1, w.k2, w.bn + dBn, math.min(w.anchor, dAnchor))
+            }
+            // risky keys: > 1/WarmFactor of the BATCH's own band rows
+            // (provably < WarmFactor of them) — the only keys that can
+            // newly cross the warm ratio this append (the induction in
+            // the class scaladoc). A batch smaller than WarmFactor
+            // bands makes every touched key nominally risky, so the
+            // lookup is TWO-PHASE to stay sub-index:
+            //  1. candidates: keys with a per-segment count ≥
+            //     ceil((lo+1)/nSegs) where lo = totNew/WarmFactor −
+            //     max batch share — by pigeonhole any key whose
+            //     standing total exceeds lo clears that bar in at
+            //     least one segment. The filter pushes to the
+            //     bn-desc-sorted kc parquet, so clean segments are
+            //     skipped on footer stats alone (rows read: zero).
+            //  2. exact totals (all segments, keyed semi-join) only
+            //     for risky ∩ candidates — near-hot keys genuinely
+            //     being crossed, normally none.
+            val warmKeySet = m0.warm.map(w => (w.band, w.k1, w.k2)).toSet
+            val risky = kcB
+              .filter(col("bn") * lit(WarmFactor) > lit(batchBands))
+              .collect().map(rowToKeyStat)
+              .filter(k => !warmKeySet.contains((k.band, k.k1, k.k2))).toSeq
+            val riskyTotals: Seq[KeyStat] =
+              if (risky.isEmpty) Seq.empty
+              else {
+                val lo = totNew / WarmFactor - risky.map(_.bn).max
+                val nSegs = m0.segs.size.toLong
+                val perSeg = math.max(1L, (lo + nSegs) / nSegs) // ceil((lo+1)/n)
+                val candidates = kcUnion(m0.segs)
+                  .filter(col("bn") >= lit(perSeg))
+                  .join(broadcast(keysDf(spark, risky)),
+                    Seq("band", "k1", "k2"), "left_semi")
+                  .select(col("band"), col("k1"), col("k2"))
+                  .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+                  .toSet
+                val lookup = risky.filter(k =>
+                  candidates.contains((k.band, k.k1, k.k2)))
+                if (lookup.isEmpty) Seq.empty
+                else kcUnion(m0.segs :+ segName)
+                  .join(broadcast(keysDf(spark, lookup)),
+                    Seq("band", "k1", "k2"), "left_semi")
+                  .groupBy(col("band"), col("k1"), col("k2"))
+                  .agg(sum(col("bn")).as("bn"), min(col("anchor")).as("anchor"))
+                  .collect().map(rowToKeyStat).toSeq
+              }
+            warmUpdated ++ riskyTotals
+          }
+        val warmKept = warmNew.filter(w => w.bn * WarmFactor > totNew)
+
+        // segment compaction: amortized O(index / CompactAt) per append
+        val segsAll = m0.segs :+ segName
+        val segsFinal =
+          if (segsAll.size <= CompactAt) segsAll
+          else {
+            val cName = s"seg-${gen}c"
+            f.delete(new Path(s"$path/$cName"), true)
+            segsAll.map(sg => spark.read.parquet(s"$path/$sg/bands"))
+              .reduce(_.unionByName(_))
+              .repartitionByRange(col("band"), col("k1"), col("k2"))
+              .sortWithinPartitions("band", "k1", "k2")
+              .write.parquet(s"$path/$cName/bands")
+            writeKc(kcUnion(segsAll)
+              .groupBy(col("band"), col("k1"), col("k2"))
+              .agg(sum(col("bn")).as("bn"), min(col("anchor")).as("anchor")),
+              s"$path/$cName/kc", wide = true)
+            Seq(cName)
+          }
+
+        publish(spark, path, Manifest(gen, m0.sigRows + freshN, m0.sigDir,
+          m0.fingerprint, segsFinal, warmKept), Some(m0))
+      }
+    }
     index
   }
 
@@ -157,13 +650,16 @@ object LshIndex {
     pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .write.mode("append").parquet(s"${index.path}/pairs")
 
+  // ---------------------------------------------------------- probing
+
   /** Near-dup candidates of `batch` against the indexed corpus:
     * (batch_id, corpus_id, n_shared_bands). Byte-identical results to
     * [[Dedup.incrementalLshCandidates]] on the same corpus — the
-    * probe side here is the same star-capped frame, just persisted —
-    * at batch-sized cost: the batch's band rows BROADCAST against one
-    * column-pruned read of `probe/`, and only colliding groups reach
-    * the aggregate. No corpus text scan, no corpus-wide aggregate. */
+    * probe side here is the same star-capped construction, read from
+    * the persisted segments — at batch-sized cost: the batch's band
+    * rows BROADCAST against the column-pruned segment read, and only
+    * colliding groups reach the aggregate. No corpus text scan, no
+    * corpus-wide aggregate. */
   def probe(index: Index, batch: DataFrame): DataFrame =
     probeSignatures(index, Dedup.minhashSignatures(batch))
 
@@ -175,79 +671,30 @@ object LshIndex {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** Rebuild `keycounts/` and `probe/` from the persisted signatures —
-    * the EXACT construction of [[Dedup.incrementalLshCandidates]]'s
-    * in-query probe side (cold rows ∪ hot-key anchors under the
-    * catalog cap rule `bn·20·BANDS > tot AND bn > 64`), so a probe
-    * against the index hashes identically to the index-free path.
-    *
-    * Published as a new GENERATION: tables land in a fresh `gen-N/`
-    * dir, the marker is atomically replaced to point at N (FileContext
-    * rename-with-OVERWRITE — rename(2) on posix, the namenode's atomic
-    * rename on HDFS), and only generations ≤ N−2 are garbage-collected
-    * — a probe that planned against gen N−1 keeps every file it will
-    * read until the NEXT rebuild, so concurrent probe-during-append is
-    * safe without any reader-side coordination. A crash before the
-    * marker replace leaves an orphan gen dir (overwritten or GC'd
-    * later) and a still-consistent index at N−1. */
-  private def deriveTables(spark: SparkSession, path: String): Unit = {
-    val f = fs(spark, path)
-    val gen = readMarker(spark, path) match {
-      case Some(m) if m.startsWith(marker + " gen=") =>
-        m.stripPrefix(marker + " gen=").trim.toLong + 1
-      case _ => 1L
+  private def probeSideFor(ix: Index, m: Manifest): DataFrame = {
+    val bandRows = m.segs
+      .map(sg => ix.spark.read.parquet(s"${ix.path}/$sg/bands"))
+      .reduce(_.unionByName(_))
+    val hot = m.hot
+    if (hot.isEmpty) bandRows
+    else {
+      // EXACTLY lshCandidatesFromSignatures' star-cap: drop hot keys'
+      // member rows (map-side anti vs the ≤80-entry broadcast), enter
+      // each hot bucket through its min-doc_id anchor alone
+      val anchors = ix.spark.createDataFrame(
+        java.util.Arrays.asList(hot.map(h =>
+          Row(h.anchor, h.band, h.k1, h.k2)): _*),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("band", IntegerType), StructField("k1", LongType),
+          StructField("k2", LongType))))
+      bandRows.join(broadcast(keysDf(ix.spark, hot)),
+          Seq("band", "k1", "k2"), "left_anti")
+        .unionByName(anchors.select(col("doc_id"), col("band"),
+          col("k1"), col("k2")))
     }
-    val genDir = s"$path/gen-$gen"
-    f.delete(new Path(genDir), true) // orphan from a crashed rebuild
-    val sig = spark.read.parquet(s"$path/signatures")
-    val b = Dedup.bands(sig)
-    val keyCounts = b.groupBy(col("band"), col("k1"), col("k2"))
-      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
-    keyCounts.write.parquet(s"$genDir/keycounts")
-    val kc = spark.read.parquet(s"$genDir/keycounts")
-    val tot = kc.agg(sum(col("bn")).as("tot"))
-    val hotKeys = kc.crossJoin(broadcast(tot))
-      .filter(col("bn") * lit(20 * Dedup.BANDS) > col("tot") &&
-        col("bn") > lit(64))
-      .select(col("band"), col("k1"), col("k2"), col("anchor"))
-    val cold = b.join(broadcast(hotKeys.drop("anchor")),
-      Seq("band", "k1", "k2"), "left_anti")
-    // key-sorted layout: parquet row-group min/max stats on the band
-    // key columns line up with the probe join's key, so engines that
-    // inject runtime key filters (Spark's bloom-filter join, literal
-    // key probes) can skip row groups, and sorted fixed-width longs
-    // compress far better — both save-time costs, paid once per
-    // snapshot, never per probe
-    val probeSide = cold.unionByName(
-      hotKeys.select(col("band"), col("k1"), col("k2"),
-        col("anchor").as("doc_id")))
-      .repartitionByRange(col("band"), col("k1"), col("k2"))
-      .sortWithinPartitions("band", "k1", "k2")
-    probeSide.write.parquet(s"$genDir/probe")
-    writeMarker(spark, path, gen)
-    // retire generations no in-flight reader can still hold: anything
-    // older than the one we just replaced
-    try {
-      f.listStatus(new Path(path)).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("gen-") &&
-            scala.util.Try(n.stripPrefix("gen-").toLong)
-              .toOption.exists(_ <= gen - 2))
-          f.delete(st.getPath, true)
-      }
-    } catch { case _: java.io.IOException => () } // GC is best-effort
   }
 
-  private def writeMarker(spark: SparkSession, path: String, gen: Long): Unit = {
-    val f = fs(spark, path)
-    val tmp = new Path(s"$path/_graft_lsh_index.tmp")
-    val out = f.create(tmp, true)
-    try out.write(s"$marker gen=$gen".getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(markerPath(path)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  // ------------------------------------------------- snapshot caching
 
   /** Content fingerprint of a parquet table directory (file names,
     * sizes, mtimes + the index format) — the cache key for
@@ -271,32 +718,59 @@ object LshIndex {
 
   /** Load the index cached for this exact corpus snapshot, or build it
     * once (the standing-index contract: signatures are computed when
-    * the corpus changes, never per probe). `cacheRoot` defaults to the
-    * JVM temp dir, overridable via GRAFT_LSH_CACHE for a cluster's
-    * shared store. */
+    * the corpus changes, never per probe).
+    *
+    * `cacheRoot` resolution: `GRAFT_LSH_CACHE` env, else the session's
+    * reliable checkpoint dir when one is set (the cluster-safe,
+    * session-owned store), else the JVM temp dir. A cache entry is
+    * never trusted on the marker alone (r10 ADVICE — the temp-dir
+    * default is world-writable and reaper-cleaned): the manifest must
+    * re-state this corpus's content fingerprint AND the signature
+    * watermark must agree with the persisted rows, or the entry is
+    * discarded and rebuilt from the source table. */
   def buildOrLoad(spark: SparkSession, docs: DataFrame, tablePath: String,
-      cacheRoot: String = sys.env.getOrElse("GRAFT_LSH_CACHE",
-        sys.props("java.io.tmpdir") + "/graft-lsh-cache")): Index =
-    synchronized {
-      val path = s"$cacheRoot/${pathFingerprint(spark, tablePath)}"
-      if (exists(spark, path)) load(spark, path)
+      cacheRoot: String = ""): Index = synchronized {
+    val root =
+      if (cacheRoot.nonEmpty) cacheRoot
+      else sys.env.getOrElse("GRAFT_LSH_CACHE",
+        spark.sparkContext.getCheckpointDir
+          .map(_ + "/graft-lsh-cache")
+          .getOrElse(sys.props("java.io.tmpdir") + "/graft-lsh-cache"))
+    val fp = pathFingerprint(spark, tablePath)
+    val path = s"$root/$fp"
+    val f = fs(spark, root)
+    def freshBuild(): Index = {
+      // build into a private staging dir, then publish with one
+      // rename: `synchronized` only serializes THIS JVM — two
+      // processes racing the same cache key must not interleave
+      // writes under the final path. The rename loser just loads
+      // the winner's (identical) index.
+      val staging = s"$root/.build-${java.util.UUID.randomUUID()}"
+      build(docs, staging, fingerprint = fp)
+      f.mkdirs(new Path(root))
+      if (f.rename(new Path(staging), new Path(path))) Index(spark, path)
       else {
-        // build into a private staging dir, then publish with one
-        // rename: `synchronized` only serializes THIS JVM — two
-        // processes racing the same cache key must not interleave
-        // writes under the final path. The rename loser just loads
-        // the winner's (identical) index.
-        val staging = s"$cacheRoot/.build-${java.util.UUID.randomUUID()}"
-        build(docs, staging)
-        val f = fs(spark, cacheRoot)
-        f.mkdirs(new Path(cacheRoot))
-        if (f.rename(new Path(staging), new Path(path))) Index(spark, path)
-        else {
-          f.delete(new Path(staging), true)
-          require(exists(spark, path),
-            s"lost the build race for $path but no valid index appeared")
-          Index(spark, path)
-        }
+        f.delete(new Path(staging), true)
+        require(exists(spark, path),
+          s"lost the build race for $path but no valid index appeared")
+        Index(spark, path)
       }
     }
+    if (!exists(spark, path)) freshBuild()
+    else
+      try {
+        val ix = load(spark, path) // validates watermark, repairs crashes
+        require(ix.currentManifest.fingerprint == fp,
+          "cached index does not re-state this corpus's fingerprint")
+        ix
+      } catch {
+        case e: Exception =>
+          // pre-planted / tmp-reaped / wrong-content entry: never
+          // answer from it — rebuild from the source table
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"discarding untrusted LSH cache entry at $path: $e")
+          f.delete(new Path(path), true)
+          freshBuild()
+      }
+  }
 }

@@ -138,6 +138,175 @@ class LshIndexSpec extends AnyFunSuite {
       new java.io.File(s"$dir/ix/gen-3").exists())
   }
 
+  test("append is O(batch): segments carry forward by reference, no index rescan") {
+    // 3000 standing docs (above the small-corpus full-recompute
+    // regime), 8 appended: the append may read the batch's own
+    // segment and ≤160-row warm/risky frames — NEVER the standing
+    // band rows or key counts (watermark validation is parquet-footer
+    // metadata; the phase-1 risky scan row-group-prunes to zero on a
+    // clean corpus; the idempotence anti-join is skipped via
+    // assumeNew). Pin it two ways: (1) the standing segment's files
+    // are byte-identical (same mtime+len) across the append; (2)
+    // total rows read during the append stay batch-proportional.
+    val dir = Files.createTempDirectory("lshix").toString
+    import spark.implicits._
+    val standing = spark.range(3000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        md5(concat(col("id").cast("string"), lit(s"-$j")))): _*).as("text"))
+    val ix = LshIndex.build(standing, s"$dir/ix")
+    val segFiles = new java.io.File(s"$dir/ix/seg-1f/bands").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val batch = spark.range(8).select((col("id") + 10000L).as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        md5(concat((col("id") + 10000L).cast("string"), lit(s"-$j")))): _*)
+        .as("text"))
+    var rowsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          rowsRead += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      LshIndex.append(ix, batch, assumeNew = true)
+      // listener events are async: settle until the counter stops moving
+      var prev = -1L
+      while (prev != rowsRead) { prev = rowsRead; Thread.sleep(200) }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(new java.io.File(s"$dir/ix/seg-1f/bands").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet == segFiles,
+      "the standing band segment must carry forward untouched")
+    // batch = 8 docs -> 32 band rows, re-read a handful of times
+    // (segment agg, warm/risky frames). 3000 standing docs x 4 bands
+    // = 12,000 band rows (and 12,000 kc rows) must NOT be read.
+    assert(rowsRead < 500L,
+      s"append read $rowsRead rows — an index-sized rescan leaked in")
+    // and the grown index answers identically to a full rebuild
+    val rebuilt = LshIndex.build(standing.unionByName(batch), s"$dir/rebuilt")
+    assert(probeSet(LshIndex.probe(ix, batch)) ==
+      probeSet(LshIndex.probe(rebuilt, batch)))
+  }
+
+  test("dup-heavy append: risky-key path keeps the warm list exact") {
+    // Standing corpus: 200 distinct docs. Append: 120 copies of ONE
+    // text — its band keys hold >1/160 of the batch's bands (risky)
+    // AND cross the hot rule (bn=120 > 64, 120*80 > tot=1288). The
+    // grown index must star-cap exactly like a from-scratch build, and
+    // both must equal the index-free incremental path.
+    val dir = Files.createTempDirectory("lshix").toString
+    val standing = docs((0L until 200L).map(i => i ->
+      s"standing document number $i with vocabulary ${i * 31} and ${i * 97} tail"): _*)
+    val viralBatch = docs((0L until 120L).map(i => (5000L + i) -> base): _*)
+    val ix = LshIndex.build(standing, s"$dir/ix")
+    LshIndex.append(ix, viralBatch)
+    val rebuilt = LshIndex.build(standing.unionByName(viralBatch), s"$dir/rebuilt")
+    // probe with a re-post of the viral text: both must answer with
+    // the bucket anchor (5000) alone
+    val probe = docs(9000L -> base)
+    val got = probeSet(LshIndex.probe(ix, probe))
+    assert(got == probeSet(LshIndex.probe(rebuilt, probe)),
+      s"grown-index star-cap diverged from full rebuild: $got")
+    assert(got.size == 1 && got.head._2 == 5000L,
+      s"viral bucket must enter through its min-doc_id anchor: $got")
+    assert(got == probeSet(Dedup.incrementalLshCandidates(
+      standing.unionByName(viralBatch), probe)))
+    // the capped probe frame stays small despite 480 viral band rows
+    assert(ix.probeSide.count() < 1300L)
+  }
+
+  test("concurrent appenders serialize under the lease; prober never breaks") {
+    // r10 verdict ask #2's done bar: two racing appends (threads) ->
+    // both batches present exactly once, generation sequence has no
+    // gaps or torn manifests, and a prober hammering throughout never
+    // throws.
+    val dir = Files.createTempDirectory("lshix").toString
+    val ix = LshIndex.build(corpus, s"$dir/ix")
+    val batchA = docs((0L until 30L).map(i => (2000L + i) ->
+      s"appender alpha document $i about ${i * 13} lighthouses and ${i * 7} storms"): _*)
+    val batchB = docs((0L until 30L).map(i => (3000L + i) ->
+      s"appender beta document $i covering ${i * 11} orchards and ${i * 5} rivers"): _*)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        try assert(LshIndex.probe(ix, batch).count() >= 0L)
+        catch { case t: Throwable => errs.add(t); stop.set(true) }
+      }
+    })
+    prober.start()
+    val writers = Seq(batchA, batchB).map(b => new Thread(() => {
+      try LshIndex.append(ix, b)
+      catch { case t: Throwable => errs.add(t) }
+    }))
+    writers.foreach(_.start()); writers.foreach(_.join())
+    stop.set(true); prober.join()
+    assert(errs.isEmpty, s"concurrent append/probe failed: ${errs.peek()}")
+    // both batches present exactly once
+    val ids = ix.signatures.groupBy(col("doc_id"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(ids.filter(col("n") =!= 1L).count() == 0L, "duplicated signatures")
+    assert(ix.signatures.count() == 4L + 60L)
+    // generations 2 and 3 both published, no torn state: a fresh load
+    // validates (watermark == manifest) and answers like a rebuild
+    assert(new java.io.File(s"$dir/ix/gen-3").exists(), "lost a generation")
+    val rebuilt = LshIndex.build(
+      corpus.unionByName(batchA).unionByName(batchB), s"$dir/rebuilt")
+    assert(probeSet(LshIndex.probe(LshIndex.load(spark, s"$dir/ix"), batch)) ==
+      probeSet(LshIndex.probe(rebuilt, batch)))
+  }
+
+  test("crashed append (signatures ahead of the manifest) self-repairs on load") {
+    // Simulate the r10 ADVICE crash window: signature rows land but the
+    // generation never publishes. The watermark disagreement must
+    // trigger a re-derive — the crashed docs can never be silently
+    // skipped by the next cycle's anti-join while staying invisible to
+    // probes.
+    val dir = Files.createTempDirectory("lshix").toString
+    val ix = LshIndex.build(corpus, s"$dir/ix")
+    // crash-write: append signatures DIRECTLY, bypassing the publish
+    graft.operators.Dedup.minhashSignatures(docs(777L -> base))
+      .write.mode("append").parquet(s"$dir/ix/signatures")
+    val reloaded = LshIndex.load(spark, s"$dir/ix")
+    val got = probeSet(LshIndex.probe(reloaded, docs(9000L -> base)))
+    assert(got.exists(_._2 == 777L),
+      s"repaired index must see the crashed doc: $got")
+    assert(got == probeSet(Dedup.incrementalLshCandidates(
+      corpus.unionByName(docs(777L -> base)), docs(9000L -> base))))
+  }
+
+  test("buildOrLoad never trusts a tampered/truncated cache entry") {
+    val dir = Files.createTempDirectory("lshix").toString
+    val cacheRoot = s"$dir/cache"
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val stored = spark.read.parquet(s"$dir/documents.parquet")
+    val ix1 = LshIndex.buildOrLoad(spark, stored, s"$dir/documents.parquet", cacheRoot)
+    val expected = probeSet(LshIndex.probe(ix1, batch))
+    // tmp-reaper damage: the current generation dir vanishes
+    val genDir = new java.io.File(ix1.path).listFiles()
+      .filter(_.getName.startsWith("gen-")).maxBy(_.getName)
+    genDir.listFiles().foreach(_.delete()); genDir.delete()
+    val ix2 = LshIndex.buildOrLoad(spark, stored, s"$dir/documents.parquet", cacheRoot)
+    assert(probeSet(LshIndex.probe(ix2, batch)) == expected,
+      "a half-reaped cache entry must be rebuilt, not trusted")
+    // pre-planted entry: right marker, WRONG corpus fingerprint
+    val planted = s"$cacheRoot/planted"
+    LshIndex.build(docs(1L -> "completely unrelated planted content here"),
+      planted)
+    val fp = LshIndex.pathFingerprint(spark, s"$dir/documents.parquet")
+    val victim = new java.io.File(s"$cacheRoot/$fp")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(victim)
+    new java.io.File(planted).renameTo(victim)
+    val ix3 = LshIndex.buildOrLoad(spark, stored, s"$dir/documents.parquet", cacheRoot)
+    assert(probeSet(LshIndex.probe(ix3, batch)) == expected,
+      "an entry whose manifest does not re-state the corpus fingerprint " +
+        "must be discarded and rebuilt")
+  }
+
   test("pairs ledger: append accumulates, empty index reads an empty frame") {
     val dir = Files.createTempDirectory("lshix").toString
     val ix = LshIndex.build(corpus, s"$dir/ix")
