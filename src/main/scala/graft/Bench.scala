@@ -35,24 +35,51 @@ object Bench {
     // is exactly what round 2's q47 artifact showed — 4.4 s for a query
     // that steady-states at 0.7 s).
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Per-query GC and CPU telemetry (r10 verdict ask #3): five of
+    // r10's bench flags were suite-JVM noise that each cost an
+    // exclusive re-measure; with gc_ms in the artifact a flag whose
+    // wall excess is GC-dominated self-classifies. local[N] executors
+    // ARE the driver JVM, so the management beans read the whole
+    // execution SYNCHRONOUSLY — no async-listener attribution slop
+    // between back-to-back queries.
+    import scala.jdk.CollectionConverters._
+    def jvmGcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ >= 0).sum
+    def procCpuMs(): Long = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1000000L
+        case _ => -1L
+      }
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Exception => "[]" }
+    val loadBegin = loadavg()
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
+      def once(): (Double, Long, Long) = {
+        val (g0, c0, t0) = (jvmGcMs(), procCpuMs(), System.nanoTime())
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, jvmGcMs() - g0, procCpuMs() - c0)
       }
       // min-of-3: round 3's q13 artifact showed a 1.8x phantom
       // regression (3.25 s in-suite vs 0.92 s reproduced) that
       // min-of-2 failed to suppress — one more sample makes a
       // two-run-long stall (GC + page-cache eviction from the
-      // co-located driver) survive into the artifact far less often
+      // co-located driver) survive into the artifact far less often.
+      // gc/cpu are the MIN-wall run's own (the artifact number's run).
       val best =
-        try Seq(once(), once(), once()).min
-        catch { case e: Throwable => errors += s"$name: ${e.getMessage}"; -1.0 }
+        try Seq(once(), once(), once()).minBy(_._1)
+        catch { case e: Throwable =>
+          errors += s"$name: ${e.getMessage}"; (-1.0, -1L, -1L) }
       name -> best
     }.toMap
+    val results = timings.view.mapValues(_._1).toMap
+    val gcByQ = timings.view.mapValues(_._2).toMap
+    val cpuByQ = timings.view.mapValues(_._3).toMap
     // Per-query timings rounded to ms in the printed line (the driver
     // keeps only a bounded tail of stdout — rounds 1-3 lost the first
     // ~35 entries to that clip); keys sorted so any clip truncates from
@@ -117,22 +144,41 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap)
       } catch { case _: Throwable => ("", Map.empty[String, Double]) }
     val (medianRatio, regressions) =
-      if (priorSf == sfDir) Bench.findRegressions(priorTimes, results)
+      if (priorSf == sfDir) Bench.findRegressions(priorTimes, results, gcByQ)
       else (1.0, Seq.empty[String])
     if (priorTimes.nonEmpty && priorSf != sfDir)
       System.err.println(s"bench: regression gate INERT — prior artifact " +
         s"measured sf '$priorSf', this run is '$sfDir' (see prior_sf in " +
         "the artifact)")
-    if (regressions.nonEmpty)
-      System.err.println(s"bench: ${regressions.size} quer" +
-        s"${if (regressions.size == 1) "y" else "ies"} regressed " +
-        f">2x the suite-median drift ($medianRatio%.2fx) " +
-        s"vs $priorPath — re-measure exclusively before trusting: " +
-        regressions.mkString(" "))
+    if (regressions.nonEmpty) {
+      val (gcDom, unexplained) =
+        regressions.partition(_.contains("\"gc_dominated\":true"))
+      if (gcDom.nonEmpty)
+        System.err.println(s"bench: ${gcDom.size} flag(s) GC-DOMINATED " +
+          "(wall excess explained by the measured run's own GC pauses — " +
+          "suite-JVM noise, no re-measure needed): " + gcDom.mkString(" "))
+      if (unexplained.nonEmpty)
+        System.err.println(s"bench: ${unexplained.size} quer" +
+          s"${if (unexplained.size == 1) "y" else "ies"} regressed " +
+          f">2x the suite-median drift ($medianRatio%.2fx) " +
+          s"vs $priorPath, UNEXPLAINED by GC — re-measure exclusively " +
+          "before trusting: " + unexplained.mkString(" "))
+    }
     val regJson = regressions.mkString("[", ",", "]")
     val medJson = f"$medianRatio%.4f"
+    // box-state + per-query JVM telemetry ride in the artifact (r10
+    // verdict asks #3-4): loadavg shows how contended the box was, the
+    // gc/cpu maps let any flag be adjudicated without a re-run
+    val gcJson = gcByQ.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val cpuJson = cpuByQ.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val loadEnd = loadavg()
+    val telemetry =
+      s""""loadavg_begin":$loadBegin,"loadavg_end":$loadEnd,""" +
+        s""""gc_ms":$gcJson,"cpu_ms":$cpuJson"""
     val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","prior_sf":"$priorSf","failed":$failed,"errors":$errJson,"median_ratio":$medJson,"regressions":$regJson,"queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","prior_sf":"$priorSf","failed":$failed,"errors":$errJson,"median_ratio":$medJson,"regressions":$regJson,$telemetry,"queries":$qs,"value":$total}"""
     // cwd-relative default (sbt runs from the repo root); override with
     // SPARK_GRAFT_BENCH_OUT. A failed write is REPORTED, not swallowed —
     // the printed stdout line is still the primary artifact either way.
@@ -149,7 +195,7 @@ object Bench {
     } else try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(
-        s"""{"metric":"total","unit":"sec","sf":"$sfDir","prior_sf":"$priorSf","failed":$failed,"errors":$errJson,"median_ratio":$medJson,"regressions":$regJson,"queries":$qsFull,"value":$total}""")
+        s"""{"metric":"total","unit":"sec","sf":"$sfDir","prior_sf":"$priorSf","failed":$failed,"errors":$errJson,"median_ratio":$medJson,"regressions":$regJson,$telemetry,"queries":$qsFull,"value":$total}""")
       finally w.close()
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not write $fullPath: $e")
@@ -171,11 +217,19 @@ object Bench {
     * surfaces. Sub-quarter-second deltas stay exempt (tiny-query
     * jitter).
     *
+    * Self-adjudication (r10 verdict ask #3): when the measured run's
+    * own GC pauses cover at least half of a flagged query's wall
+    * excess over the drift-adjusted prior, the flag is marked
+    * `gc_dominated` — r10 carried five flags, all later adjudicated as
+    * suite-JVM GC noise at the cost of an exclusive re-measure each;
+    * this classification ships in the artifact instead.
+    *
     * Returns (median ratio, regression JSON objects sorted by name):
-    * {"q","prior","now","ratio","norm","kind"} with kind in
-    * normalized | absolute | both, norm = ratio / median. */
+    * {"q","prior","now","ratio","norm","kind","gc_ms","gc_dominated"}
+    * with kind in normalized | absolute | both, norm = ratio/median. */
   private[graft] def findRegressions(prior: Map[String, Double],
-      now: Map[String, Double]): (Double, Seq[String]) = {
+      now: Map[String, Double],
+      gcMs: Map[String, Long] = Map.empty): (Double, Seq[String]) = {
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val joined = now.toSeq.sortBy(_._1).flatMap { case (name, v) =>
@@ -199,9 +253,13 @@ object Bench {
         else if (norm) Some("normalized")
         else if (abs) Some("absolute")
         else None
-      kind.map(k =>
+      kind.map { k =>
+        val gc = gcMs.getOrElse(name, -1L)
+        val gcDom = gc >= 0 && gc / 1000.0 >= 0.5 * (v - p * median)
         s"""{"q":"$name","prior":${fmt(p)},"now":${fmt(v)},""" +
-          f""""ratio":${fmt(r)},"norm":${fmt(r / median)},"kind":"$k"}""")
+          f""""ratio":${fmt(r)},"norm":${fmt(r / median)},"kind":"$k",""" +
+          s""""gc_ms":$gc,"gc_dominated":$gcDom}"""
+      }
     }
     (median, regs)
   }

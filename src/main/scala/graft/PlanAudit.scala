@@ -101,11 +101,16 @@ object PlanAudit {
           .flatMap(_.metrics.get("filesSize")).map(_.value).sum
         // listener delta covers EVERY job this query triggered, eager
         // ckpts and index builds included (listener events are async —
-        // settle until the counters stop moving before snapshotting)
-        var prevSeen = -1L
+        // settle until the counters stop moving before snapshotting).
+        // The settle condition covers BOTH counters: a trailing job
+        // that reads bytes but zero records (empty-partition or
+        // metadata-only scans) would otherwise settle early and leak
+        // its bytes into the NEXT query's delta (r10 ADVICE).
+        var prevSeen = (-1L, -1L)
         var spins = 0
-        while (jobRows.get() != prevSeen && spins < 50) {
-          prevSeen = jobRows.get(); Thread.sleep(100); spins += 1
+        while ((jobRows.get(), jobBytes.get()) != prevSeen && spins < 50) {
+          prevSeen = (jobRows.get(), jobBytes.get())
+          Thread.sleep(100); spins += 1
         }
         val totRows = jobRows.get() - rows0
         val totMb = (jobBytes.get() - bytes0) / (1024 * 1024)

@@ -90,6 +90,19 @@ object ScaleSmoke {
     // the min-label worst case, diameter rounds; stars exercise the
     // high-degree agg). Runs BOTH algorithms on the same edge list to
     // compare rounds-to-convergence and wall clock.
+    //
+    // HEAP FLOOR, asserted up front (r10 verdict ask #6): the
+    // min-label arm's 33 rounds of edges⋈labels sort-merge joins OOM a
+    // 16G heap roughly 1 run in 3 on this box; 20G has been reliable.
+    // Failing HERE, deterministically, with the working recipe beats a
+    // random OOM 3 minutes into the phase:
+    //   sbt -mem 20480 -J-XX:+UnlockDiagnosticVMOptions \
+    //       -J-XX:GCLockerRetryAllocationCount=256 "runMain graft.ScaleSmoke"
+    require(Runtime.getRuntime.maxMemory >= 17L * 1024 * 1024 * 1024,
+      s"min-label CC A/B at 10M edges needs a ~20G heap (have " +
+        s"${Runtime.getRuntime.maxMemory / (1024 * 1024 * 1024)}G) — " +
+        "run with: sbt -mem 20480 -J-XX:+UnlockDiagnosticVMOptions " +
+        "-J-XX:GCLockerRetryAllocationCount=256 \"runMain graft.ScaleSmoke\"")
     val pairEdges = spark.range(10000000L).select(
       when(expr("id div 32 % 2 = 0"), expr("id div 32 * 32"))   // star center
         .otherwise(expr("id div 32 * 32") + (col("id") % 32) - 1) // chain link
@@ -656,18 +669,69 @@ object ScaleSmoke {
     require(ixRowsScanned <= ixProbeTableRows + 1000,
       s"probe scanned $ixRowsScanned rows — more than the " +
         s"$ixProbeTableRows-row probe table (a corpus recompute leaked in)")
-    // the index survives publishes: append the probed batch itself
-    // (signatures computed for the 20k NEW docs only; derived tables
-    // rebuilt from the index's own fixed-width rows — no text
-    // re-hash), then re-probe — every batch doc must now self-match
-    // through the persisted probe table
+    // O(batch) append phase (r11, verdict ask #1's "Done" bar): the
+    // index survives publishes at BATCH-SIZED maintenance cost —
+    // signatures and one band/kc segment are computed for the new docs
+    // only, the standing segment carries forward BY REFERENCE (its
+    // files provably untouched), and the star-cap state updates from
+    // the ≤160-entry manifest warm list. Measured with a task-listener
+    // rows-read delta, split across both entry points:
+    //  - assumeNew (the curateCycle path — caller already anti-joined):
+    //    reads ≈ batch bands, a few re-reads of the batch's own
+    //    segment; NOTHING index-sized;
+    //  - default (idempotent) append: adds ONE column-pruned doc_id
+    //    read of the signatures for the anti-join.
+    // Old design for scale: every append re-exploded ALL 620k
+    // signatures (2.48M wide rows through two full shuffles) and
+    // rewrote the whole probe table — 4.2-4.35 s measured at r10.
+    val segBefore = new java.io.File(s"$ixRoot/ix/seg-1f/bands").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val appendRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val appendListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          appendRows.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    def settleListener(): Unit = {
+      var prev = -1L
+      while (prev != appendRows.get()) { prev = appendRows.get(); Thread.sleep(100) }
+    }
+    val batchHalfA = incrBatch.filter(col("doc_id") < 950000L) // 10k re-posts
+    val batchHalfB = incrBatch.filter(col("doc_id") >= 950000L) // 10k novel
+    spark.sparkContext.addSparkListener(appendListener)
     t0 = System.nanoTime()
-    graft.operators.LshIndex.append(lshIx, incrBatch)
+    graft.operators.LshIndex.append(lshIx, batchHalfA, assumeNew = true)
+    settleListener()
+    val ixAppendNewSec = (System.nanoTime() - t0) / 1e9
+    val ixAppendNewRows = appendRows.get()
+    t0 = System.nanoTime()
+    graft.operators.LshIndex.append(lshIx, batchHalfB) // default: anti-join
+    settleListener()
     val ixAppendSec = (System.nanoTime() - t0) / 1e9
-    val ixSelfHits = graft.operators.LshIndex.probe(lshIx, incrBatch)
-      .filter(col("batch_id") === col("corpus_id")).count()
-    require(ixSelfHits == 20000L,
-      s"all 20k appended docs must self-match post-append: $ixSelfHits")
+    val ixAppendRows = appendRows.get() - ixAppendNewRows
+    spark.sparkContext.removeSparkListener(appendListener)
+    require(new java.io.File(s"$ixRoot/ix/seg-1f/bands").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet == segBefore,
+      "appends must never rewrite the standing band segment")
+    // 10k docs -> 40k band rows; a few batch-segment re-reads ≈ 120k.
+    // The 620k-doc index holds 2.48M band rows — reading even one
+    // tenth of them here means the O(index) rebuild leaked back in.
+    require(ixAppendNewRows < 250000L,
+      s"assumeNew append read $ixAppendNewRows rows — not batch-sized")
+    require(ixAppendRows < 250000L + 640000L,
+      s"idempotent append read $ixAppendRows rows — more than batch + " +
+        "one doc_id column")
+    // every appended doc is REACHABLE post-append: it self-matches
+    // through its own cold band rows, or (if every one of its keys is
+    // hot) enters via its bucket's min-doc_id anchor — reachability,
+    // not self-match, is what the star-capped index guarantees (r10
+    // ADVICE: the old ==20000 self-hit assert was corpus-shape-
+    // dependent)
+    val ixReProbe = graft.operators.LshIndex.probe(lshIx, incrBatch)
+    val ixReachable = ixReProbe.select(col("batch_id")).distinct().count()
+    require(ixReachable == 20000L,
+      s"all 20k appended docs must be reachable post-append: $ixReachable")
 
     // Streaming-state-at-volume phase (r10, verdict ask #6):
     // flatMapGroupsWithState sessionization and the interarrival
@@ -804,7 +868,10 @@ object ScaleSmoke {
       f""""lsh_index_build_sec":$ixBuildSec%.2f,""" +
       f""""lsh_index_probe_sec":$ixProbeSec%.2f,""" +
       f""""lsh_index_probe_rows_scanned":$ixRowsScanned,""" +
+      f""""lsh_index_append_new_sec":$ixAppendNewSec%.2f,""" +
+      f""""lsh_index_append_new_rows_read":$ixAppendNewRows,""" +
       f""""lsh_index_append_sec":$ixAppendSec%.2f,""" +
+      f""""lsh_index_append_rows_read":$ixAppendRows,""" +
       f""""sess_volume_sec":$sessVolSec%.2f,""" +
       f""""sess_volume_closed":$sessVolRows,""" +
       f""""sess_volume_state_rows":$sessVolState,""" +

@@ -16,6 +16,24 @@ class BenchGateSpec extends AnyFunSuite {
       } yield q -> k
     }.toMap
 
+  test("a flag whose wall excess is covered by its own GC self-classifies") {
+    // many calm queries pin the median at 1.0; two flagged: one whose
+    // min-run spent 2.6 s in GC (covers the 2.5 s excess -> noise),
+    // one with near-zero GC (unexplained -> re-measure)
+    val prior = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 0.8, "q4" -> 5.0,
+      "gcnoise" -> 1.0, "real" -> 1.0)
+    val now = prior ++ Map("gcnoise" -> 3.5, "real" -> 3.5)
+    val gc = Map("gcnoise" -> 2600L, "real" -> 40L, "q1" -> 5L)
+    val (_, regs) = Bench.findRegressions(prior, now, gc)
+    assert(names(regs) == Set("gcnoise", "real"), s"got $regs")
+    val byQ = regs.map(r => names(Seq(r)).head -> r).toMap
+    assert(byQ("gcnoise").contains("\"gc_dominated\":true"), byQ("gcnoise"))
+    assert(byQ("real").contains("\"gc_dominated\":false"), byQ("real"))
+    // no telemetry recorded (old artifact) -> never claims gc-dominated
+    val (_, regs2) = Bench.findRegressions(prior, now)
+    assert(regs2.forall(_.contains("\"gc_dominated\":false")), regs2)
+  }
+
   test("uniform box drift flags nothing, whatever its magnitude") {
     val prior = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 0.8, "q4" -> 5.0)
     // the whole suite at 1.9x — the r9 loaded-box shape; the old
