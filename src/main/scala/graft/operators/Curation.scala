@@ -53,6 +53,89 @@ object Curation {
       TextOps.qualityFilter(stream).filter(col("keep") === 1),
       contentCol = "text", tsCol = tsCol, watermark = watermark)
 
+  /** LIVE near-dup screen off the standing [[LshIndex]] — the
+    * streaming face of q131 (r10 verdict ask #5): each micro-batch of
+    * `(doc_id, text)` docs is probed against the persisted index and
+    * `emit` receives the batch's q131-shaped verified verdicts
+    * (batch_id, corpus_id, n_shared_bands, n_batch, n_corpus, n_inter,
+    * jaccard) plus the epoch batch id. A drained screen over a corpus
+    * batch equals batch q131 on the same corpus+batch row-for-row
+    * (NearDupScreenSpec) — the per-pair verification is independent
+    * across batch docs, so micro-batch boundaries cannot change any
+    * verdict.
+    *
+    * Scale shape, per micro-batch: batch-sized signature work + ONE
+    * pruned read of the index's star-capped probe table + a literal-IN
+    * candidate-pruned corpus read ([[Dedup.indexProbeVerified]] with
+    * `pruneByIds = true` — parquet pushes the collected candidate id
+    * set into the scan, so the corpus text is never streamed off disk
+    * per batch; the id set is bounded by the star-capped candidate
+    * count, batch-proportional by construction). The index GENERATION
+    * is resolved once per batch (the probe side pins its manifest
+    * snapshot at plan time), so a screen running concurrently with
+    * [[LshIndex.append]] answers each batch from one consistent
+    * generation and never tears between two.
+    *
+    * The screen only READS the index — verdicts for docs the index has
+    * not absorbed yet are "not a near-dup of the standing corpus",
+    * exactly q131's contract. Run [[curateCycle]] (or
+    * [[LshIndex.append]]) to absorb screened batches; the next
+    * micro-batch then probes the grown generation automatically.
+    *
+    * `corpus` is BY-NAME, re-evaluated once per micro-batch: a batch
+    * DataFrame pins its file listing at `spark.read` time, so a
+    * growing corpus dir passed as a pre-built frame would serve
+    * verification text from a stale snapshot (candidates of appended
+    * docs would silently drop out of the inner verify join). Pass the
+    * read expression itself for a live corpus; a val still works for
+    * a static one. */
+  def screenNearDups(docs: DataFrame, ix: LshIndex.Index,
+      corpus: => DataFrame, checkpointDir: String)
+      (emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val b = batch.select(col("doc_id"), col("text")).persist()
+        try {
+          if (b.limit(1).count() > 0)
+            emit(Dedup.indexProbeVerified(ix, b, corpus, pruneByIds = true),
+              batchId)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+  /** [[screenNearDups]] publishing into a verdict topic: one
+    * `near_dup` record per verified candidate pair at or above
+    * `minJaccard`, keyed by the probing doc_id with a JSON payload
+    * (corpus_id, n_shared_bands, jaccard). Exactly-once per
+    * micro-batch via the topic's txn markers (the
+    * [[graft.streaming.TopicStream.publishSinkExactlyOnce]] id
+    * discipline: checkpoint + persistent query id + epoch batch id),
+    * so a foreachBatch re-execution after a crash never double-writes
+    * a batch's verdicts. */
+  def screenNearDupsToTopic(docs: DataFrame, ix: LshIndex.Index,
+      corpus: => DataFrame, verdictTopic: graft.log.TopicLog,
+      checkpointDir: String, minJaccard: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sinkId = java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes("UTF-8")).toString.replace("-", "")
+    lazy val queryTag = graft.streaming.TopicStream
+      .persistentQueryId(verdictTopic.spark, checkpointDir)
+    screenNearDups(docs, ix, corpus, checkpointDir) { (verdicts, batchId) =>
+      verdictTopic.publishIdempotent(
+        verdicts.filter(col("jaccard") >= minJaccard)
+          .select(lit("near_dup").as("event"),
+            col("batch_id").cast("string").as("key"),
+            to_json(struct(col("corpus_id"), col("n_shared_bands"),
+              col("jaccard"))).as("message"),
+            current_timestamp().as("ts")),
+        s"ndscreen${sinkId}q${queryTag}b$batchId")
+      ()
+    }
+  }
+
   /** `spanTrim = true` (r9, verdict #9) inserts the Lee et al.
     * exact-substring REMOVAL action between exact dedup and the late
     * stages: duplicated anchored windows are cut from every

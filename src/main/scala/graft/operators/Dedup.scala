@@ -459,6 +459,74 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** The q131 verification pipeline against a standing [[LshIndex]]:
+    * probe candidates of `batch` vs the indexed corpus, exact-Jaccard-
+    * verified ON CANDIDATES ONLY. Returns (batch_id, corpus_id,
+    * n_shared_bands, n_batch, n_corpus, n_inter, jaccard), unordered
+    * — q131 is this plus an orderBy; the streaming near-dup screen
+    * runs it per micro-batch.
+    *
+    * Corpus-side cost: the index probe (one pruned read of the
+    * persisted star-capped probe table — no signature recompute, no
+    * corpus-wide aggregate) plus ONE candidate-pruned pass to shingle
+    * hashes. The pruning has two shapes:
+    *  - `pruneByIds = false` (batch gates): the corpus frame left-semi
+    *    joins the broadcast candidate id set — one corpus scan,
+    *    filtered before its only shuffle; right for large offline
+    *    batches where the candidate set may exceed driver comfort.
+    *  - `pruneByIds = true` (the per-micro-batch screen): candidate
+    *    corpus ids are COLLECTED (bounded by the star-capped candidate
+    *    set — batch-proportional by construction) and pushed into the
+    *    corpus scan as a literal IN predicate, so parquet footer
+    *    stats prune untouched row groups and a micro-batch never
+    *    streams the full corpus text off disk. Identical results.
+    *
+    * The batch's distinct shingle-hash set is the shared root of
+    * everything batch-side (signatures via the multiset-invariant min,
+    * sizes, intersection) — ckpt'd once; the candidate-corpus shingle
+    * set likewise feeds two consumers (the q93 discipline; without
+    * these pins the batch text tokenizes three times and the final
+    * verification join re-plans file scans at probe time —
+    * DedupReportPlanSpec pins both). */
+  def indexProbeVerified(ix: LshIndex.Index, batch: DataFrame,
+      corpus: DataFrame, pruneByIds: Boolean = false): DataFrame = {
+    val shB = ckpt(shingleHashes(batch))
+    val cand = ckpt(LshIndex.probeSignatures(ix,
+      minhashFromHashes(shB.select(col("doc_id"), col("h1")))))
+    val candDocs =
+      if (!pruneByIds)
+        corpus.join(
+          broadcast(cand.select(col("corpus_id").as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+      else {
+        val ids = cand.select(col("corpus_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (ids.isEmpty) corpus.limit(0)
+        else corpus.filter(col("doc_id").isin(ids: _*))
+      }
+    val shC = ckpt(shingleHashes(candDocs))
+    val cntB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_batch"))
+    val cntC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_corpus"))
+    val inter = cand
+      .join(shB.select(col("doc_id").as("batch_id"), col("h1"), col("h2")),
+        Seq("batch_id"))
+      .join(shC.select(col("doc_id").as("corpus_id"), col("h1"), col("h2")),
+        Seq("corpus_id", "h1", "h2"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(cntB.select(col("doc_id").as("batch_id"), col("n_batch")),
+        "batch_id")
+      .join(cntC.select(col("doc_id").as("corpus_id"), col("n_corpus")),
+        "corpus_id")
+      .join(inter, Seq("batch_id", "corpus_id"), "left")
+      .select(col("batch_id"), col("corpus_id"), col("n_shared_bands"),
+        col("n_batch"), col("n_corpus"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_batch") + col("n_corpus") - col("n_inter")), 6))
+  }
+
   /** Candidate pairs with the STAR-EMIT guard on oversized buckets.
     *
     * MinHash band keys are uniform for DISTINCT content, but exact
@@ -721,7 +789,7 @@ object Dedup {
     * re-fetched with edits (" v2" suffix — genuinely new content), and
     * the 10k+1 subset submitted TWICE under two ids (in-batch
     * duplicate). Mirrored in the oracle. */
-  private def recrawlBatch(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def recrawlBatch(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents")
     d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
@@ -1319,40 +1387,9 @@ object Dedup {
       val corpus = table(s, dir, "documents")
       val batch = recrawlBatch(s, dir)
       val ix = LshIndex.buildOrLoad(s, corpus, s"$dir/documents.parquet")
-      // The batch's DISTINCT shingle-hash set is the shared root of
-      // everything batch-side: signatures derive from it (min over the
-      // seeded family is multiset-invariant, so the distinct stream
-      // yields identical minhashes), the size count and the
-      // intersection join consume it directly. ckpt'd once — without
-      // the pin the batch text would tokenize THREE times (probe
-      // signatures, n_batch, intersection; measured 3×0.3 s at sf0.1).
-      // shC likewise feeds two consumers (n_corpus + intersection).
-      val shB = graft.GraftSession.ckpt(shingleHashes(batch))
-      val cand = graft.GraftSession.ckpt(LshIndex.probeSignatures(ix,
-        minhashFromHashes(shB.select(col("doc_id"), col("h1")))))
-      val candCorpus = cand.select(col("corpus_id").as("doc_id")).distinct()
-      val shC = graft.GraftSession.ckpt(shingleHashes(
-        corpus.join(broadcast(candCorpus), Seq("doc_id"), "left_semi")))
-      val cntB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_batch"))
-      val cntC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_corpus"))
-      val inter = cand
-        .join(shB.select(col("doc_id").as("batch_id"), col("h1"), col("h2")),
-          Seq("batch_id"))
-        .join(shC.select(col("doc_id").as("corpus_id"), col("h1"), col("h2")),
-          Seq("corpus_id", "h1", "h2"))
-        .groupBy(col("batch_id"), col("corpus_id"))
-        .agg(count(lit(1)).as("n_inter"))
-      cand
-        .join(cntB.select(col("doc_id").as("batch_id"), col("n_batch")),
-          "batch_id")
-        .join(cntC.select(col("doc_id").as("corpus_id"), col("n_corpus")),
-          "corpus_id")
-        .join(inter, Seq("batch_id", "corpus_id"), "left")
-        .select(col("batch_id"), col("corpus_id"), col("n_shared_bands"),
-          col("n_batch"), col("n_corpus"),
-          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
-        .withColumn("jaccard", round(col("n_inter").cast("double") /
-          (col("n_batch") + col("n_corpus") - col("n_inter")), 6))
+      // the verification body is shared with the live per-micro-batch
+      // screen (Curation.screenNearDups) — one code path for both faces
+      indexProbeVerified(ix, batch, corpus)
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
