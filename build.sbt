@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // At 32 threads the RocksDB/compression JNI critical sections starve
+  // tiny allocations into spurious OOMs (JDK-8192647; default retry 2).
+  // Run/Test fork, so these must live HERE — launcher-side -J flags
+  // never reach the app JVM.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=256",
 )

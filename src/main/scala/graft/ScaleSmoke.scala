@@ -95,14 +95,17 @@ object ScaleSmoke {
     // min-label arm's 33 rounds of edges⋈labels sort-merge joins OOM a
     // 16G heap roughly 1 run in 3 on this box; 20G has been reliable.
     // Failing HERE, deterministically, with the working recipe beats a
-    // random OOM 3 minutes into the phase:
-    //   sbt -mem 20480 -J-XX:+UnlockDiagnosticVMOptions \
-    //       -J-XX:GCLockerRetryAllocationCount=256 "runMain graft.ScaleSmoke"
+    // random OOM 3 minutes into the phase. `run` is FORKED — the app
+    // heap comes from build.sbt's -Xmx${SPARK_DRIVER_MEM:-8g}, NOT
+    // from launcher-side `sbt -mem`/-J flags (the GCLocker retry bump
+    // is baked into build.sbt javaOptions for the same reason):
+    //   SPARK_DRIVER_MEM=20g sbt -batch "runMain graft.ScaleSmoke"
     require(Runtime.getRuntime.maxMemory >= 17L * 1024 * 1024 * 1024,
       s"min-label CC A/B at 10M edges needs a ~20G heap (have " +
         s"${Runtime.getRuntime.maxMemory / (1024 * 1024 * 1024)}G) — " +
-        "run with: sbt -mem 20480 -J-XX:+UnlockDiagnosticVMOptions " +
-        "-J-XX:GCLockerRetryAllocationCount=256 \"runMain graft.ScaleSmoke\"")
+        "run with: SPARK_DRIVER_MEM=20g sbt -batch " +
+        "\"runMain graft.ScaleSmoke\" (run forks; sbt -mem does not " +
+        "reach the app JVM)")
     val pairEdges = spark.range(10000000L).select(
       when(expr("id div 32 % 2 = 0"), expr("id div 32 * 32"))   // star center
         .otherwise(expr("id div 32 * 32") + (col("id") % 32) - 1) // chain link
@@ -665,10 +668,56 @@ object ScaleSmoke {
       s"probe must scan ONLY the index: $ixScanPaths")
     val ixRowsScanned = ixScans
       .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
-    val ixProbeTableRows = lshIx.probeSide.count()
-    require(ixRowsScanned <= ixProbeTableRows + 1000,
+    // the probe scans the persisted band segments RAW and star-caps
+    // in-plan (map-side anti vs the broadcast hot list) — so the scan
+    // bound is the manifest's segment row total, not the post-cap
+    // probeSide count (which is ~hot-member rows smaller)
+    val ixSegRows = lshIx.currentManifest.segs.map(_.rows).sum
+    require(ixRowsScanned <= ixSegRows + 1000,
       s"probe scanned $ixRowsScanned rows — more than the " +
-        s"$ixProbeTableRows-row probe table (a corpus recompute leaked in)")
+        s"$ixSegRows persisted band-segment rows (a corpus recompute " +
+        "leaked in)")
+    // Streaming near-dup screen phase (r11, verdict ask #5): the same
+    // 20k-doc re-crawl delivered as TWO micro-batches through
+    // Curation.screenNearDups against the standing index — the live
+    // face of q131 at volume. Drained verdicts must cover exactly the
+    // direct probe's candidate pairs (pair-for-pair: same count, same
+    // re-post/novel hit split), each micro-batch paying batch-sized
+    // signature work + one pruned index read + a candidate-pruned
+    // corpus pass (never a full-corpus signature job).
+    val scrDir = Files.createTempDirectory("nd-screen-smoke").toString
+    incrBatch.filter(col("doc_id") < 950000L).coalesce(8)
+      .write.mode("append").parquet(s"$scrDir/src")
+    incrBatch.filter(col("doc_id") >= 950000L).coalesce(8)
+      .write.mode("append").parquet(s"$scrDir/src")
+    val scrPairs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val scrCopies = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val scrNovel = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val scrBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    t0 = System.nanoTime()
+    val scrStream = spark.readStream.schema(incrBatch.schema)
+      .option("maxFilesPerTrigger", "8").parquet(s"$scrDir/src")
+    val scrQ = graft.operators.Curation.screenNearDups(scrStream, lshIx,
+        cdcCorpus, s"$scrDir/ckpt") { (v, _) =>
+      v.select(col("batch_id")).collect().foreach { r =>
+        val b = r.getLong(0)
+        if (b < 950000L) scrCopies.add(b) else scrNovel.add(b)
+        scrPairs.incrementAndGet()
+        ()
+      }
+      scrBatches.incrementAndGet()
+      ()
+    }
+    try scrQ.processAllAvailable() finally scrQ.stop()
+    val screenSec = (System.nanoTime() - t0) / 1e9
+    require(scrBatches.get() >= 2,
+      s"screen must see multiple micro-batches: ${scrBatches.get()}")
+    require(scrPairs.get() == incrPairs &&
+        scrCopies.size.toLong == copiesHit &&
+        scrNovel.size.toLong == novelHit,
+      s"drained screen must equal the direct probe: got " +
+        s"(${scrPairs.get()}, ${scrCopies.size}, ${scrNovel.size}), " +
+        s"want ($incrPairs, $copiesHit, $novelHit)")
     // O(batch) append phase (r11, verdict ask #1's "Done" bar): the
     // index survives publishes at BATCH-SIZED maintenance cost —
     // signatures and one band/kc segment are computed for the new docs
@@ -868,6 +917,8 @@ object ScaleSmoke {
       f""""lsh_index_build_sec":$ixBuildSec%.2f,""" +
       f""""lsh_index_probe_sec":$ixProbeSec%.2f,""" +
       f""""lsh_index_probe_rows_scanned":$ixRowsScanned,""" +
+      f""""nd_screen_sec":$screenSec%.2f,""" +
+      f""""nd_screen_batches":${scrBatches.get()},""" +
       f""""lsh_index_append_new_sec":$ixAppendNewSec%.2f,""" +
       f""""lsh_index_append_new_rows_read":$ixAppendNewRows,""" +
       f""""lsh_index_append_sec":$ixAppendSec%.2f,""" +

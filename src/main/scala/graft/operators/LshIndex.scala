@@ -28,6 +28,12 @@ import graft.log.FsLease
   *    k2). Each append adds one batch-sized segment; existing segments
   *    are carried forward BY REFERENCE, never rewritten — the r10
   *    O(index)-per-append probe rewrite is gone by construction.
+  *    Segment count is bounded by SIZE-TIERED compaction (the LSM
+  *    discipline — [[TierFactor]]): when [[MergeAt]] segments share a
+  *    size class they merge into one, so appends pay O(batch × log
+  *    index) amortized compaction and the standing big segment is only
+  *    rewritten when the appended volume genuinely reaches its size
+  *    class — never "every Nth append rewrites the index".
   *  - `seg-N/kc/` — per-segment key counts (band, k1, k2, bn, anchor):
   *    exact (count, min-doc_id) of that segment's docs alone. Summing
   *    a key across segments gives its exact corpus count; consulted
@@ -95,18 +101,36 @@ object LshIndex {
     * warm-list size and per-batch risky keys (see the scaladoc). */
   private val WarmFactor = 2 * 20 * Dedup.BANDS
 
-  /** Merge band/kc segments into one when an append would exceed this
-    * many — bounds per-probe file listings at O(1) amortized
-    * O(index / CompactAt) rewrite cost per append. */
-  private val CompactAt = 32
+  /** Size-tiered segment compaction (the LSM discipline): a segment's
+    * TIER is log_[[TierFactor]] of its band-row count (tier 0 holds
+    * segments under [[TierBase]] rows); when [[MergeAt]] segments share
+    * a tier they merge into one (which lands one tier up once it
+    * outgrows the band). Segment count is bounded by MergeAt × #tiers
+    * = O(log index), and — unlike the old merge-EVERYTHING-at-32
+    * policy, whose every 32nd append paid a full O(index) rewrite —
+    * each band row is rewritten at most ~MergeAt times per tier it
+    * climbs, so compaction work is O(batch × log index) amortized per
+    * append and a single append never rewrites more than one tier's
+    * worth of segments. The standing big segment is only ever touched
+    * when MergeAt siblings REACH its tier — i.e. when the appended
+    * volume has genuinely grown to its size class. */
+  private val TierFactor = 8
+  private val TierBase = 256L
+  private val MergeAt = 8
 
   /** Exact per-key stats: member count and min-doc_id anchor. */
   final case class KeyStat(band: Int, k1: Long, k2: Long, bn: Long, anchor: Long)
 
+  /** One band/kc segment: its dir name and band-row count (the
+    * tiering key — exact by construction: fresh segments count their
+    * batch, merges sum their parts; a legacy manifest line without a
+    * count reads as MaxValue, i.e. top tier, never merged). */
+  final case class SegInfo(name: String, rows: Long)
+
   /** One generation's published state. `warm` carries exact stats for
     * every key above the warm ratio (< [[WarmFactor]] entries). */
   final case class Manifest(gen: Long, sigRows: Long, sigDir: String,
-      fingerprint: String, segs: Seq[String], warm: Seq[KeyStat]) {
+      fingerprint: String, segs: Seq[SegInfo], warm: Seq[KeyStat]) {
     def tot: Long = sigRows * Dedup.BANDS
     /** The star-cap set, derived from warm (hot ⊆ warm by the 2×
       * ratio margin): the catalog cap rule, evaluated exactly. */
@@ -125,7 +149,7 @@ object LshIndex {
       * segments (diagnostics / verification; probes never run it). */
     def keyCounts: DataFrame = {
       val m = currentManifest
-      m.segs.map(sg => spark.read.parquet(s"$path/$sg/kc"))
+      m.segs.map(sg => spark.read.parquet(s"$path/${sg.name}/kc"))
         .reduce(_.unionByName(_))
         .groupBy(col("band"), col("k1"), col("k2"))
         .agg(sum(col("bn")).as("bn"), min(col("anchor")).as("anchor"))
@@ -210,7 +234,7 @@ object LshIndex {
     sb.append(s"sigRows ${m.sigRows}\n")
     sb.append(s"sigDir ${m.sigDir}\n")
     sb.append(s"fingerprint ${m.fingerprint}\n")
-    m.segs.foreach(sg => sb.append(s"seg $sg\n"))
+    m.segs.foreach(sg => sb.append(s"seg ${sg.name} ${sg.rows}\n"))
     m.warm.foreach(w =>
       sb.append(s"warm ${w.band} ${w.k1} ${w.k2} ${w.bn} ${w.anchor}\n"))
     sb.append("end\n") // truncation sentinel: a torn manifest never parses
@@ -230,7 +254,7 @@ object LshIndex {
           lines.last != "end") None
       else {
         var g = -1L; var rows = -1L; var sigDir = "signatures"; var fp = "-"
-        val segs = Seq.newBuilder[String]
+        val segs = Seq.newBuilder[SegInfo]
         val warm = Seq.newBuilder[KeyStat]
         lines.tail.dropRight(1).foreach { ln =>
           val p = ln.split(" ")
@@ -239,7 +263,8 @@ object LshIndex {
             case "sigRows" => rows = p(1).toLong
             case "sigDir" => sigDir = p(1)
             case "fingerprint" => fp = p(1)
-            case "seg" => segs += p(1)
+            case "seg" => segs += SegInfo(p(1),
+              if (p.length > 2) p(2).toLong else Long.MaxValue)
             case "warm" => warm += KeyStat(p(1).toInt, p(2).toLong,
               p(3).toLong, p(4).toLong, p(5).toLong)
             case _ => () // forward-compatible: ignore unknown keys
@@ -424,7 +449,8 @@ object LshIndex {
       .collect().map(rowToKeyStat).toSeq
     val fp = if (fingerprint.nonEmpty) fingerprint
       else prev.map(_.fingerprint).getOrElse("-")
-    val m = Manifest(gen, distinctN, sigDir, fp, Seq(segName), warm)
+    val m = Manifest(gen, distinctN, sigDir, fp,
+      Seq(SegInfo(segName, tot)), warm)
     publish(spark, path, m, prev)
     m
   }
@@ -466,7 +492,7 @@ object LshIndex {
     writeManifest(spark, path, m)
     writeMarkerFile(spark, path, m.gen)
     val live: Set[String] =
-      (m.segs ++ prev.toSeq.flatMap(_.segs)).toSet +
+      (m.segs.map(_.name) ++ prev.toSeq.flatMap(_.segs.map(_.name))).toSet +
         m.sigDir ++ prev.map(_.sigDir) + "signatures"
     try {
       f.listStatus(new Path(path)).foreach { st =>
@@ -538,8 +564,8 @@ object LshIndex {
         val kcB = spark.read.parquet(s"$path/$segName/kc")
         val batchBands = freshN * Dedup.BANDS
         val totNew = (m0.sigRows + freshN) * Dedup.BANDS
-        def kcUnion(segs: Seq[String]): DataFrame =
-          segs.map(sg => spark.read.parquet(s"$path/$sg/kc"))
+        def kcUnion(segs: Seq[SegInfo]): DataFrame =
+          segs.map(sg => spark.read.parquet(s"$path/${sg.name}/kc"))
             .reduce(_.unionByName(_))
 
         // Below ~2,560 docs the whole key-count table is smaller than
@@ -549,7 +575,7 @@ object LshIndex {
         // soundness argument relies on.
         val warmNew: Seq[KeyStat] =
           if (totNew < 64L * WarmFactor)
-            kcUnion(m0.segs :+ segName)
+            kcUnion(m0.segs :+ SegInfo(segName, batchBands))
               .groupBy(col("band"), col("k1"), col("k2"))
               .agg(sum(col("bn")).as("bn"), min(col("anchor")).as("anchor"))
               .filter(col("bn") * lit(WarmFactor) > lit(totNew))
@@ -606,7 +632,7 @@ object LshIndex {
                 val lookup = risky.filter(k =>
                   candidates.contains((k.band, k.k1, k.k2)))
                 if (lookup.isEmpty) Seq.empty
-                else kcUnion(m0.segs :+ segName)
+                else kcUnion(m0.segs :+ SegInfo(segName, batchBands))
                   .join(broadcast(keysDf(spark, lookup)),
                     Seq("band", "k1", "k2"), "left_semi")
                   .groupBy(col("band"), col("k1"), col("k2"))
@@ -617,30 +643,70 @@ object LshIndex {
           }
         val warmKept = warmNew.filter(w => w.bn * WarmFactor > totNew)
 
-        // segment compaction: amortized O(index / CompactAt) per append
-        val segsAll = m0.segs :+ segName
-        val segsFinal =
-          if (segsAll.size <= CompactAt) segsAll
-          else {
-            val cName = s"seg-${gen}c"
-            f.delete(new Path(s"$path/$cName"), true)
-            segsAll.map(sg => spark.read.parquet(s"$path/$sg/bands"))
-              .reduce(_.unionByName(_))
-              .repartitionByRange(col("band"), col("k1"), col("k2"))
-              .sortWithinPartitions("band", "k1", "k2")
-              .write.parquet(s"$path/$cName/bands")
-            writeKc(kcUnion(segsAll)
-              .groupBy(col("band"), col("k1"), col("k2"))
-              .agg(sum(col("bn")).as("bn"), min(col("anchor")).as("anchor")),
-              s"$path/$cName/kc", wide = true)
-            Seq(cName)
-          }
+        // size-tiered segment compaction — see [[TierFactor]]'s doc:
+        // merges only within a full size class, so one append's
+        // rewrite work is bounded by that class, never the index
+        val segsFinal = compactTiers(spark, path, gen,
+          m0.segs :+ SegInfo(segName, batchBands))
 
         publish(spark, path, Manifest(gen, m0.sigRows + freshN, m0.sigDir,
           m0.fingerprint, segsFinal, warmKept), Some(m0))
       }
     }
     index
+  }
+
+  // ------------------------------------------------------- compaction
+
+  private def tierOf(rows: Long): Int = {
+    var t = 0
+    var r = rows / TierBase
+    while (r > 0) { t += 1; r /= TierFactor }
+    t
+  }
+
+  /** Size-tiered merge: while any tier holds ≥ [[MergeAt]] segments,
+    * merge that tier's MergeAt smallest into one (lowest tier first —
+    * a merge can push its output a tier up and cascade). Must hold the
+    * writer lease; merged dirs are retired by the following publish
+    * (the previous manifest still references them for one generation,
+    * so in-flight probes are undisturbed). Band rows land key-sorted
+    * like the build path, so merged segments row-group-prune exactly
+    * like a from-scratch segment. */
+  private def compactTiers(spark: SparkSession, path: String, gen: Long,
+      segs0: Seq[SegInfo]): Seq[SegInfo] = {
+    val f = fs(spark, path)
+    var segs = segs0
+    var round = 0
+    var again = true
+    while (again) {
+      again = false
+      segs.groupBy(s => tierOf(s.rows)).toSeq.sortBy(_._1)
+        .find(_._2.size >= MergeAt).foreach { case (_, members) =>
+          val pick = members.sortBy(_.rows).take(MergeAt)
+          val name = s"seg-${gen}m$round"
+          round += 1
+          val rows = pick.map(_.rows).sum
+          f.delete(new Path(s"$path/$name"), true) // crashed-merge orphan
+          val bands = pick
+            .map(p => spark.read.parquet(s"$path/${p.name}/bands"))
+            .reduce(_.unionByName(_))
+          (if (rows > 100000L)
+            bands.repartitionByRange(col("band"), col("k1"), col("k2"))
+          else bands.coalesce(1))
+            .sortWithinPartitions("band", "k1", "k2")
+            .write.parquet(s"$path/$name/bands")
+          writeKc(pick
+            .map(p => spark.read.parquet(s"$path/${p.name}/kc"))
+            .reduce(_.unionByName(_))
+            .groupBy(col("band"), col("k1"), col("k2"))
+            .agg(sum(col("bn")).as("bn"), min(col("anchor")).as("anchor")),
+            s"$path/$name/kc", wide = rows > 100000L)
+          segs = segs.filterNot(pick.contains) :+ SegInfo(name, rows)
+          again = true
+        }
+    }
+    segs
   }
 
   /** Record candidate pairs found by a probe/self-join cycle into the
@@ -673,7 +739,7 @@ object LshIndex {
 
   private def probeSideFor(ix: Index, m: Manifest): DataFrame = {
     val bandRows = m.segs
-      .map(sg => ix.spark.read.parquet(s"${ix.path}/$sg/bands"))
+      .map(sg => ix.spark.read.parquet(s"${ix.path}/${sg.name}/bands"))
       .reduce(_.unionByName(_))
     val hot = m.hot
     if (hot.isEmpty) bandRows

@@ -188,6 +188,44 @@ class LshIndexSpec extends AnyFunSuite {
       probeSet(LshIndex.probe(rebuilt, batch)))
   }
 
+  test("tiered compaction: many small appends stay bounded, standing segment untouched") {
+    // 35 × 4-doc appends onto a 200-doc index. Size-tiered compaction
+    // must (a) keep the segment count O(log index) — not 36 — while
+    // (b) NEVER rewriting the standing 800-band-row segment (its size
+    // class is never reached by the small merges; the old
+    // merge-everything-at-32 policy would have rewritten it on append
+    // #32), and (c) answering byte-identically to a full rebuild.
+    val dir = Files.createTempDirectory("lshix").toString
+    val standing = docs((0L until 200L).map(i => i ->
+      s"standing document number $i with vocabulary ${i * 31} and ${i * 97} tail"): _*)
+    val ix = LshIndex.build(standing, s"$dir/ix")
+    val segBefore = new java.io.File(s"$dir/ix/seg-1f/bands").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    var all = standing
+    for (i <- 0 until 35) {
+      val batch = docs((0L until 4L).map(j => (10000L + i * 10 + j) ->
+        s"appended batch $i doc $j about ${i * 13 + j} lighthouses and ${i * 7 + j} storms"): _*)
+      all = all.unionByName(batch)
+      LshIndex.append(ix, batch, assumeNew = true)
+    }
+    val m = ix.currentManifest
+    assert(m.segs.size <= 14,
+      s"tiering must bound segments, got ${m.segs.size}: ${m.segs}")
+    assert(new java.io.File(s"$dir/ix/seg-1f/bands").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet == segBefore,
+      "small-tier merges must never rewrite the standing segment")
+    // exact segment row accounting survives the merges
+    assert(m.segs.map(_.rows).sum == (200L + 140L) * 4L)
+    assert(ix.keyCounts.agg(sum(col("bn"))).collect().head.getLong(0) ==
+      (200L + 140L) * 4L)
+    // and the tiered index answers like a from-scratch build
+    val rebuilt = LshIndex.build(all, s"$dir/rebuilt")
+    val probe = docs(9000L ->
+      "appended batch 7 doc 2 about 93 lighthouses and 51 storms")
+    assert(probeSet(LshIndex.probe(ix, probe)) ==
+      probeSet(LshIndex.probe(rebuilt, probe)))
+  }
+
   test("dup-heavy append: risky-key path keeps the warm list exact") {
     // Standing corpus: 200 distinct docs. Append: 120 copies of ONE
     // text — its band keys hold >1/160 of the batch's bands (risky)
