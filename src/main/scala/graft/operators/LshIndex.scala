@@ -122,9 +122,10 @@ object LshIndex {
   final case class KeyStat(band: Int, k1: Long, k2: Long, bn: Long, anchor: Long)
 
   /** One band/kc segment: its dir name and band-row count (the
-    * tiering key — exact by construction: fresh segments count their
-    * batch, merges sum their parts; a legacy manifest line without a
-    * count reads as MaxValue, i.e. top tier, never merged). */
+    * tiering and weighted-pigeonhole key — exact by construction:
+    * fresh segments count their batch, merges sum their parts; a
+    * legacy manifest line without a count fails the parse and the
+    * index re-derives once). */
   final case class SegInfo(name: String, rows: Long)
 
   /** One generation's published state. `warm` carries exact stats for
@@ -263,15 +264,21 @@ object LshIndex {
             case "sigRows" => rows = p(1).toLong
             case "sigDir" => sigDir = p(1)
             case "fingerprint" => fp = p(1)
+            // a count-less seg line (pre-tiering manifest) parses as
+            // rows = -1, which fails the completeness check below —
+            // the index then re-derives once under the lease (cheap
+            // one-time upgrade; MaxValue sentinels would instead leak
+            // into the tier/pigeonhole arithmetic and overflow)
             case "seg" => segs += SegInfo(p(1),
-              if (p.length > 2) p(2).toLong else Long.MaxValue)
+              if (p.length > 2) p(2).toLong else -1L)
             case "warm" => warm += KeyStat(p(1).toInt, p(2).toLong,
               p(3).toLong, p(4).toLong, p(5).toLong)
             case _ => () // forward-compatible: ignore unknown keys
           }
         }
-        if (g == gen && rows >= 0) Some(Manifest(g, rows, sigDir, fp,
-          segs.result(), warm.result()))
+        val sgs = segs.result()
+        if (g == gen && rows >= 0 && sgs.forall(_.rows >= 0))
+          Some(Manifest(g, rows, sigDir, fp, sgs, warm.result()))
         else None
       }
     } catch { case _: java.io.IOException => None }
@@ -601,13 +608,18 @@ object LshIndex {
             // the class scaladoc). A batch smaller than WarmFactor
             // bands makes every touched key nominally risky, so the
             // lookup is TWO-PHASE to stay sub-index:
-            //  1. candidates: keys with a per-segment count ≥
-            //     ceil((lo+1)/nSegs) where lo = totNew/WarmFactor −
-            //     max batch share — by pigeonhole any key whose
-            //     standing total exceeds lo clears that bar in at
-            //     least one segment. The filter pushes to the
-            //     bn-desc-sorted kc parquet, so clean segments are
-            //     skipped on footer stats alone (rows read: zero).
+            //  1. candidates: WEIGHTED pigeonhole (r11 — robust to
+            //     tiering's larger segment counts): a key with
+            //     standing total ≥ lo+1 over R total band rows must
+            //     hold count ≥ ceil((lo+1)·rows_i/R) in SOME segment i
+            //     (if every share were below its weighted bar the sum
+            //     would fall short of lo+1). Each segment gets its own
+            //     bar ∝ its size — near-exact pruning on the big
+            //     standing segment, where the old uniform
+            //     ceil((lo+1)/nSegs) bar collapsed toward 1 as tiering
+            //     multiplies nSegs. Filters push to the bn-desc-sorted
+            //     kc parquet, so clean segments are skipped on footer
+            //     stats alone (rows read: zero).
             //  2. exact totals (all segments, keyed semi-join) only
             //     for risky ∩ candidates — near-hot keys genuinely
             //     being crossed, normally none.
@@ -620,10 +632,14 @@ object LshIndex {
               if (risky.isEmpty) Seq.empty
               else {
                 val lo = totNew / WarmFactor - risky.map(_.bn).max
-                val nSegs = m0.segs.size.toLong
-                val perSeg = math.max(1L, (lo + nSegs) / nSegs) // ceil((lo+1)/n)
-                val candidates = kcUnion(m0.segs)
-                  .filter(col("bn") >= lit(perSeg))
+                val totStanding = math.max(1L, m0.segs.map(_.rows).sum)
+                val candidates = m0.segs.map { sg =>
+                    val bar = math.max(1L,
+                      ((lo + 1L) * sg.rows + totStanding - 1L) / totStanding)
+                    spark.read.parquet(s"$path/${sg.name}/kc")
+                      .filter(col("bn") >= lit(bar))
+                  }
+                  .reduce(_.unionByName(_))
                   .join(broadcast(keysDf(spark, risky)),
                     Seq("band", "k1", "k2"), "left_semi")
                   .select(col("band"), col("k1"), col("k2"))

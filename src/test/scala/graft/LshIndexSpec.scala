@@ -253,6 +253,41 @@ class LshIndexSpec extends AnyFunSuite {
     assert(ix.probeSide.count() < 1300L)
   }
 
+  test("dup-heavy append onto a MULTI-segment index: weighted pigeonhole stays exact") {
+    // The risky-key candidate scan bars each segment at
+    // ceil((lo+1)·rows_i/R) — the weighted pigeonhole. Build a
+    // standing index of UNEVEN segments (one big build + two small
+    // appends, sizes differing by >30×), then append a viral batch
+    // whose keys cross the hot rule. The grown index must star-cap
+    // exactly like a from-scratch build over everything — wrong
+    // per-segment bars would either miss a crossing key (under-cap:
+    // probe fans out) or cost nothing visible, so equality on the
+    // capped probe is the sharp assert.
+    val dir = Files.createTempDirectory("lshix").toString
+    val standing = docs((0L until 200L).map(i => i ->
+      s"standing document number $i with vocabulary ${i * 31} and ${i * 97} tail"): _*)
+    val extraA = docs((300L until 306L).map(i => i ->
+      s"first extra append doc $i about ${i * 7} gardens and ${i * 3} rivers"): _*)
+    val extraB = docs((400L until 406L).map(i => i ->
+      s"second extra append doc $i about ${i * 11} bridges and ${i * 5} storms"): _*)
+    val ix = LshIndex.build(standing, s"$dir/ix")
+    LshIndex.append(ix, extraA, assumeNew = true)
+    LshIndex.append(ix, extraB, assumeNew = true)
+    assert(ix.currentManifest.segs.size >= 2,
+      s"precondition: uneven multi-segment index, got ${ix.currentManifest.segs}")
+    val viralBatch = docs((0L until 120L).map(i => (5000L + i) -> base): _*)
+    LshIndex.append(ix, viralBatch)
+    val rebuilt = LshIndex.build(
+      standing.unionByName(extraA).unionByName(extraB).unionByName(viralBatch),
+      s"$dir/rebuilt")
+    val probe = docs(9000L -> base)
+    val got = probeSet(LshIndex.probe(ix, probe))
+    assert(got == probeSet(LshIndex.probe(rebuilt, probe)),
+      s"multi-segment grown star-cap diverged from full rebuild: $got")
+    assert(got.size == 1 && got.head._2 == 5000L,
+      s"viral bucket must enter through its min-doc_id anchor: $got")
+  }
+
   test("concurrent appenders serialize under the lease; prober never breaks") {
     // r10 verdict ask #2's done bar: two racing appends (threads) ->
     // both batches present exactly once, generation sequence has no
