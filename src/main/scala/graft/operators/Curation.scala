@@ -119,10 +119,8 @@ object Curation {
       corpus: => DataFrame, verdictTopic: graft.log.TopicLog,
       checkpointDir: String, minJaccard: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val sinkId = java.util.UUID.nameUUIDFromBytes(
-      checkpointDir.getBytes("UTF-8")).toString.replace("-", "")
-    lazy val queryTag = graft.streaming.TopicStream
-      .persistentQueryId(verdictTopic.spark, checkpointDir)
+    val mint = graft.streaming.TopicStream
+      .txnIdMinter(verdictTopic.spark, checkpointDir)
     screenNearDups(docs, ix, corpus, checkpointDir) { (verdicts, batchId) =>
       verdictTopic.publishIdempotent(
         verdicts.filter(col("jaccard") >= minJaccard)
@@ -131,7 +129,7 @@ object Curation {
             to_json(struct(col("corpus_id"), col("n_shared_bands"),
               col("jaccard"))).as("message"),
             current_timestamp().as("ts")),
-        s"ndscreen${sinkId}q${queryTag}b$batchId")
+        mint("ndscreen", batchId))
       ()
     }
   }

@@ -475,11 +475,13 @@ object Dedup {
     *    filtered before its only shuffle; right for large offline
     *    batches where the candidate set may exceed driver comfort.
     *  - `pruneByIds = true` (the per-micro-batch screen): candidate
-    *    corpus ids are COLLECTED (bounded by the star-capped candidate
-    *    set — batch-proportional by construction) and pushed into the
-    *    corpus scan as a literal IN predicate, so parquet footer
-    *    stats prune untouched row groups and a micro-batch never
-    *    streams the full corpus text off disk. Identical results.
+    *    corpus ids are COLLECTED — capped at 10k, the normal
+    *    micro-batch regime — and pushed into the corpus scan as a
+    *    literal IN predicate, so parquet footer stats prune untouched
+    *    row groups and a micro-batch never streams the full corpus
+    *    text off disk. Beyond the cap (a batch hitting warm-but-not-
+    *    hot buckets, whose fan-out is corpus- not batch-proportional)
+    *    it falls back to the semi-join shape. Identical results.
     *
     * The batch's distinct shingle-hash set is the shared root of
     * everything batch-side (signatures via the multiset-invariant min,
@@ -493,6 +495,14 @@ object Dedup {
     val shB = ckpt(shingleHashes(batch))
     val cand = ckpt(LshIndex.probeSignatures(ix,
       minhashFromHashes(shB.select(col("doc_id"), col("h1")))))
+    // The literal-IN path's id set is NOT bounded by the star-cap
+    // alone: only keys above the hot rule (bn > tot/(20·BANDS)) are
+    // capped, so a batch doc landing in a warm-but-not-hot bucket can
+    // fan out up to ~tot/80 candidate ids — corpus-proportional, not
+    // batch-proportional. Cap the driver collect and fall back to the
+    // broadcast semi-join beyond it (same answer, one corpus pass) so
+    // an adversarial micro-batch can never OOM a long-running screen.
+    val maxLiteralIds = 10000
     val candDocs =
       if (!pruneByIds)
         corpus.join(
@@ -500,8 +510,13 @@ object Dedup {
           Seq("doc_id"), "left_semi")
       else {
         val ids = cand.select(col("corpus_id")).distinct()
+          .limit(maxLiteralIds + 1)
           .collect().map(_.getLong(0)).toSeq
         if (ids.isEmpty) corpus.limit(0)
+        else if (ids.size > maxLiteralIds)
+          corpus.join(
+            broadcast(cand.select(col("corpus_id").as("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi")
         else corpus.filter(col("doc_id").isin(ids: _*))
       }
     val shC = ckpt(shingleHashes(candDocs))

@@ -205,23 +205,44 @@ object TopicStream {
     * at-least-once — the safe direction. */
   def publishSinkExactlyOnce(records: DataFrame, topic: TopicLog,
       checkpointDir: String): DataStreamWriter[Row] = {
-    val sinkId = java.util.UUID.nameUUIDFromBytes(
-      checkpointDir.getBytes("UTF-8")).toString.replace("-", "")
-    // resolved lazily on the first batch: the metadata file is written
-    // at query START, before any foreachBatch invocation runs
-    lazy val queryTag = persistentQueryId(topic.spark, checkpointDir)
+    val mint = txnIdMinter(topic.spark, checkpointDir)
     records.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         // legacy (pre-queryTag) marker probe — see UPGRADE MIGRATION
-        if (!topic.hasTxnMarker(s"sink${sinkId}b$batchId"))
+        if (!topic.hasTxnMarker(mint.legacy("sink", batchId)))
           topic.publishIdempotent(
             batch.select(col("event"), col("key"), col("message"), col("ts")),
-            s"sink${sinkId}q${queryTag}b$batchId")
+            mint("sink", batchId))
         ()
       }
   }
+
+  /** The ONE txn-id minting discipline for every foreachBatch sink
+    * that publishes into a topic exactly-once (shared so a future
+    * change to the scheme — like the UPGRADE MIGRATION above — lands
+    * everywhere at once): `<prefix><sinkId>q<queryTag>b<batchId>`,
+    * where sinkId derives from the checkpoint location and queryTag
+    * from the query's PERSISTENT id (resolved lazily on first use —
+    * the metadata file is written at query start, before any
+    * foreachBatch runs; see [[publishSinkExactlyOnce]]'s scaladoc for
+    * why the query id must participate). */
+  private[graft] final class TxnIdMinter(spark: SparkSession,
+      checkpointDir: String) {
+    private val sinkId = java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes("UTF-8")).toString.replace("-", "")
+    private lazy val queryTag = persistentQueryId(spark, checkpointDir)
+    def apply(prefix: String, batchId: Long): String =
+      s"$prefix${sinkId}q${queryTag}b$batchId"
+    /** The pre-queryTag id shape — probe-only, for mid-stream upgrades. */
+    def legacy(prefix: String, batchId: Long): String =
+      s"$prefix${sinkId}b$batchId"
+  }
+
+  private[graft] def txnIdMinter(spark: SparkSession,
+      checkpointDir: String): TxnIdMinter =
+    new TxnIdMinter(spark, checkpointDir)
 
   /** The streaming query's persistent id, read from the
     * `<checkpoint>/metadata` file Spark writes at query start (same id
