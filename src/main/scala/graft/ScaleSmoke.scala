@@ -690,7 +690,12 @@ object ScaleSmoke {
       .write.mode("append").parquet(s"$scrDir/src")
     incrBatch.filter(col("doc_id") >= 950000L).coalesce(8)
       .write.mode("append").parquet(s"$scrDir/src")
-    val scrPairs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // every counter is a dedup SET keyed by what the row identifies —
+    // a retried/re-executed micro-batch (task failure, speculative
+    // re-run) re-delivers the same verdict rows, and a raw counter
+    // would double-count them and spuriously fail the equality below
+    // (r11 ADVICE)
+    val scrPairs = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
     val scrCopies = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val scrNovel = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val scrBatches = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -699,10 +704,10 @@ object ScaleSmoke {
       .option("maxFilesPerTrigger", "8").parquet(s"$scrDir/src")
     val scrQ = graft.operators.Curation.screenNearDups(scrStream, lshIx,
         cdcCorpus, s"$scrDir/ckpt") { (v, _) =>
-      v.select(col("batch_id")).collect().foreach { r =>
+      v.select(col("batch_id"), col("corpus_id")).collect().foreach { r =>
         val b = r.getLong(0)
         if (b < 950000L) scrCopies.add(b) else scrNovel.add(b)
-        scrPairs.incrementAndGet()
+        scrPairs.add((b, r.getLong(1)))
         ()
       }
       scrBatches.incrementAndGet()
@@ -712,11 +717,11 @@ object ScaleSmoke {
     val screenSec = (System.nanoTime() - t0) / 1e9
     require(scrBatches.get() >= 2,
       s"screen must see multiple micro-batches: ${scrBatches.get()}")
-    require(scrPairs.get() == incrPairs &&
+    require(scrPairs.size.toLong == incrPairs &&
         scrCopies.size.toLong == copiesHit &&
         scrNovel.size.toLong == novelHit,
       s"drained screen must equal the direct probe: got " +
-        s"(${scrPairs.get()}, ${scrCopies.size}, ${scrNovel.size}), " +
+        s"(${scrPairs.size}, ${scrCopies.size}, ${scrNovel.size}), " +
         s"want ($incrPairs, $copiesHit, $novelHit)")
     // O(batch) append phase (r11, verdict ask #1's "Done" bar): the
     // index survives publishes at BATCH-SIZED maintenance cost —

@@ -27,12 +27,34 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Unlike the topic lock there is no sidecar to reconcile on a stale
   * break — callers pass `onStaleBreak` when breaking a dead holder's
   * lock must first repair the artifact it was mid-way through writing
-  * (the LshIndex passes its signature-watermark repair).
+  * BEFORE the break frees other waiters to build on it. The LshIndex
+  * deliberately passes NONE: its repair runs post-acquisition
+  * (`validatedManifestLocked` re-checks the signature watermark as
+  * the first act under any fresh lease), which covers the stale-break
+  * path and every other entry equally — LshIndexSpec's stale-lock
+  * test pins that a broken dead holder's half-written state is
+  * repaired by the breaker before it appends.
+  *
+  * A stale break means a SLOW holder may still be alive (GC pause, FS
+  * hang past the staleness floor) and now believes it holds a lock it
+  * lost. [[FsLease.Held.stillHeld]] is the fence: re-read the lock
+  * token immediately before the irreversible step (the LshIndex
+  * checks it before its generation-marker rename) and abort if the
+  * token is no longer ours. `release()` is likewise a compare-and-
+  * delete on the token, so a fenced-out holder can never free the
+  * thief's lock on its way out.
   */
 final class FsLease(fs: FileSystem, lockPath: Path,
     leaseMs: Long = 5 * 60 * 1000L, onStaleBreak: () => Unit = () => ()) {
 
   private def staleAfterMs: Long = math.max(leaseMs, 2 * TopicLog.RenewalCapMs)
+
+  /** The observer-side staleness floor this instance judges other
+    * holders by — exposed so callers that approximate "is a writer
+    * alive" from the lock mtime alone use the SAME window as the
+    * lease itself (a divergent hardcoded window could judge a live,
+    * renewing holder dead). */
+  def staleAfterMillis: Long = staleAfterMs
 
   private def tryCreate(token: String): Boolean =
     if (fs.getScheme == "file") {
@@ -90,13 +112,17 @@ final class FsLease(fs: FileSystem, lockPath: Path,
           s"timed out after ${waitMs}ms waiting for lease on $lockPath")
       else Thread.sleep(25)
     }
-    new FsLease.Held(fs, lockPath, leaseMs)
+    new FsLease.Held(fs, lockPath, leaseMs, token)
   }
 
   /** Run `body` under the lease, releasing on all paths. */
-  def withLease[T](body: => T): T = {
+  def withLease[T](body: => T): T = withLeaseHeld(_ => body)
+
+  /** [[withLease]] handing `body` the [[FsLease.Held]] handle, for
+    * callers that fence an irreversible step on [[FsLease.Held.stillHeld]]. */
+  def withLeaseHeld[T](body: FsLease.Held => T): T = {
     val held = acquire()
-    try body finally held.release()
+    try body(held) finally held.release()
   }
 }
 
@@ -106,7 +132,8 @@ object FsLease {
     * in which a waiter's create-if-absent succeeds → two holders).
     * Stop signalling is a latch, not interruption — Hadoop's local-FS
     * calls can swallow the interrupt flag. */
-  final class Held private[log] (fs: FileSystem, lockPath: Path, leaseMs: Long) {
+  final class Held private[log] (fs: FileSystem, lockPath: Path,
+      leaseMs: Long, token: String) {
     private val done = new java.util.concurrent.CountDownLatch(1)
     private val t = new Thread(() => {
       val interval =
@@ -119,9 +146,27 @@ object FsLease {
     t.setDaemon(true)
     t.setName(s"graft-lease-renewal-$lockPath")
     t.start()
+
+    private def tokenOnDisk(): String =
+      try {
+        val in = fs.open(lockPath)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch { case _: java.io.IOException => "" }
+
+    /** Pre-publish fence: true iff the lock file still carries OUR
+      * token. False means a waiter judged us dead and token-CAS-broke
+      * the lock (renewal starved past the staleness floor) — the
+      * caller must abort its irreversible step and retry from the
+      * re-validated artifact under a fresh acquisition. */
+    def stillHeld(): Boolean = tokenOnDisk() == token
+
+    /** Stop renewal and free the lock — compare-and-delete on our
+      * token: if the lock was stale-broken and re-acquired by another
+      * writer, deleting it here would kill the LIVE holder's lease,
+      * so a fenced-out loser leaves it untouched. */
     def release(): Unit = {
       done.countDown(); t.join()
-      try fs.delete(lockPath, false)
+      try { if (tokenOnDisk() == token) fs.delete(lockPath, false) }
       catch { case _: java.io.IOException => () }
     }
   }

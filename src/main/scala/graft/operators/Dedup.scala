@@ -162,6 +162,18 @@ object Dedup {
     val aggs = (0 until K).map(j => min(seededHash(j, col("h1"))).as(s"mh$j"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** [[minhashFromHashes]] plus the per-doc input row count as `n_sh`
+    * — rides the SAME groupBy exchange, so a verifier that needs both
+    * the signature and the doc's (distinct-fed) shingle count pays one
+    * aggregate over the shingle stream instead of two. Feed it the
+    * DISTINCT stream ([[shingleHashes]]) when `n_sh` must mean
+    * "distinct shingles" (the exact-Jaccard size term). */
+  private[operators] def minhashFromHashesCounted(sh: DataFrame): DataFrame = {
+    val aggs = (0 until K).map(j => min(seededHash(j, col("h1"))).as(s"mh$j")) :+
+      count(lit(1)).as("n_sh")
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
   private def signatures(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(table(s, dir, "documents"))
   private[operators] def signaturesSqlFrom(shCte: String): String = {
@@ -177,15 +189,23 @@ object Dedup {
   /** (doc_id, band, k1, k2): the banded signature for LSH bucketing.
     * Band identity is the two minhash values as numeric columns — a
     * fixed-width 20-byte shuffle key instead of a concatenated string. */
-  def bands(sig: DataFrame): DataFrame = {
+  def bands(sig: DataFrame): DataFrame = bandsKeeping(sig, Nil)
+
+  /** [[bands]] carrying `extra` passenger columns (e.g. a per-doc
+    * count) through the explode — one projection, no re-join against
+    * the signature frame. */
+  private[operators] def bandsKeeping(sig: DataFrame,
+      extra: Seq[String]): DataFrame = {
     val bandStructs = (0 until BANDS).map { b =>
       struct(lit(b).as("band"),
         col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))
     }
+    val keep = extra.map(col)
     sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"),
-        col("bs.k1").as("k1"), col("bs.k2").as("k2"))
+      .select(col("doc_id") +: keep :+
+        explode(array(bandStructs: _*)).as("bs"): _*)
+      .select(col("doc_id") +: keep :+ col("bs.band").as("band") :+
+        col("bs.k1").as("k1") :+ col("bs.k2").as("k2"): _*)
   }
   private val ccLog = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
 
@@ -282,21 +302,38 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mdst"))
       .select(col("node"), least(col("node"), col("mdst")).as("label"))
+    // Labels only ever DECREASE (each round takes a min that includes
+    // the node's own current label via the self-union below), so the
+    // label SUM is a strictly-monotone convergence witness: unchanged
+    // sum ⇔ no label moved. That turns the per-round convergence
+    // check from a labels⋈labels join (an exchange + its own job tree
+    // under AQE) into one scan of the already-pinned round frame.
+    // decimal(38,0) keeps the sum exact far beyond any real node
+    // count (n·maxLong needs < 29 digits at n = 10^9).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // neighborhood min: my label vs the labels of all my neighbors
+      // neighborhood min in ONE join + ONE aggregate: each node's new
+      // label = min over (its own label ∪ its in-neighbors' labels).
+      // The self-union replaces the old second labels-join — same
+      // values (least(own, neighbor-min)), one exchange fewer per
+      // round, and it also guarantees the monotonicity the sum check
+      // relies on.
       val next = iterCheckpoint(edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-        .join(labels, "node")
-        .select(col("node"),
-          least(col("label"), col("nbr_label")).as("label")),
+        .select(col("src").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label")),
         reliable) // truncate the growing iterative lineage
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") < col("o.label")).isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       dropRoundCheckpoint(labels, reliable) // round N-1 no longer read
       labels = next
       i += 1
@@ -474,14 +511,18 @@ object Dedup {
     *    joins the broadcast candidate id set — one corpus scan,
     *    filtered before its only shuffle; right for large offline
     *    batches where the candidate set may exceed driver comfort.
-    *  - `pruneByIds = true` (the per-micro-batch screen): candidate
-    *    corpus ids are COLLECTED — capped at 10k, the normal
-    *    micro-batch regime — and pushed into the corpus scan as a
-    *    literal IN predicate, so parquet footer stats prune untouched
-    *    row groups and a micro-batch never streams the full corpus
-    *    text off disk. Beyond the cap (a batch hitting warm-but-not-
-    *    hot buckets, whose fan-out is corpus- not batch-proportional)
-    *    it falls back to the semi-join shape. Identical results.
+    *  - `pruneByIds = true` (the per-micro-batch screen, q131):
+    *    candidate corpus ids are COLLECTED — capped at 10k, the
+    *    normal micro-batch regime — and pushed into the corpus scan
+    *    as a literal IN predicate. Above
+    *    `spark.sql.parquet.pushdown.inFilterThreshold` (default 10)
+    *    Spark pushes the IN to parquet as its min/max RANGE, so
+    *    row-group pruning is by id range, not exact membership — on
+    *    an id-sorted corpus that still skips the untouched tails, and
+    *    the Spark-side IN filter keeps results exact regardless.
+    *    Beyond the cap (a batch hitting warm-but-not-hot buckets,
+    *    whose fan-out is corpus- not batch-proportional) it falls
+    *    back to the semi-join shape. Identical results either way.
     *
     * The batch's distinct shingle-hash set is the shared root of
     * everything batch-side (signatures via the multiset-invariant min,
@@ -493,8 +534,12 @@ object Dedup {
   def indexProbeVerified(ix: LshIndex.Index, batch: DataFrame,
       corpus: DataFrame, pruneByIds: Boolean = false): DataFrame = {
     val shB = ckpt(shingleHashes(batch))
-    val cand = ckpt(LshIndex.probeSignatures(ix,
-      minhashFromHashes(shB.select(col("doc_id"), col("h1")))))
+    // the batch's distinct-shingle count (the exact-Jaccard size term)
+    // rides the minhash groupBy and the probe's collision aggregate
+    // (r12): `cand` comes back with n_batch attached, so no second
+    // count aggregate ever runs over the batch's shingle stream
+    val cand = ckpt(LshIndex.probeSignaturesCounted(ix,
+      minhashFromHashesCounted(shB.select(col("doc_id"), col("h1")))))
     // The literal-IN path's id set is NOT bounded by the star-cap
     // alone: only keys above the hot rule (bn > tot/(20·BANDS)) are
     // capped, so a batch doc landing in a warm-but-not-hot bucket can
@@ -520,7 +565,6 @@ object Dedup {
         else corpus.filter(col("doc_id").isin(ids: _*))
       }
     val shC = ckpt(shingleHashes(candDocs))
-    val cntB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_batch"))
     val cntC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_corpus"))
     val inter = cand
       .join(shB.select(col("doc_id").as("batch_id"), col("h1"), col("h2")),
@@ -530,8 +574,6 @@ object Dedup {
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("n_inter"))
     cand
-      .join(cntB.select(col("doc_id").as("batch_id"), col("n_batch")),
-        "batch_id")
       .join(cntC.select(col("doc_id").as("corpus_id"), col("n_corpus")),
         "corpus_id")
       .join(inter, Seq("batch_id", "corpus_id"), "left")
@@ -1315,15 +1357,16 @@ object Dedup {
       val nDocs = docs.agg(count(lit(1)).as("n_universe"))
       // near-dup rung off the STANDING LshIndex for this corpus
       // snapshot (r10): the report is a per-snapshot artifact, so its
-      // signatures are by definition the index's — a column-pruned
-      // parquet read instead of re-running tokenize→shingle→minhash
-      // over the corpus (identical signatures ⇒ identical candidates
-      // ⇒ identical components; the oracle recomputes them in SQL and
-      // still hash-matches)
+      // signatures are by definition the index's. r12: candidates come
+      // from [[LshIndex.candidatePairs]] — the persisted band segments
+      // + the manifest's exact hot list — which skips the signature
+      // checkpoint, the corpus-wide key-count aggregate and (on a
+      // hot-free corpus) the whole star-cap branch; byte-identical
+      // pairs by the warm-list induction (LshIndexSpec pins it), so
+      // the SQL oracle's from-scratch recompute still hash-matches
       val near = connectedComponents(
-          lshCandidatesFromSignatures(
-            LshIndex.buildOrLoad(s, docs, s"$dir/documents.parquet")
-              .signatures)
+          LshIndex.candidatePairs(
+            LshIndex.buildOrLoad(s, docs, s"$dir/documents.parquet"))
             .select(col("doc_a"), col("doc_b")))
         .agg(count(lit(1)).as("nodes"),
           countDistinct(col("label")).as("labels"))
@@ -1403,8 +1446,12 @@ object Dedup {
       val batch = recrawlBatch(s, dir)
       val ix = LshIndex.buildOrLoad(s, corpus, s"$dir/documents.parquet")
       // the verification body is shared with the live per-micro-batch
-      // screen (Curation.screenNearDups) — one code path for both faces
-      indexProbeVerified(ix, batch, corpus)
+      // screen (Curation.screenNearDups) — one code path for both
+      // faces. pruneByIds: the candidate id set is micro-batch-sized
+      // here, so the literal-IN path row-group-prunes the corpus scan
+      // (with the capped collect's semi-join fallback guarding the
+      // adversarial fan-out case — identical results either way)
+      indexProbeVerified(ix, batch, corpus, pruneByIds = true)
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 

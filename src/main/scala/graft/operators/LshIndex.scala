@@ -80,9 +80,15 @@ import graft.log.FsLease
   * lease ([[graft.log.FsLease]] — the TopicLog `publishLocked`
   * discipline: atomic create-if-absent, capped renewal, staleness
   * floor, token-CAS stale break). Generations publish atomically via
-  * one marker rename; an in-flight probe planned against gen-N keeps
-  * every file it will read (segments are immutable and retained while
-  * referenced by the current OR previous generation's manifest), so
+  * one marker rename, FENCED on the lease token (r11 ask #3): a
+  * holder whose renewal starved past the staleness floor and whose
+  * lock was stale-broken aborts before the rename and retries — two
+  * concurrent writers can never interleave a torn generation. An
+  * in-flight probe planned against gen-N keeps every file it will
+  * read (segments are immutable and retained while referenced by any
+  * of the last K generations' manifests —
+  * `spark.graft.lsh.retainGenerations`, default 2; raise it when
+  * probe latency spans multiple append publishes), so
   * probe-during-append needs no reader-side coordination. A crash
   * between the signature append and the generation publish leaves the
   * signatures AHEAD of the manifest watermark; validation detects the
@@ -186,12 +192,15 @@ object LshIndex {
 
   /** A writer lease that looks alive right now — during a live append
     * the signatures lawfully run ahead of the manifest watermark, so
-    * validation must not mistake that window for a crash. */
+    * validation must not mistake that window for a crash. Judged by
+    * the lease's OWN staleness window ([[FsLease.staleAfterMillis]]),
+    * so a lease ever constructed with a longer `leaseMs` cannot be
+    * mistaken for dead by a validator using a shorter hardcoded one. */
   private def writerLockLive(spark: SparkSession, path: String): Boolean =
     try {
       val st = fs(spark, path).getFileStatus(lockPath(path))
       System.currentTimeMillis() - st.getModificationTime <=
-        math.max(5 * 60 * 1000L, 2 * graft.log.TopicLog.RenewalCapMs)
+        lease(spark, path).staleAfterMillis
     } catch { case _: java.io.IOException => false }
 
   private def readMarker(spark: SparkSession, path: String): Option[String] = {
@@ -341,8 +350,8 @@ object LshIndex {
             // the watermark; answer from the still-consistent published
             // generation (and do NOT cache the verdict)
             maybe.get
-          case _ => lease(spark, path).withLease {
-            validatedManifestLocked(spark, path)
+          case _ => lease(spark, path).withLeaseHeld { held =>
+            validatedManifestLocked(spark, path, held)
           }
         }
     }
@@ -352,14 +361,15 @@ object LshIndex {
     * lease (the lock is not reentrant): re-checks first — a racing
     * writer may have just finished the repair (or the append) we were
     * about to do — then re-derives in place. */
-  private def validatedManifestLocked(spark: SparkSession, path: String): Manifest = {
+  private def validatedManifestLocked(spark: SparkSession, path: String,
+      held: FsLease.Held): Manifest = {
     val gen = currentGen(spark, path)
     readManifest(spark, path, gen) match {
       case Some(m) if validated.contains((path, m.gen)) => m
       case maybe =>
         maybe.filter(m => sigRowCount(spark, path, m.sigDir) == m.sigRows)
           .map { m => validated.add((path, m.gen)); m }
-          .getOrElse(deriveAll(spark, path, gen + 1, maybe))
+          .getOrElse(deriveAll(spark, path, gen + 1, maybe, held))
     }
   }
 
@@ -390,7 +400,7 @@ object LshIndex {
       initialPairs: Option[DataFrame] = None,
       fingerprint: String = "-"): Index = {
     val spark = sig.sparkSession
-    lease(spark, path).withLease {
+    lease(spark, path).withLeaseHeld { held =>
       // destructive rebuild: clear everything except the held lock
       val f = fs(spark, path)
       val root = new Path(path)
@@ -402,7 +412,7 @@ object LshIndex {
       initialPairs.foreach(p =>
         p.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
           .write.mode("append").parquet(s"$path/pairs"))
-      deriveAll(spark, path, 1L, None, fingerprint)
+      deriveAll(spark, path, 1L, None, held, fingerprint)
     }
     Index(spark, path)
   }
@@ -415,7 +425,8 @@ object LshIndex {
     * and, when duplicates exist, swaps the live signature dir to a
     * deduplicated rewrite (old dir retired with its generation). */
   private def deriveAll(spark: SparkSession, path: String, gen: Long,
-      prev: Option[Manifest], fingerprint: String = ""): Manifest = {
+      prev: Option[Manifest], held: FsLease.Held,
+      fingerprint: String = ""): Manifest = {
     val f = fs(spark, path)
     // resolve the live signature dir: the previous manifest names it; a
     // torn manifest falls back to the fullest candidate dir on disk
@@ -458,7 +469,7 @@ object LshIndex {
       else prev.map(_.fingerprint).getOrElse("-")
     val m = Manifest(gen, distinctN, sigDir, fp,
       Seq(SegInfo(segName, tot)), warm)
-    publish(spark, path, m, prev)
+    publish(spark, path, m, held)
     m
   }
 
@@ -488,31 +499,85 @@ object LshIndex {
 
   // ------------------------------------------------------- publishing
 
+  /** A publish aborted by the pre-marker lease fence: the lock no
+    * longer carries our token (a waiter judged us dead past the
+    * staleness floor and token-CAS-broke it). Nothing irreversible
+    * happened — the marker still points at the old generation — so
+    * the caller retries the whole operation under a fresh lease,
+    * whose first act re-validates the manifest against whatever the
+    * thief published. */
+  final class FencedPublishException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Generations of index state (segment/signature dirs) retained
+    * after a publish — `spark.graft.lsh.retainGenerations`, default
+    * and floor 2 (current + previous: today's disk behavior). A probe
+    * resolves its manifest ONCE at plan time, so it reads gen-N files
+    * until K−1 further publishes land; raise K where probes are slow
+    * relative to the append cadence (a 100 TB probe spanning two
+    * curateCycle publishes needs K ≥ 3). */
+  private def retainGens(spark: SparkSession): Long =
+    math.max(2L,
+      spark.conf.get("spark.graft.lsh.retainGenerations", "2").toLong)
+
+  /** Seg/sig dir names referenced by a generation's manifest, parsed
+    * LENIENTLY (no header/count/sentinel validation) — the GC live-set
+    * must also see generations this build can no longer fully parse
+    * (a pre-tiering manifest mid-upgrade, a torn write): failing to
+    * read one must err toward KEEPING its dirs for the grace window,
+    * never toward deleting files an in-flight probe planned against. */
+  private def gcRefs(spark: SparkSession, path: String,
+      gen: Long): Seq[String] =
+    try {
+      val f = fs(spark, path)
+      val in = f.open(manifestPath(path, gen))
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      txt.split("\n").map(_.trim).collect {
+        case ln if ln.startsWith("seg ") => ln.split(" ")(1)
+        case ln if ln.startsWith("sigDir ") => ln.split(" ")(1)
+      }.toSeq
+    } catch { case _: Exception => Seq.empty }
+
   /** Atomically publish a new generation: manifest first, then one
-    * marker rename. Retires generation dirs ≤ gen−2 and any segment /
-    * signature dir referenced by NEITHER the new nor the previous
-    * manifest — an in-flight probe planned against gen−1 keeps every
-    * file it will read until the NEXT publish. */
+    * marker rename — FENCED on the writer lease token immediately
+    * before the rename (a renewal-starved holder whose lock was
+    * stale-broken must not race the thief's publish; the manifest
+    * file written above is inert without the marker). Retires
+    * generation dirs older than [[retainGens]] and any segment /
+    * signature dir referenced by NONE of the retained generations'
+    * manifests (parsed leniently — a legacy manifest keeps its dirs
+    * for the grace window even though it no longer parses). */
   private def publish(spark: SparkSession, path: String, m: Manifest,
-      prev: Option[Manifest]): Unit = {
+      held: FsLease.Held): Unit = {
     val f = fs(spark, path)
     writeManifest(spark, path, m)
+    testBeforePublish()
+    if (!held.stillHeld()) throw new FencedPublishException(
+      s"lease for $path was stale-broken mid-write; aborting the " +
+        s"gen-${m.gen} publish before the marker rename")
     writeMarkerFile(spark, path, m.gen)
+    val k = retainGens(spark)
     val live: Set[String] =
-      (m.segs.map(_.name) ++ prev.toSeq.flatMap(_.segs.map(_.name))).toSet +
-        m.sigDir ++ prev.map(_.sigDir) + "signatures"
+      (m.segs.map(_.name) :+ m.sigDir :+ "signatures").toSet ++
+        ((m.gen - k + 1) until m.gen)
+          .filter(_ >= 1L).flatMap(g => gcRefs(spark, path, g))
     try {
       f.listStatus(new Path(path)).foreach { st =>
         val n = st.getPath.getName
         val retiredGen = n.startsWith("gen-") &&
           scala.util.Try(n.stripPrefix("gen-").toLong)
-            .toOption.exists(_ <= m.gen - 2)
+            .toOption.exists(_ <= m.gen - k)
         val retiredSeg = (n.startsWith("seg-") || n.startsWith("sigs-")) &&
           !live.contains(n)
         if (retiredGen || retiredSeg) f.delete(st.getPath, true)
       }
     } catch { case _: java.io.IOException => () } // GC is best-effort
   }
+
+  /** Test-only injection point, invoked between the manifest write
+    * and the pre-marker fence check — lets a spec steal the lock at
+    * the exact moment the fence must catch. */
+  private[graft] var testBeforePublish: () => Unit = () => ()
 
   private def writeMarkerFile(spark: SparkSession, path: String, gen: Long): Unit = {
     val f = fs(spark, path)
@@ -541,14 +606,48 @@ object LshIndex {
     appendSignatures(index, Dedup.minhashSignatures(newDocs), assumeNew)
 
   def appendSignatures(index: Index, newSig: DataFrame,
-      assumeNew: Boolean = false): Index = {
+      assumeNew: Boolean = false): Index =
+    appendSignaturesRetrying(index, newSig, assumeNew, attempts = 3)
+
+  /** The append body, with a bounded retry on a FENCED publish: a
+    * fence abort means our lease was stale-broken mid-append (renewal
+    * starvation) — the marker still points at the published state, so
+    * the retry re-acquires the lease and its watermark re-validation
+    * folds our orphaned signature rows in via the standard crash
+    * repair. The thief's publish (if any) is never torn: the marker
+    * rename is the only visible commit and last-writer-wins. */
+  private def appendSignaturesRetrying(index: Index, newSig: DataFrame,
+      assumeNew: Boolean, attempts: Int): Index =
+    try appendSignaturesOnce(index, newSig, assumeNew)
+    catch {
+      case e: FencedPublishException if attempts > 1 =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"retrying fenced LSH append on ${index.path}: $e")
+        // drop this path's in-JVM watermark verdicts: our aborted
+        // attempt left signatures ahead of the manifest under the SAME
+        // generation the cache already validated — without this the
+        // retry would trust the stale verdict, skip the repair, and
+        // the orphaned rows would be anti-join-skipped yet invisible
+        // to probes (the exact silent-skip the watermark check exists
+        // to prevent); a racing thief's publish is re-read too
+        validated.removeIf(_._1 == index.path)
+        // NEVER assumeNew on a retry: the fenced attempt may have
+        // landed its signature rows (the repair then counts them), so
+        // the caller's fresh-ids guarantee no longer holds — the
+        // anti-join skip is what makes the retry exactly-once
+        appendSignaturesRetrying(index, newSig, assumeNew = false,
+          attempts - 1)
+    }
+
+  private def appendSignaturesOnce(index: Index, newSig: DataFrame,
+      assumeNew: Boolean): Index = {
     val spark = index.spark
     val path = index.path
-    lease(spark, path).withLease {
+    lease(spark, path).withLeaseHeld { held =>
       // watermark check FIRST (under the lease): a crashed previous
       // append leaves signatures ahead of the manifest — repair before
       // compounding on top of it
-      val m0 = validatedManifestLocked(spark, path)
+      val m0 = validatedManifestLocked(spark, path, held)
       val fresh = graft.GraftSession.ckpt(
         if (assumeNew) newSig
         else newSig.join(
@@ -666,7 +765,7 @@ object LshIndex {
           m0.segs :+ SegInfo(segName, batchBands))
 
         publish(spark, path, Manifest(gen, m0.sigRows + freshN, m0.sigDir,
-          m0.fingerprint, segsFinal, warmKept), Some(m0))
+          m0.fingerprint, segsFinal, warmKept), held)
       }
     }
     index
@@ -753,10 +852,75 @@ object LshIndex {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  private def probeSideFor(ix: Index, m: Manifest): DataFrame = {
-    val bandRows = m.segs
-      .map(sg => ix.spark.read.parquet(s"${ix.path}/${sg.name}/bands"))
+  /** [[probeSignatures]] for a batch signature frame that carries a
+    * per-doc `n_sh` column ([[Dedup.minhashFromHashesCounted]]): the
+    * count rides the broadcast band rows and comes back out of the
+    * collision aggregate as `n_batch` (constant per batch_id, so
+    * `max` is exact) — the exact-Jaccard verifier then needs NO
+    * separate count aggregate over the batch's shingle stream. */
+  private[operators] def probeSignaturesCounted(index: Index,
+      batchSigN: DataFrame): DataFrame = {
+    val bb = Dedup.bandsKeeping(batchSigN, Seq("n_sh"))
+      .select(col("doc_id").as("batch_id"), col("band"), col("k1"),
+        col("k2"), col("n_sh"))
+    index.probeSide.join(broadcast(bb), Seq("band", "k1", "k2"))
+      .groupBy(col("batch_id"), col("doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_shared_bands"), max(col("n_sh")).as("n_batch"))
+  }
+
+  /** Corpus self-candidate pairs (doc_a, doc_b, n_shared_bands) from
+    * the persisted segments + the manifest's EXACT warm/hot list —
+    * byte-identical to `Dedup.lshCandidatesFromSignatures(signatures)`
+    * but with NO corpus-wide key-count aggregate and no signature
+    * checkpoint: the manifest already carries the exact (bn, anchor)
+    * of every key that can be hot (warm ⊇ hot by the 2× ratio margin),
+    * so the star-cap is decided at PLAN time from ≤160 driver-held
+    * rows. On a clean corpus (hot empty — the common case) the whole
+    * plan collapses to segment-read → self-join → pair count; the
+    * in-plan path must still run its key-count aggregate, its 1-row
+    * `tot` broadcast, an anti-join and an (empty) hot-star branch just
+    * to discover that. The per-snapshot dedup report (q143's near-dup
+    * rung) is the standing consumer. */
+  def candidatePairs(index: Index): DataFrame = {
+    val m = index.currentManifest
+    val b = bandRowsFor(index, m)
+    val hot = m.hot
+    val base =
+      if (hot.isEmpty) b
+      else b.join(broadcast(keysDf(index.spark, hot)),
+        Seq("band", "k1", "k2"), "left_anti")
+    val coldPairs = base.as("a").join(base.as("b"),
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1")
+          && col("a.k2") === col("b.k2")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs =
+      if (hot.isEmpty) coldPairs
+      else {
+        // hot buckets emit their STAR (anchor, member) — exactly
+        // lshCandidatesFromSignatures' capped branch, with the
+        // bucket's exact anchor read from the manifest instead of a
+        // corpus-wide min
+        val hotDf = index.spark.createDataFrame(
+          java.util.Arrays.asList(hot.map(h =>
+            Row(h.band, h.k1, h.k2, h.anchor)): _*),
+          StructType(keyStatSchema(withStats = false).fields :+
+            StructField("anchor", LongType)))
+        val hotStars = b.join(broadcast(hotDf), Seq("band", "k1", "k2"))
+          .filter(col("doc_id") =!= col("anchor"))
+          .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+        coldPairs.union(hotStars)
+      }
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  private def bandRowsFor(ix: Index, m: Manifest): DataFrame =
+    m.segs.map(sg => ix.spark.read.parquet(s"${ix.path}/${sg.name}/bands"))
       .reduce(_.unionByName(_))
+
+  private def probeSideFor(ix: Index, m: Manifest): DataFrame = {
+    val bandRows = bandRowsFor(ix, m)
     val hot = m.hot
     if (hot.isEmpty) bandRows
     else {

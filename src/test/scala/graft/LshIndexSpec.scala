@@ -390,4 +390,122 @@ class LshIndexSpec extends AnyFunSuite {
     assert(ix.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 2L), (1L, 100L)))
   }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("doc_a"), col("doc_b"), col("n_shared_bands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("candidatePairs: manifest-fed self-candidates == in-plan star-capped compute") {
+    // The r12 near-dup-report feed: candidate pairs built from the
+    // persisted segments + the manifest's exact hot list must be
+    // byte-identical to Dedup.lshCandidates' corpus-wide compute — on
+    // a clean corpus (no hot keys), on a viral corpus (the star-cap
+    // engaged), and on an index GROWN there by appends that flip a
+    // key's hot status (the warm-list induction carrying the exact
+    // (bn, anchor) the cap rule needs).
+    val dir = Files.createTempDirectory("lshix").toString
+    // clean corpus: hot list empty, plan collapses to the self-join
+    val clean = LshIndex.build(corpus, s"$dir/clean")
+    assert(pairSet(LshIndex.candidatePairs(clean)) ==
+      pairSet(Dedup.lshCandidates(corpus)))
+    // viral corpus: 150 copies -> every copied band key is hot
+    val viral = docs(((0L until 150L).map(i => (500L + i) -> base) ++
+      Seq(1L -> ("one ordinary standalone document with completely " +
+        "unrelated vocabulary talking about gardens tomatoes rainfall"))): _*)
+    val hotIx = LshIndex.build(viral, s"$dir/viral")
+    assert(hotIx.currentManifest.hot.nonEmpty, "viral corpus must go hot")
+    assert(pairSet(LshIndex.candidatePairs(hotIx)) ==
+      pairSet(Dedup.lshCandidates(viral)))
+    // grown index: start small (below the hot floor), append the rest
+    // in batches so the warm list crosses ratios incrementally
+    val grown = LshIndex.build(viral.filter(col("doc_id") < 540L), s"$dir/grown")
+    LshIndex.append(grown, viral.filter(col("doc_id") >= 540L && col("doc_id") < 600L))
+    LshIndex.append(grown, viral.filter(col("doc_id") >= 600L))
+    assert(pairSet(LshIndex.candidatePairs(grown)) ==
+      pairSet(Dedup.lshCandidates(viral)),
+      "grown index's manifest hot list must reproduce the exact cap")
+  }
+
+  test("retainGenerations=3: a probe planned before TWO appends still collects") {
+    // r11 verdict ask #2: one-generation retention makes a slow probe
+    // spanning two publishes lose its files. With K=3 the gen-N reader
+    // keeps every file through two subsequent publishes.
+    spark.conf.set("spark.graft.lsh.retainGenerations", "3")
+    try {
+      val dir = Files.createTempDirectory("lshix").toString
+      val ix = LshIndex.build(corpus.filter(col("doc_id") <= 2), s"$dir/ix")
+      val inFlight = LshIndex.probe(ix, batch) // planned against gen-1
+      val expected = probeSet(LshIndex.probe(ix, batch))
+      LshIndex.append(ix, corpus.filter(col("doc_id") > 2)) // gen-2
+      LshIndex.append(ix, docs(42L ->
+        "completely novel appended document with fresh vocabulary about lighthouses")) // gen-3
+      assert(probeSet(inFlight) == expected,
+        "a probe planned two publishes ago must keep its snapshot under K=3")
+      assert(new java.io.File(s"$dir/ix/gen-1").exists(),
+        "gen-1 must survive two publishes at K=3")
+      LshIndex.append(ix, docs(43L ->
+        "a fourth generation document mentioning observatories and granite")) // gen-4
+      assert(!new java.io.File(s"$dir/ix/gen-1").exists(),
+        "gen-1 must retire once it falls out of the K=3 window")
+    } finally spark.conf.unset("spark.graft.lsh.retainGenerations")
+  }
+
+  test("fenced publish: a stale-broken lease aborts before the marker and the retry is exactly-once") {
+    // r11 verdict ask #3: a renewal-starved holder whose lock was
+    // token-CAS-broken must not complete its publish. Steal the lock
+    // at the exact pre-marker moment via the test hook; the append
+    // must fence, retry under a fresh lease, fold the orphaned
+    // signature rows in via watermark repair, and land each doc
+    // exactly once.
+    val dir = Files.createTempDirectory("lshix").toString
+    val ix = LshIndex.build(corpus, s"$dir/ix")
+    val markerGen0 = ix.currentManifest.gen
+    @volatile var fired = 0
+    LshIndex.testBeforePublish = () => {
+      fired += 1
+      if (fired == 1) // simulate a waiter's token-CAS break of OUR lock
+        new java.io.File(s"$dir/ix/_writer.lock").delete()
+    }
+    try {
+      LshIndex.append(ix, docs(777L -> base), assumeNew = true)
+    } finally LshIndex.testBeforePublish = () => ()
+    assert(fired >= 2, s"the fenced attempt must retry (fired=$fired)")
+    // no torn generation: the index loads, validates, and the marker
+    // points at a manifest whose watermark matches the signatures
+    val reloaded = LshIndex.load(spark, s"$dir/ix")
+    assert(reloaded.currentManifest.gen > markerGen0)
+    // exactly-once: the appended doc has ONE signature row
+    assert(reloaded.signatures.filter(col("doc_id") === 777L).count() == 1L)
+    assert(reloaded.signatures.count() ==
+      reloaded.signatures.select("doc_id").distinct().count())
+    // and probes see it
+    assert(probeSet(LshIndex.probe(reloaded, docs(9000L -> base)))
+      .exists(_._2 == 777L))
+  }
+
+  test("stale dead-holder lock: the breaker repairs the half-written state before appending") {
+    // The FsLease scaladoc contract (r11 verdict ask #5): LshIndex
+    // passes NO onStaleBreak because its repair runs post-acquisition
+    // — a waiter that breaks a dead holder's lock must still fold the
+    // dead holder's orphaned signature rows in before building on top.
+    val dir = Files.createTempDirectory("lshix").toString
+    val ix = LshIndex.build(corpus, s"$dir/ix")
+    // dead holder: signature rows landed, no publish, lock left behind
+    // with an mtime far past the staleness floor
+    graft.operators.Dedup.minhashSignatures(docs(888L -> base))
+      .write.mode("append").parquet(s"$dir/ix/signatures")
+    val lock = new java.io.File(s"$dir/ix/_writer.lock")
+    java.nio.file.Files.writeString(lock.toPath, "dead-holder-token")
+    lock.setLastModified(System.currentTimeMillis() - 20 * 60 * 1000L)
+    // a new appender must break the stale lock, repair (fold doc 888
+    // into the manifest), then append its own batch
+    LshIndex.append(ix, docs(999L ->
+      "a completely fresh appended document about canyons and meteor showers"))
+    val got = probeSet(LshIndex.probe(ix, docs(9000L -> base)))
+    assert(got.exists(_._2 == 888L),
+      s"the dead holder's orphaned doc must survive the stale break: $got")
+    assert(ix.signatures.filter(col("doc_id").isin(888L, 999L)).count() == 2L)
+    assert(!lock.exists() || !java.nio.file.Files.readString(lock.toPath)
+      .contains("dead-holder-token"), "the stale lock must have been broken")
+  }
 }
