@@ -143,13 +143,47 @@ object Bench {
           qRe.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap)
       } catch { case _: Throwable => ("", Map.empty[String, Double]) }
-    val (medianRatio, regressions) =
+    val (medianRatio, regressions0) =
       if (priorSf == sfDir) Bench.findRegressions(priorTimes, results, gcByQ)
       else (1.0, Seq.empty[String])
     if (priorTimes.nonEmpty && priorSf != sfDir)
       System.err.println(s"bench: regression gate INERT — prior artifact " +
         s"measured sf '$priorSf', this run is '$sfDir' (see prior_sf in " +
         "the artifact)")
+    // Isolated re-measure of every flagged query (r11 verdict ask #4):
+    // by this point the suite has finished, so the process is as close
+    // to exclusive as it gets — re-time each flag min-of-3 after a GC
+    // settle and ship BOTH numbers (`isolated_s` alongside `now`), so
+    // a flag adjudicates itself in the artifact instead of costing a
+    // manual exclusive re-run. Capped, and the cap is REPORTED — a
+    // silent cap would read as "all flags re-measured" when they
+    // weren't.
+    val isolatedCap = 8
+    val flaggedQs = regressions0.flatMap(s =>
+      "\"q\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1)))
+    if (flaggedQs.size > isolatedCap)
+      System.err.println(s"bench: ${flaggedQs.size} flags exceed the " +
+        s"isolated re-measure cap ($isolatedCap) — un-remeasured: " +
+        flaggedQs.drop(isolatedCap).mkString(" "))
+    val isolated: Map[String, Double] =
+      flaggedQs.take(isolatedCap).flatMap { q =>
+        try {
+          System.gc(); Thread.sleep(500)
+          val fn = SparkEntry.queries(q)
+          def one(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Some(q -> Seq(one(), one(), one()).min)
+        } catch { case _: Throwable => None }
+      }.toMap
+    val regressions = regressions0.map { s =>
+      "\"q\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+        .flatMap(isolated.get)
+        .map(v => s.dropRight(1) + s""","isolated_s":${fmt(v)}}""")
+        .getOrElse(s)
+    }
     if (regressions.nonEmpty) {
       val (gcDom, unexplained) =
         regressions.partition(_.contains("\"gc_dominated\":true"))

@@ -305,16 +305,20 @@ object Dedup {
     // Labels only ever DECREASE (each round takes a min that includes
     // the node's own current label via the self-union below), so the
     // label SUM is a strictly-monotone convergence witness: unchanged
-    // sum ⇔ no label moved. That turns the per-round convergence
-    // check from a labels⋈labels join (an exchange + its own job tree
-    // under AQE) into one scan of the already-pinned round frame.
-    // decimal(38,0) keeps the sum exact far beyond any real node
-    // count (n·maxLong needs < 29 digits at n = 10^9).
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+    // sum ⇔ no label moved. The per-round sum rides the round's OWN
+    // checkpoint job as an `observe` metric — the old labels⋈labels
+    // convergence join (an exchange + its own job tree per round
+    // under AQE) costs zero extra jobs now. decimal(38,0) keeps the
+    // sum exact far beyond any real node count (n·maxLong needs < 29
+    // digits at n = 10^9).
+    val sumExpr = sum(col("label").cast("decimal(38,0)")).as("s")
+    def asSum(v: Any): java.math.BigDecimal =
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    var prevSum = {
+      val r = labels.agg(sumExpr).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -324,14 +328,19 @@ object Dedup {
       // values (least(own, neighbor-min)), one exchange fewer per
       // round, and it also guarantees the monotonicity the sum check
       // relies on.
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft-cc-${java.util.UUID.randomUUID()}")
       val next = iterCheckpoint(edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("label"))
         .unionByName(labels)
         .groupBy(col("node"))
-        .agg(min(col("label")).as("label")),
+        .agg(min(col("label")).as("label"))
+        .observe(obs, sumExpr),
         reliable) // truncate the growing iterative lineage
-      val s = labelSum(next)
+      // the (local|reliable) checkpoint was the eager action, so the
+      // metric is already resolved — this get never waits on a job
+      val s = asSum(obs.getAsJava.get("s"))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       dropRoundCheckpoint(labels, reliable) // round N-1 no longer read
