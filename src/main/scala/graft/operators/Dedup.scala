@@ -430,6 +430,21 @@ object Dedup {
     * measured 2.31 s recomputed vs 2.99 s checkpointed at sf0.1.
     * Returns (doc_a, doc_b, n_shared_bands, n_a, n_b, n_inter,
     * jaccard) with doc_a < doc_b. */
+  /** Corpus self-candidate pairs for the gated per-snapshot consumers
+    * (q32/q72/q77/q93/q179 and q143's near rung), served from the
+    * STANDING [[LshIndex]] for this corpus snapshot: the whole LSH
+    * consumer family shares ONE fingerprint-cached signature/segment
+    * artifact instead of each query re-running
+    * tokenize→shingle→minhash→key-count over the corpus.
+    * [[LshIndex.candidatePairs]] is byte-identical to
+    * [[lshCandidates]] (LshIndexSpec pins it on clean, viral and
+    * grown-by-appends corpora), so every consumer's from-scratch SQL
+    * oracle still hash-matches. */
+  private def snapshotCandidates(s: SparkSession, dir: String): DataFrame =
+    LshIndex.candidatePairs(
+      LshIndex.buildOrLoad(s, table(s, dir, "documents"),
+        s"$dir/documents.parquet"))
+
   def lshVerifiedPairs(docs: DataFrame): DataFrame = {
     val cand = lshCandidates(docs)
     val sh = shingleHashes(docs)
@@ -856,15 +871,23 @@ object Dedup {
     * the 10k+1 subset submitted TWICE under two ids (in-batch
     * duplicate). Mirrored in the oracle. */
   private[graft] def recrawlBatch(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan, not a 3-way union of filtered scans: each doc
+    // emits its 0-2 re-crawl variants through a conditional explode
+    // (null array slots dropped post-explode). Same multiset as the
+    // oracle's UNION ALL; at 100 TB this is one pass over the corpus
+    // instead of three.
     val d = table(s, dir, "documents")
-    d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
-      .unionByName(d.filter(col("doc_id") % 5 === 1)
-        .select((col("doc_id") + 200000L).as("doc_id"),
-          concat(col("text"), lit(" v2")).as("text")))
-      .unionByName(d.filter(col("doc_id") % 10 === 1)
-        .select((col("doc_id") + 300000L).as("doc_id"),
-          concat(col("text"), lit(" v2")).as("text")))
+    d.select(explode(array(
+        when(col("doc_id") % 5 === 0, struct(
+          (col("doc_id") + 200000L).as("doc_id"), col("text").as("text"))),
+        when(col("doc_id") % 5 === 1, struct(
+          (col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))),
+        when(col("doc_id") % 10 === 1, struct(
+          (col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))))).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v.doc_id").as("doc_id"), col("v.text").as("text"))
   }
   private val recrawlSql =
     """SELECT doc_id + 200000 AS doc_id, text FROM documents
@@ -1511,7 +1534,7 @@ object Dedup {
     "q32_lsh_near_dup" -> ((s, dir) => {
       // Candidate pairs sharing >= 1 of 4 bands. Join key
       // (band, k1, k2) is a hash bucket -> uniform, skew-free shuffle.
-      lshCandidates(table(s, dir, "documents"))
+      snapshotCandidates(s, dir)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1547,7 +1570,7 @@ object Dedup {
       // clusters (connected components), survivor = min doc_id. Each
       // propagation round is a uniform-key shuffle over the PAIR list
       // (tiny vs the corpus), never the corpus itself.
-      val cand = lshCandidates(table(s, dir, "documents"))
+      val cand = snapshotCandidates(s, dir)
       connectedComponents(cand.select(col("doc_a"), col("doc_b")))
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
@@ -1564,7 +1587,7 @@ object Dedup {
       // ones to review). Pairs checkpointed ONCE for both consumers
       // (labels + per-cluster edge counts); the density math is
       // |edges| / C(n,2) from exact integers.
-      val cand = ckpt(lshCandidates(table(s, dir, "documents"))
+      val cand = ckpt(snapshotCandidates(s, dir)
         .select(col("doc_a"), col("doc_b")))
       val labels = connectedComponents(cand)
       val sizes = labels.groupBy(col("label").as("cluster_id"))
@@ -1592,7 +1615,7 @@ object Dedup {
       // re-execute for the degree branch, and the components come from
       // the O(log n) star contraction (label contract identical to
       // min-label — q77 proves it against the same oracle).
-      val cand = ckpt(lshCandidates(table(s, dir, "documents"))
+      val cand = ckpt(snapshotCandidates(s, dir)
         .select(col("doc_a"), col("doc_b")))
       val degree = cand.select(col("doc_a").as("node"))
         .union(cand.select(col("doc_b").as("node")))
@@ -1614,7 +1637,7 @@ object Dedup {
       // contraction — O(log n) rounds instead of diameter rounds, for
       // corpora whose dup graphs have deep chains. Oracle-identical
       // output proves the two algorithms agree end to end.
-      val cand = lshCandidates(table(s, dir, "documents"))
+      val cand = snapshotCandidates(s, dir)
       connectedComponentsStar(cand.select(col("doc_a"), col("doc_b")))
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
