@@ -57,25 +57,64 @@ object Bench {
         .split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Exception => "[]" }
     val loadBegin = loadavg()
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
-      .map { case (name, fn) =>
-      def once(): (Double, Long, Long) = {
-        val (g0, c0, t0) = (jvmGcMs(), procCpuMs(), System.nanoTime())
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, jvmGcMs() - g0, procCpuMs() - c0)
-      }
-      // min-of-3: round 3's q13 artifact showed a 1.8x phantom
-      // regression (3.25 s in-suite vs 0.92 s reproduced) that
-      // min-of-2 failed to suppress — one more sample makes a
-      // two-run-long stall (GC + page-cache eviction from the
-      // co-located driver) survive into the artifact far less often.
-      // gc/cpu are the MIN-wall run's own (the artifact number's run).
-      val best =
-        try Seq(once(), once(), once()).minBy(_._1)
-        catch { case e: Throwable =>
-          errors += s"$name: ${e.getMessage}"; (-1.0, -1L, -1L) }
-      name -> best
+    // Named setup entry for the standing LSH index (r12 verdict ask
+    // #4): when buildOrLoad actually BUILDS during a timed query, the
+    // one-time build cost lands in that query's number (a cold
+    // filtered q143 run read ~20% high for exactly this reason). The
+    // index is resolved here, timed separately, and shipped as
+    // "setup":{"lsh_index":s} — a cache hit reads near zero, a fresh
+    // build shows its true price without polluting any query. Uses
+    // the same path string the queries use, so the fingerprint keys
+    // the same cache entry.
+    val setupLsh: Double =
+      try {
+        if (new java.io.File(s"$sfDir/documents.parquet").exists) {
+          val t0 = System.nanoTime()
+          graft.operators.LshIndex.buildOrLoad(spark,
+            spark.read.parquet(s"$sfDir/documents.parquet"),
+            s"$sfDir/documents.parquet")
+          (System.nanoTime() - t0) / 1e9
+        } else -1.0
+      } catch { case e: Throwable =>
+        errors += s"setup:lsh_index: ${e.getMessage}"; -1.0 }
+    // Two-pass protocol (r12 verdict ask #2): the in-pass min-of-3
+    // suppresses single-run stalls but NOT the box's roving multi-
+    // minute contention windows — four same-day full runs at r12
+    // swung the headline total ±40% with no real per-query change.
+    // The whole suite therefore runs PASSES times (temporally
+    // separated sweeps) and each query reports its cross-pass MIN;
+    // both raw pass maps ship in the artifact so the spread is
+    // inspectable.
+    val passCount = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    def runPass(): Map[String, (Double, Long, Long)] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) =>
+          nameFilter.forall(_.findFirstIn(name).isDefined) }
+        .map { case (name, fn) =>
+        def once(): (Double, Long, Long) = {
+          val (g0, c0, t0) = (jvmGcMs(), procCpuMs(), System.nanoTime())
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9, jvmGcMs() - g0, procCpuMs() - c0)
+        }
+        // min-of-3: round 3's q13 artifact showed a 1.8x phantom
+        // regression (3.25 s in-suite vs 0.92 s reproduced) that
+        // min-of-2 failed to suppress — one more sample makes a
+        // two-run-long stall (GC + page-cache eviction from the
+        // co-located driver) survive into the artifact far less often.
+        // gc/cpu are the MIN-wall run's own (the artifact number's run).
+        val best =
+          try Seq(once(), once(), once()).minBy(_._1)
+          catch { case e: Throwable =>
+            errors += s"$name: ${e.getMessage}"; (-1.0, -1L, -1L) }
+        name -> best
+      }.toMap
+    val passRuns = (1 to passCount).map(_ => runPass())
+    // cross-pass min per query; a query counts as failed only when NO
+    // pass measured it (a single-pass transient still logs its error)
+    val timings = passRuns.head.keys.map { name =>
+      val ok = passRuns.flatMap(_.get(name)).filter(_._1 >= 0)
+      name -> (if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, -1L, -1L))
     }.toMap
     val results = timings.view.mapValues(_._1).toMap
     val gcByQ = timings.view.mapValues(_._2).toMap
@@ -114,8 +153,10 @@ object Bench {
     // bench with a third of the suite erroring and nothing flagged it.
     // rc stays 0 on purpose — the round-6 rc=1 run recorded NO numbers
     // at all, so a nonzero exit would trade visibility for data loss;
-    // the stderr summary covers interactive runs.
-    val failed = errors.size
+    // the stderr summary covers interactive runs. A query failed only
+    // if EVERY pass failed it; single-pass transients stay visible in
+    // "errors" without flipping the gate.
+    val failed = results.values.count(_ < 0)
     if (failed > 0)
       System.err.println(
         s"bench: $failed quer${if (failed == 1) "y" else "ies"} FAILED: " +
@@ -208,8 +249,14 @@ object Bench {
     val cpuJson = cpuByQ.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val loadEnd = loadavg()
+    val passesJson = passRuns.map(p => p.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }
+        .mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
     val telemetry =
       s""""loadavg_begin":$loadBegin,"loadavg_end":$loadEnd,""" +
+        s""""setup":{"lsh_index":${fmt(setupLsh)}},""" +
+        s""""passes":$passesJson,""" +
         s""""gc_ms":$gcJson,"cpu_ms":$cpuJson"""
     val line =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","prior_sf":"$priorSf","failed":$failed,"errors":$errJson,"median_ratio":$medJson,"regressions":$regJson,$telemetry,"queries":$qs,"value":$total}"""

@@ -35,6 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("group_topk"),
       new ExpressionInfo(SqlSurface.getClass.getName, "group_topk"),
       (exprs: Seq[Expression]) => SqlSurface.groupTopKBuilder(exprs)))
+    // SQL face for the standing near-dup index (r12 verdict ask #5):
+    // a SQL-only session reaches the fingerprint-cached snapshot
+    // artifact — candidate pairs and batch probes — without the
+    // Dataset API (SqlSurface documents the path-keyed contract).
+    e.injectTableFunction((
+      new FunctionIdentifier("lsh_candidate_pairs"),
+      new ExpressionInfo(SqlSurface.getClass.getName, "lsh_candidate_pairs"),
+      (exprs: Seq[Expression]) => SqlSurface.lshCandidatePairsBuilder(exprs)))
+    e.injectTableFunction((
+      new FunctionIdentifier("lsh_probe"),
+      new ExpressionInfo(SqlSurface.getClass.getName, "lsh_probe"),
+      (exprs: Seq[Expression]) => SqlSurface.lshProbeBuilder(exprs)))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

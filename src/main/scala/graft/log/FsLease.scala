@@ -39,10 +39,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * hang past the staleness floor) and now believes it holds a lock it
   * lost. [[FsLease.Held.stillHeld]] is the fence: re-read the lock
   * token immediately before the irreversible step (the LshIndex
-  * checks it before its generation-marker rename) and abort if the
-  * token is no longer ours. `release()` is likewise a compare-and-
-  * delete on the token, so a fenced-out holder can never free the
-  * thief's lock on its way out.
+  * checks it before its manifest write and generation-marker rename)
+  * and abort if the token is no longer ours. `release()` is likewise
+  * a compare-and-delete on the token. BOTH are best-effort
+  * check-then-act on a plain filesystem, not atomic CAS: a steal can
+  * land between the token read and the following write/delete, so a
+  * fenced-out holder can still (rarely) free a thief's fresh lock or
+  * rename past a just-lost lease. The backstops are last-writer-wins
+  * atomic renames on the artifact side plus retry re-validation (a
+  * holder whose lock vanished re-acquires and re-reads published
+  * state; the thief's own next fence catches a killed lock) —
+  * injected-steal specs pin both windows.
   */
 final class FsLease(fs: FileSystem, lockPath: Path,
     leaseMs: Long = 5 * 60 * 1000L, onStaleBreak: () => Unit = () => ()) {
@@ -163,11 +170,25 @@ object FsLease {
     /** Stop renewal and free the lock — compare-and-delete on our
       * token: if the lock was stale-broken and re-acquired by another
       * writer, deleting it here would kill the LIVE holder's lease,
-      * so a fenced-out loser leaves it untouched. */
+      * so a fenced-out loser leaves it untouched. Best-effort, not
+      * atomic (see the class scaladoc): a steal landing between the
+      * token read and the delete still loses its lock here — the
+      * thief's own pre-publish fence catches the kill and it retries,
+      * so exactly-once survives (injection-spec'd). */
     def release(): Unit = {
       done.countDown(); t.join()
-      try { if (tokenOnDisk() == token) fs.delete(lockPath, false) }
-      catch { case _: java.io.IOException => () }
+      try {
+        if (tokenOnDisk() == token) {
+          FsLease.testBeforeReleaseDelete()
+          fs.delete(lockPath, false)
+        }
+      } catch { case _: java.io.IOException => () }
     }
   }
+
+  /** Test-only injection point inside `release()`'s check-then-act
+    * window — after the token compared equal, before the delete —
+    * letting a spec steal the lock at the exact instant the doc above
+    * documents and prove the system self-heals. */
+  private[graft] var testBeforeReleaseDelete: () => Unit = () => ()
 }

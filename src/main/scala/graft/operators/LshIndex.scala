@@ -80,10 +80,13 @@ import graft.log.FsLease
   * lease ([[graft.log.FsLease]] — the TopicLog `publishLocked`
   * discipline: atomic create-if-absent, capped renewal, staleness
   * floor, token-CAS stale break). Generations publish atomically via
-  * one marker rename, FENCED on the lease token (r11 ask #3): a
-  * holder whose renewal starved past the staleness floor and whose
-  * lock was stale-broken aborts before the rename and retries — two
-  * concurrent writers can never interleave a torn generation. An
+  * one marker rename, FENCED on the lease token at both the manifest
+  * write and the rename (r11 ask #3 + r12 ADVICE): a holder whose
+  * renewal starved past the staleness floor and whose lock was
+  * stale-broken aborts before touching published state and retries —
+  * two concurrent writers can never interleave a torn generation
+  * (the fences are check-then-act with a documented residual window;
+  * see [[publish]] for the three mechanisms that make it benign). An
   * in-flight probe planned against gen-N keeps every file it will
   * read (segments are immutable and retained while referenced by any
   * of the last K generations' manifests —
@@ -135,9 +138,16 @@ object LshIndex {
   final case class SegInfo(name: String, rows: Long)
 
   /** One generation's published state. `warm` carries exact stats for
-    * every key above the warm ratio (< [[WarmFactor]] entries). */
+    * every key above the warm ratio (< [[WarmFactor]] entries).
+    * `retainK` is the generation-retention window persisted IN the
+    * manifest (r12 verdict ask #7): the max `retainGenerations` any
+    * writer ever requested, carried forward monotonically like the
+    * generation counter — so retention is a property of the INDEX, and
+    * a default-configured writer publishing after a K=3 writer cannot
+    * GC a generation a slow K=3 prober still depends on. */
   final case class Manifest(gen: Long, sigRows: Long, sigDir: String,
-      fingerprint: String, segs: Seq[SegInfo], warm: Seq[KeyStat]) {
+      fingerprint: String, segs: Seq[SegInfo], warm: Seq[KeyStat],
+      retainK: Long = 2L) {
     def tot: Long = sigRows * Dedup.BANDS
     /** The star-cap set, derived from warm (hot ⊆ warm by the 2×
       * ratio margin): the catalog cap rule, evaluated exactly. */
@@ -244,14 +254,32 @@ object LshIndex {
     sb.append(s"sigRows ${m.sigRows}\n")
     sb.append(s"sigDir ${m.sigDir}\n")
     sb.append(s"fingerprint ${m.fingerprint}\n")
+    sb.append(s"retainK ${m.retainK}\n")
     m.segs.foreach(sg => sb.append(s"seg ${sg.name} ${sg.rows}\n"))
     m.warm.foreach(w =>
       sb.append(s"warm ${w.band} ${w.k1} ${w.k2} ${w.bn} ${w.anchor}\n"))
     sb.append("end\n") // truncation sentinel: a torn manifest never parses
+    testOnManifestWrite(m.gen)
+    // written to a token-unique temp name and atomically renamed into
+    // place: a collision on the same generation number (a fenced-out
+    // writer racing the thief that broke its lease) replaces the file
+    // WHOLE — two writers can never interleave torn bytes, and the
+    // pre-write fence in [[publish]] keeps the loser from getting here
+    // in all but the residual check-then-act window (documented there)
     val f = fs(spark, path)
-    val out = f.create(manifestPath(path, m.gen), true)
+    val tmp = new Path(
+      s"$path/gen-${m.gen}/.manifest-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    atomicReplace(spark, f, tmp, manifestPath(path, m.gen))
   }
+
+  /** Test-only observation point: fires with the generation number of
+    * every manifest about to be written — lets the pre-write-fence spec
+    * pin that a fenced-out writer never writes its doomed same-numbered
+    * manifest at all (r12 ADVICE: the clobber must be impossible, not
+    * merely repaired). */
+  private[graft] var testOnManifestWrite: Long => Unit = _ => ()
 
   private def readManifest(spark: SparkSession, path: String,
       gen: Long): Option[Manifest] =
@@ -264,6 +292,7 @@ object LshIndex {
           lines.last != "end") None
       else {
         var g = -1L; var rows = -1L; var sigDir = "signatures"; var fp = "-"
+        var retainK = 2L // legacy manifests (no retainK line) ran at the default
         val segs = Seq.newBuilder[SegInfo]
         val warm = Seq.newBuilder[KeyStat]
         lines.tail.dropRight(1).foreach { ln =>
@@ -273,6 +302,7 @@ object LshIndex {
             case "sigRows" => rows = p(1).toLong
             case "sigDir" => sigDir = p(1)
             case "fingerprint" => fp = p(1)
+            case "retainK" => retainK = p(1).toLong
             // a count-less seg line (pre-tiering manifest) parses as
             // rows = -1, which fails the completeness check below —
             // the index then re-derives once under the lease (cheap
@@ -287,7 +317,7 @@ object LshIndex {
         }
         val sgs = segs.result()
         if (g == gen && rows >= 0 && sgs.forall(_.rows >= 0))
-          Some(Manifest(g, rows, sigDir, fp, sgs, warm.result()))
+          Some(Manifest(g, rows, sigDir, fp, sgs, warm.result(), retainK))
         else None
       }
     } catch { case _: java.io.IOException => None }
@@ -350,9 +380,23 @@ object LshIndex {
             // the watermark; answer from the still-consistent published
             // generation (and do NOT cache the verdict)
             maybe.get
-          case _ => lease(spark, path).withLeaseHeld { held =>
-            validatedManifestLocked(spark, path, held)
-          }
+          case _ =>
+            // a reader doing repair duty is a WRITER for the duration:
+            // its publish can be fenced by a racing writer exactly like
+            // an append's. A fence here means someone else published —
+            // re-validation under a fresh lease normally succeeds
+            // without re-deriving at all, so retry bounded instead of
+            // surfacing the transient to a probe.
+            def attempt(n: Int): Manifest =
+              try lease(spark, path).withLeaseHeld { held =>
+                validatedManifestLocked(spark, path, held)
+              } catch {
+                case e: FencedPublishException if n > 1 =>
+                  org.slf4j.LoggerFactory.getLogger(getClass)
+                    .warn(s"retrying fenced LSH repair on $path: $e")
+                  attempt(n - 1)
+              }
+            attempt(3)
         }
     }
   }
@@ -360,17 +404,26 @@ object LshIndex {
   /** [[validatedManifest]] for a caller ALREADY HOLDING the writer
     * lease (the lock is not reentrant): re-checks first — a racing
     * writer may have just finished the repair (or the append) we were
-    * about to do — then re-derives in place. */
+    * about to do — then re-derives in place.
+    *
+    * Unlike the read path, the in-JVM `validated` cache is NOT
+    * trusted here: a writer whose previous append crashed AFTER the
+    * signature write (killed publish) and who retries in the SAME JVM
+    * would otherwise reuse the pre-crash verdict, anti-join-skip its
+    * own orphaned rows, and leave them out of every segment forever —
+    * the exact silent skip the watermark exists to prevent (found by
+    * the chaos spec's kill injections; a restarted PROCESS never had
+    * the problem because its cache starts empty). Under the lease the
+    * footer recount is metadata-cheap and nobody else can be lawfully
+    * mid-append, so a disagreement here always means crashed state to
+    * repair. */
   private def validatedManifestLocked(spark: SparkSession, path: String,
       held: FsLease.Held): Manifest = {
     val gen = currentGen(spark, path)
-    readManifest(spark, path, gen) match {
-      case Some(m) if validated.contains((path, m.gen)) => m
-      case maybe =>
-        maybe.filter(m => sigRowCount(spark, path, m.sigDir) == m.sigRows)
-          .map { m => validated.add((path, m.gen)); m }
-          .getOrElse(deriveAll(spark, path, gen + 1, maybe, held))
-    }
+    val maybe = readManifest(spark, path, gen)
+    maybe.filter(m => sigRowCount(spark, path, m.sigDir) == m.sigRows)
+      .map { m => validated.add((path, m.gen)); m }
+      .getOrElse(deriveAll(spark, path, gen + 1, maybe, held))
   }
 
   def load(spark: SparkSession, path: String): Index = {
@@ -448,7 +501,8 @@ object LshIndex {
     }
     val sig = spark.read.parquet(s"$path/$sigDir")
     val segName = s"seg-${gen}f"
-    f.delete(new Path(s"$path/$segName"), true) // orphan from a crashed rebuild
+    fenceStagingDelete(spark, held, path, gen, segName) // crashed-rebuild orphan
+    f.delete(new Path(s"$path/$segName"), true)
     // key-sorted layout: parquet row-group min/max stats on the band
     // key columns line up with the probe join's key, and sorted
     // fixed-width longs compress far better — build-time costs, paid
@@ -468,7 +522,9 @@ object LshIndex {
     val fp = if (fingerprint.nonEmpty) fingerprint
       else prev.map(_.fingerprint).getOrElse("-")
     val m = Manifest(gen, distinctN, sigDir, fp,
-      Seq(SegInfo(segName, tot)), warm)
+      Seq(SegInfo(segName, tot)), warm,
+      retainK = math.max(retainGens(spark),
+        prev.map(_.retainK).getOrElse(2L)))
     publish(spark, path, m, held)
     m
   }
@@ -499,6 +555,33 @@ object LshIndex {
 
   // ------------------------------------------------------- publishing
 
+  /** Fence for destructive STAGING deletes on deterministic names
+    * (`seg-N`, `seg-Nf`, `seg-NmR`, `sigs-N`): generation numbers
+    * collide across racing writers (both compute m0.gen+1 off the
+    * same base), so a renewal-starved holder resuming from a stall
+    * could otherwise delete a dir the thief just staged — or already
+    * published — under the same name (chaos-spec-found, the same
+    * class as the publish fences). Two checks:
+    *  - the lease token is still ours (a stolen lock means a thief
+    *    may be staging the same names RIGHT NOW);
+    *  - the marker has not reached `gen` (a LEGITIMATE holder can
+    *    still be working off a stale generation read: it acquired a
+    *    just-stolen lock and read the marker moments before the
+    *    fenced-out predecessor's rename landed — also
+    *    chaos-spec-found; deleting `seg-${gen}*` then guts a
+    *    published generation).
+    * Check-then-act like the publish fences, with the same backstops. */
+  private def fenceStagingDelete(spark: SparkSession, held: FsLease.Held,
+      path: String, gen: Long, what: String): Unit = {
+    if (!held.stillHeld()) throw new FencedPublishException(
+      s"lease for $path was stale-broken before deleting $what; " +
+        "aborting the staging rewrite")
+    if (markerGenOr(spark, path, -1L) >= gen)
+      throw new FencedPublishException(
+        s"gen-$gen was published while we staged $what (our generation " +
+          "read went stale mid-steal); aborting the staging rewrite")
+  }
+
   /** A publish aborted by the pre-marker lease fence: the lock no
     * longer carries our token (a waiter judged us dead past the
     * staleness floor and token-CAS-broke it). Nothing irreversible
@@ -509,13 +592,17 @@ object LshIndex {
   final class FencedPublishException(msg: String)
     extends IllegalStateException(msg)
 
-  /** Generations of index state (segment/signature dirs) retained
-    * after a publish — `spark.graft.lsh.retainGenerations`, default
-    * and floor 2 (current + previous: today's disk behavior). A probe
-    * resolves its manifest ONCE at plan time, so it reads gen-N files
-    * until K−1 further publishes land; raise K where probes are slow
-    * relative to the append cadence (a 100 TB probe spanning two
-    * curateCycle publishes needs K ≥ 3). */
+  /** The generation-retention window a WRITER requests for its next
+    * publish — `spark.graft.lsh.retainGenerations`, default and floor
+    * 2 (current + previous). The EFFECTIVE window is the max of this
+    * and every K any writer ever published into the manifest
+    * ([[Manifest.retainK]], monotone like the generation counter) —
+    * so one default-configured writer cannot shrink a window a slow
+    * prober in another session depends on. A probe resolves its
+    * manifest ONCE at plan time, so it reads gen-N files until K−1
+    * further publishes land; raise K where probes are slow relative
+    * to the append cadence (a 100 TB probe spanning two curateCycle
+    * publishes needs K ≥ 3). */
   private def retainGens(spark: SparkSession): Long =
     math.max(2L,
       spark.conf.get("spark.graft.lsh.retainGenerations", "2").toLong)
@@ -524,52 +611,129 @@ object LshIndex {
     * LENIENTLY (no header/count/sentinel validation) — the GC live-set
     * must also see generations this build can no longer fully parse
     * (a pre-tiering manifest mid-upgrade, a torn write): failing to
-    * read one must err toward KEEPING its dirs for the grace window,
-    * never toward deleting files an in-flight probe planned against. */
+    * read one must err toward KEEPING, never toward deleting files an
+    * in-flight probe planned against. Three outcomes (r12 ADVICE —
+    * a transient read error must not read as "no references"):
+    *  - `Some(refs)` — manifest read and scanned;
+    *  - `Some(empty)` — the manifest file does NOT exist (the
+    *    generation was already retired): genuinely no references;
+    *  - `None` — the file exists but could not be read (transient
+    *    IO): the caller must skip seg/sig GC for this publish
+    *    entirely rather than treat the refs as absent. */
   private def gcRefs(spark: SparkSession, path: String,
-      gen: Long): Seq[String] =
+      gen: Long): Option[Seq[String]] =
     try {
+      testGcRefsRead(path, gen)
       val f = fs(spark, path)
-      val in = f.open(manifestPath(path, gen))
-      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      txt.split("\n").map(_.trim).collect {
-        case ln if ln.startsWith("seg ") => ln.split(" ")(1)
-        case ln if ln.startsWith("sigDir ") => ln.split(" ")(1)
-      }.toSeq
-    } catch { case _: Exception => Seq.empty }
+      if (!f.exists(manifestPath(path, gen))) Some(Seq.empty)
+      else {
+        val in = f.open(manifestPath(path, gen))
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        Some(txt.split("\n").map(_.trim).collect {
+          case ln if ln.startsWith("seg ") => ln.split(" ")(1)
+          case ln if ln.startsWith("sigDir ") => ln.split(" ")(1)
+        }.toSeq)
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => Some(Seq.empty)
+      case _: Exception => None
+    }
 
-  /** Atomically publish a new generation: manifest first, then one
-    * marker rename — FENCED on the writer lease token immediately
-    * before the rename (a renewal-starved holder whose lock was
-    * stale-broken must not race the thief's publish; the manifest
-    * file written above is inert without the marker). Retires
-    * generation dirs older than [[retainGens]] and any segment /
-    * signature dir referenced by NONE of the retained generations'
-    * manifests (parsed leniently — a legacy manifest keeps its dirs
-    * for the grace window even though it no longer parses). */
+  /** Test-only injection point fired as [[gcRefs]] starts reading a
+    * generation's manifest — lets a spec simulate a transient read
+    * error and pin that GC keeps (not deletes) that generation's
+    * segment dirs. */
+  private[graft] var testGcRefsRead: (String, Long) => Unit = (_, _) => ()
+
+  /** The marker's current generation, or −1 when no marker exists yet
+    * (a first build) — the cheap publish-collision probe for the
+    * pre-write fence below. */
+  private def markerGenOr(spark: SparkSession, path: String,
+      default: Long): Long =
+    readMarker(spark, path) match {
+      case Some(mk) if mk.startsWith(marker + " gen=") =>
+        scala.util.Try(mk.stripPrefix(marker + " gen=").trim.toLong)
+          .getOrElse(default)
+      case _ => default
+    }
+
+  /** Atomically publish a new generation: manifest, then one marker
+    * rename — FENCED on the writer lease token at BOTH steps.
+    *
+    * The fence runs BEFORE the manifest write as well as before the
+    * marker rename (r12 ADVICE): a renewal-starved holder resuming
+    * from a GC/FS stall after its lock was stale-broken computes the
+    * same gen number as the thief (both m0.gen+1 off the same base),
+    * so an unfenced write here would overwrite the thief's
+    * already-published manifest — losing its segment references and
+    * warm stats while the marker still points at it. The pre-write
+    * fence checks both the token AND that the marker has not already
+    * reached this generation.
+    *
+    * Both fences are CHECK-THEN-ACT, not atomic: a steal can land in
+    * the narrow window between a check and its write/rename. Three
+    * mechanisms make that window benign rather than correct-by-luck —
+    * (a) the manifest write and the marker rename are each one atomic
+    * whole-file rename (last-writer-wins; never torn bytes), (b) a
+    * fenced loser's retry re-validates against whatever the thief
+    * published, and (c) the signature watermark check catches any
+    * clobbered manifest/signature disagreement on the next load and
+    * re-derives — injected-steal specs pin all three.
+    *
+    * Retires generation dirs older than the manifest's retention
+    * window ([[Manifest.retainK]]) and any segment / signature dir
+    * referenced by NONE of the retained generations' manifests
+    * (parsed leniently — a legacy manifest keeps its dirs for the
+    * grace window even though it no longer parses, and a manifest
+    * that exists but cannot be READ skips seg/sig GC for this publish
+    * entirely). */
   private def publish(spark: SparkSession, path: String, m: Manifest,
       held: FsLease.Held): Unit = {
     val f = fs(spark, path)
+    testBeforePublishEntry()
+    if (!held.stillHeld()) throw new FencedPublishException(
+      s"lease for $path was stale-broken before the gen-${m.gen} " +
+        "manifest write; aborting without touching published state")
+    if (markerGenOr(spark, path, -1L) >= m.gen)
+      throw new FencedPublishException(
+        s"gen-${m.gen} was already published by another writer " +
+          s"(our lease must have been stale-broken); aborting")
     writeManifest(spark, path, m)
     testBeforePublish()
     if (!held.stillHeld()) throw new FencedPublishException(
       s"lease for $path was stale-broken mid-write; aborting the " +
         s"gen-${m.gen} publish before the marker rename")
+    testAfterFenceCheck()
     writeMarkerFile(spark, path, m.gen)
-    val k = retainGens(spark)
+    val k = m.retainK
+    val refsByGen = ((m.gen - k + 1) until m.gen)
+      .filter(_ >= 1L).map(g => gcRefs(spark, path, g))
     val live: Set[String] =
       (m.segs.map(_.name) :+ m.sigDir :+ "signatures").toSet ++
-        ((m.gen - k + 1) until m.gen)
-          .filter(_ >= 1L).flatMap(g => gcRefs(spark, path, g))
+        refsByGen.flatMap(_.getOrElse(Seq.empty))
+    // any unreadable (but existing) retained manifest poisons seg/sig
+    // GC for this publish: its references are unknown, so nothing that
+    // might be among them may be deleted (gen-dir retirement stays on —
+    // it is decided by generation NUMBER, not by references)
+    val segGcSafe = refsByGen.forall(_.isDefined)
     try {
       f.listStatus(new Path(path)).foreach { st =>
         val n = st.getPath.getName
         val retiredGen = n.startsWith("gen-") &&
           scala.util.Try(n.stripPrefix("gen-").toLong)
             .toOption.exists(_ <= m.gen - k)
-        val retiredSeg = (n.startsWith("seg-") || n.startsWith("sigs-")) &&
+        val retiredSeg = segGcSafe &&
+          (n.startsWith("seg-") || n.startsWith("sigs-")) &&
           !live.contains(n)
-        if (retiredGen || retiredSeg) f.delete(st.getPath, true)
+        // each delete individually fenced on the lease token: GC runs
+        // AFTER the marker rename, so a writer whose lock was stolen
+        // mid-publish could otherwise sweep dirs a NEW holder just
+        // staged or published under the same deterministic names
+        // (gen collisions — both compute m0.gen+1) — our live set
+        // simply doesn't know about them (chaos-spec-found). A fenced
+        // writer stops sweeping; a later publish collects the rest.
+        if ((retiredGen || retiredSeg) && held.stillHeld())
+          f.delete(st.getPath, true)
       }
     } catch { case _: java.io.IOException => () } // GC is best-effort
   }
@@ -579,15 +743,48 @@ object LshIndex {
     * the exact moment the fence must catch. */
   private[graft] var testBeforePublish: () => Unit = () => ()
 
+  /** Test-only injection point at the very top of [[publish]], BEFORE
+    * the pre-write fence — lets a spec steal the lock and prove the
+    * fenced-out writer never writes its doomed same-numbered manifest
+    * over the thief's (r12 ADVICE). */
+  private[graft] var testBeforePublishEntry: () => Unit = () => ()
+
+  /** Test-only injection point in the residual check-then-act window —
+    * AFTER the pre-marker fence check passed, BEFORE the marker
+    * rename — lets a spec steal the lock inside the window the
+    * scaladoc documents and prove exactly-once still holds via
+    * last-writer-wins + the next writer's re-validation. */
+  private[graft] var testAfterFenceCheck: () => Unit = () => ()
+
+  /** Atomic whole-file replace. On the LOCAL scheme Hadoop's
+    * `FileContext.rename(..., OVERWRITE)` is delete-then-rename — a
+    * reader racing the replace sees a WINDOW where the destination
+    * does not exist (chaos-spec-found: a prober read `found: None` for
+    * the marker mid-publish) — so `file:` goes through
+    * `java.nio.Files.move(ATOMIC_MOVE)`, which is rename(2). HDFS and
+    * object-store committers implement the overwrite rename atomically
+    * and keep the FileContext path. */
+  private def atomicReplace(spark: SparkSession, f: FileSystem,
+      tmp: Path, dest: Path): Unit =
+    if (f.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(dest),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+
   private def writeMarkerFile(spark: SparkSession, path: String, gen: Long): Unit = {
     val f = fs(spark, path)
     val tmp = new Path(s"$path/_graft_lsh_index.tmp")
     val out = f.create(tmp, true)
     try out.write(s"$marker gen=$gen".getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(markerPath(path)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicReplace(spark, f, tmp, markerPath(path))
   }
 
   // --------------------------------------------------------- appends
@@ -659,7 +856,8 @@ object LshIndex {
         val gen = m0.gen + 1
         val segName = s"seg-$gen"
         val f = fs(spark, path)
-        f.delete(new Path(s"$path/$segName"), true) // crashed-append orphan
+        fenceStagingDelete(spark, held, path, gen, segName) // crashed-append orphan
+        f.delete(new Path(s"$path/$segName"), true)
         Dedup.bands(fresh)
           .sortWithinPartitions("band", "k1", "k2")
           .write.parquet(s"$path/$segName/bands")
@@ -762,10 +960,11 @@ object LshIndex {
         // merges only within a full size class, so one append's
         // rewrite work is bounded by that class, never the index
         val segsFinal = compactTiers(spark, path, gen,
-          m0.segs :+ SegInfo(segName, batchBands))
+          m0.segs :+ SegInfo(segName, batchBands), held)
 
         publish(spark, path, Manifest(gen, m0.sigRows + freshN, m0.sigDir,
-          m0.fingerprint, segsFinal, warmKept), held)
+          m0.fingerprint, segsFinal, warmKept,
+          retainK = math.max(retainGens(spark), m0.retainK)), held)
       }
     }
     index
@@ -789,7 +988,7 @@ object LshIndex {
     * like the build path, so merged segments row-group-prune exactly
     * like a from-scratch segment. */
   private def compactTiers(spark: SparkSession, path: String, gen: Long,
-      segs0: Seq[SegInfo]): Seq[SegInfo] = {
+      segs0: Seq[SegInfo], held: FsLease.Held): Seq[SegInfo] = {
     val f = fs(spark, path)
     var segs = segs0
     var round = 0
@@ -802,7 +1001,8 @@ object LshIndex {
           val name = s"seg-${gen}m$round"
           round += 1
           val rows = pick.map(_.rows).sum
-          f.delete(new Path(s"$path/$name"), true) // crashed-merge orphan
+          fenceStagingDelete(spark, held, path, gen, name) // crashed-merge orphan
+          f.delete(new Path(s"$path/$name"), true)
           val bands = pick
             .map(p => spark.read.parquet(s"$path/${p.name}/bands"))
             .reduce(_.unionByName(_))
@@ -964,24 +1164,35 @@ object LshIndex {
 
   /** Load the index cached for this exact corpus snapshot, or build it
     * once (the standing-index contract: signatures are computed when
-    * the corpus changes, never per probe).
+    * the corpus CHANGES — never per probe, and never per SESSION).
     *
-    * `cacheRoot` resolution: `GRAFT_LSH_CACHE` env, else the session's
-    * reliable checkpoint dir when one is set (the cluster-safe,
-    * session-owned store), else the JVM temp dir. A cache entry is
-    * never trusted on the marker alone (r10 ADVICE — the temp-dir
-    * default is world-writable and reaper-cleaned): the manifest must
-    * re-state this corpus's content fingerprint AND the signature
-    * watermark must agree with the persisted rows, or the entry is
-    * discarded and rebuilt from the source table. */
+    * `cacheRoot` resolution (r12 verdict ask #1 — every candidate is
+    * deliberately SESSION-INDEPENDENT): the explicit argument, else
+    * the `GRAFT_LSH_CACHE` env, else the `spark.graft.lsh.cacheRoot`
+    * session conf, else `<java.io.tmpdir>/graft-lsh-cache`. The
+    * previous fallback — the session's reliable checkpoint dir — is
+    * gone: checkpoint dirs are typically per-session-unique, so a
+    * session configured the cluster-recommended way re-signatured the
+    * whole unchanged corpus on every restart, the exact 100 TB work
+    * the standing artifact exists to avoid. On a cluster, point the
+    * conf (or env) at durable shared storage — conventionally a
+    * sibling of the corpus table (`<table>_lshindex/`), so index
+    * lifetime follows corpus lifetime; writing INTO the corpus dir
+    * itself is never done (corpora are often read-only to consumers,
+    * and extra files would perturb readers and the fingerprint).
+    *
+    * A cache entry is never trusted on the marker alone (r10 ADVICE —
+    * the temp-dir default is world-writable and reaper-cleaned): the
+    * manifest must re-state this corpus's content fingerprint AND the
+    * signature watermark must agree with the persisted rows, or the
+    * entry is discarded and rebuilt from the source table. */
   def buildOrLoad(spark: SparkSession, docs: DataFrame, tablePath: String,
       cacheRoot: String = ""): Index = synchronized {
     val root =
       if (cacheRoot.nonEmpty) cacheRoot
       else sys.env.getOrElse("GRAFT_LSH_CACHE",
-        spark.sparkContext.getCheckpointDir
-          .map(_ + "/graft-lsh-cache")
-          .getOrElse(sys.props("java.io.tmpdir") + "/graft-lsh-cache"))
+        spark.conf.get("spark.graft.lsh.cacheRoot",
+          sys.props("java.io.tmpdir") + "/graft-lsh-cache"))
     val fp = pathFingerprint(spark, tablePath)
     val path = s"$root/$fp"
     val f = fs(spark, root)

@@ -483,6 +483,248 @@ class LshIndexSpec extends AnyFunSuite {
       .exists(_._2 == 777L))
   }
 
+  test("standing index stands across sessions: a fresh session resolves the same cache entry with zero jobs") {
+    // r12 verdict ask #1: the cache root used to fall back to the
+    // session's checkpoint dir — per-session-unique on clusters, so a
+    // restarted session re-signatured an UNCHANGED corpus (at 100 TB,
+    // the most expensive operation in the system). Resolution is now
+    // session-independent; a second session configured the
+    // cluster-recommended way (its own fresh checkpoint dir) must hit
+    // the same entry and run ZERO jobs — the load is pure driver-side
+    // metadata (marker + manifest + parquet footers).
+    val dir = Files.createTempDirectory("lshix").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val root = s"$dir/cache"
+    val sA = spark.newSession()
+    sA.conf.set("spark.graft.lsh.cacheRoot", root)
+    val ixA = LshIndex.buildOrLoad(sA,
+      sA.read.parquet(s"$dir/documents.parquet"), s"$dir/documents.parquet")
+    val expected = probeSet(LshIndex.probe(ixA, batch))
+    // second session: fresh state, fresh (session-unique) checkpoint
+    // dir — the exact configuration that used to force a full rebuild
+    val sB = spark.newSession()
+    sB.conf.set("spark.graft.lsh.cacheRoot", root)
+    sB.sparkContext.setCheckpointDir(
+      Files.createTempDirectory("lshix-ckpt").toString)
+    // the docs frame is resolved OUTSIDE the measured window: parquet
+    // schema inference runs one footer-reading job of its own, and on
+    // a cache hit buildOrLoad never executes the frame anyway — the
+    // zero-jobs claim is about the INDEX resolution
+    val docsB = sB.read.parquet(s"$dir/documents.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sB.sparkContext.addSparkListener(listener)
+    val ixB =
+      try {
+        val ix = LshIndex.buildOrLoad(sB, docsB, s"$dir/documents.parquet")
+        // listener bus is async: settle until the counter stops moving
+        var prev = -1
+        while (prev != jobs.get()) { prev = jobs.get(); Thread.sleep(200) }
+        ix
+      } finally {
+        sB.sparkContext.removeSparkListener(listener)
+        // the checkpoint dir is CONTEXT-level state shared with every
+        // other suite — leave the session pristine
+        sB.sparkContext.setCheckpointDir(null)
+      }
+    assert(ixB.path == ixA.path,
+      "a fresh session must resolve the same standing cache entry")
+    assert(jobs.get() == 0,
+      s"resolving a standing index from a fresh session ran ${jobs.get()} " +
+        "job(s) — a tokenize/minhash rebuild (or any scan) leaked in")
+    assert(probeSet(LshIndex.probe(ixB, batch)) == expected)
+  }
+
+  test("pre-write fence: a fenced-out writer never writes its doomed same-numbered manifest") {
+    // r12 ADVICE (medium): a renewal-starved writer resuming from a
+    // stall computes the same gen number as the thief that broke its
+    // lock (both m0.gen+1 off the same base). Without a fence BEFORE
+    // the manifest write it would overwrite the thief's
+    // already-published manifest — the marker still points there, so
+    // the thief's segment references and warm stats are lost until a
+    // watermark repair. Steal the lock at publish ENTRY, run a full
+    // real thief append inside the stall, and pin via the manifest-
+    // write observation hook that the loser never writes gen-2 at all.
+    val dir = Files.createTempDirectory("lshix").toString
+    val ix = LshIndex.build(corpus, s"$dir/ix")
+    val writes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val phase = new java.util.concurrent.atomic.AtomicInteger(0)
+    LshIndex.testOnManifestWrite = g => writes.synchronized { writes += g }
+    LshIndex.testBeforePublishEntry = () =>
+      if (phase.incrementAndGet() == 1) {
+        // our lock is token-CAS-broken while we stall...
+        new java.io.File(s"$dir/ix/_writer.lock").delete()
+        // ...and the thief completes a FULL append before we resume.
+        // Its first act under the lease is the watermark repair (our
+        // orphaned 777 signature rows fold in as gen-2), then its own
+        // batch publishes gen-3.
+        LshIndex.append(ix, docs(888L ->
+          ("thief document about entirely different topics such as " +
+            "glaciers penguins and the long antarctic night")),
+          assumeNew = true)
+      }
+    try LshIndex.append(ix, docs(777L -> base), assumeNew = true)
+    finally {
+      LshIndex.testBeforePublishEntry = () => ()
+      LshIndex.testOnManifestWrite = _ => ()
+    }
+    // the ONLY manifest writes: the thief's repair (gen-2) and its own
+    // append (gen-3). The fenced loser's same-numbered gen-2 write —
+    // which would appear as a duplicate 2 AFTER the 3 — must be absent
+    // (its retry re-validates, finds 777 already folded in, and has
+    // nothing left to publish).
+    assert(writes.synchronized(writes.toSeq) == Seq(2L, 3L),
+      s"unexpected manifest-write sequence: $writes")
+    val reloaded = LshIndex.load(spark, s"$dir/ix")
+    assert(reloaded.currentManifest.gen == 3L)
+    assert(reloaded.signatures.count() == 6L)
+    assert(reloaded.signatures.select("doc_id").distinct().count() == 6L)
+    val got = probeSet(LshIndex.probe(reloaded, docs(9000L -> base)))
+    assert(got.exists(_._2 == 777L), s"the fenced writer's doc is lost: $got")
+  }
+
+  test("steal inside the residual fence window: last-writer-wins + re-validation keep exactly-once") {
+    // The fence is check-then-act (documented in publish's scaladoc):
+    // a steal CAN land between the passed fence check and the marker
+    // rename. Inject exactly there — the rename still lands (atomic
+    // last-writer-wins, and the loser's state is internally consistent
+    // so nothing tears), the loser must NOT free the thief's lock on
+    // release, and the next writer re-validates and builds on top.
+    val dir = Files.createTempDirectory("lshix").toString
+    val ix = LshIndex.build(corpus, s"$dir/ix")
+    val lock = new java.io.File(s"$dir/ix/_writer.lock")
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    LshIndex.testAfterFenceCheck = () =>
+      if (fired.incrementAndGet() == 1) {
+        // thief: break our lock and acquire with its own token
+        lock.delete()
+        java.nio.file.Files.writeString(lock.toPath, "thief-token")
+      }
+    try LshIndex.append(ix, docs(777L -> base), assumeNew = true)
+    finally LshIndex.testAfterFenceCheck = () => ()
+    assert(fired.get() >= 1)
+    // the publish went through whole (gen-2, consistent watermark) and
+    // the loser's release left the thief's lock untouched
+    assert(java.nio.file.Files.readString(lock.toPath) == "thief-token",
+      "the fenced-out loser must not free the thief's lock on release")
+    lock.delete() // thief "releases"
+    // next writer re-validates against the published gen-2 and builds on
+    LshIndex.append(ix, docs(888L ->
+      "another appended document describing meteor showers over canyons"))
+    val reloaded = LshIndex.load(spark, s"$dir/ix")
+    assert(reloaded.currentManifest.gen == 3L)
+    assert(reloaded.signatures.count() == 6L)
+    assert(reloaded.signatures.select("doc_id").distinct().count() == 6L)
+    assert(probeSet(LshIndex.probe(reloaded, docs(9000L -> base)))
+      .exists(_._2 == 777L))
+  }
+
+  test("release-window steal: the compare-and-delete may kill the thief's fresh lock; the system self-heals") {
+    // release() is best-effort check-then-act too (FsLease scaladoc):
+    // a thief acquiring between the token read and the delete loses
+    // its brand-new lock. Pin the documented aftermath — the lock is
+    // gone, and every subsequent operation (which would have been the
+    // thief's fenced publish + retry) stays exactly-once.
+    val dir = Files.createTempDirectory("lshix").toString
+    val ix = LshIndex.build(corpus, s"$dir/ix")
+    val lock = new java.io.File(s"$dir/ix/_writer.lock")
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.log.FsLease.testBeforeReleaseDelete = () =>
+      if (fired.incrementAndGet() == 1) {
+        // thief steals in the window: our token compared equal, but by
+        // the time we delete, the file carries the thief's token
+        java.nio.file.Files.writeString(lock.toPath, "thief-token")
+      }
+    try LshIndex.append(ix, docs(777L -> base), assumeNew = true)
+    finally graft.log.FsLease.testBeforeReleaseDelete = () => ()
+    assert(fired.get() >= 1)
+    assert(!lock.exists(),
+      "the holder's compare-and-delete kills the thief's fresh lock " +
+        "(the documented benign race)")
+    // the thief's own pre-publish fence would catch its vanished lock
+    // and retry; from here the index must stay consistent and
+    // exactly-once for every later writer
+    LshIndex.append(ix, docs(888L ->
+      "a follow-up document recounting lighthouse storms and quiet harbors"))
+    val reloaded = LshIndex.load(spark, s"$dir/ix")
+    assert(reloaded.signatures.count() == 6L)
+    assert(reloaded.signatures.select("doc_id").distinct().count() == 6L)
+  }
+
+  test("gcRefs transient read error keeps (not deletes) the retained generation's segments") {
+    // r12 ADVICE: gcRefs used to return empty on ANY exception, so a
+    // transient IO error reading a retained manifest dropped its seg
+    // dirs from the live set and publish deleted them — the opposite
+    // of err-toward-keeping. Build a state where gen-(N-1) references
+    // segments the new gen-N manifest does NOT (a compaction publish),
+    // fail the gen-(N-1) read, and pin that the inputs survive.
+    val dir = Files.createTempDirectory("lshix").toString
+    val standing = docs((0L until 200L).map(i => i ->
+      s"standing document number $i with vocabulary ${i * 31} and ${i * 97} tail"): _*)
+    val ix = LshIndex.build(standing, s"$dir/ix") // gen-1: seg-1f (tier 1)
+    for (i <- 0 until 7) // gens 2..8: seven tier-0 segments
+      LshIndex.append(ix, docs((0L until 4L).map(j => (10000L + i * 10 + j) ->
+        s"appended batch $i doc $j about ${i * 13 + j} lighthouses"): _*),
+        assumeNew = true)
+    // a probe planned against gen-8 reads seg-1f + seg-2..seg-8
+    val inFlight = LshIndex.probe(ix,
+      docs(9000L -> "appended batch 3 doc 1 about 40 lighthouses"))
+    val expected = probeSet(LshIndex.probe(ix,
+      docs(9000L -> "appended batch 3 doc 1 about 40 lighthouses")))
+    // the 8th small append triggers the tier-0 compaction: gen-9's
+    // manifest references the merged segment only, so seg-2..seg-8 are
+    // held live solely by gcRefs(gen-8) — whose read we now fail
+    LshIndex.testGcRefsRead = (_, gen) =>
+      if (gen == 8L) throw new RuntimeException("injected transient IO error")
+    try LshIndex.append(ix, docs((0L until 4L).map(j => (20000L + j) ->
+        s"final batch doc $j about ${j * 17} orchards"): _*), assumeNew = true)
+    finally LshIndex.testGcRefsRead = (_, _) => ()
+    assert(ix.currentManifest.segs.exists(_.name.contains("m")),
+      s"precondition: compaction must have merged, got ${ix.currentManifest.segs}")
+    for (g <- 2 to 8)
+      assert(new java.io.File(s"$dir/ix/seg-$g").exists(),
+        s"seg-$g was GC'd despite the unreadable retained manifest — " +
+          "a transient read error must err toward KEEPING")
+    assert(probeSet(inFlight) == expected,
+      "the in-flight gen-8 probe lost its files to an over-eager GC")
+    // once the manifest reads again, the next publish retires them
+    LshIndex.append(ix, docs(30000L ->
+      "one more appended document about granite observatories"), assumeNew = true)
+    assert(!new java.io.File(s"$dir/ix/seg-2").exists(),
+      "GC must resume once the retained manifests read cleanly")
+  }
+
+  test("retention K persists in the manifest: a default-conf writer cannot shrink a K=3 window") {
+    // r12 verdict ask #7: retainGenerations used to be read from the
+    // PUBLISHING writer's session conf, so one default-configured
+    // writer could GC a generation a slow K=3 prober still needs. K
+    // now rides the manifest monotonically: set K=3 for the BUILD
+    // only, then let default-conf writers publish — the K=3 window
+    // must hold anyway.
+    spark.conf.set("spark.graft.lsh.retainGenerations", "3")
+    val dir = Files.createTempDirectory("lshix").toString
+    val ix =
+      try LshIndex.build(corpus.filter(col("doc_id") <= 2), s"$dir/ix")
+      finally spark.conf.unset("spark.graft.lsh.retainGenerations")
+    val inFlight = LshIndex.probe(ix, batch) // planned against gen-1
+    val expected = probeSet(LshIndex.probe(ix, batch))
+    LshIndex.append(ix, corpus.filter(col("doc_id") > 2)) // gen-2
+    LshIndex.append(ix, docs(42L ->
+      "completely novel appended document with fresh vocabulary about lighthouses")) // gen-3
+    assert(new java.io.File(s"$dir/ix/gen-1").exists(),
+      "a default-conf writer must honor the K=3 the build persisted")
+    assert(probeSet(inFlight) == expected,
+      "the slow gen-1 probe lost its snapshot to a shrunken window")
+    LshIndex.append(ix, docs(43L ->
+      "a fourth generation document mentioning observatories and granite")) // gen-4
+    assert(!new java.io.File(s"$dir/ix/gen-1").exists(),
+      "gen-1 must still retire once it falls out of the K=3 window")
+  }
+
   test("stale dead-holder lock: the breaker repairs the half-written state before appending") {
     // The FsLease scaladoc contract (r11 verdict ask #5): LshIndex
     // passes NO onStaleBreak because its repair runs post-acquisition

@@ -107,14 +107,20 @@ class NearDupScreenSpec extends AnyFunSuite {
       val paths = s.relation.location.rootPaths.map(_.toString)
       val inIndex = paths.forall(_.contains(s"$dir/ix"))
       val isSource = paths.forall(_.contains(s"$dir/src"))
-      // accept any doc_id-constrained pushed filter, not just the
-      // literal In(doc_id...) spelling — above
+      // accept any VALUE-constraining pushed filter on doc_id, not
+      // just the literal In(doc_id...) spelling — above
       // spark.sql.parquet.pushdown.inFilterThreshold Spark may push a
-      // large IN in other forms (range/InSet), and the invariant we
-      // pin is "the corpus scan is id-constrained", not one conf
-      // default's filter rendering (r11 ADVICE)
+      // large IN as InSet or a range pair — but match the pruning
+      // forms EXPLICITLY: a bare IsNotNull(doc_id) rides along on
+      // virtually any join-keyed scan, so `contains("doc_id")` would
+      // pass a regression that silently lost the real pruning and
+      // fell back to a full corpus scan (r12 ADVICE)
+      val pruningForms = Seq("In(doc_id", "InSet(doc_id", "EqualTo(doc_id",
+        "GreaterThanOrEqual(doc_id", "LessThanOrEqual(doc_id",
+        "GreaterThan(doc_id", "LessThan(doc_id")
       val prunedCorpus = paths.forall(_.contains("documents.parquet")) &&
-        s.metadata.get("PushedFilters").exists(_.contains("doc_id"))
+        s.metadata.get("PushedFilters")
+          .exists(pf => pruningForms.exists(pf.contains))
       !(inIndex || isSource || prunedCorpus)
     }
     assert(offenders.isEmpty,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsofNative, TopK}
+import graft.operators.{AsofNative, LshIndex, TopK}
 
 /** SQL-only reach for the custom whole-operator plans (r9): the
   * `asof_join` / `group_topk` table-valued functions must round-trip
@@ -48,6 +48,55 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SQL and Dataset group top-k diverged")
     val plan = viaSql.queryExecution.executedPlan.toString
     assert(plan.contains("GroupTopK"), s"custom top-k operator not planned:\n$plan")
+  }
+
+  private lazy val lshBase = "the quick brown fox jumps over the lazy " +
+    "dog near the river while seventeen green turtles carry packages"
+  private lazy val lshCorpus = Seq(
+    1L -> lshBase,
+    2L -> lshBase.replace("lazy", "sleepy"),
+    3L -> ("entirely different content with no shared shingles zebra " +
+      "xylophone quantum marmalade frequencies oscillate wildly here"))
+    .toDF("doc_id", "text")
+
+  test("lsh_candidate_pairs TVF: spark.sql result equals the standing-index Dataset face") {
+    // r12 verdict ask #5: a SQL-only session must reach the standing
+    // snapshot artifact. The TVF and the Dataset face must resolve the
+    // SAME fingerprint-keyed cache entry and answer identically.
+    val dir = java.nio.file.Files.createTempDirectory("sqlsurf-lsh").toString
+    lshCorpus.write.parquet(s"$dir/documents.parquet")
+    val viaSql = spark.sql("SELECT * FROM lsh_candidate_pairs(" +
+      s"'$dir/documents.parquet', '$dir/cache')")
+    val ix = LshIndex.buildOrLoad(spark,
+      spark.read.parquet(s"$dir/documents.parquet"),
+      s"$dir/documents.parquet", s"$dir/cache")
+    val viaDs = LshIndex.candidatePairs(ix)
+    assert(viaSql.columns.sorted.sameElements(viaDs.columns.sorted))
+    assert(viaSql.collect().map(_.toString).sorted
+      .sameElements(viaDs.collect().map(_.toString).sorted),
+      "SQL and Dataset candidate pairs diverged")
+    assert(viaSql.count() >= 1L, "the near-dup pair (1,2) must surface")
+  }
+
+  test("lsh_probe TVF: spark.sql result equals the standing-index Dataset face") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlsurf-lsh").toString
+    lshCorpus.write.parquet(s"$dir/documents.parquet")
+    val batch = Seq(100L -> lshBase, 101L -> ("brand new never seen " +
+      "before text with its own vocabulary completely disjoint words"))
+      .toDF("doc_id", "text")
+    batch.createOrReplaceTempView("sqlsurf_lsh_batch")
+    val viaSql = spark.sql("SELECT * FROM lsh_probe(" +
+      s"'$dir/documents.parquet', 'sqlsurf_lsh_batch', '$dir/cache')")
+    val ix = LshIndex.buildOrLoad(spark,
+      spark.read.parquet(s"$dir/documents.parquet"),
+      s"$dir/documents.parquet", s"$dir/cache")
+    val viaDs = LshIndex.probe(ix, batch)
+    assert(viaSql.columns.sorted.sameElements(viaDs.columns.sorted))
+    assert(viaSql.collect().map(_.toString).sorted
+      .sameElements(viaDs.collect().map(_.toString).sorted),
+      "SQL and Dataset probes diverged")
+    assert(viaSql.collect().exists(r => r.getLong(0) == 100L),
+      "the re-posted doc must collide with its original via SQL too")
   }
 
   test("TVF argument validation: bad arity and non-literal args fail cleanly") {
