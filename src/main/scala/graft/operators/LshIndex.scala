@@ -406,24 +406,25 @@ object LshIndex {
     * writer may have just finished the repair (or the append) we were
     * about to do — then re-derives in place.
     *
-    * Unlike the read path, the in-JVM `validated` cache is NOT
-    * trusted here: a writer whose previous append crashed AFTER the
-    * signature write (killed publish) and who retries in the SAME JVM
-    * would otherwise reuse the pre-crash verdict, anti-join-skip its
-    * own orphaned rows, and leave them out of every segment forever —
-    * the exact silent skip the watermark exists to prevent (found by
-    * the chaos spec's kill injections; a restarted PROCESS never had
-    * the problem because its cache starts empty). Under the lease the
-    * footer recount is metadata-cheap and nobody else can be lawfully
-    * mid-append, so a disagreement here always means crashed state to
-    * repair. */
+    * The in-JVM `validated` cache is trusted here ONLY because every
+    * crashed same-JVM writer path invalidates it on the way out
+    * ([[appendSignaturesOnce]]'s throw-wrap): a writer killed AFTER
+    * its signature write who retried in the same JVM used to reuse
+    * the pre-crash verdict, anti-join-skip its own orphaned rows, and
+    * leave them out of every segment forever — the exact silent skip
+    * the watermark exists to prevent (found by the chaos spec's kill
+    * injections; a restarted PROCESS never had the problem because
+    * its cache starts empty). */
   private def validatedManifestLocked(spark: SparkSession, path: String,
       held: FsLease.Held): Manifest = {
     val gen = currentGen(spark, path)
-    val maybe = readManifest(spark, path, gen)
-    maybe.filter(m => sigRowCount(spark, path, m.sigDir) == m.sigRows)
-      .map { m => validated.add((path, m.gen)); m }
-      .getOrElse(deriveAll(spark, path, gen + 1, maybe, held))
+    readManifest(spark, path, gen) match {
+      case Some(m) if validated.contains((path, m.gen)) => m
+      case maybe =>
+        maybe.filter(m => sigRowCount(spark, path, m.sigDir) == m.sigRows)
+          .map { m => validated.add((path, m.gen)); m }
+          .getOrElse(deriveAll(spark, path, gen + 1, maybe, held))
+    }
   }
 
   def load(spark: SparkSession, path: String): Index = {
@@ -836,7 +837,24 @@ object LshIndex {
           attempts - 1)
     }
 
+  /** One append attempt. ANY failure (fence, injected kill, OOM, a
+    * concurrent delete racing a staging write) drops this path's
+    * in-JVM watermark verdicts before rethrowing: a crashed attempt
+    * may have landed signature rows the cached verdict predates, and
+    * a same-JVM retry — ours or the caller's own supervision loop —
+    * must re-validate and fold them in via the watermark repair
+    * rather than anti-join-skip them into segment-less oblivion
+    * (chaos-spec-pinned). */
   private def appendSignaturesOnce(index: Index, newSig: DataFrame,
+      assumeNew: Boolean): Index =
+    try appendSignaturesBody(index, newSig, assumeNew)
+    catch {
+      case t: Throwable =>
+        validated.removeIf(_._1 == index.path)
+        throw t
+    }
+
+  private def appendSignaturesBody(index: Index, newSig: DataFrame,
       assumeNew: Boolean): Index = {
     val spark = index.spark
     val path = index.path
