@@ -99,6 +99,21 @@ final class FsLease(fs: FileSystem, lockPath: Path,
     } catch { case _: java.io.IOException => () } // already released
   }
 
+  /** Break the lock iff it is OBSERVED stale right now — the
+    * open/recover path: heal a dead holder's leftovers (running
+    * `onStaleBreak` first, exactly like a waiter's break) WITHOUT
+    * acquiring. A fresh lock — a live holder in another process — is
+    * left alone to complete its own commit. */
+  def breakIfStale(): Unit = {
+    val mod =
+      try {
+        if (fs.exists(lockPath)) fs.getFileStatus(lockPath).getModificationTime
+        else -1L
+      } catch { case _: java.io.IOException => -1L }
+    if (mod >= 0 && System.currentTimeMillis() - mod > staleAfterMs)
+      breakStale(mod, readToken())
+  }
+
   /** Blocks until the lease is held; returns a handle whose `release()`
     * stops renewal and frees the lock. Default wait outlasts a live
     * holder's full lease plus margin — giving up earlier than the
@@ -134,6 +149,12 @@ final class FsLease(fs: FileSystem, lockPath: Path,
 }
 
 object FsLease {
+  /** Thrown by consumers whose [[Held.stillHeld]] fence failed before
+    * an irreversible commit step: the lease was stale-broken (renewal
+    * starvation) and a thief may be mid-write — abort without touching
+    * published state and let the caller's retry re-validate. */
+  final class FencedException(msg: String) extends IllegalStateException(msg)
+
   /** A held lease: renewal daemon + release. Renewal refreshes mtime
     * IN PLACE (a delete-and-recreate would open a just-released window
     * in which a waiter's create-if-absent succeeds → two holders).

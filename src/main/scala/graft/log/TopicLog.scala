@@ -82,17 +82,6 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * runs longer than this must raise it. */
   var publishLeaseMs: Long = 5 * 60 * 1000L
 
-  /** The horizon past which an un-renewed lock is judged dead. Floored
-    * at 2× the UNIVERSAL renewal cap (a shared constant, not this
-    * observer's own lease): a live holder refreshes at least every
-    * [[TopicLog.RenewalCapMs]], so no live lock can ever look older
-    * than that plus one tick — an observer with a short
-    * `publishLeaseMs` (fast-failover config, tests) would otherwise
-    * break a live long-lease holder and duplicate offsets (r9 ADVICE
-    * fix). */
-  private def staleAfterMs: Long =
-    math.max(publishLeaseMs, 2 * TopicLog.RenewalCapMs)
-
   /** How long committed-txn markers (`txns/<txnId>`, written by
     * [[publishIdempotent]]) are kept before maintenance prunes them. A
     * marker is only needed while a redelivery of its batch is still
@@ -216,19 +205,55 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * (`topic.js:25-40` returns the inserted doc). Counts come from an
     * Observation on the write job itself — publishing does zero reads
     * of the log. */
+  /** The topic's writer lease — the [[FsLease]] discipline this lock
+    * originated (atomic create-if-absent, unique token, capped renewal,
+    * staleness floored at 2×[[TopicLog.RenewalCapMs]], token-CAS stale
+    * break). `onStaleBreak` is the sidecar reconcile: a stale lock
+    * means a publisher died between append and sidecar write, and the
+    * breaker must heal heads BEFORE freeing other waiters to publish
+    * against them. Constructed per use because `publishLeaseMs` is a
+    * mutable per-topic knob. Migrating to the shared class (r13) also
+    * buys what the in-class copy lacked: a compare-and-delete
+    * `release()` (a fenced-out publisher can no longer free the
+    * thief's fresh lock on its way out) and the [[FsLease.Held]]
+    * fence used by [[fenceCommit]] below. */
+  private def publishLease: FsLease =
+    new FsLease(fs, lockPath, publishLeaseMs, () => reconcileHeads())
+
   /** Run `body` holding the topic's exclusive writer lease, renewed
     * for the duration. Publish, compaction, and retention all take it:
     * a compactor swapping a partition directory while a publisher
     * appends into it would silently drop the concurrent batch. */
-  private def withPublishLock[T](body: => T): T = {
-    acquirePublishLock()
-    val renewer = startLeaseRenewal()
-    try body
-    finally { renewer.stop(); releasePublishLock() }
+  private def withPublishLock[T](body: FsLease.Held => T): T =
+    publishLease.withLeaseHeld(body)
+
+  /** Test-only accessor: acquire the topic's publish lease directly
+    * (the lock-honoring/staleness-floor specs need to drive `acquire`
+    * with a short timeout without going through a publish). */
+  private[graft] def acquirePublishLockForTest(timeoutMs: Long): FsLease.Held =
+    publishLease.acquire(timeoutMs)
+
+  /** Commit fence (r13, mirroring the LshIndex publish fences): called
+    * immediately before every write that COMMITS state under the lease
+    * — the heads-sidecar replace, a txn marker, a partition-dir swap,
+    * retention deletions. A renewal-starved publisher whose lock was
+    * stale-broken must not land these: the thief that broke the lock
+    * reconciled heads and may be committing its own — a zombie sidecar
+    * replace would REGRESS heads the thief advanced (permanent
+    * duplicate offsets, healed only by the next stale break), and a
+    * zombie swap/deletion could drop records the thief just published.
+    * Check-then-act like every fence here: the residual window is the
+    * same one the crash story already covers (at-least-once, sidecar
+    * reconcile on the next stale break). */
+  private def fenceCommit(held: FsLease.Held, what: String): Unit = {
+    TopicLog.testBeforeCommit()
+    if (!held.stillHeld()) throw new FsLease.FencedException(
+      s"publish lease for $path was stale-broken before committing " +
+        s"$what; aborting without touching published state")
   }
 
   def publish(records: DataFrame): Map[Int, TopicLog.OffsetRange] =
-    withPublishLock { publishLocked(records) }
+    withPublishLock { held => publishLocked(records, held) }
 
   /** Publish AT MOST ONCE per `txnId`: a committed transaction id
     * records its offset ranges in `txns/<txnId>` (tmp+rename, under
@@ -246,7 +271,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   def publishIdempotent(records: DataFrame, txnId: String): Map[Int, TopicLog.OffsetRange] = {
     require(txnId.nonEmpty && !txnId.exists(c => c == '/' || c == ':'),
       s"txnId must be a plain token: '$txnId'")
-    withPublishLock {
+    withPublishLock { held =>
       val marker = new Path(s"$path/txns/$txnId")
       readKv(marker) match {
         case Some(kv) =>
@@ -256,7 +281,8 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
             p -> TopicLog.OffsetRange(base, kv(p + numPartitions))
           }
         case None =>
-          val ranges = publishLocked(records)
+          val ranges = publishLocked(records, held)
+          fenceCommit(held, s"txn marker $txnId")
           writeKv(marker, ranges.flatMap { case (p, r) =>
             Seq(p -> r.base, (p + numPartitions) -> r.count)
           })
@@ -275,43 +301,8 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   def hasTxnMarker(txnId: String): Boolean =
     readKv(new Path(s"$path/txns/$txnId")).isDefined
 
-  /** Keep the lease fresh while a long append runs: without renewal, a
-    * publish slower than [[publishLeaseMs]] looks dead to a waiting
-    * publisher, which would break the lock mid-append and re-issue the
-    * same offsets. A daemon rewrites the lock (bumping its modtime)
-    * every leaseMs/3 until stopped. Stop signalling is a latch, NOT
-    * thread interruption — Hadoop's local-FS create (Shell-based chmod
-    * when native IO is absent) can swallow the interrupt flag, which
-    * would leave the renewer immortal and the stopper joined forever. */
-  private final class LeaseRenewer {
-    private val done = new java.util.concurrent.CountDownLatch(1)
-    private val t = new Thread(() => {
-      // Renewal cadence is CAPPED at 60 s regardless of the holder's
-      // configured lease: staleness is judged by each OBSERVER's own
-      // publishLeaseMs, so a holder that raised its lease (the
-      // documented long-job path) but renewed at leaseMs/3 would look
-      // stale to a default-config peer, get its live lock broken, and
-      // duplicate offsets (r9 review fix). With the cap, any observer
-      // lease >= ~2 min can never see a live holder as stale.
-      val interval =
-        math.min(math.max(publishLeaseMs / 3, 50L), TopicLog.RenewalCapMs)
-      while (!done.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        // refresh modtime IN PLACE: a delete-and-recreate overwrite
-        // opens a just-released window in which a waiting publisher's
-        // create-if-absent succeeds -> two live holders
-        try fs.setTimes(lockPath, System.currentTimeMillis(), -1L)
-        catch { case _: java.io.IOException => () } // transient: retry next tick
-      }
-    })
-    t.setDaemon(true)
-    t.setName(s"graft-lease-renewal-$path")
-    t.start()
-    def stop(): Unit = { done.countDown(); t.join() }
-  }
-
-  private def startLeaseRenewal(): LeaseRenewer = new LeaseRenewer
-
-  private def publishLocked(records: DataFrame): Map[Int, TopicLog.OffsetRange] = {
+  private def publishLocked(records: DataFrame,
+      held: FsLease.Held): Map[Int, TopicLog.OffsetRange] = {
     val base = headsPersist()
     val baseDf = spark.createDataFrame(
       java.util.Arrays.asList(
@@ -342,6 +333,15 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       val n = got(s"n_$p") match { case null => 0L; case x: Number => x.longValue() }
       if (n > 0) Some(p -> TopicLog.OffsetRange(base.getOrElse(p, -1L), n)) else None
     }.toMap
+    // fence BEFORE the sidecar replace: if our lease was stale-broken
+    // during the append job, the thief already reconciled heads (and
+    // may have advanced them with its own publish) — our last-writer-
+    // wins replace would REGRESS them and every later publish would
+    // re-issue the thief's offsets until the next stale break. The
+    // appended data files staying behind without a sidecar update is
+    // the same at-least-once window a crash here always had; the
+    // reconcile heals it.
+    fenceCommit(held, "the heads sidecar")
     writeSidecar(base ++ ranges.map { case (p, r) => p -> (r.base + r.count) })
     ranges
   }
@@ -455,11 +455,13 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * all three retention flavors), so a topic that gets ANY maintenance
     * keeps its marker directory bounded; callers with no maintenance
     * schedule can invoke it directly. */
-  def pruneTxnMarkers(): Unit = withPublishLock { pruneTxnMarkersLocked() }
+  def pruneTxnMarkers(): Unit =
+    withPublishLock { held => pruneTxnMarkersLocked(held) }
 
-  private def pruneTxnMarkersLocked(): Unit = {
+  private def pruneTxnMarkersLocked(held: FsLease.Held): Unit = {
     val d = new Path(s"$path/txns")
     if (fs.exists(d)) {
+      fenceCommit(held, "txn-marker pruning")
       val cutoff = System.currentTimeMillis() - txnMarkerTtlMs
       fs.listStatus(d).foreach { st =>
         if (st.isFile && st.getModificationTime < cutoff)
@@ -484,8 +486,8 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * under-compute heads and re-issue the tombstone's offset. */
   def compact(partitions: Seq[Int] = 0 until numPartitions,
       dropTombstones: Boolean = false): Unit =
-    withPublishLock {
-      pruneTxnMarkersLocked()
+    withPublishLock { held =>
+      pruneTxnMarkersLocked(held)
       if (dropTombstones) headsPersist() // pin heads before rows can vanish
       val affected = partitions.distinct.filter(p =>
         fs.exists(new Path(s"$logDir/log_part=$p")))
@@ -511,7 +513,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
             src.filter(col("key").isNull && col("message").isNotNull)
           else src.filter(col("key").isNull)
         val compacted = keptKeyed.unionByName(nullKey)
-        swapLogSubdirs(compacted, affected.map(p => s"log_part=$p"))
+        swapLogSubdirs(compacted, affected.map(p => s"log_part=$p"), held)
       }
     }
 
@@ -521,8 +523,8 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * the single boundary `log_date` partition is rewritten, and only in
     * partitions that have it. Heads (sidecar) are unchanged, so offsets
     * stay monotonic even if a partition empties. */
-  def retainAfter(minTs: java.sql.Timestamp): Unit = withPublishLock {
-    pruneTxnMarkersLocked()
+  def retainAfter(minTs: java.sql.Timestamp): Unit = withPublishLock { held =>
+    pruneTxnMarkersLocked(held)
     headsPersist() // materialize the sidecar before trimming (fallback = scan)
     // log_date was written via to_date(ts), which resolves in the SESSION
     // timezone — derive the whole-day cutoff in the same zone, or the
@@ -534,6 +536,9 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     val boundaryHasOlder =
       minTs.toInstant != cutoff.atStartOfDay(zone).toInstant
     var boundaryParts = List.empty[String]
+    // fenced: a record can carry an OLD ts, so a zombie's directory
+    // drop could delete a date dir the thief just published into
+    fenceCommit(held, "retention directory drops")
     listSubdirs(logDir, "log_part=").foreach { partDir =>
       listSubdirs(partDir.toString, "log_date=").foreach { dateDir =>
         val d = java.time.LocalDate.parse(
@@ -547,7 +552,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       val kept = read()
         .filter(col("log_date") === lit(java.sql.Date.valueOf(cutoff.toString)))
         .filter(col("ts") >= lit(minTs))
-      swapLogSubdirs(kept, boundaryParts)
+      swapLogSubdirs(kept, boundaryParts, held)
     }
   }
 
@@ -555,8 +560,8 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * per-partition offset watermarks (records with offset >= the
     * watermark survive). Rewrites only the named partitions' subtrees.
     * Heads (sidecar) are unchanged. */
-  def retainFrom(minOffsets: Map[Int, Long]): Unit = withPublishLock {
-    pruneTxnMarkersLocked()
+  def retainFrom(minOffsets: Map[Int, Long]): Unit = withPublishLock { held =>
+    pruneTxnMarkersLocked(held)
     headsPersist() // materialize the sidecar before trimming
     val affected = minOffsets.keys.toSeq.distinct.filter(p =>
       fs.exists(new Path(s"$logDir/log_part=$p")))
@@ -564,7 +569,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       val keep = affected.map { p =>
         col("log_part") === p && col("offset") >= minOffsets(p)
       }.reduce(_ || _)
-      swapLogSubdirs(read().filter(keep), affected.map(p => s"log_part=$p"))
+      swapLogSubdirs(read().filter(keep), affected.map(p => s"log_part=$p"), held)
     }
   }
 
@@ -574,8 +579,8 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * log's total size fits maxBytes. Pure file-listing metadata work —
     * NO data is read or rewritten, newest records always survive, and
     * offsets/heads are stable (sidecar untouched). */
-  def retainToSize(maxBytes: Long): Unit = withPublishLock {
-    pruneTxnMarkersLocked()
+  def retainToSize(maxBytes: Long): Unit = withPublishLock { held =>
+    pruneTxnMarkersLocked(held)
     headsPersist() // materialize the sidecar before trimming
     case class DataFile(p: Path, date: String, mtime: Long, size: Long)
     val files = listSubdirs(logDir, "log_part=").flatMap { partDir =>
@@ -586,6 +591,9 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
             st.getModificationTime, st.getLen))
       }
     }
+    // fenced: a zombie's oldest-first deletions racing a thief's
+    // publish could push the trim past records the thief just landed
+    fenceCommit(held, "size-capped retention deletions")
     var excess = files.map(_.size).sum - maxBytes
     files.sortBy(f => (f.date, f.mtime, f.p.toString)).foreach { f =>
       if (excess > 0) { fs.delete(f.p, false); excess -= f.size }
@@ -601,99 +609,6 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
   }
 
   // ------------------------------------------------- publish lock / lease
-
-  /** Acquire the topic's publish lease via atomic create-if-absent
-    * (atomic on HDFS and object-store committers; effectively so on the
-    * local FS). A lease older than [[publishLeaseMs]] belongs to a dead
-    * publisher: break it, reconciling the sidecar first — the crashed
-    * writer may have appended data without recording the new heads, and
-    * publishing against the stale sidecar would re-issue the same
-    * offsets. */
-  // default wait outlasts a LIVE holder's entire lease (plus margin):
-  // giving up earlier than the lease can expire means a slow-but-alive
-  // publisher ahead of us turns into a spurious failure
-  /** One atomic create-if-absent attempt. Hadoop's LOCAL
-    * `create(path, overwrite=false)` is check-then-create (TOCTOU):
-    * two racing publishers can both "win" and corrupt the sidecar —
-    * observed as concurrent `_offsets.json.tmp` writes. On the local
-    * scheme use `File.createNewFile` (O_EXCL, genuinely atomic); HDFS
-    * and object-store committers make `create(_, false)` itself atomic. */
-  private def tryCreateLock(): Boolean = {
-    // a unique token identifies THIS acquisition in the stale-break CAS:
-    // mtime alone has filesystem-tick granularity, so a lock broken and
-    // re-acquired within one tick could be mistaken for the stale one
-    // and wrongly deleted (r9 ADVICE fix). The token write on the local
-    // scheme happens just after the atomic create — a reader in that
-    // window sees an empty token, which simply fails its later CAS (the
-    // safe direction).
-    val token = java.util.UUID.randomUUID().toString
-    if (fs.getScheme == "file") {
-      val f = new java.io.File(lockPath.toUri.getPath)
-      f.getParentFile.mkdirs()
-      val won = f.createNewFile()
-      if (won)
-        try java.nio.file.Files.writeString(f.toPath, token)
-        catch { case _: java.io.IOException => () }
-      won
-    } else {
-      try {
-        val out = fs.create(lockPath, false) // throws if the lock exists
-        try out.write(token.getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    }
-  }
-
-  /** Lock-file token as written by [[tryCreateLock]]; empty when the
-    * file is unreadable/mid-write (participates in the CAS as-is). */
-  private def readLockToken(): String =
-    try {
-      val in = fs.open(lockPath)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    } catch { case _: java.io.IOException => "" }
-
-  private def acquirePublishLock(timeoutMs: Long = -1L): Unit = {
-    val waitMs = if (timeoutMs > 0) timeoutMs else publishLeaseMs + 60 * 1000L
-    val deadline = System.currentTimeMillis() + waitMs
-    var acquired = false
-    while (!acquired) {
-      if (tryCreateLock()) acquired = true
-      else {
-        val mod =
-          try fs.getFileStatus(lockPath).getModificationTime
-          catch { case _: java.io.IOException => -1L } // just released
-        if (mod >= 0 && System.currentTimeMillis() - mod > staleAfterMs)
-          breakStaleLock(mod, readLockToken())
-        else if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(
-            s"timed out after ${waitMs}ms waiting for publish lock on $path")
-        else Thread.sleep(25)
-      }
-    }
-  }
-
-  private def releasePublishLock(): Unit = fs.delete(lockPath, false)
-
-  /** A stale lock means a publisher died somewhere between append and
-    * sidecar write: reconcile, THEN free the lock (reconcile-first keeps
-    * the invariant that a lock-free topic has a trustworthy sidecar). */
-  private def breakStaleLock(observedMod: Long, observedToken: String): Unit = {
-    reconcileHeads()
-    // compare-and-delete: only break the lock OBSERVED as stale. The
-    // reconcile scan above takes seconds — if another waiter already
-    // broke this lock and a live publisher re-acquired it meanwhile,
-    // deleting the NEW lock would yield two concurrent holders
-    // assigning duplicate offsets (TOCTOU). Identity is the acquisition
-    // token (unique per tryCreateLock) AND the modtime — mtime alone
-    // has fs-tick granularity, so a break+re-acquire inside one tick
-    // would pass an mtime-only CAS (r9 ADVICE fix).
-    try {
-      if (fs.getFileStatus(lockPath).getModificationTime == observedMod &&
-          readLockToken() == observedToken)
-        fs.delete(lockPath, false)
-    } catch { case _: java.io.IOException => () } // already released
-  }
 
   /** Heal the sidecar against the log itself: elementwise max of the
     * sidecar and a one-time scan. Max is correct in both failure
@@ -722,11 +637,16 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * with df's output; everything else is untouched. Crash-safe per
     * subdir: live is renamed to `<dir>.old` before staging moves in;
     * [[recover]] rolls back any torn swap. */
-  private def swapLogSubdirs(df: DataFrame, subdirs: Seq[String]): Unit = {
+  private def swapLogSubdirs(df: DataFrame, subdirs: Seq[String],
+      held: FsLease.Held): Unit = {
     val tmp = s"$logDir.staging"
     fs.delete(new Path(tmp), true)
     df.write.mode(SaveMode.Overwrite)
       .partitionBy("log_part", "log_date").parquet(tmp)
+    // fenced AFTER the (long) staging write, immediately before the
+    // live swaps: a zombie compactor swapping a partition dir a thief
+    // just published into would silently drop the concurrent batch
+    fenceCommit(held, s"the ${subdirs.size} partition-dir swap(s)")
     subdirs.foreach { rel =>
       val live = new Path(s"$logDir/$rel")
       val stag = new Path(s"$tmp/$rel")
@@ -769,15 +689,11 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     listSubdirs(logDir, "log_part=").foreach(heal) // log_date=D.old
     // A leftover publish lock past its lease = a publisher died between
     // append and sidecar write; reconcile so heads() never re-issues
-    // offsets. A FRESH lock is a live publisher in another process —
-    // leave it alone (it will complete its own sidecar update).
-    val lockMod =
-      try { if (fs.exists(lockPath))
-        fs.getFileStatus(lockPath).getModificationTime else -1L }
-      catch { case _: java.io.IOException => -1L }
-    if (lockMod >= 0 &&
-      System.currentTimeMillis() - lockMod > staleAfterMs)
-      breakStaleLock(lockMod, readLockToken())
+    // offsets (FsLease.breakIfStale runs onStaleBreak = reconcileHeads
+    // BEFORE the compare-and-delete). A FRESH lock is a live publisher
+    // in another process — left alone to complete its own sidecar
+    // update.
+    publishLease.breakIfStale()
   }
 }
 
@@ -801,6 +717,12 @@ object TopicLog {
     * stale just because its own patience is shorter than the holder's
     * renewal tick (r9 ADVICE fix). */
   val RenewalCapMs: Long = 60 * 1000L
+
+  /** Test-only injection point fired inside every commit fence BEFORE
+    * the token check — lets a spec steal the publish lock at the exact
+    * pre-commit instant the fence must catch (sidecar replace, txn
+    * marker, partition swap, retention deletes). */
+  private[graft] var testBeforeCommit: () => Unit = () => ()
 
   /** The offsets a publish assigned in one partition: records got
     * offsets (base, base + count] — base is the partition's previous

@@ -627,6 +627,50 @@ class TopicLogSpec extends AnyFunSuite {
     dense.foreach(r => assert(r.getAs[Long]("hi") + 1 == r.getAs[Long]("n")))
   }
 
+  test("fenced publish: a stale-broken publisher aborts before the sidecar write and spares the thief's lock") {
+    // r13 (the LshIndex fence discipline applied to the topic log): a
+    // renewal-starved publisher whose lock was token-CAS-broken used to
+    // complete its sidecar replace anyway — last-writer-wins REGRESSING
+    // heads a thief had advanced, permanently re-issuing the thief's
+    // offsets. The commit fence aborts it; its release must also leave
+    // the thief's fresh lock untouched (compare-and-delete, not the old
+    // unconditional delete); and the standing reconcile path heals the
+    // orphaned data files so offsets never collide.
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(20))
+    val headsBefore = topic.heads()
+    val lock = new java.io.File(s"$dir/_publish.lock")
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    TopicLog.testBeforeCommit = () =>
+      if (fired.incrementAndGet() == 1) {
+        // a waiter judged us dead mid-append and token-CAS-broke our
+        // lock; a thief now holds a fresh lease of its own
+        lock.delete()
+        java.nio.file.Files.writeString(lock.toPath, "thief-token")
+      }
+    val ex =
+      try intercept[IllegalStateException] {
+        topic.publish(mkRecords(20, startId = 20))
+      } finally TopicLog.testBeforeCommit = () => ()
+    assert(ex.getMessage.contains("stale-broken"), ex.getMessage)
+    assert(topic.heads() == headsBefore,
+      "a fenced publish must not touch the heads sidecar")
+    assert(java.nio.file.Files.readString(lock.toPath) == "thief-token",
+      "the fenced-out publisher must not free the thief's lock on release")
+    // heal path: the thief dies too (its lock goes stale); the next
+    // open reconciles heads from the log, folding in the orphaned
+    // batch's data files, so later publishes never re-issue offsets
+    assert(lock.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000L))
+    val reopened = TopicLog.prepare(spark, dir, numPartitions = 2)
+    assert(reopened.heads().values.sum > headsBefore.values.sum,
+      "reconcile must fold the orphaned batch into heads")
+    reopened.publish(mkRecords(10, startId = 100))
+    val dup = reopened.read().groupBy(col("log_part"), col("offset"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dup == 0L, "offsets must stay unique after fence + reconcile")
+  }
+
   test("fresh lock from a live publisher is honored, then acquirable") {
     val dir = Files.createTempDirectory("topic").toString
     val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
@@ -637,13 +681,9 @@ class TopicLogSpec extends AnyFunSuite {
     assert(lock.createNewFile())
     val ex = intercept[IllegalStateException] {
       val impatient = TopicLog.prepare(spark, dir, numPartitions = 2)
-      val m = impatient.getClass.getDeclaredMethod(
-        "acquirePublishLock", classOf[Long])
-      m.setAccessible(true)
-      try m.invoke(impatient, java.lang.Long.valueOf(300L))
-      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+      impatient.acquirePublishLockForTest(300L)
     }
-    assert(ex.getMessage.contains("publish lock"))
+    assert(ex.getMessage.contains("lease"))
     assert(lock.delete())
     // once released, publish proceeds normally
     assert(topic.publish(mkRecords(10, startId = 10)).values.map(_.count).sum == 10)
@@ -783,13 +823,9 @@ class TopicLogSpec extends AnyFunSuite {
     val impatient = TopicLog.prepare(spark, dir, numPartitions = 2)
     impatient.publishLeaseMs = 500L // would have judged 90s-old stale pre-fix
     val ex = intercept[IllegalStateException] {
-      val m = impatient.getClass.getDeclaredMethod(
-        "acquirePublishLock", classOf[Long])
-      m.setAccessible(true)
-      try m.invoke(impatient, java.lang.Long.valueOf(400L))
-      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+      impatient.acquirePublishLockForTest(400L)
     }
-    assert(ex.getMessage.contains("publish lock"))
+    assert(ex.getMessage.contains("lease"))
     assert(lock.exists(), "the 90s-old lock must be honored, not broken")
     // past the 2-minute floor the same observer DOES break it
     assert(lock.setLastModified(System.currentTimeMillis() - 150 * 1000L))
