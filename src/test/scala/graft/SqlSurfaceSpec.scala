@@ -113,5 +113,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.toLowerCase.contains("nope_missing") ||
       e2.getMessage.toLowerCase.contains("not found"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM lsh_candidate_pairs()").collect()
+    }
+    assert(e3.getMessage.contains("lsh_candidate_pairs"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT * FROM lsh_probe('/tmp/nope')").collect()
+    }
+    assert(e4.getMessage.contains("lsh_probe"), e4.getMessage)
   }
 }
