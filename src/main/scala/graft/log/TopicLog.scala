@@ -154,25 +154,23 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
 
   /** Sidecar format (heads + per-subscriber watermarks): one
     * `int:long` pair per line — trivially parseable, atomically
-    * replaced via tmp+rename. */
-  private def writeKv(target: Path, kv: Map[Int, Long]): Unit = {
-    val tmp = new Path(target.toString + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(kv.toSeq.sorted.map { case (p, h) => s"$p:$h" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    // ATOMIC replace (FileContext rename-with-OVERWRITE — rename(2) on
-    // posix, the namenode's atomic rename on HDFS): a concurrent
-    // reader always sees the old or the new file, never a missing one.
-    // The previous delete-then-rename opened a window in which
-    // replay() racing an ack() of the same subscriber read "no
-    // sidecar" and lawfully returned the WHOLE log as that consumer's
-    // backlog (r9 review fix).
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+    * replaced via [[AtomicFiles.writeReplace]] (token-unique temp +
+    * `java.nio` ATOMIC_MOVE on `file:`). Two prior generations of this
+    * method were each falsified by a later finding (r14): the r9
+    * delete-then-rename had a reader-visible missing-file window, and
+    * its FileContext-OVERWRITE replacement had the SAME window on the
+    * local scheme (Hadoop's local `Rename.OVERWRITE` is itself
+    * delete-then-rename — the r13 LSH chaos suite caught a prober
+    * reading `found: None` mid-replace) plus a fixed `.tmp` scratch
+    * name two racing ackers of the SAME subscriber could interleave
+    * on, renaming torn bytes into place that `readKv`'s `Array(k, v)`
+    * match then throws on. The shared helper closes both:
+    * a concurrent reader sees old or new WHOLE bytes, never a missing
+    * or torn file, and same-target racers land last-writer-wins. */
+  private def writeKv(target: Path, kv: Map[Int, Long]): Unit =
+    AtomicFiles.writeReplace(fs, spark.sparkContext.hadoopConfiguration,
+      target, kv.toSeq.sorted.map { case (p, h) => s"$p:$h" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
 
   private def readKv(p: Path): Option[Map[Int, Long]] =
     if (!fs.exists(p)) None

@@ -260,18 +260,15 @@ object LshIndex {
       sb.append(s"warm ${w.band} ${w.k1} ${w.k2} ${w.bn} ${w.anchor}\n"))
     sb.append("end\n") // truncation sentinel: a torn manifest never parses
     testOnManifestWrite(m.gen)
-    // written to a token-unique temp name and atomically renamed into
-    // place: a collision on the same generation number (a fenced-out
-    // writer racing the thief that broke its lease) replaces the file
-    // WHOLE — two writers can never interleave torn bytes, and the
-    // pre-write fence in [[publish]] keeps the loser from getting here
-    // in all but the residual check-then-act window (documented there)
-    val f = fs(spark, path)
-    val tmp = new Path(
-      s"$path/gen-${m.gen}/.manifest-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-    atomicReplace(spark, f, tmp, manifestPath(path, m.gen))
+    // token-unique temp + atomic rename (AtomicFiles): a collision on
+    // the same generation number (a fenced-out writer racing the thief
+    // that broke its lease) replaces the file WHOLE — two writers can
+    // never interleave torn bytes, and the pre-write fence in
+    // [[publish]] keeps the loser from getting here in all but the
+    // residual check-then-act window (documented there)
+    graft.log.AtomicFiles.writeReplace(fs(spark, path),
+      spark.sparkContext.hadoopConfiguration,
+      manifestPath(path, m.gen), sb.toString.getBytes("UTF-8"))
   }
 
   /** Test-only observation point: fires with the generation number of
@@ -757,36 +754,17 @@ object LshIndex {
     * last-writer-wins + the next writer's re-validation. */
   private[graft] var testAfterFenceCheck: () => Unit = () => ()
 
-  /** Atomic whole-file replace. On the LOCAL scheme Hadoop's
-    * `FileContext.rename(..., OVERWRITE)` is delete-then-rename — a
-    * reader racing the replace sees a WINDOW where the destination
-    * does not exist (chaos-spec-found: a prober read `found: None` for
-    * the marker mid-publish) — so `file:` goes through
-    * `java.nio.Files.move(ATOMIC_MOVE)`, which is rename(2). HDFS and
-    * object-store committers implement the overwrite rename atomically
-    * and keep the FileContext path. */
-  private def atomicReplace(spark: SparkSession, f: FileSystem,
-      tmp: Path, dest: Path): Unit =
-    if (f.getScheme == "file")
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(dest.toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(f.makeQualified(tmp), f.makeQualified(dest),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
-
-  private def writeMarkerFile(spark: SparkSession, path: String, gen: Long): Unit = {
-    val f = fs(spark, path)
-    val tmp = new Path(s"$path/_graft_lsh_index.tmp")
-    val out = f.create(tmp, true)
-    try out.write(s"$marker gen=$gen".getBytes("UTF-8")) finally out.close()
-    atomicReplace(spark, f, tmp, markerPath(path))
-  }
+  /** Marker publish — one atomic whole-file replace through the
+    * shared [[graft.log.AtomicFiles]] discipline (java.nio ATOMIC_MOVE
+    * on `file:` — this file's r13 chaos suite found the FileContext
+    * OVERWRITE gap — plus, r14, a TOKEN-UNIQUE temp name: the old
+    * fixed `_graft_lsh_index.tmp` let two racing publishers interleave
+    * on one scratch file, benign only while colliding generations'
+    * marker bytes happened to be equal). */
+  private def writeMarkerFile(spark: SparkSession, path: String, gen: Long): Unit =
+    graft.log.AtomicFiles.writeReplace(fs(spark, path),
+      spark.sparkContext.hadoopConfiguration,
+      markerPath(path), s"$marker gen=$gen".getBytes("UTF-8"))
 
   // --------------------------------------------------------- appends
 

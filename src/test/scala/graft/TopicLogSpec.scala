@@ -848,4 +848,89 @@ class TopicLogSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("corrupt _partitions"))
   }
+
+  test("sidecar replaces are atomic: a hammering reader never sees a missing or torn sidecar") {
+    // r14 (verdict ask #1): the heads sidecar and every subscriber
+    // watermark sidecar used to be replaced via FileContext
+    // Rename.OVERWRITE, which on the local scheme is delete-then-rename
+    // — a replay() racing an ack() could read "no sidecar" and lawfully
+    // return the WHOLE log as that consumer's backlog (the r9 bug,
+    // resurrected). This spec hammers both sidecars with replaces while
+    // a reader loop asserts, at the raw-file level, that the target is
+    // ALWAYS present and ALWAYS parses whole — the exact observation
+    // the r13 LSH chaos suite used to catch the same gap on the marker.
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(8))
+    topic.ack("ham", Map(0 -> 0L))
+    val targets = Seq(
+      java.nio.file.Paths.get(s"$dir/_offsets.json"),
+      java.nio.file.Paths.get(s"$dir/subscribers/ham.json"))
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) targets.foreach { p =>
+        if (!java.nio.file.Files.exists(p))
+          violations.add(s"MISSING $p")
+        else {
+          try {
+            val lines = new String(java.nio.file.Files.readAllBytes(p),
+              "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
+            if (lines.isEmpty || !lines.forall(
+                _.matches("""-?\d+:-?\d+""")))
+              violations.add(s"TORN $p: ${lines.toSeq}")
+          } catch {
+            // the file vanished between exists() and read — the same
+            // missing-file window, caught at a different instant
+            case _: java.nio.file.NoSuchFileException |
+                 _: java.io.FileNotFoundException =>
+              violations.add(s"MISSING-ON-READ $p")
+          }
+        }
+      }
+    }, "sidecar-hammer-reader")
+    reader.start()
+    try {
+      (1 to 300).foreach(i => topic.ack("ham", Map(0 -> i.toLong)))
+      (0 until 3).foreach(i => topic.publish(mkRecords(4, startId = 100 + 4 * i)))
+      (301 to 500).foreach(i => topic.ack("ham", Map(1 -> i.toLong)))
+    } finally { stop.set(true); reader.join() }
+    assert(violations.isEmpty,
+      s"atomic replace violated: ${violations.toArray.toSeq.take(5)}")
+    // and the API-level faces stayed coherent throughout
+    assert(topic.heads().size == 2)
+    assert(topic.replay("ham").count() >= 0)
+  }
+
+  test("concurrent same-subscriber acks: last-writer-wins, never a torn sidecar") {
+    // r14 (verdict ask #3): the old fixed `<target>.tmp` scratch name
+    // let two concurrent acks of the SAME subscriber (a misdeployed
+    // duplicate consumer) interleave on one temp file — one renames
+    // the other's half-written bytes into place, and readKv's
+    // `Array(k, v)` match throws on the torn file at the next replay.
+    // Token-unique temps make every rename land a whole file; the
+    // merge itself stays read-then-write, so a lost UPDATE is lawful
+    // (last-writer-wins) but a torn FILE never is.
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(20))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() => (1 to 150).foreach { i =>
+        try topic.ack("dup", Map(0 -> (t * 1000L + i), 1 -> (t * 1000L + i)))
+        catch { case e: Throwable => errs.add(e) }
+      }, s"dup-acker-$t")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent same-subscriber acks threw: ${errs.peek()}")
+    // the sidecar parses whole and carries one of the written values
+    val marks = topic.subscribers().filter(col("name") === "dup").collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(marks.keySet == Set(0, 1), s"torn or partial sidecar: $marks")
+    marks.values.foreach(v =>
+      assert((v >= 1L && v <= 150L) || (v >= 1001L && v <= 1150L),
+        s"sidecar value $v was never written by either acker"))
+    // replay parses the sidecar (the pre-fix failure threw HERE)
+    assert(topic.replay("dup").count() >= 0)
+  }
 }
