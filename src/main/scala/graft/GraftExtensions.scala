@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$usage - got ${exprs.length} argument(s)")
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
     e.injectPlannerStrategy(_ => new graft.plans.GroupTopKStrategy)
+    e.injectPlannerStrategy(_ => new graft.plans.LshTvfStrategy)
     // SQL-only reach for the custom whole-operator plans (r9): table-
     // valued functions resolving catalog/view names through the active
     // session and delegating to the df-level faces (SqlSurface).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
-import graft.operators.{AsofNative, LshIndex, TopK}
+import graft.operators.{AsofNative, TopK}
 
 /** SQL-only surface for the custom whole-operator plans (r9; verdict
   * gap #3): `GraftExtensions` registers these as TABLE-VALUED
@@ -96,37 +96,42 @@ object SqlSurface {
     * a catalog name, because the standing artifact is keyed by the
     * corpus snapshot's on-disk fingerprint — a view has no stable
     * identity to cache against. `cacheRoot` overrides the session's
-    * cache-root resolution (see [[LshIndex.buildOrLoad]]). */
+    * cache-root resolution (see [[LshIndex.buildOrLoad]]).
+    *
+    * Unlike the asof/topk builders above, the lsh builders return a
+    * DEFERRED leaf ([[graft.plans.LshTvfPlan]], r13 ADVICE): resolving
+    * the standing index can be a one-time corpus-wide BUILD, which
+    * must not run at analysis time (`EXPLAIN` / `CREATE VIEW`) nor
+    * serialize concurrent analyses behind `buildOrLoad`'s JVM-wide
+    * lock. Only the literal ARGUMENTS are validated here; the index
+    * resolves when the query executes. */
   def lshCandidatePairsBuilder(exprs: Seq[Expression]): LogicalPlan = {
     if (exprs.isEmpty || exprs.size > 2)
       throw new IllegalArgumentException(
         "lsh_candidate_pairs(corpusPath[, cacheRoot]) expects 1 or 2 " +
           "arguments, got " + exprs.size)
-    val spark = SparkSession.active
-    val corpusPath = str(exprs.head, "corpusPath")
-    val cacheRoot = if (exprs.size == 2) str(exprs(1), "cacheRoot") else ""
-    LshIndex.candidatePairs(LshIndex.buildOrLoad(spark,
-        spark.read.parquet(corpusPath), corpusPath, cacheRoot))
-      .queryExecution.analyzed
+    graft.plans.LshTvfPlan(graft.plans.LshTvfPlan.CandidatePairs,
+      str(exprs.head, "corpusPath"),
+      if (exprs.size == 2) str(exprs(1), "cacheRoot") else "",
+      batchTable = None)
   }
 
   /** `lsh_probe(corpusPath, batchTable[, cacheRoot])` — probe a batch
     * (a catalog table/temp view with doc_id, text) against the
     * standing index of the corpus at `corpusPath`, returning
     * (batch_id, corpus_id, n_shared_bands). Batch-sized work plus one
-    * pruned index read, same as the Dataset face ([[LshIndex.probe]]). */
+    * pruned index read, same as the Dataset face ([[LshIndex.probe]]).
+    * Deferred like `lsh_candidate_pairs` (the batch table NAME is
+    * captured at analysis and resolved through the active session at
+    * execution — a view dropped in between errors then, not here). */
   def lshProbeBuilder(exprs: Seq[Expression]): LogicalPlan = {
     if (exprs.size < 2 || exprs.size > 3)
       throw new IllegalArgumentException(
         "lsh_probe(corpusPath, batchTable[, cacheRoot]) expects 2 or 3 " +
           "arguments, got " + exprs.size)
-    val spark = SparkSession.active
-    val corpusPath = str(exprs.head, "corpusPath")
-    val cacheRoot = if (exprs.size == 3) str(exprs(2), "cacheRoot") else ""
-    LshIndex.probe(
-        LshIndex.buildOrLoad(spark, spark.read.parquet(corpusPath),
-          corpusPath, cacheRoot),
-        spark.table(str(exprs(1), "batchTable")))
-      .queryExecution.analyzed
+    graft.plans.LshTvfPlan(graft.plans.LshTvfPlan.Probe,
+      str(exprs.head, "corpusPath"),
+      if (exprs.size == 3) str(exprs(2), "cacheRoot") else "",
+      batchTable = Some(str(exprs(1), "batchTable")))
   }
 }

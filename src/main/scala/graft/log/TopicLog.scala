@@ -244,7 +244,7 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * same one the crash story already covers (at-least-once, sidecar
     * reconcile on the next stale break). */
   private def fenceCommit(held: FsLease.Held, what: String): Unit = {
-    TopicLog.testBeforeCommit()
+    TopicLog.testBeforeCommit(what)
     if (!held.stillHeld()) throw new FsLease.FencedException(
       s"publish lease for $path was stale-broken before committing " +
         s"$what; aborting without touching published state")
@@ -265,7 +265,21 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     * at-least-once (the stale-lease reconcile keeps offsets sane, the
     * retry re-appends) — the same producer contract Kafka has without
     * full transactions, and strictly stronger than the reference's
-    * fire-and-forget insert (topic.js:26-41). */
+    * fire-and-forget insert (topic.js:26-41).
+    *
+    * Residual fence window (r13 ADVICE, surfaced distinctly): when the
+    * lease is stale-broken AFTER the heads-sidecar commit inside
+    * [[publishLocked]] but BEFORE the txn marker lands, the batch IS
+    * published (offsets advanced, visible to readers) yet no marker
+    * records it — a blind retry of the same txnId would republish it
+    * at new offsets, silently degrading at-most-once-per-txnId to
+    * at-least-once. That window throws
+    * [[TopicLog.CommittedButUnmarkedException]] (carrying the
+    * committed ranges) instead of a plain fence error, so a
+    * supervisor can distinguish "retry the txn" (any other failure)
+    * from "the txn is in; do NOT blind-retry" — or probe
+    * [[hasTxnMarker]] first and treat its absence plus this error's
+    * history as committed. */
   def publishIdempotent(records: DataFrame, txnId: String): Map[Int, TopicLog.OffsetRange] = {
     require(txnId.nonEmpty && !txnId.exists(c => c == '/' || c == ':'),
       s"txnId must be a plain token: '$txnId'")
@@ -280,10 +294,20 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
           }
         case None =>
           val ranges = publishLocked(records, held)
-          fenceCommit(held, s"txn marker $txnId")
-          writeKv(marker, ranges.flatMap { case (p, r) =>
-            Seq(p -> r.base, (p + numPartitions) -> r.count)
-          })
+          // from here the batch IS committed (publishLocked replaced
+          // the heads sidecar) — ANY failure before the marker lands
+          // (the fence, or the marker write itself) is the
+          // committed-but-unmarked window and must not look like a
+          // retryable publish failure
+          try {
+            fenceCommit(held, s"txn marker $txnId")
+            writeKv(marker, ranges.flatMap { case (p, r) =>
+              Seq(p -> r.base, (p + numPartitions) -> r.count)
+            })
+          } catch {
+            case e: Throwable =>
+              throw new TopicLog.CommittedButUnmarkedException(txnId, ranges, e)
+          }
           ranges
       }
     }
@@ -339,8 +363,32 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     // appended data files staying behind without a sidecar update is
     // the same at-least-once window a crash here always had; the
     // reconcile heals it.
-    fenceCommit(held, "the heads sidecar")
-    writeSidecar(base ++ ranges.map { case (p, r) => p -> (r.base + r.count) })
+    try {
+      fenceCommit(held, "the heads sidecar")
+      writeSidecar(base ++ ranges.map { case (p, r) => p -> (r.base + r.count) })
+    } catch {
+      // a FENCED abort means a thief broke our lease and already
+      // reconciled (and may be advancing heads right now) — hands off
+      // the sidecar, surface the abort, let the caller retry
+      case e: FsLease.FencedException => throw e
+      // any OTHER failure here (an IO error replacing the sidecar; a
+      // crash injected at the fence) leaves the batch APPENDED with
+      // the sidecar stale — and nothing would heal it: the lock is
+      // released normally on the way out, so no stale-break reconcile
+      // ever runs, and the NEXT publish (any process) would read the
+      // stale heads and re-issue this batch's offsets — permanent
+      // duplicate (part, offset) pairs, the one invariant the lock
+      // exists to protect (r14 chaos-spec-found: only process DEATH
+      // was covered, not a surviving writer whose commit step threw).
+      // We still hold the lease, so reconcile (elementwise max of
+      // sidecar and scan — folds the orphaned append in) before
+      // rethrowing; the records stay behind as the usual
+      // at-least-once window.
+      case e: Throwable =>
+        try reconcileHeads()
+        catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+    }
     ranges
   }
 
@@ -541,8 +589,17 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
       listSubdirs(partDir.toString, "log_date=").foreach { dateDir =>
         val d = java.time.LocalDate.parse(
           dateDir.getName.stripPrefix("log_date="))
-        if (d.isBefore(cutoff)) fs.delete(dateDir, true) // directory drop
-        else if (d == cutoff && boundaryHasOlder)
+        if (d.isBefore(cutoff)) {
+          // RE-fenced per delete (r13 ADVICE, mirroring LshIndex's GC
+          // sweep): the loop can run long, and a lease stolen mid-loop
+          // would otherwise let the zombie keep dropping date dirs the
+          // thief may concurrently be publishing into. Aborting (not
+          // skipping) also keeps the boundary rewrite below from
+          // running fenced; retention is idempotent, so the caller
+          // just re-runs.
+          fenceCommit(held, s"retention drop of ${dateDir.getName}")
+          fs.delete(dateDir, true) // directory drop
+        } else if (d == cutoff && boundaryHasOlder)
           boundaryParts ::= s"${partDir.getName}/${dateDir.getName}"
       }
     }
@@ -594,7 +651,14 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     fenceCommit(held, "size-capped retention deletions")
     var excess = files.map(_.size).sum - maxBytes
     files.sortBy(f => (f.date, f.mtime, f.p.toString)).foreach { f =>
-      if (excess > 0) { fs.delete(f.p, false); excess -= f.size }
+      if (excess > 0) {
+        // RE-fenced per delete (r13 ADVICE): the per-file loop is the
+        // longest deletion path in the class — a steal mid-loop must
+        // stop the sweep before it trims files a thief is publishing
+        // next to. Idempotent; the caller re-runs.
+        fenceCommit(held, s"retention trim of ${f.p.getName}")
+        fs.delete(f.p, false); excess -= f.size
+      }
     }
     // drop now-empty date/part dirs so future listings stay tight
     listSubdirs(logDir, "log_part=").foreach { partDir =>
@@ -717,10 +781,14 @@ object TopicLog {
   val RenewalCapMs: Long = 60 * 1000L
 
   /** Test-only injection point fired inside every commit fence BEFORE
-    * the token check — lets a spec steal the publish lock at the exact
-    * pre-commit instant the fence must catch (sidecar replace, txn
-    * marker, partition swap, retention deletes). */
-  private[graft] var testBeforeCommit: () => Unit = () => ()
+    * the token check — lets a spec steal the publish lock (or simulate
+    * a crash) at the exact pre-commit instant the fence must catch.
+    * Receives the fence's `what` label (r14, for the chaos suite's
+    * targeted injections): "the heads sidecar", "txn marker <id>",
+    * "txn-marker pruning", "retention directory drops",
+    * "size-capped retention deletions", "the N partition-dir swap(s)",
+    * and the per-delete retention fences. */
+  private[graft] var testBeforeCommit: String => Unit = _ => ()
 
   /** The offsets a publish assigned in one partition: records got
     * offsets (base, base + count] — base is the partition's previous
@@ -729,6 +797,24 @@ object TopicLog {
     def first: Long = base + 1
     def last: Long = base + count
   }
+
+  /** [[TopicLog.publishIdempotent]]'s residual fence window, surfaced
+    * distinctly (r13 ADVICE): the batch COMMITTED — its heads-sidecar
+    * replace landed and `ranges` carries the assigned offsets — but
+    * the lease was stale-broken before the txn marker could record it.
+    * A supervisor must NOT blind-retry this txnId (the retry finds no
+    * marker and republishes the batch at new offsets); treat the txn
+    * as published using the ranges carried here, or re-verify with
+    * [[TopicLog.hasTxnMarker]] before any retry decision. */
+  final class CommittedButUnmarkedException(
+      val txnId: String,
+      val ranges: Map[Int, OffsetRange],
+      cause: Throwable) extends IllegalStateException(
+    s"txn '$txnId' committed (offsets advanced: $ranges) but its " +
+      "idempotence marker was not written — the publish lease was " +
+      "stale-broken between the sidecar commit and the marker write. " +
+      "Do NOT blind-retry this txnId: the retry would republish the " +
+      "batch at new offsets.", cause)
 
   /** Canonical log record schema (SURVEY.md §3). `log_part`/`log_date`
     * are the physical partition directory columns — they must come LAST

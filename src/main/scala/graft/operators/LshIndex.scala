@@ -521,11 +521,45 @@ object LshIndex {
       else prev.map(_.fingerprint).getOrElse("-")
     val m = Manifest(gen, distinctN, sigDir, fp,
       Seq(SegInfo(segName, tot)), warm,
+      // prev = None is the TORN-MANIFEST repair path, not a fresh
+      // build: defaulting retainK there would reset a long retention
+      // window a slow prober still depends on (r13 ADVICE) — recover
+      // the max over whatever prior-generation manifests still parse
+      // (retainK rides the manifest monotonically, so the max of the
+      // readable ones is a safe floor).
       retainK = math.max(retainGens(spark),
-        prev.map(_.retainK).getOrElse(2L)))
+        prev.map(_.retainK).getOrElse(recoverRetainK(spark, path))))
     publish(spark, path, m, held)
     m
   }
+
+  /** Max `retainK` over every readable generation manifest on disk —
+    * the repair path's retention floor when the current manifest is
+    * torn (see [[deriveAll]]). Parsed leniently, like [[gcRefs]]: a
+    * manifest that fails to read contributes nothing (erring toward
+    * the other survivors' max), and no readable manifest at all falls
+    * back to the config floor of 2. */
+  private def recoverRetainK(spark: SparkSession, path: String): Long =
+    try {
+      val f = fs(spark, path)
+      val ks = f.listStatus(new Path(path)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+        .flatMap { st =>
+          try {
+            val mp = new Path(st.getPath, "manifest")
+            if (!f.exists(mp)) None
+            else {
+              val in = f.open(mp)
+              val txt = try new String(in.readAllBytes(), "UTF-8")
+                finally in.close()
+              txt.split("\n").map(_.trim).collectFirst {
+                case ln if ln.startsWith("retainK ") => ln.split(" ")(1).toLong
+              }
+            }
+          } catch { case _: Exception => None }
+        }
+      if (ks.isEmpty) 2L else ks.max
+    } catch { case _: Exception => 2L }
 
   /** kc segments land sorted by `bn` DESCENDING so the risky-key
     * lookup's pushed `bn >= threshold` filter row-group-prunes to the

@@ -725,6 +725,33 @@ class LshIndexSpec extends AnyFunSuite {
       "gen-1 must still retire once it falls out of the K=3 window")
   }
 
+  test("torn-manifest repair recovers retainK from prior readable manifests") {
+    // r13 ADVICE: the repair path (prev = None) used to reset retainK
+    // to the conf default (floor 2), so a repair publish could GC
+    // generations a long-retention (K=3) prober still depends on.
+    // retainK rides the manifest monotonically, so the repair must
+    // recover the max over whatever prior manifests still read.
+    spark.conf.set("spark.graft.lsh.retainGenerations", "3")
+    val dir = Files.createTempDirectory("lshix").toString
+    val ix =
+      try LshIndex.build(corpus, s"$dir/ix")
+      finally spark.conf.unset("spark.graft.lsh.retainGenerations")
+    LshIndex.append(ix, docs(42L ->
+      "a novel appended document about lighthouses and granite storms")) // gen-2, K=3 carried
+    // tear the CURRENT manifest (drop the end sentinel): the next load
+    // takes the repair path with prev = None
+    val mf = java.nio.file.Paths.get(s"$dir/ix/gen-2/manifest")
+    java.nio.file.Files.writeString(mf,
+      java.nio.file.Files.readString(mf).stripSuffix("end\n"))
+    LshIndex.load(spark, s"$dir/ix") // repair publishes gen-3
+    val m3 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/ix/gen-3/manifest"))
+    assert(m3.contains("retainK 3"),
+      s"repair must recover the persisted K=3, not reset to the default:\n$m3")
+    assert(new java.io.File(s"$dir/ix/gen-1").exists(),
+      "the recovered window must keep protecting gen-1")
+  }
+
   test("stale dead-holder lock: the breaker repairs the half-written state before appending") {
     // The FsLease scaladoc contract (r11 verdict ask #5): LshIndex
     // passes NO onStaleBreak because its repair runs post-acquisition

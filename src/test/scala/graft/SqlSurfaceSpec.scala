@@ -99,6 +99,39 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "the re-posted doc must collide with its original via SQL too")
   }
 
+  test("lsh TVFs resolve at EXECUTION, not analysis: EXPLAIN on a cold cache never builds") {
+    // r13 ADVICE (medium): the builders used to run
+    // LshIndex.buildOrLoad at SQL ANALYSIS time, so EXPLAIN / CREATE
+    // VIEW over a cold corpus executed the full signature build — and
+    // serialized every concurrent analysis behind buildOrLoad's
+    // JVM-wide lock. The deferred LshTvfPlan leaf must keep analysis
+    // and physical planning side-effect free; only execution builds.
+    val dir = java.nio.file.Files.createTempDirectory("sqlsurf-lsh").toString
+    lshCorpus.write.parquet(s"$dir/documents.parquet")
+    val cache = s"$dir/cache"
+    val df = spark.sql("SELECT * FROM lsh_candidate_pairs(" +
+      s"'$dir/documents.parquet', '$cache')")
+    val plan = df.queryExecution.executedPlan.toString // EXPLAIN's work
+    assert(plan.contains("LshTvf"), s"deferred node not planned:\n$plan")
+    assert(!new java.io.File(cache).exists(),
+      "analysis/EXPLAIN must not trigger the one-time index build")
+    // a VIEW over the TVF analyzes without building, too
+    spark.sql("CREATE OR REPLACE TEMP VIEW sqlsurf_lsh_v AS " +
+      s"SELECT * FROM lsh_candidate_pairs('$dir/documents.parquet', '$cache')")
+    assert(!new java.io.File(cache).exists(),
+      "CREATE VIEW must not trigger the one-time index build")
+    // execution resolves the index (builds once) and answers exactly
+    // like the Dataset face
+    val viaSql = spark.sql("SELECT * FROM sqlsurf_lsh_v").collect()
+    assert(new java.io.File(cache).exists(),
+      "execution must have built the standing index")
+    val ix = LshIndex.buildOrLoad(spark,
+      spark.read.parquet(s"$dir/documents.parquet"),
+      s"$dir/documents.parquet", cache)
+    assert(viaSql.map(_.toString).sorted.sameElements(
+      LshIndex.candidatePairs(ix).collect().map(_.toString).sorted))
+  }
+
   test("TVF argument validation: bad arity and non-literal args fail cleanly") {
     trades.createOrReplaceTempView("sqlsurf_trades")
     val e1 = intercept[Exception] {

@@ -642,7 +642,7 @@ class TopicLogSpec extends AnyFunSuite {
     val headsBefore = topic.heads()
     val lock = new java.io.File(s"$dir/_publish.lock")
     val fired = new java.util.concurrent.atomic.AtomicInteger(0)
-    TopicLog.testBeforeCommit = () =>
+    TopicLog.testBeforeCommit = _ =>
       if (fired.incrementAndGet() == 1) {
         // a waiter judged us dead mid-append and token-CAS-broke our
         // lock; a thief now holds a fresh lease of its own
@@ -652,7 +652,7 @@ class TopicLogSpec extends AnyFunSuite {
     val ex =
       try intercept[IllegalStateException] {
         topic.publish(mkRecords(20, startId = 20))
-      } finally TopicLog.testBeforeCommit = () => ()
+      } finally TopicLog.testBeforeCommit = _ => ()
     assert(ex.getMessage.contains("stale-broken"), ex.getMessage)
     assert(topic.heads() == headsBefore,
       "a fenced publish must not touch the heads sidecar")
@@ -847,6 +847,122 @@ class TopicLogSpec extends AnyFunSuite {
       TopicLog.prepare(spark, dir, numPartitions = 16)
     }
     assert(ex.getMessage.contains("corrupt _partitions"))
+  }
+
+  test("publishIdempotent: the committed-but-unmarked window surfaces distinctly, never as a retryable failure") {
+    // r13 ADVICE: a fence abort BETWEEN the heads-sidecar commit and
+    // the txn-marker write means the batch IS published but nothing
+    // recorded the txnId — a supervisor blind-retrying the "failed"
+    // txn would republish it at new offsets. The window must throw
+    // CommittedButUnmarkedException (carrying the committed ranges),
+    // not a plain fence error.
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    val lock = new java.io.File(s"$dir/_publish.lock")
+    TopicLog.testBeforeCommit = what =>
+      if (what.startsWith("txn marker")) {
+        lock.delete()
+        java.nio.file.Files.writeString(lock.toPath, "thief-token")
+      }
+    val ex =
+      try intercept[TopicLog.CommittedButUnmarkedException] {
+        topic.publishIdempotent(mkRecords(20), "tx-window")
+      } finally TopicLog.testBeforeCommit = _ => ()
+    assert(ex.txnId == "tx-window")
+    assert(ex.ranges.values.map(_.count).sum == 20L,
+      "the exception must carry the COMMITTED ranges")
+    assert(topic.read().count() == 20, "the batch is published, not lost")
+    assert(!topic.hasTxnMarker("tx-window"),
+      "the marker is exactly what could not be written")
+    // a supervisor that (correctly) treats the txn as committed moves
+    // on; offsets continue uniquely once the thief's lock clears
+    assert(lock.delete())
+    topic.publishIdempotent(mkRecords(10, startId = 50), "tx-next")
+    val dup = topic.read().groupBy(col("log_part"), col("offset"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dup == 0L)
+  }
+
+  test("a publish whose commit step fails reconciles heads before surfacing: no duplicate offsets ever") {
+    // r14 chaos-class find: only process DEATH was covered (stale-break
+    // reconcile). A SURVIVING writer whose commit step throws (an IO
+    // error replacing the sidecar) released its lock normally with the
+    // batch appended and the sidecar stale — the next publish, in any
+    // process, read the stale heads and re-issued the batch's offsets:
+    // permanent duplicate (part, offset) pairs. publishLocked now
+    // reconciles under the still-held lease before rethrowing.
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    topic.publish(mkRecords(20))
+    final class Boom extends RuntimeException("simulated sidecar IO failure")
+    TopicLog.testBeforeCommit = what =>
+      if (what == "the heads sidecar") {
+        TopicLog.testBeforeCommit = _ => () // fire once
+        throw new Boom
+      }
+    val ex =
+      try intercept[RuntimeException] {
+        topic.publish(mkRecords(20, startId = 20))
+      } finally TopicLog.testBeforeCommit = _ => ()
+    assert(ex.isInstanceOf[Boom], ex.toString)
+    // the crashed batch stays behind (at-least-once), heads healed
+    assert(topic.read().count() == 40)
+    // the pre-fix failure: THIS publish re-issued offsets 20..39
+    topic.publish(mkRecords(10, startId = 100))
+    val dup = topic.read().groupBy(col("log_part"), col("offset"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dup == 0L, "duplicate (part, offset) pairs after a commit-step failure")
+    // offsets are dense again per partition (reconcile found the max)
+    topic.read().groupBy(col("log_part"))
+      .agg(min("offset").as("lo"), max("offset").as("hi"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1 == r.getAs[Long]("n"))
+      }
+  }
+
+  test("retention loops re-fence per delete: a mid-loop steal stops the sweep") {
+    // r13 ADVICE: retainAfter/retainToSize fenced once before a
+    // potentially long deletion loop — a lease stolen mid-loop let the
+    // zombie keep deleting files a thief may concurrently be
+    // publishing. Each delete now re-checks the token.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("topic").toString
+    val topic = TopicLog.prepare(spark, dir, numPartitions = 2)
+    val base = 1700000000000L
+    topic.publish((0 until 12).map { i =>
+      (s"e", s"k$i", s"m$i", new java.sql.Timestamp(base + i * 86400000L))
+    }.toDF("event", "key", "message", "ts")) // 12 distinct days
+    val nDateDirs = (0 until 2).flatMap { p =>
+      Option(new java.io.File(s"$dir/log/log_part=$p").listFiles())
+        .toSeq.flatten.filter(_.getName.startsWith("log_date="))
+    }.size
+    assert(nDateDirs >= 4, s"test shape: want several date dirs, got $nDateDirs")
+    val lock = new java.io.File(s"$dir/_publish.lock")
+    val drops = new java.util.concurrent.atomic.AtomicInteger(0)
+    TopicLog.testBeforeCommit = what =>
+      if (what.startsWith("retention drop of") &&
+          drops.incrementAndGet() == 2) {
+        lock.delete()
+        java.nio.file.Files.writeString(lock.toPath, "thief-token")
+      }
+    val ex =
+      try intercept[IllegalStateException] {
+        topic.retainAfter(new java.sql.Timestamp(base + 11 * 86400000L))
+      } finally TopicLog.testBeforeCommit = _ => ()
+    assert(ex.getMessage.contains("stale-broken"), ex.getMessage)
+    // the sweep stopped at the fence: old date dirs SURVIVE past the
+    // one deleted before the steal landed
+    val survivors = (0 until 2).flatMap { p =>
+      Option(new java.io.File(s"$dir/log/log_part=$p").listFiles())
+        .toSeq.flatten.filter(_.getName.startsWith("log_date="))
+    }.size
+    assert(survivors >= nDateDirs - 1,
+      s"zombie kept sweeping past the steal: $survivors of $nDateDirs left")
+    assert(survivors < nDateDirs, "test shape: one drop must have landed")
+    // retention is idempotent: clear the thief and re-run to completion
+    assert(lock.delete())
+    topic.retainAfter(new java.sql.Timestamp(base + 11 * 86400000L))
+    assert(topic.read().count() == 1)
   }
 
   test("sidecar replaces are atomic: a hammering reader never sees a missing or torn sidecar") {
