@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Scratch diagnostic main (not part of the driver contract): counts
+  * Spark jobs and their wall spans during one evaluation of a single
+  * gated query, to locate fixed job-count overhead. */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val qname = if (args.length > 1) args(1) else "q113_curation_verdicts"
+    val spark = GraftSession.build("local[32]", 32)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val spans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Long, Long, String)]())
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.put(j.jobId, (j.time,
+          Option(j.properties.getProperty("spark.job.description"))
+            .orElse(Option(j.properties.getProperty("callSite.short")))
+            .getOrElse("?")))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val (t0, d) = jobs.getOrDefault(j.jobId, (j.time, "?"))
+        spans.add((j.jobId, t0, j.time, d))
+      }
+    })
+    // warm like Bench does
+    SparkEntry.queries(qname)(spark, "/root/testdata/sf0.001").count()
+    Thread.sleep(500)
+    spans.clear()
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(qname)(spark, sfDir).count()
+    val wallMs = (System.nanoTime() - t0) / 1e6
+    Thread.sleep(500)
+    println(s"== $qname rows=$n wall=${wallMs.round}ms jobs=${spans.size}")
+    val base = spans.get(0)._2
+    spans.forEach { case (id, s, e, d) =>
+      println(f"  job $id%3d +${s - base}%6dms dur=${e - s}%5dms  ${d.take(90)}")
+    }
+    spark.stop()
+  }
+}

@@ -685,6 +685,13 @@ final class TopicLog(val spark: SparkSession, val path: String, val numPartition
     }.toMap)
   }
 
+  /** Test-only: the chaos suite's steal injection must model the FULL
+    * breaker protocol — a real waiter runs `onStaleBreak` (this
+    * reconcile) BEFORE deleting a stale lock, so a raw lock delete
+    * without it would simulate a protocol violation no conforming
+    * breaker commits. */
+  private[graft] def reconcileHeadsForTest(): Unit = reconcileHeads()
+
   // ------------------------------------------------------ swap machinery
 
   private def listSubdirs(dir: String, prefix: String): Seq[Path] = {

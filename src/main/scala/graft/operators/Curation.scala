@@ -216,37 +216,39 @@ object Curation {
       .select(col("doc_id").as("l_id"), col("verdict").as("l_verdict"))
 
     // stitch: left-join each stage's drop/keep marker, precedence in
-    // pipeline order
-    // e_keep marker from the ALREADY-materialized exactOk survivor set
-    // (its doc_ids ARE exactKeep's e_ids) — joining exactKeep here
-    // would re-run the full-corpus hash aggregation a second time
+    // pipeline order. NO separate exact-survivor join (r14 job-count
+    // reclaim): [[lateStageVerdicts]] emits one NON-NULL verdict per
+    // exact-dedup survivor, so `l_id IS NULL` among quality passers IS
+    // the exact_dup marker — the old full-corpus e_keep join (one of
+    // the stitch's two sort-merge exchanges) carried no extra
+    // information. In the spanTrim branch the trim frame plays the
+    // same role (it covers every exact survivor, husk or not), and
+    // husk docs — absent from `late`'s input — are told apart from
+    // exact dups by `t_id`.
     val base = docs
       .join(qual, col("doc_id") === col("q_id"), "left")
-      .join(exactOk.select(col("doc_id").as("e_id"))
-          .withColumn("e_keep", lit(1)),
-        col("doc_id") === col("e_id"), "left")
       .join(late, col("doc_id") === col("l_id"), "left")
     trimInfo match {
       case None => base
         .withColumn("verdict",
           when(col("q_ok") =!= 1, lit("quality"))
-            .when(col("e_keep").isNull, lit("exact_dup"))
+            .when(col("l_id").isNull, lit("exact_dup"))
             .otherwise(col("l_verdict")))
-        .drop("q_id", "q_ok", "e_id", "e_keep", "l_id", "l_verdict")
+        .drop("q_id", "q_ok", "l_id", "l_verdict")
       case Some(t) => base
         .join(t.select(col("doc_id").as("t_id"), col("text_trimmed"),
           col("masked_chars").as("t_masked"), col("husk")),
           col("doc_id") === col("t_id"), "left")
         .withColumn("verdict",
           when(col("q_ok") =!= 1, lit("quality"))
-            .when(col("e_keep").isNull, lit("exact_dup"))
+            .when(col("t_id").isNull, lit("exact_dup"))
             .when(col("husk") === true, lit("dup_spans"))
             .otherwise(col("l_verdict")))
         .withColumn("text_final",
           when(col("verdict") === "keep", col("text_trimmed")))
         .withColumn("masked_chars",
           coalesce(col("t_masked"), lit(0L)))
-        .drop("q_id", "q_ok", "e_id", "e_keep", "l_id", "l_verdict",
+        .drop("q_id", "q_ok", "l_id", "l_verdict",
           "t_id", "text_trimmed", "t_masked", "husk")
     }
   }

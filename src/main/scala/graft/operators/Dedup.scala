@@ -270,8 +270,62 @@ object Dedup {
     }
 
   /** Rounds the most recent connectedComponents* call took to converge
-    * (diagnostics for ScaleSmoke's algorithm comparison). */
+    * (diagnostics for ScaleSmoke's algorithm comparison). 0 when the
+    * call took the [[unionFindLabels]] small-graph fast path. */
   @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** Edge-count bar under which both CC variants solve the components
+    * driver-side instead of looping distributed rounds
+    * (`spark.graft.cc.localEdgeThreshold`, default 1M edges ≈ 16 MB of
+    * id pairs; 0 forces the distributed loops). Same adaptive logic as
+    * a broadcast-join threshold, and like it exact either way: the
+    * distributed loops cost 3-5 AQE stage-jobs of fixed scheduling
+    * overhead PER ROUND, which dominates end-to-end latency precisely
+    * when the edge list is broadcast-class — and near-dup edge lists
+    * are corpus-DUPLICATE-sized, not corpus-sized, so even large
+    * corpora often fit. The bar is checked against the EXACT count of
+    * the already-materialized edge checkpoint (an observe metric on
+    * the checkpoint job — zero extra jobs), so the decision costs
+    * nothing and the expensive upstream pair generation still runs
+    * distributed exactly once. */
+  private def localEdgeThreshold(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.cc.localEdgeThreshold", "1000000").toLong
+
+  /** Driver-side exact union-find over a collected edge array — the
+    * CC fast path (see [[localEdgeThreshold]]). Union-by-min keeps
+    * every tree's root at its component MINIMUM (the shared label
+    * contract of both CC variants); path-halving keeps finds near
+    * amortized-constant. Duplicate and reversed edges are harmless. */
+  private def unionFindLabels(spark: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long =
+      if (!parent.contains(x0)) { parent(x0) = x0; x0 }
+      else {
+        var x = x0
+        while (parent(x) != x) {
+          val p = parent(x)
+          parent(x) = parent(p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = parent.keys.toArray
+    nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
+  }
+
+  private def obsCount(v: Any): Long = v match {
+    case null => 0L
+    case x: Number => x.longValue()
+  }
 
   /** Connected components over an undirected pair list
     * (doc_a, doc_b): every node gets the MINIMUM doc_id reachable from
@@ -295,10 +349,24 @@ object Dedup {
     // Materialize the edge list ONCE: every round (and every
     // convergence check) re-reads it, and without this the whole
     // upstream pair-generation pipeline would re-execute per round.
+    val obsE = new org.apache.spark.sql.Observation(
+      s"graft-cc-${java.util.UUID.randomUUID()}")
     val edges = iterCheckpoint(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .observe(obsE, count(lit(1)).as("n")),
       reliable)
+    // small-graph fast path: both directions were counted, so the bar
+    // doubles (see localEdgeThreshold)
+    if (obsCount(obsE.getAsJava.get("n")) <
+        2 * localEdgeThreshold(pairs.sparkSession)) {
+      val arr = edges.collect().map(r => (
+        r.get(0).asInstanceOf[Number].longValue(),
+        r.get(1).asInstanceOf[Number].longValue()))
+      dropRoundCheckpoint(edges, reliable)
+      lastCcRounds = 0
+      return unionFindLabels(pairs.sparkSession, arr)
+    }
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mdst"))
       .select(col("node"), least(col("node"), col("mdst")).as("label"))
@@ -365,12 +433,43 @@ object Dedup {
     * star form, so later rounds get cheaper. Public df-level API. */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50,
       reliable: Boolean = false): DataFrame = {
+    // Convergence witness (r14, the r12 observe-metric reclaim applied
+    // to the star variant): fixpoint = identical edge SET round over
+    // round, but a full-outer set comparison is its own exchange-heavy
+    // job per round under AQE. Instead (count, Σhi, Σlo) rides each
+    // round's checkpoint job as observe metrics — a changed set almost
+    // always moves one of the three — and only a STABLE witness pays
+    // for the exact set comparison, which then either confirms the
+    // fixpoint (the normal case: one confirmation job per CC call
+    // instead of one per round) or, on a sum collision, sends the loop
+    // around again with correctness untouched. Decimal sums stay exact
+    // far beyond any real node count.
+    val wCnt = count(lit(1)).as("w_n")
+    def wSum(c: String) = sum(col(c).cast("decimal(38,0)")).as(s"w_$c")
+    def witnessOf(obs: org.apache.spark.sql.Observation): (Any, Any, Any) = {
+      val m = obs.getAsJava
+      (m.get("w_n"), m.get("w_hi"), m.get("w_lo"))
+    }
+    val obs0 = new org.apache.spark.sql.Observation(
+      s"graft-ccstar-${java.util.UUID.randomUUID()}")
     var edges = iterCheckpoint(
       pairs.select(
           greatest(col("doc_a"), col("doc_b")).as("hi"),
           least(col("doc_a"), col("doc_b")).as("lo"))
-        .filter(col("hi") =!= col("lo")).distinct(),
+        .filter(col("hi") =!= col("lo")).distinct()
+        .observe(obs0, wCnt, wSum("hi"), wSum("lo")),
       reliable)
+    var w = witnessOf(obs0)
+    // small-graph fast path (see localEdgeThreshold): the count rides
+    // the witness metrics already observed on the checkpoint job
+    if (obsCount(w._1) < localEdgeThreshold(pairs.sparkSession)) {
+      val arr = edges.collect().map(r => (
+        r.get(0).asInstanceOf[Number].longValue(),
+        r.get(1).asInstanceOf[Number].longValue()))
+      dropRoundCheckpoint(edges, reliable)
+      lastCcRounds = 0
+      return unionFindLabels(pairs.sparkSession, arr)
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -388,19 +487,27 @@ object Dedup {
       // small-star: every node x links its smaller neighbors (and
       // itself) to the min of those
       val smins = afterLarge.groupBy(col("hi").as("x")).agg(min(col("lo")).as("m"))
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft-ccstar-${java.util.UUID.randomUUID()}")
       val next = iterCheckpoint(
         afterLarge.join(smins, col("hi") === col("x"))
           .select(col("lo").as("node"), col("m"))
           .union(smins.select(col("x").as("node"), col("m")))
           .filter(col("node") =!= col("m"))
           .select(col("node").as("hi"), col("m").as("lo"))
-          .distinct(),
+          .distinct()
+          .observe(obs, wCnt, wSum("hi"), wSum("lo")),
         reliable)
-      // fixpoint = identical edge set (stars centered at component mins)
-      converged = next.as("n").join(edges.as("o"),
-          col("n.hi") === col("o.hi") && col("n.lo") === col("o.lo"),
-          "full_outer")
-        .filter(col("n.hi").isNull || col("o.hi").isNull).isEmpty
+      val wNext = witnessOf(obs)
+      // fixpoint = identical edge set (stars centered at component
+      // mins); the exact comparison runs only when the witness is
+      // stable — normally exactly once, on the true fixpoint
+      converged = wNext == w &&
+        next.as("n").join(edges.as("o"),
+            col("n.hi") === col("o.hi") && col("n.lo") === col("o.lo"),
+            "full_outer")
+          .filter(col("n.hi").isNull || col("o.hi").isNull).isEmpty
+      w = wNext
       dropRoundCheckpoint(edges, reliable) // round N-1 no longer read
       edges = next
       i += 1

@@ -605,6 +605,7 @@ object LshIndex {
     * Check-then-act like the publish fences, with the same backstops. */
   private def fenceStagingDelete(spark: SparkSession, held: FsLease.Held,
       path: String, gen: Long, what: String): Unit = {
+    testBeforeStagingDelete(what)
     if (!held.stillHeld()) throw new FencedPublishException(
       s"lease for $path was stale-broken before deleting $what; " +
         "aborting the staging rewrite")
@@ -764,8 +765,10 @@ object LshIndex {
         // (gen collisions — both compute m0.gen+1) — our live set
         // simply doesn't know about them (chaos-spec-found). A fenced
         // writer stops sweeping; a later publish collects the rest.
-        if ((retiredGen || retiredSeg) && held.stillHeld())
-          f.delete(st.getPath, true)
+        if (retiredGen || retiredSeg) {
+          testBeforeGcDelete(n)
+          if (held.stillHeld()) f.delete(st.getPath, true)
+        }
       }
     } catch { case _: java.io.IOException => () } // GC is best-effort
   }
@@ -787,6 +790,20 @@ object LshIndex {
     * scaladoc documents and prove exactly-once still holds via
     * last-writer-wins + the next writer's re-validation. */
   private[graft] var testAfterFenceCheck: () => Unit = () => ()
+
+  /** Test-only injection point at the top of [[fenceStagingDelete]]
+    * (r13 verdict ask #5): receives the staged dir name about to be
+    * deleted-and-rewritten — append segments (`seg-N`) and tier-merge
+    * outputs (`seg-NmR`), so the chaos schedule can land steals/kills
+    * INSIDE compaction's staging windows, not just the publish ones. */
+  private[graft] var testBeforeStagingDelete: String => Unit = _ => ()
+
+  /** Test-only injection point fired inside [[publish]]'s GC sweep for
+    * each dir that qualified for retirement, BEFORE that delete's
+    * individual lease fence — lets the chaos schedule land steals/kills
+    * mid-sweep and prove a fenced writer stops deleting (r13 verdict
+    * ask #5). */
+  private[graft] var testBeforeGcDelete: String => Unit = _ => ()
 
   /** Marker publish — one atomic whole-file replace through the
     * shared [[graft.log.AtomicFiles]] discipline (java.nio ATOMIC_MOVE

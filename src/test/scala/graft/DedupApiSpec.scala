@@ -66,12 +66,18 @@ class DedupApiSpec extends AnyFunSuite {
     val star = Seq((1L, 5000L), (1L, 5001L), (1L, 5002L))
     val pair = Seq((7L, 9L))
     val pairs = (chain ++ star ++ pair).toDF("doc_a", "doc_b")
-    val minLabel = Dedup.connectedComponents(pairs, maxIters = 100).collect()
-      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
-    val mlRounds = Dedup.lastCcRounds
-    val starLabels = Dedup.connectedComponentsStar(pairs).collect()
-      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
-    val starRounds = Dedup.lastCcRounds
+    // force the distributed loops: this test asserts ROUND counts, and
+    // a graph this small otherwise takes the union-find fast path
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    val (minLabel, mlRounds, starLabels, starRounds) =
+      try {
+        val ml = Dedup.connectedComponents(pairs, maxIters = 100).collect()
+          .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+        val mlR = Dedup.lastCcRounds
+        val st = Dedup.connectedComponentsStar(pairs).collect()
+          .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+        (ml, mlR, st, Dedup.lastCcRounds)
+      } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
     assert(starLabels == minLabel, "algorithms disagree on labels")
     assert(starLabels(1059L) == 1000L && starLabels(5002L) == 1L && starLabels(9L) == 7L)
     assert(starRounds < mlRounds,
@@ -278,6 +284,9 @@ class DedupApiSpec extends AnyFunSuite {
     import spark.implicits._
     // a 30-node chain forces many min-label rounds — without rotation
     // the shared checkpoint dir would hold one label-set copy PER ROUND
+    // (distributed loops forced: the rotation under test only exists
+    // there; a graph this small otherwise union-finds driver-side)
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
     val pairs = (2000L until 2030L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty, "test assumes no ambient checkpoint dir")
@@ -305,7 +314,41 @@ class DedupApiSpec extends AnyFunSuite {
       assert(star == labels)
       assert(rddDirs <= 3, // + the star loop's final edge set
         s"star loop leaked round checkpoints: $rddDirs dirs")
-    } finally sc.setCheckpointDir(null)
+    } finally {
+      sc.setCheckpointDir(null)
+      spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+    }
+  }
+
+  test("small-graph CC fast path matches the distributed loops exactly") {
+    import spark.implicits._
+    // r14: under spark.graft.cc.localEdgeThreshold (default 1M edges)
+    // both CC variants solve components via driver-side union-find —
+    // the distributed loops' 3-5 AQE jobs PER ROUND are pure fixed
+    // overhead on a broadcast-class edge list. Exactness contract:
+    // identical (node, label = component min) either way, on messy
+    // input (duplicate + reversed duplicate edges included).
+    val pairs = ((1000L until 1040L).map(i => (i, i + 1)) ++
+      Seq((1L, 5000L), (5000L, 1L), (1L, 5001L), (7L, 9L), (9L, 7L),
+        (5001L, 5002L))).toDF("doc_a", "doc_b")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("label"))).toMap
+    val fastStar = labelsOf(Dedup.connectedComponentsStar(pairs))
+    assert(Dedup.lastCcRounds == 0, "expected the union-find fast path")
+    val fastMl = labelsOf(Dedup.connectedComponents(pairs))
+    assert(Dedup.lastCcRounds == 0, "expected the union-find fast path")
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    val (distStar, distMl) =
+      try {
+        val s = labelsOf(Dedup.connectedComponentsStar(pairs))
+        assert(Dedup.lastCcRounds > 0, "conf 0 must force the loop")
+        (s, labelsOf(Dedup.connectedComponents(pairs, maxIters = 100)))
+      } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+    assert(fastStar == distStar, "star fast path diverged")
+    assert(fastMl == distMl, "min-label fast path diverged")
+    assert(fastStar == fastMl)
+    assert(fastStar(1040L) == 1000L && fastStar(5002L) == 1L &&
+      fastStar(9L) == 7L)
   }
 
   test("spark.graft.reliableCheckpoints conf flips ckpt sites with identical results") {

@@ -45,7 +45,7 @@ class LshChaosSpec extends AnyFunSuite {
   private final class ChaosKill extends RuntimeException("chaos kill")
 
   for (seed <- Seq(7, 103, 203))
-    test(s"chaos: 3 appenders x 2 appends with seeded steal/kill injections (seed $seed)") {
+    test(s"chaos: 3 appenders x 3 appends with steal/kill landing in compaction + GC windows (seed $seed)") {
       val dir = Files.createTempDirectory("lshchaos").toString
       val path = s"$dir/ix"
       val corpus = docs(
@@ -63,9 +63,9 @@ class LshChaosSpec extends AnyFunSuite {
         try LshIndex.build(corpus, path)
         finally spark.conf.unset("spark.graft.lsh.retainGenerations")
       val rnd = new scala.util.Random(seed)
+      def roll(p: Double): Boolean = rnd.synchronized(rnd.nextDouble() < p)
       def chance(p: Double): Boolean =
-        Thread.currentThread().getName.startsWith("chaos-writer") &&
-          rnd.synchronized(rnd.nextDouble() < p)
+        Thread.currentThread().getName.startsWith("chaos-writer") && roll(p)
       def steal(): Unit = new java.io.File(s"$path/_writer.lock").delete()
       LshIndex.testBeforePublishEntry = () => if (chance(0.2)) steal()
       LshIndex.testBeforePublish = () => {
@@ -73,6 +73,34 @@ class LshChaosSpec extends AnyFunSuite {
         if (chance(0.15)) throw new ChaosKill // crash: manifest written, no marker
       }
       LshIndex.testAfterFenceCheck = () => if (chance(0.1)) steal()
+      // r13 verdict ask #5: compaction and GC windows get their own
+      // adversary. 3 appends/writer guarantee tier 0 reaches MergeAt=8
+      // segments, so compactTiers MUST fire during the run (asserted
+      // below), and K=6 retention guarantees gen-dir GC sweeps run —
+      // steals/kills land inside the staging-delete fence (crashed
+      // merge) and mid-GC-sweep (a fenced writer must stop deleting).
+      val mergeAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gcFences = new java.util.concurrent.atomic.AtomicInteger(0)
+      LshIndex.testBeforeStagingDelete = what => {
+        val isMerge = what.matches("seg-\\d+m\\d+")
+        if (isMerge) mergeAttempts.incrementAndGet()
+        if (chance(0.08)) steal()
+        if (chance(0.08)) throw new ChaosKill // crash mid-staging
+        // the scheduled phase (below) injects ONLY into merge-staging
+        // windows, and lightly: its job is to drive tier 0 to MergeAt
+        // and prove a merge lands THROUGH the adversary, so its filler
+        // appends must not keep resetting the tier count via the
+        // abort -> watermark-repair -> single-rebuilt-segment path
+        if (Thread.currentThread().getName.startsWith("chaos-sched") && isMerge) {
+          if (roll(0.05)) steal()
+          if (roll(0.05)) throw new ChaosKill
+        }
+      }
+      LshIndex.testBeforeGcDelete = _ => {
+        gcFences.incrementAndGet()
+        if (chance(0.08)) steal()
+        if (chance(0.08)) throw new ChaosKill // crash mid-sweep (post-publish)
+      }
       val writerErrs =
         new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val probeErrs =
@@ -105,7 +133,7 @@ class LshChaosSpec extends AnyFunSuite {
         }
       }, "chaos-watcher")
       val batches: Seq[Seq[DataFrame]] = (0 until 3).map { w =>
-        (0 until 2).map { m =>
+        (0 until 3).map { m =>
           docs((0L until 5L).map(j => (10000L + w * 1000L + m * 100L + j) ->
             (s"writer $w batch $m doc $j about ${w * 31 + m * 7 + j} " +
               s"lighthouses and ${w * 13 + m * 5 + j} storms")): _*)
@@ -116,7 +144,7 @@ class LshChaosSpec extends AnyFunSuite {
           bs.zipWithIndex.foreach { case (b, m) =>
             var done = false
             var tries = 0
-            while (!done && tries < 12) {
+            while (!done && tries < 20) {
               tries += 1
               try { LshIndex.append(ix, b); done = true }
               catch { case _: Throwable => () } // crashed writer restarts
@@ -125,11 +153,50 @@ class LshChaosSpec extends AnyFunSuite {
           }
         }, s"chaos-writer-$w")
       }
+      // scheduled-compaction phase (r13 verdict ask #5): the PUBLISHED
+      // manifest must end up carrying a tier-merged segment — proof a
+      // compaction ran to completion under the armed adversary, not
+      // just that one staged. The main phase rarely gets there on its
+      // own (any abort after the signature write triggers the
+      // watermark repair, whose single-rebuilt-segment publish resets
+      // the tier count), so after the writers finish, keep appending
+      // 1-doc batches until tier 0 refills to MergeAt and a merge
+      // lands; the merge-staging injections above stay live for it.
+      def publishedMerge(): Boolean =
+        try {
+          val g = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$path/_graft_lsh_index")), "UTF-8")
+            .trim.split("gen=").last.toLong
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$path/gen-$g/manifest")), "UTF-8")
+            .split("\n").exists(_.matches("seg seg-\\d+m\\d+ \\d+"))
+        } catch { case _: Exception => false }
+      val extraDocs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val sched = new Thread(() => {
+        var extra = 0
+        while (!publishedMerge() && extra < 30) {
+          extra += 1
+          val d = (20000L + extra,
+            s"scheduled filler doc number $extra about ${extra * 17} " +
+              s"beacons and ${extra * 29} harbors")
+          extraDocs += d
+          var done = false
+          var tries = 0
+          while (!done && tries < 20) {
+            tries += 1
+            try { LshIndex.append(ix, docs(d)); done = true }
+            catch { case _: Throwable => () }
+          }
+          if (!done) writerErrs.add(s"scheduled append $extra gave up")
+        }
+      }, "chaos-sched")
       try {
         prober.start()
         watcher.start()
         writers.foreach(_.start())
         writers.foreach(_.join())
+        sched.start()
+        sched.join()
       } finally {
         stop.set(true)
         prober.join()
@@ -137,6 +204,8 @@ class LshChaosSpec extends AnyFunSuite {
         LshIndex.testBeforePublishEntry = () => ()
         LshIndex.testBeforePublish = () => ()
         LshIndex.testAfterFenceCheck = () => ()
+        LshIndex.testBeforeStagingDelete = _ => ()
+        LshIndex.testBeforeGcDelete = _ => ()
       }
       assert(writerErrs.isEmpty, s"writers gave up: $writerErrs")
       val gens = gensSeen.synchronized(gensSeen.toSeq)
@@ -144,15 +213,39 @@ class LshChaosSpec extends AnyFunSuite {
         s"the published generation moved BACKWARD: $gens")
       assert(probeErrs.isEmpty,
         s"the concurrent prober errored: ${probeErrs.peek()}")
+      // compaction + GC genuinely ran inside the chaos schedule, with
+      // the adversary armed: tier 0 collected MergeAt segments at least
+      // once (so a merge staged), K=6 retention retired generation dirs
+      // mid-run (so the per-delete GC fence was exercised), and no
+      // published manifest ever escaped compactTiers with a full tier
+      assert(mergeAttempts.get() >= 1,
+        "no tier merge ever staged — the compaction window went unexercised")
+      assert(gcFences.get() >= 1,
+        "no GC delete ever fenced — the sweep window went unexercised")
+      assert(publishedMerge(),
+        "the final manifest carries no tier-merged segment — compaction " +
+          "never ran to completion under the chaos schedule")
+      val mkGen = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/_graft_lsh_index")), "UTF-8")
+        .trim.split("gen=").last.toLong
+      val finalManifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/gen-$mkGen/manifest")), "UTF-8")
+      val segLines = finalManifest.split("\n").count(_.startsWith("seg "))
+      assert(segLines < 8,
+        s"final manifest carries a full tier ($segLines segs) — " +
+          s"compactTiers' invariant broke:\n$finalManifest")
+
       // exactly-once: every doc landed exactly one signature row
       val reloaded = LshIndex.load(spark, path)
-      val expectedN = 2L + 3L * 2L * 5L
+      val expectedN = 2L + 3L * 3L * 5L + extraDocs.size
       assert(reloaded.signatures.count() == expectedN,
         "signature count diverged from the exactly-once expectation")
       assert(reloaded.signatures.select("doc_id").distinct().count() ==
         expectedN, "duplicated signature rows survived the chaos")
       // the published state validates and answers like a fresh rebuild
-      val all = batches.flatten.foldLeft(corpus)(_.unionByName(_))
+      val all = (batches.flatten ++
+        (if (extraDocs.nonEmpty) Seq(docs(extraDocs.toSeq: _*)) else Nil))
+        .foldLeft(corpus)(_.unionByName(_))
       val rebuilt = LshIndex.build(all, s"$dir/rebuilt")
       def probeSet(df: DataFrame): Set[(Long, Long, Long)] =
         df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
