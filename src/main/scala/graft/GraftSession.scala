@@ -99,9 +99,12 @@ object GraftSession {
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
   /** Portable 32-bit hash: identical in Spark and DuckDB.
-    * Spark:  conv(substr(md5(s), 1, 8), 16, 10) cast to long
+    * Spark:  top 32 bits of the native `portable_hash64` digest —
+    *         byte-identical to conv(substr(md5(s), 1, 8), 16, 10)
+    *         (graft.functions.Md5Hash64; needs GraftExtensions, which
+    *         every graft session installs)
     * DuckDB: ('0x' || substr(md5(s), 1, 8))::BIGINT
     */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    shiftrightunsigned(call_function("portable_hash64", c), 32)
 }

@@ -25,14 +25,21 @@ object JobProfile {
       }
     })
     // warm like Bench does
-    SparkEntry.queries(qname)(spark, "/root/testdata/sf0.001").count()
+    SparkEntry.queries(qname)(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
     Thread.sleep(500)
     spans.clear()
+    // construction (eager ckpts / collects / index loads) timed apart
+    // from the noop action — locates whether a query's wall is serial
+    // build-time jobs or the final plan's stage jobs
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(qname)(spark, sfDir).count()
+    val df = SparkEntry.queries(qname)(spark, sfDir)
+    val tc = (System.nanoTime() - t0) / 1e6
+    df.write.format("noop").mode("overwrite").save()
     val wallMs = (System.nanoTime() - t0) / 1e6
     Thread.sleep(500)
-    println(s"== $qname rows=$n wall=${wallMs.round}ms jobs=${spans.size}")
+    println(s"== $qname construct=${tc.round}ms wall=${wallMs.round}ms " +
+      s"jobs=${spans.size}")
     val base = spans.get(0)._2
     spans.forEach { case (id, s, e, d) =>
       println(f"  job $id%3d +${s - base}%6dms dur=${e - s}%5dms  ${d.take(90)}")

@@ -833,7 +833,10 @@ object Dedup {
   def simhashFast(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
-      .withColumn("h", baseHash(col("tok")))
+      // native digest (Md5Hash64): hash >>> 32 IS baseHash — same
+      // value, no per-token md5-hex round-trip (r14, guide §4.1)
+      .withColumn("h",
+        shiftrightunsigned(call_function("portable_hash64", col("tok")), 32))
       .groupBy(col("doc_id"))
       .agg(call_function("simhash_agg", col("h")).as("simhash16"))
       .withColumn("bucket", expr("simhash16 div 256"))
@@ -920,8 +923,13 @@ object Dedup {
     * instead of 64 SUM columns); bands unpacked from the fingerprint.
     * Spec-verified equal to [[simhash64]]. */
   def simhash64Fast(docs: DataFrame): DataFrame = {
-    val packed = shiftleft(baseHashHi(col("tok")), 32)
-      .bitwiseOR(baseHash(col("tok")))
+    // native digest (Md5Hash64, packed (hi32(d0-3)<<32)|lo32(d4-7)):
+    // simhash64_agg wants (baseHashHi<<32)|baseHash, i.e. the two
+    // halves swapped — pure integer swizzle, ONE md5 per token where
+    // the declarative chain digested twice and hex-parsed twice (r14)
+    val ph = call_function("portable_hash64", col("tok"))
+    val packed = shiftleft(ph.bitwiseAND(lit(0xFFFFFFFFL)), 32)
+      .bitwiseOR(shiftrightunsigned(ph, 32))
     val withFp = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .withColumn("h", packed)

@@ -30,10 +30,14 @@ import graft.GraftSession.table
   */
 object Featurize {
 
+  // native digest (Md5Hash64): one md5 per token, no hex round-trip;
+  // hash >>> 32 == conv(substring(md5,1,8),16,10) and
+  // hash & 0xFFFFFFFF == conv(substring(md5,9,8),16,10) byte-for-byte
+  // (r14, guide §4.1 — the declarative twin digested every token twice)
   private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    shiftrightunsigned(call_function("portable_hash64", c), 32)
   private def h32hi(c: Column): Column =
-    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+    call_function("portable_hash64", c).bitwiseAND(lit(0xFFFFFFFFL))
 
   /** (doc_id, norm, nnz, vec) signed feature-hash embedding of a
     * (doc_id, text) frame; `vec` is the dense integer vector

@@ -330,15 +330,30 @@ object TextOps {
       .withColumn("toks", split(lower(col("text")), "\\s+"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
-      // the fold runs over PRE-TRANSFORMED c·ln(c) terms with plain
-      // addition: DuckDB's list_reduce seeds with the first ELEMENT
-      // (no initial value), so the first term must already be c·ln(c)
-      // on both sides for the op sequences to match
+      // the fold adds c·ln(c) terms in SORTED-distinct-token order with
+      // plain addition: DuckDB's list_reduce seeds with the first
+      // ELEMENT (no initial value), so the first term must already be
+      // c·ln(c) on both sides for the op sequences to match.
+      // r14 (guide §1.2 per-task work): run-length fold over the SORTED
+      // token array — O(n log n) — replacing the per-distinct-token
+      // `size(filter(toks, ...))` rescan, which was O(distinct × n) per
+      // doc. Runs of equal tokens are contiguous after the sort, so
+      // each run boundary adds the SAME c·ln(c) term in the SAME
+      // (sorted-distinct) order as the old chain — the double op
+      // sequence is unchanged, round(6) parity holds by construction,
+      // and the oracle mirror is untouched.
       .withColumn("sum_clnc", expr(
-        "aggregate(transform(transform(array_sort(array_distinct(toks)), " +
-          "t -> cast(size(filter(toks, x -> x = t)) as double)), " +
-          "c -> c * ln(c)), " +
-          "cast(0.0 as double), (acc, t) -> acc + t)"))
+        """aggregate(array_sort(toks),
+          |  named_struct('p', cast(null as string),
+          |    'c', cast(0 as bigint), 'acc', cast(0.0 as double)),
+          |  (a, t) -> if(a.p is null or t != a.p,
+          |    named_struct('p', t, 'c', cast(1 as bigint),
+          |      'acc', if(a.p is null, a.acc,
+          |        a.acc + cast(a.c as double) * ln(cast(a.c as double)))),
+          |    named_struct('p', t, 'c', a.c + 1, 'acc', a.acc)),
+          |  a -> if(a.p is null, a.acc,
+          |    a.acc + cast(a.c as double) * ln(cast(a.c as double))))"""
+          .stripMargin))
       .withColumn("entropy", round(
         log(col("n_tok").cast("double")) - col("sum_clnc") / col("n_tok"), 6))
       .withColumn("entropy_ratio", round(
