@@ -64,6 +64,40 @@ object GraftSession {
       df.checkpoint()
     } else df.localCheckpoint()
 
+  // ---- concurrent query construction (guide §2.6) --------------------
+  // Spark's scheduler happily runs several jobs at once inside one
+  // application; eager construction steps (lineage-truncation ckpts,
+  // small-graph CC collects, index loads) of INDEPENDENT report rungs
+  // are only sequential because the builder code calls them
+  // sequentially. These helpers evaluate independent thunks on a small
+  // daemon pool so one rung's job tail back-fills the cores another
+  // rung's driver-side planning leaves idle — results are identical
+  // (each thunk is self-contained), only the wall clock changes, both
+  // locally and on a cluster.
+  private lazy val parPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-par")
+        t.setDaemon(true)
+        t
+      })
+  private def parAll(thunks: Seq[() => AnyRef]): Seq[AnyRef] = {
+    import scala.jdk.CollectionConverters._
+    val futures = parPool.invokeAll(thunks.map { th =>
+      new java.util.concurrent.Callable[AnyRef] { def call(): AnyRef = th() }
+    }.asJava)
+    futures.asScala.toSeq.map(_.get())
+  }
+  private[graft] def par2[A <: AnyRef, B <: AnyRef](a: => A, b: => B): (A, B) = {
+    val r = parAll(Seq(() => a, () => b))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B])
+  }
+  private[graft] def par3[A <: AnyRef, B <: AnyRef, C <: AnyRef](
+      a: => A, b: => B, c: => C): (A, B, C) = {
+    val r = parAll(Seq(() => a, () => b, () => c))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B], r(2).asInstanceOf[C])
+  }
+
   /** The events table with `ts` normalized to a microsecond
     * TimestampType, whatever physical type the parquet carries:
     *   - TIMESTAMP(NANOS) (read as long via `nanosAsLong`) -> integer

@@ -1502,6 +1502,17 @@ object Dedup {
         .select(lit("exact").as("method"), col("n_universe"),
           col("n_affected"), lit("drop").as("action"))
       val nDocs = docs.agg(count(lit(1)).as("n_universe"))
+      val cdc = cdcCorpus(s, dir)
+      val cdcN = cdc.agg(count(lit(1)).as("n_universe"))
+      // r14 (guide §2.6 — overlap independent jobs): the three rungs
+      // with EAGER construction steps — the near-dup rung (index load +
+      // CC over its candidate pairs), the CDC rolling-hash checkpoint,
+      // and the semantic rung (RHP ckpt + CC inside semDedup) — are
+      // mutually independent, but ran strictly serially because the
+      // builder called them serially (JobProfile: 48 jobs, >half the
+      // wall in construction). They now build concurrently; each
+      // rung's frames are identical, so the report's bytes are too.
+      //
       // near-dup rung off the STANDING LshIndex for this corpus
       // snapshot (r10): the report is a per-snapshot artifact, so its
       // signatures are by definition the index's. r12: candidates come
@@ -1510,24 +1521,25 @@ object Dedup {
       // checkpoint, the corpus-wide key-count aggregate and (on a
       // hot-free corpus) the whole star-cap branch; byte-identical
       // pairs by the warm-list induction (LshIndexSpec pins it), so
-      // the SQL oracle's from-scratch recompute still hash-matches
-      val near = connectedComponents(
+      // the SQL oracle's from-scratch recompute still hash-matches.
+      // ONE rolling-hash pass over the CDC corpus feeds both the span
+      // and containment rungs (cdc_window_hits packs the identical
+      // hash cdc_window_hashes would; r9 — previously each rung
+      // re-rolled the full corpus)
+      val (nearLabels, hits, semClusters) = graft.GraftSession.par3(
+        connectedComponents(
           LshIndex.candidatePairs(
             LshIndex.buildOrLoad(s, docs, s"$dir/documents.parquet"))
-            .select(col("doc_a"), col("doc_b")))
+            .select(col("doc_a"), col("doc_b"))),
+        ckpt(windowHits(cdc)),
+        Similarity.semDedup(table(s, dir, "embeddings")))
+      val near = nearLabels
         .agg(count(lit(1)).as("nodes"),
           countDistinct(col("label")).as("labels"))
         .crossJoin(nDocs)
         .select(lit("near_dup").as("method"), col("n_universe"),
           (col("nodes") - col("labels")).as("n_affected"),
           lit("drop").as("action"))
-      val cdc = cdcCorpus(s, dir)
-      val cdcN = cdc.agg(count(lit(1)).as("n_universe"))
-      // ONE rolling-hash pass over the CDC corpus feeds both the span
-      // and containment rungs (cdc_window_hits packs the identical
-      // hash cdc_window_hashes would; r9 — previously each rung
-      // re-rolled the full corpus)
-      val hits = ckpt(windowHits(cdc))
       val span = dupSpansFromHits(cdc, hits)
         .agg(coalesce(sum(when(col("masked_chars") > 0, 1L).otherwise(0L)),
           lit(0L)).as("n_affected")) // 0, not NULL, on an empty CDC band
@@ -1546,7 +1558,7 @@ object Dedup {
         .crossJoin(cdcN)
         .select(lit("containment").as("method"), col("n_universe"),
           col("n_affected"), lit("review").as("action"))
-      val sem = Similarity.semDedup(table(s, dir, "embeddings"))
+      val sem = semClusters
         .agg(sum(col("n_members")).as("n_universe"),
           sum(col("n_dropped")).as("n_affected"))
         .select(lit("semantic").as("method"), col("n_universe"),

@@ -286,15 +286,43 @@ object EventStats {
       .withColumn("recency_d", datediff(col("ref_day"), col("last_day")))
     // Each quartile is a GLOBAL ntile over |users| rows; three
     // unpartitioned windows would each funnel the whole frame through
-    // one reducer. Instead: three range-sharded ShardedCum ranks (one
-    // per metric's total order) + arithmetic buckets off a broadcast n.
+    // one reducer. Instead: range-sharded ShardedCum ranks + arithmetic
+    // buckets off a broadcast n.
+    //
+    // r14 (guide §2.4 — share one exchange): the three per-metric
+    // ranks formerly ran as three SEPARATE cumSums passes (3 ckpt
+    // materializations + 3 range-sampling jobs + 3 offset broadcasts —
+    // 34 fixed jobs at sf0.1). They now ride ONE pass over a
+    // metric-tagged union (3n rows, same shuffle BYTES as 3 passes of
+    // n rows, two fewer barriers): group = metric tag, order =
+    // (nullflag, key, user_id) where key is the metric cast to
+    // decimal(38,6) — an order-preserving exact cast — negated for the
+    // desc metrics, and nullflag reproduces each ordering's null
+    // placement (asc = nulls FIRST, desc = nulls LAST) so the total
+    // order per tag is EXACTLY the old per-metric (metric, user_id)
+    // order and every rank is byte-identical. The pivot back to one
+    // row per user is a plain (user_id) max-when aggregate.
     val nTot = base.agg(count(lit(1)).as("_n"))
-    val ranked = Seq[(Seq[Column], String)](
-      (Seq(col("recency_d"), col("user_id")), "_r_rn"),
-      (Seq(col("freq").desc, col("user_id")), "_f_rn"),
-      (Seq(col("mon").desc, col("user_id")), "_m_rn"))
-      .foldLeft(base) { case (d, (ord, a)) =>
-        ShardedCum.globalRank(d, ord, a) }
+    def ascKey(v: Column) = struct(
+      when(v.isNull, 0).otherwise(1).as("nf"),
+      v.cast("decimal(38,6)").as("k"))
+    def descKey(v: Column) = struct(
+      when(v.isNull, 1).otherwise(0).as("nf"),
+      (-v).cast("decimal(38,6)").as("k"))
+    val tagged = base.select(col("user_id"), col("mon"),
+      explode(array(
+        struct(lit(0).as("m"), ascKey(col("recency_d")).as("key")),
+        struct(lit(1).as("m"), descKey(col("freq")).as("key")),
+        struct(lit(2).as("m"), descKey(col("mon")).as("key")))).as("t"))
+      .select(col("user_id"), col("mon"),
+        col("t.m").as("_m"), col("t.key").as("_key"))
+    val ranked = ShardedCum.cumSums(tagged, Seq("_m"),
+        Seq(col("_key"), col("user_id")), Seq((lit(1L), "_rn")))
+      .groupBy(col("user_id"))
+      .agg(max(col("mon")).as("mon"),
+        max(when(col("_m") === 0, col("_rn"))).as("_r_rn"),
+        max(when(col("_m") === 1, col("_rn"))).as("_f_rn"),
+        max(when(col("_m") === 2, col("_rn"))).as("_m_rn"))
     ranked.crossJoin(broadcast(nTot))
       .withColumn("r_q", ShardedCum.ntileFromRank("_r_rn", "_n", 4))
       .withColumn("f_q", ShardedCum.ntileFromRank("_f_rn", "_n", 4))

@@ -140,16 +140,16 @@ object LinkGraph {
       // decimal contribution sums (the pagerank step rule): before the
       // FIRST normalization every score is 1e9, so raw = indeg·1e9 and
       // a ≥9.3e6-indegree authority would wrap the ×1000 in hitsNorm
-      auth = graft.GraftSession.ckpt(hitsNorm(n,
+      auth = hitsNorm(n,
         edges.join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("tgt"))
           .agg(sum(col("v").cast("decimal(38,0)")).as("s"))
-          .withColumnRenamed("tgt", "node")))
-      hub = graft.GraftSession.ckpt(hitsNorm(n,
+          .withColumnRenamed("tgt", "node"))
+      hub = hitsNorm(n,
         edges.join(auth.withColumnRenamed("node", "tgt"), "tgt")
           .groupBy(col("src"))
           .agg(sum(col("v").cast("decimal(38,0)")).as("s"))
-          .withColumnRenamed("src", "node")))
+          .withColumnRenamed("src", "node"))
     }
     auth.select(col("node"), col("v").as("auth_fp"))
       .join(hub.select(col("node"), col("v").as("hub_fp")), "node")
@@ -168,13 +168,34 @@ object LinkGraph {
     * any web graph; the HUGEINT oracle would keep going and the
     * engines would diverge exactly at scale (r9 review fix). */
   private def hitsNorm(n: DataFrame, contrib: DataFrame): DataFrame = {
-    val filled = n.join(contrib, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("s"), lit(0).cast("decimal(38,0)")).as("raw"))
-    val t = filled.agg(sum(col("raw")).as("t"))
-    filled.crossJoin(broadcast(t))
-      .select(col("node"),
-        expr("(raw * 1000) div greatest(t div 1000000, 1)").as("v"))
+    // r14: the lineage-truncation checkpoint moves from the NORMALIZED
+    // result (where hits() used to wrap it) to the spine-filled `raw`
+    // frame, so the total-mass aggregate reads the already-materialized
+    // checkpoint blocks instead of RE-EXECUTING the half-round's whole
+    // join/groupBy subtree as the old t-broadcast did — each
+    // half-round's upstream now runs exactly once. The per-round job
+    // COUNT is unchanged (one materialize + one 1-row agg), but the
+    // agg job is block-read-trivial, and with t resolved driver-side
+    // the crossJoin(broadcast(t)) node leaves the final plan. A
+    // synchronous head() (not an Observation) keeps steady-state
+    // latency off the async listener bus. The divisor
+    // greatest(t div 1e6, 1) is computed in exact BigInteger
+    // arithmetic (t >= 0: raw sums of non-negative decimals),
+    // value-identical to the old in-plan IntegralDivide.
+    val filled = graft.GraftSession.ckpt(
+      n.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("s"), lit(0).cast("decimal(38,0)")).as("raw")))
+    val tRow = filled.agg(sum(col("raw")).as("t")).head()
+    val t = if (tRow.isNullAt(0)) java.math.BigInteger.ZERO
+      else tRow.getDecimal(0).toBigInteger
+    // longValueExact mirrors the old plan's ANSI behavior: the in-plan
+    // `t div 1000000` was an IntegralDivide returning BIGINT, which
+    // errors past Long.MaxValue rather than wrapping
+    val divisor = t.divide(java.math.BigInteger.valueOf(1000000L))
+      .max(java.math.BigInteger.ONE).longValueExact()
+    filled.select(col("node"),
+      expr(s"(raw * 1000) div ${divisor}L").as("v"))
   }
 
   /** The deterministic synthetic link graph over `documents`: each doc
