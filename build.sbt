@@ -34,3 +34,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=256",
 )
+// scratch experiment passthrough (r14): forward SPARK_GRAFT_EXTRA_OPTS
+// from the environment into the forked app JVM as system properties
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_OPTS")
+  .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

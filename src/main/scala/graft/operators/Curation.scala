@@ -286,22 +286,27 @@ object Curation {
     // a band key is transitively connected through the cycle that
     // introduced the younger doc (see LshIndexSpec / CurationSpec) —
     // and components are all this stage consumes.
-    val nearDropped = ckpt(Dedup
-      .connectedComponentsStar(
-        candPairs.getOrElse(
-          Dedup.lshCandidatesFromSignatures(Dedup.minhashFromHashes(sh)))
-          .select(col("doc_a"), col("doc_b")))
-      .filter(col("node") =!= col("label"))
-      .select(col("node").as("n_id")))
-
-    // contamination: any 3-gram shingle shared with the bench set;
-    // the bench grams broadcast (q69's shape). ckpt'd for the same
-    // two-consumer reason as nearDropped.
+    // r14 (guide §2.6): the near-dup CC chain and the contamination
+    // probe both hang off the ckpt'd shingle stream but are mutually
+    // independent — built concurrently so the CC contraction loop's
+    // job tail overlaps the contamination ckpt instead of preceding it
+    // serially. Frames identical either way.
     val benchGrams = Dedup.shingleHashes(bench)
       .select(col("h1"), col("h2")).distinct()
-    val contaminated = ckpt(sh
-      .join(broadcast(benchGrams), Seq("h1", "h2"))
-      .select(col("doc_id").as("c_id")).distinct())
+    val (nearDropped, contaminated) = graft.GraftSession.par2(
+      ckpt(Dedup
+        .connectedComponentsStar(
+          candPairs.getOrElse(
+            Dedup.lshCandidatesFromSignatures(Dedup.minhashFromHashes(sh)))
+            .select(col("doc_a"), col("doc_b")))
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as("n_id"))),
+      // contamination: any 3-gram shingle shared with the bench set;
+      // the bench grams broadcast (q69's shape). ckpt'd for the same
+      // two-consumer reason as nearDropped.
+      ckpt(sh
+        .join(broadcast(benchGrams), Seq("h1", "h2"))
+        .select(col("doc_id").as("c_id")).distinct()))
 
     // per-source quota among docs surviving all prior stages,
     // best-first by n_chars (q100's shape). The quota-th best

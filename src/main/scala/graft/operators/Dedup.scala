@@ -1034,7 +1034,20 @@ object Dedup {
       substring(col("text"), 1, pfxLen).as("pfx"))
     val ok = p.groupBy(col("blk")).agg(count(lit(1)).as("bs"))
       .filter(col("bs") <= maxBlock).select(col("blk"))
+    // Explicit co-partition on the join key BEFORE the pair join (r14,
+    // guide §2.5/§2.6): the banded-Levenshtein pair stage is COMPUTE-
+    // dense, not byte-dense — a broadcast self-join would run it at
+    // the SCAN's parallelism (locally: one parquet file = one task
+    // doing every DP), and AQE sizes partitions by bytes so it cannot
+    // see the density. Hashing the ~60-char prefix rows across
+    // defaultParallelism tasks is a KB-scale shuffle that buys a
+    // core-count speedup here and is exactly the co-partitioning a
+    // sort-merge/shuffled-hash join would need at corpus scale anyway
+    // (the explicit partition count keeps AQE from byte-coalescing the
+    // compute back onto one core). Pair set and lev values unchanged.
     val pc = p.join(ok, Seq("blk"), "left_semi")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("blk"))
     // THRESHOLDED levenshtein: the 3-arg form runs the banded
     // O(maxDist·pfxLen) algorithm with early exit and returns -1 over
     // the threshold — result-identical to computing the full distance

@@ -515,10 +515,15 @@ object Relational {
       }
       // Bucket widths split each column's domain into O(10) uniform
       // value ranges (quantity 1..50, price ~0.9k..105k).
-      val qty = dist("l_quantity", 8.0,
-        Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95))
-      val price = dist("l_extendedprice", 8192.0, Seq("p50_price" -> 0.5))
-        .drop("n_rows")
+      // r14 (guide §2.6): the two distribution branches are
+      // independent (separate measure columns, separate checkpoints) —
+      // built concurrently so one branch's distribution ckpt overlaps
+      // the other's instead of running serially before it.
+      val (qty, price) = graft.GraftSession.par2(
+        dist("l_quantity", 8.0,
+          Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95)),
+        dist("l_extendedprice", 8192.0, Seq("p50_price" -> 0.5))
+          .drop("n_rows"))
       qty.join(broadcast(price), "l_returnflag")
         .select(col("l_returnflag"), col("p50_qty"), col("p95_qty"),
           col("p50_price"), col("n_rows"))
