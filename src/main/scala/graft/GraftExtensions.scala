@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CdcWindowHashes, CdcWindowHits, CharBigramsPacked, CosineSimilarity, FreqTopKAgg, HammingDistance, KllQuantile, KllSketchAgg, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, Md5Hash64, PackedLmSum, PqAdc, PqEncode, ShingleHashes, SimHashAgg, WinnowPrints}
+import graft.functions.{CdcWindowHashes, CdcWindowHits, CharBigramsPacked, CosineSimilarity, FreqTopKAgg, HammingDistance, KllQuantile, KllSketchAgg, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, Md5Hash64, PackedLmSum, PqAdc, PqEncode, RhpDots, ShingleHashes, SimHashAgg, WinnowPrints}
 
 /** SparkSessionExtensions installer: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` and
@@ -80,6 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("winnow_prints"),
       new ExpressionInfo(classOf[WinnowPrints].getName, "winnow_prints"),
       (exprs: Seq[Expression]) => WinnowPrints(arity(exprs, 1, "winnow_prints(text)").head)))
+    e.injectFunction((
+      new FunctionIdentifier("rhp_bucket"),
+      new ExpressionInfo(classOf[RhpDots].getName, "rhp_bucket"),
+      (exprs: Seq[Expression]) => { val a = arity(exprs, 2, "rhp_bucket(embedding, planes literal)"); RhpDots(a(0), a(1)) }))
     e.injectFunction((
       new FunctionIdentifier("portable_hash64"),
       new ExpressionInfo(classOf[Md5Hash64].getName, "portable_hash64"),

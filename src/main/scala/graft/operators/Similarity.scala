@@ -40,7 +40,23 @@ object Similarity {
   /** RHP-LSH sign-sketch assignment (the q54 operator) for any
     * (vec_id, embedding) frame: `planes` sign bits packed in a long.
     * Scan-side folds over literal plane vectors — zero shuffle. */
-  def rhpBuckets(emb: DataFrame, planes: Int = RHP_PLANES): DataFrame = {
+  def rhpBuckets(emb: DataFrame, planes: Int = RHP_PLANES): DataFrame =
+    // r14 (guide §4.1): the whole packed sign sketch comes from ONE
+    // native fused loop per row (rhp_bucket — bit-identical fold
+    // order, coefficients and round(…, 6) sign rule; the declarative
+    // twin below stays as the equality-spec baseline). coalesce
+    // restores the declarative chain's bucket-0 for a NULL embedding
+    // (every when() falls to otherwise(0) there, while a native binary
+    // expression is null-propagating).
+    emb.withColumn("bucket",
+      coalesce(call_function("rhp_bucket", col("embedding"), lit(planes)),
+        lit(0L)))
+
+  /** The declarative twin of [[rhpBuckets]] (per-plane zip_with/fold
+    * chain) — kept as the spec baseline proving the native rhp_dots
+    * path bit-equal (the simhash/simhashFast precedent). */
+  private[graft] def rhpBucketsDeclarative(emb: DataFrame,
+      planes: Int = RHP_PLANES): DataFrame = {
     val bitCols = (0 until planes).map { p =>
       val plane = array((0 until RHP_DIMS).map(d => lit(rhpCoef(p, d))): _*)
       val dot = aggregate(
@@ -155,12 +171,10 @@ object Similarity {
   // planes. coef in [-1, 1).
   private val RHP_PLANES = 16
   private val RHP_DIMS = 64
-  private def rhpCoef(p: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 8)
-    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
-  }
+  // the one md5-seeded plane derivation, shared with the native
+  // rhp_dots expression (r14) so the twins cannot drift
+  private def rhpCoef(p: Int, d: Int): Double =
+    graft.functions.RhpDots.coef(p, d)
 
   /** SAX motif buckets over per-user activity series (Lin et al. 2003
     * / the iSAX indexing route — the SYMBOLIC half of the time-series

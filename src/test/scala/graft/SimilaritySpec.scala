@@ -82,6 +82,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(twinHits >= 16, s"rare twins lost to the cap: $twinHits/20")
   }
 
+  test("native rhp_dots buckets are bit-equal to the declarative twin") {
+    import spark.implicits._
+    // real embeddings (float), both plane counts used by the queries
+    val emb = GraftSession.table(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    for (planes <- Seq(16, 32)) {
+      val native = Similarity.rhpBuckets(emb, planes)
+        .select(col("vec_id"), col("bucket"))
+      val decl = Similarity.rhpBucketsDeclarative(emb, planes)
+        .select(col("vec_id"), col("bucket"))
+      assert(native.exceptAll(decl).isEmpty && decl.exceptAll(native).isEmpty,
+        s"rhp bucket mismatch at planes=$planes")
+    }
+    // ragged / null-poisoned vectors: zip_with semantics (dot -> null
+    // -> bit falls to otherwise(0)) must survive the native path too
+    val ragged = Seq(
+      (1L, Array.fill(64)(0.25)),            // happy 64-dim
+      (2L, Array.fill(24)(1.0)),             // short: every dot null
+      (3L, Array.fill(70)(1.0))              // long: every dot null
+    ).toDF("vec_id", "embedding")
+    val nr = Similarity.rhpBuckets(ragged).select("vec_id", "bucket")
+    val dr = Similarity.rhpBucketsDeclarative(ragged).select("vec_id", "bucket")
+    assert(nr.exceptAll(dr).isEmpty && dr.exceptAll(nr).isEmpty,
+      "ragged-vector rhp bucket mismatch")
+  }
+
   test("sax motifs: flat series symbolizes to all-b, a front burst to d-then-b") {
     import spark.implicits._
     def at(day: Int, i: Int) = new java.sql.Timestamp(
