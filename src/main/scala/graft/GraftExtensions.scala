@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{aggregate, BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 
 import graft.functions.{CdcWindowHashes, CdcWindowHits, CharBigramsPacked, CosineSimilarity, FreqTopKAgg, HammingDistance, KllQuantile, KllSketchAgg, KmvEstimate, KmvIntersectEstimate, KmvSketchAgg, KmvUnionAgg, Md5Hash64, PackedLmSum, PqAdc, PqEncode, RhpDots, ShingleHashes, SimHashAgg, WinnowPrints}
 
@@ -80,6 +80,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("winnow_prints"),
       new ExpressionInfo(classOf[WinnowPrints].getName, "winnow_prints"),
       (exprs: Seq[Expression]) => WinnowPrints(arity(exprs, 1, "winnow_prints(text)").head)))
+    // Exact percentile over doubles on a primitive-map buffer —
+    // value-identical to the built-in `percentile` (same grouping,
+    // ordering and interpolation; see PercentileExactAgg), minus its
+    // boxed per-row OpenHashMap updates.
+    e.injectFunction((
+      new FunctionIdentifier("percentile_exact"),
+      new ExpressionInfo(classOf[graft.functions.PercentileExactAgg].getName,
+        "percentile_exact"),
+      (exprs: Seq[Expression]) => {
+        // explicit input coercion (the built-in gets this from
+        // ImplicitCastInputTypes, which is private[sql]): values to
+        // double — lossless at every call site (doubles already, or
+        // integer seconds << 2^53) — percentages (decimal literals in
+        // `array(0.5, ...)`) to double/array<double>, freq to bigint
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+        def toD(v: Expression) = Cast(v, DoubleType)
+        def toP(p: Expression) = p.dataType match {
+          case _: ArrayType => Cast(p, ArrayType(DoubleType, containsNull = false))
+          case _ => Cast(p, DoubleType)
+        }
+        (exprs match {
+          case Seq(c, p) =>
+            graft.functions.PercentileExactAgg(toD(c), toP(p), Literal(1L))
+          case Seq(c, p, f) =>
+            graft.functions.PercentileExactAgg(toD(c), toP(p), Cast(f, LongType))
+          case _ => throw new IllegalArgumentException(
+            "percentile_exact(value, percentages[, freq])")
+        }).toAggregateExpression()
+      }))
     e.injectFunction((
       new FunctionIdentifier("rhp_bucket"),
       new ExpressionInfo(classOf[RhpDots].getName, "rhp_bucket"),

@@ -374,11 +374,13 @@ object EventOps {
       // the threshold so the kept set is cross-engine deterministic.
       val ev = eventsTable(s, dir)
         .select(col("event_id"), col("event_type"), col("value"))
+      // percentile_exact: value-identical native twin of the built-in
+      // on doubles (PercentileExactAgg), minus the boxed map updates
       val med = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5)").as("med"))
+        .agg(expr("percentile_exact(value, 0.5)").as("med"))
       val withMed = ev.join(broadcast(med), "event_type")
       val mad = withMed.groupBy(col("event_type").as("m_type"))
-        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        .agg(expr("percentile_exact(abs(value - med), 0.5)").as("mad"))
       // try_divide: a constant-valued type has MAD = 0 and DuckDB's
       // x/0 yields NULL (row filtered) — ANSI Spark would abort the
       // job instead (tiny-corpus fuzz find)

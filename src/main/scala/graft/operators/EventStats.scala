@@ -168,7 +168,11 @@ object EventStats {
         (col("t_to") - col("t_from")).as("latency_s"))
     firsts.groupBy(col("cohort"))
       .agg(count(lit(1)).as("n_converted"),
-        expr("percentile(latency_s, array(0.5, 0.9))").as("qp"))
+        // percentile_exact (native double twin of the built-in): the
+        // integer-second latency casts losslessly (seconds << 2^53),
+        // same distinct keys, same interpolation values
+        expr("percentile_exact(cast(latency_s as double), array(0.5, 0.9))")
+          .as("qp"))
       .select(col("cohort"), col("n_converted"),
         round(col("qp")(0), 6).as("p50_s"),
         round(col("qp")(1), 6).as("p90_s"))

@@ -434,11 +434,15 @@ object Relational {
       // Both quantity quantiles come from ONE percentile buffer (array
       // form) — a per-quantile aggregate would build and sort the same
       // per-group counts map twice.
+      // percentile_exact == the built-in percentile on doubles (same
+      // grouping/order/interpolation — PercentileExactAgg), on a
+      // primitive-map buffer: the built-in's boxed OpenHashMap updates
+      // were ~60% of this query's wall at sf0.1 (r14, guide §1.2)
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("percentile(l_quantity, array(0.5, 0.95))").as("qp"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+          expr("percentile_exact(l_quantity, array(0.5, 0.95))").as("qp"),
+          round(expr("percentile_exact(l_extendedprice, 0.5)"), 6).as("p50_price"),
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"),
           round(col("qp")(0), 6).as("p50_qty"),
