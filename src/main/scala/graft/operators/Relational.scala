@@ -371,8 +371,19 @@ object Relational {
       // per group is a 3-row broadcast. Oracle hash pins equivalence.
       val o = table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val withRn = ShardedCum.cumSums(o, Seq("o_orderstatus"),
-        Seq(col("o_totalprice"), col("o_orderkey")), Seq((lit(1L), "rn")))
+      // r14: the sampling-FREE bucketed variant — o_totalprice has a
+      // natural monotone bucketing (fixed price bands), so the rank
+      // needs no repartitionByRange sampling job and no shard-pinning
+      // checkpoint (cumSumsBucketed re-reads the 3-column scan, which
+      // is pushdown-cheap, instead of materializing 1.5M rows). Rank
+      // values are identical: same (group, order) total order, same
+      // within-partition window semantics, bucket monotone in the
+      // order key. ~8k value span per 8192-wide band at sf0.1; at any
+      // scale per-band volume grows with the corpus but stays a
+      // constant fraction — the same bound the r4 sharded design gave.
+      val withRn = ShardedCum.cumSumsBucketed(o, Seq("o_orderstatus"),
+        Seq(col("o_totalprice"), col("o_orderkey")),
+        floor(col("o_totalprice") / lit(8192.0)), Seq((lit(1L), "rn")))
       val counts = o.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("_n"))
       val rn = col("rn"); val nG = col("_n")
