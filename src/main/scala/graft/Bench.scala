@@ -282,6 +282,15 @@ object Bench {
       System.err.println(s"bench: could not write $fullPath: $e")
     }
     println(line)
+    // Tail-proof contract line (r14 verdict ask #2): the full line above
+    // (~5 KB at 184 queries) overflows the driver's bounded stdout tail,
+    // which front-clips it into unparseable JSON — two rounds of PERF
+    // shipped with an empty per_query map because of it. The LAST stdout
+    // line is therefore a compact (<200 char) JSON the tail always
+    // preserves intact; the complete per-query map stays on the earlier
+    // full line and in the file artifact, so nothing is lost.
+    println(
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","cpus":$cpus,"failed":$failed,"n":${results.size},"value":$total}""")
     spark.stop()
   }
 

@@ -86,7 +86,17 @@ object GraftSession {
     val futures = parPool.invokeAll(thunks.map { th =>
       new java.util.concurrent.Callable[AnyRef] { def call(): AnyRef = th() }
     }.asJava)
-    futures.asScala.toSeq.map(_.get())
+    // Unwrap the pool's ExecutionException so callers see the thunk's
+    // own failure (e.g. ckpt's fail-fast IllegalArgumentException when
+    // reliable checkpoints are misconfigured), exactly as if the thunks
+    // had run sequentially.
+    futures.asScala.toSeq.map { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw (if (e.getCause != null) e.getCause else e)
+      }
+    }
   }
   private[graft] def par2[A <: AnyRef, B <: AnyRef](a: => A, b: => B): (A, B) = {
     val r = parAll(Seq(() => a, () => b))

@@ -30,9 +30,20 @@ object PlanDump {
           df.queryExecution.toRdd.foreachPartition(_ => ())
           val txt = df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          // r14 verdict ask #9: the formatted dump alone hides the
+          // expression trees (an md5-chain removal is invisible in it),
+          // so append the extended-mode plan — expressions visible —
+          // in the same evidence file.
+          val ext = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
           val w = new java.io.PrintWriter(
             s"$outDir/${name}_$suffix.txt", "UTF-8")
-          try w.println(txt) finally w.close()
+          try {
+            w.println(txt)
+            w.println()
+            w.println("==== extended (expressions visible) ====")
+            w.println(ext)
+          } finally w.close()
           println(s"[plandump] $name -> $outDir/${name}_$suffix.txt")
         } catch {
           case e: Throwable =>

@@ -145,6 +145,14 @@ case class PercentileExactAgg(
     }
 
   override def serialize(buf: PercentileExactAgg.DoubleCounts): Array[Byte] = {
+    // int-arithmetic guard (r14 ADVICE): past ~134M distinct keys the
+    // 4 + size*16 byte count overflows to a negative allocate() size —
+    // fail with the real diagnosis instead of an opaque
+    // IllegalArgumentException from ByteBuffer.
+    require(buf.size <= (Int.MaxValue - 4) / 16,
+      s"percentile_exact: ${buf.size} distinct values in one group " +
+        "exceed the exact-percentile buffer limit ((2^31-5)/16 keys); " +
+        "use approx_percentile for near-continuous columns at this scale")
     val bb = ByteBuffer.allocate(4 + buf.size * 16)
     bb.putInt(buf.size)
     buf.foreachEntry { (bits, cnt) => bb.putLong(bits); bb.putLong(cnt); () }

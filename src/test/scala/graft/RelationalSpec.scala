@@ -82,20 +82,21 @@ class RelationalSpec extends AnyFunSuite {
       s"cube Expand factor ${expands.map(_.projections.size)} — expected 4")
   }
 
-  test("q48 range-shards its window — no 3-reducer status-partition sort") {
-    // r9 done-criterion: ntile/percent_rank/cume_dist derive from the
-    // ShardedCum prefix sum, so the plan must carry a RANGE exchange
-    // over (status, price, key) and every Window must partition on the
-    // shard column too — a Window partitioned on o_orderstatus alone
-    // is the 3-reducer funnel this rewrite removes.
+  test("q48 shards its window — no 3-reducer status-partition sort") {
+    // Scale property (r9 done-criterion, implementation-agnostic):
+    // ntile/percent_rank/cume_dist derive from a ShardedCum prefix sum,
+    // so no Window may partition on o_orderstatus ALONE — that would be
+    // the 3-reducer funnel the rewrite removes. The shard can be the
+    // range-sampled `_shard` (cumSums) or the sampling-free monotone
+    // `_bucket` (cumSumsBucketed); either bounds the per-partition sort.
     val df = SparkEntry.queries("q48_ntile_rank")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), plan.take(1200))
     val windowSpecs = plan.linesIterator
       .filter(l => l.contains("windowspecdefinition") && l.contains("o_orderstatus"))
       .toSeq
-    assert(windowSpecs.forall(l => l.contains("_shard")),
-      s"a window partitions on o_orderstatus without _shard:\n${windowSpecs.mkString("\n")}")
+    assert(windowSpecs.nonEmpty, "expected sharded windows over o_orderstatus")
+    assert(windowSpecs.forall(l => l.contains("_shard") || l.contains("_bucket")),
+      s"a window partitions on o_orderstatus without a shard/bucket column:\n${windowSpecs.mkString("\n")}")
   }
 
   test("q91 plans a broadcast stats join, never a low-cardinality window") {
