@@ -169,20 +169,27 @@ object Curation {
     // final stitch). Same q93 rule as the near-dup stage below, whose
     // contraction loop already materializes its edge list at call
     // time.
+    // r15 (guide §2.4 — remove a shuffle outright): the content hash
+    // rides IN the quality checkpoint (8 more bytes/doc on a frame that
+    // existed anyway), so exact dedup's min-doc_id-per-hash aggregation
+    // runs off this narrow materialized frame instead of re-scanning
+    // the corpus joined back against qual — the old plan's
+    // docs⋈qual join (one exchange + a second full xxhash64-over-text
+    // pass) is gone; the survivor corpus attaches with ONE semi-join.
     val qual = ckpt(TextOps.qualityFilter(docs)
-      .select(col("doc_id").as("q_id"), col("keep").as("q_ok")))
-    val qualityOk = docs.join(qual, col("doc_id") === col("q_id"))
-      .filter(col("q_ok") === 1).drop("q_id", "q_ok")
+      .select(col("doc_id").as("q_id"), col("keep").as("q_ok"),
+        xxhash64(col("text")).as("__h")))
 
     // 2. exact dedup over quality survivors: survivor = min doc_id per
-    // content hash (one map-side-combinable aggregation). The survivor
-    // corpus feeds three chains (LSH candidates, contamination grams,
-    // the quota ranking) — checkpoint it once too.
-    val exactKeep = qualityOk
-      .groupBy(xxhash64(col("text")).as("__h"))
-      .agg(min(col("doc_id")).as("e_id"))
+    // content hash (one map-side-combinable aggregation over the
+    // KB-class quality frame). The survivor corpus feeds three chains
+    // (LSH candidates, contamination grams, the quota ranking) —
+    // checkpoint it once too.
+    val exactKeep = qual.filter(col("q_ok") === 1)
+      .groupBy(col("__h"))
+      .agg(min(col("q_id")).as("e_id"))
       .select(col("e_id"))
-    val exactOk = ckpt(qualityOk.join(exactKeep,
+    val exactOk = ckpt(docs.join(exactKeep,
       col("doc_id") === col("e_id"), "left_semi"))
 
     // 2.5 (opt-in): exact-substring span trim over the content-distinct
@@ -226,7 +233,8 @@ object Curation {
     // husk docs — absent from `late`'s input — are told apart from
     // exact dups by `t_id`.
     val base = docs
-      .join(qual, col("doc_id") === col("q_id"), "left")
+      .join(qual.select(col("q_id"), col("q_ok")),
+        col("doc_id") === col("q_id"), "left")
       .join(late, col("doc_id") === col("l_id"), "left")
     trimInfo match {
       case None => base

@@ -1681,21 +1681,37 @@ object Dedup {
     "q33_ngram_jaccard" -> ((s, dir) => {
       // Exact shingle-set Jaccard for consecutive-doc pairs (the
       // deterministic verification stage downstream of LSH candidates).
-      // Sets are 64-bit shingle hashes: fixed-width join/distinct keys,
-      // not shingle strings (see shingleHashes).
-      val sh = shingleHashes(table(s, dir, "documents"))
-      val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2") &&
-            col("y.doc_id") === col("x.doc_id") + 1)
-        .groupBy(col("x.doc_id").as("doc_a"))
-        .agg(count(lit(1)).as("n_inter"))
-      cnts.as("ca").join(cnts.as("cb"),
-          col("cb.doc_id") === col("ca.doc_id") + 1)
-        .join(inter, col("ca.doc_id") === col("doc_a"), "left")
-        .select(col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b"),
-          col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
-          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      // Sets are 64-bit shingle hashes: fixed-width keys, not shingle
+      // strings. r15 ONE-PASS formulation (guide §2.4): the old plan
+      // scanned/shingled the corpus THREE times (counts branch + both
+      // self-join sides) and shuffled the (h1,h2,doc) stream through a
+      // 3-key pair join. Instead, each raw shingle row is emitted into
+      // its two adjacent pair buckets — pair p compares docs p and p+1,
+      // so doc d's shingles belong to pair d (as side a) and pair d−1
+      // (as side b) — then ONE (pair,h) aggregation collapses
+      // multiplicity to set membership (max of the side flags — this
+      // also absorbs shingleHashes' distinct, so the non-distinct
+      // stream feeds it directly) and ONE (pair) aggregation counts
+      // |A| = Σ a, |B| = Σ b, |A∩B| = Σ a·b. Pairs where either doc
+      // has no shingles are filtered — exactly the old inner join of
+      // consecutive count rows. Same sets → same integers → identical
+      // jaccard bytes.
+      val sh = shingleHashStream(table(s, dir, "documents"))
+      sh.select(explode(array(
+          struct(col("doc_id").as("pair"), col("h1"), col("h2"),
+            lit(1).as("a"), lit(0).as("b")),
+          struct((col("doc_id") - 1).as("pair"), col("h1"), col("h2"),
+            lit(0).as("a"), lit(1).as("b")))).as("e"))
+        .select(col("e.pair"), col("e.h1"), col("e.h2"),
+          col("e.a"), col("e.b"))
+        .groupBy(col("pair"), col("h1"), col("h2"))
+        .agg(max(col("a")).as("a"), max(col("b")).as("b"))
+        .groupBy(col("pair"))
+        .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+          sum(col("a") * col("b")).as("n_inter"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(col("pair").as("doc_a"), (col("pair") + 1).as("doc_b"),
+          col("n_a"), col("n_b"), col("n_inter"))
         .withColumn("jaccard", round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6))
         .orderBy(col("doc_a"))

@@ -116,9 +116,19 @@ object Drift {
     val tagged = df.select(group.as("g"), value.as("v"),
       when(isA, lit("a")).otherwise(lit("b")).as("win"))
     val qsList = (1 until nBins).map(i => i.toDouble / nBins).mkString(", ")
+    // typed dispatch (r14 verdict ask #8): double-typed values take the
+    // primitive-map percentile_exact (value-identical to the built-in
+    // on doubles — PercentileExactSpec pins it — minus the boxed
+    // per-row OpenHashMap); any other input type keeps the built-in,
+    // whose generic-typed buffer is the safe path for e.g. bigints
+    // beyond 2^53 that a double cast would silently round.
+    val pctFn =
+      if (tagged.schema("v").dataType ==
+          org.apache.spark.sql.types.DoubleType) "percentile_exact"
+      else "percentile"
     val edges = tagged.filter(col("win") === "a")
       .groupBy(col("g"))
-      .agg(expr(s"transform(percentile(v, array($qsList)), e -> round(e, 6))")
+      .agg(expr(s"transform($pctFn(v, array($qsList)), e -> round(e, 6))")
         .as("edges"))
     val cnt = tagged.join(broadcast(edges), Seq("g"))
       .withColumn("bin",

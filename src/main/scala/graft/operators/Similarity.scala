@@ -229,17 +229,28 @@ object Similarity {
     * decimal-exact and every entry rounds at 6 dp, so the vectors are
     * bit-identical cross-engine before any similarity math. */
   private[graft] def behaviorSeries(s: SparkSession, dir: String): DataFrame = {
-    val hours = graft.GraftSession.eventsTable(s, dir)
-      .withColumn("h", hour(col("ts")))
-      .groupBy(col("user_id"), col("h"))
-      .agg(graft.GraftSession.dsum(col("value")).as("s"))
-    val wide = hours.groupBy(col("user_id")).agg(
-      sum(col("s")).as("tot"),
-      (0 until 24).map(d => max(when(col("h") === d, col("s"))).as(s"h$d")): _*)
+    // r15 (guide §2.4 — share one exchange): ONE groupBy(user_id) with
+    // 24 conditional decimal sums replaces the old two-phase plan
+    // (groupBy(user_id, h) hourly agg → second exchange → 24-column
+    // max-when pivot). Each hourly value is the same exact
+    // decimal(18,2) sum cast to double that dsum produced (decimal
+    // addition is order-independent, so fusing cannot perturb it); a
+    // missing hour is a NULL sum exactly like the old missing pivot
+    // cell. `tot` was the double sum of the per-hour doubles — here the
+    // same 24 doubles are added in fixed ascending-hour order
+    // (coalesce(·, 0.0) for absent hours adds exact zeros), which the
+    // oracle gate confirms is value-identical on this data.
+    val hd = (0 until 24).map(d =>
+      sum(when(hour(col("ts")) === d, graft.GraftSession.dec(col("value"))))
+        .cast("double").as(s"h$d"))
+    val wide = graft.GraftSession.eventsTable(s, dir)
+      .groupBy(col("user_id")).agg(hd.head, hd.tail: _*)
+    val tot = (0 until 24).map(d => coalesce(col(s"h$d"), lit(0.0)))
+      .reduce(_ + _)
     wide.select(col("user_id").as("vec_id"),
       array((0 until 64).map(d =>
         if (d < 24)
-          round(coalesce(col(s"h$d"), lit(0.0)) - col("tot") / 24.0, 6)
+          round(coalesce(col(s"h$d"), lit(0.0)) - tot / 24.0, 6)
         else lit(0.0).cast("double")): _*).as("embedding"))
   }
 

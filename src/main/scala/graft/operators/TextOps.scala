@@ -143,10 +143,17 @@ object TextOps {
       .withColumn("n_tok", size(split(col("text"), "\\s+")).cast("double"))
       // try_divide: zero-length text yields NULL ratios/score (DuckDB
       // x/0 semantics) rather than an ANSI divide-by-zero crash.
+      // regexp_count, NOT length(regexp_replace(...)): both classes are
+      // single-char, so the match count IS the removed-char count — the
+      // same integer, exact as a double — but counting never
+      // materializes a full cleaned copy of every document (two fewer
+      // per-doc string allocations in the hottest scan; guide §1.2
+      // per-task work). The DuckDB mirrors keep the length-diff form;
+      // values are identical by the argument above.
       .withColumn("punct_ratio", try_divide(
-        col("len_c") - length(regexp_replace(col("text"), punctRe, "")), col("len_c")))
+        regexp_count(col("text"), lit(punctRe)).cast("double"), col("len_c")))
       .withColumn("upper_ratio", try_divide(
-        col("len_c") - length(regexp_replace(col("text"), upperRe, "")), col("len_c")))
+        regexp_count(col("text"), lit(upperRe)).cast("double"), col("len_c")))
       .withColumn("score", round(
         (col("n_tok") / (col("n_tok") + lit(100.0)))
           * (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("upper_ratio")), 6))
