@@ -9,7 +9,12 @@ object JobProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val qname = if (args.length > 1) args(1) else "q113_curation_verdicts"
-    val spark = GraftSession.build("local[32]", 32)
+    // core count / shuffle partitions from the bench's own env knobs so
+    // an inverse-scaling observation (more cores slower) can be
+    // reproduced and bisected at both layouts
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus.toString).toInt
+    val spark = GraftSession.build(s"local[$cpus]", parts)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val spans = java.util.Collections.synchronizedList(
       new java.util.ArrayList[(Int, Long, Long, String)]())

@@ -475,73 +475,76 @@ object Relational {
       // counts: value_at(k) = min value with cum > k, so
       // q(p) = v_lo + frac·(v_hi − v_lo) at h=(n−1)p. Byte-identical
       // to q43 (same oracle): exactness is not traded for scale.
-      def dist(valueCol: String, bucketWidth: Double,
-          ps: Seq[(String, Double)]) = {
-        // Distribution table: one row per (group, distinct value) —
-        // the memory-bounded core of the design. Checkpointed once:
-        // three consumers (cumulative chain, bucket totals, per-group
-        // n) would otherwise each re-scan lineitem.
-        val countsAll = ckpt(table(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"), col(valueCol).as("v"))
-          .agg(count(lit(1)).as("c")))
-        // NULL measures stay OUT of the distribution (quantile_cont
-        // skips them) but IN n_rows (COUNT(*) counts them): the
-        // quantile offset h runs off n_vals, not n_rows.
-        val counts = countsAll.filter(col("v").isNotNull)
-        // r4-verdict ask: the former per-group ordered window funneled
-        // each group's whole distinct-value stream through ONE reducer
-        // (3 tasks total). Two-phase sharded cumulative sum instead:
-        // value-range buckets (monotone in v) get local running sums in
-        // parallel, per-(group, bucket) totals broadcast back as
-        // offsets — uniform-key exchange, no 3-reducer stage. Measured
-        // locally at sf0.1: 2.49 -> 2.59 s (+4%, the checkpoint +
-        // extra tiny exchange; the removed funnel only pays off at
-        // scale, where per-group distinct counts are millions).
-        val cum = ShardedCum.cumSumsBucketed(counts, Seq("l_returnflag"),
-          Seq(col("v")), floor(col("v") / lit(bucketWidth)),
-          Seq(col("c") -> "cum"))
-        val n = countsAll.groupBy(col("l_returnflag"))
-          .agg(sum(col("c")).as("n_rows"),
-            sum(when(col("v").isNotNull, col("c"))).as("n_vals"))
-        val t = cum.join(broadcast(n), "l_returnflag")
-        val aggs = ps.flatMap { case (name, p) =>
-          val h = (col("n_vals") - 1) * lit(p)
-          val lo = floor(h)
-          Seq(
-            min(when(col("cum") > lo, col("v"))).as(s"${name}_vlo"),
-            min(when(col("cum") > ceil(h), col("v"))).as(s"${name}_vhi"),
-            first(h - lo).as(s"${name}_frac"))
-        }
-        // n_rows rides along: the caller needs per-group row counts and
-        // the checkpointed distribution already holds them — emitting
-        // them here saves a third full lineitem scan (r9 review fix)
-        // Left join from the per-group counts so a group whose values
-        // are ALL NULL still emits a row (quantiles NULL, n_rows real).
-        val g = n.select(col("l_returnflag"), col("n_rows"))
-          .join(broadcast(t.groupBy(col("l_returnflag"))
-            .agg(aggs.head, aggs.tail: _*)), Seq("l_returnflag"), "left")
-        ps.foldLeft(g) { case (df, (name, _)) =>
-          df.withColumn(name, round(
-            col(s"${name}_vlo") +
-              col(s"${name}_frac") * (col(s"${name}_vhi") - col(s"${name}_vlo")),
-            6))
-        }.select(col("l_returnflag") +: ps.map(p => col(p._1))
-          :+ col("n_rows"): _*)
+      // r15 (the q175 one-pass pattern, guide §2.4): BOTH measure
+      // columns ride ONE metric-tagged distribution — each lineitem row
+      // explodes into (m='q', l_quantity) and (m='p', l_extendedprice)
+      // before the count aggregation, so the whole query is one
+      // lineitem scan, one checkpointed distribution, one bucketed
+      // cumulative chain and one quantile aggregate, where the old
+      // par2'd per-column branches paid two of each (plus a final
+      // join). Per-(group, metric) math is untouched — identical
+      // distributions in, identical interpolated bytes out.
+      //
+      // Distribution table: one row per (group, metric, distinct
+      // value) — the memory-bounded core of the design (Spark's
+      // `percentile` buffer holds ~every distinct price per group,
+      // an executor OOM at 100 TB). Checkpointed once: three consumers
+      // (cumulative chain, bucket totals, per-group n).
+      val countsAll = ckpt(table(s, dir, "lineitem")
+        .select(col("l_returnflag"), explode(array(
+          struct(lit("q").as("m"), col("l_quantity").as("v")),
+          struct(lit("p").as("m"), col("l_extendedprice").as("v")))).as("e"))
+        .groupBy(col("l_returnflag"), col("e.m").as("m"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("c")))
+      // NULL measures stay OUT of the distribution (quantile_cont
+      // skips them) but IN n_rows (COUNT(*) counts them): the
+      // quantile offset h runs off n_vals, not n_rows.
+      val counts = countsAll.filter(col("v").isNotNull)
+      // r4-verdict ask: the former per-group ordered window funneled
+      // each group's whole distinct-value stream through ONE reducer.
+      // Two-phase sharded cumulative sum instead: value-range buckets
+      // (monotone in v; width per metric — quantity spans 1..50,
+      // price ~0.9k..105k) get local running sums in parallel,
+      // per-(group, metric, bucket) totals broadcast back as offsets —
+      // uniform-key exchange, no single-reducer stage.
+      val cum = ShardedCum.cumSumsBucketed(counts,
+        Seq("l_returnflag", "m"), Seq(col("v")),
+        when(col("m") === "q", floor(col("v") / 8.0))
+          .otherwise(floor(col("v") / 8192.0)),
+        Seq(col("c") -> "cum"))
+      val n = countsAll.groupBy(col("l_returnflag"), col("m"))
+        .agg(sum(col("c")).as("n_rows"),
+          sum(when(col("v").isNotNull, col("c"))).as("n_vals"))
+      val t = cum.join(broadcast(n), Seq("l_returnflag", "m"))
+      // v_lo/v_hi/frac per (group, metric) for both quantile offsets;
+      // the p95 triple is only consumed for the quantity metric below.
+      val aggs = Seq("p50" -> 0.5, "p95" -> 0.95).flatMap { case (name, p) =>
+        val h = (col("n_vals") - 1) * lit(p)
+        val lo = floor(h)
+        Seq(
+          min(when(col("cum") > lo, col("v"))).as(s"${name}_vlo"),
+          min(when(col("cum") > ceil(h), col("v"))).as(s"${name}_vhi"),
+          first(h - lo).as(s"${name}_frac"))
       }
-      // Bucket widths split each column's domain into O(10) uniform
-      // value ranges (quantity 1..50, price ~0.9k..105k).
-      // r14 (guide §2.6): the two distribution branches are
-      // independent (separate measure columns, separate checkpoints) —
-      // built concurrently so one branch's distribution ckpt overlaps
-      // the other's instead of running serially before it.
-      val (qty, price) = graft.GraftSession.par2(
-        dist("l_quantity", 8.0,
-          Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95)),
-        dist("l_extendedprice", 8192.0, Seq("p50_price" -> 0.5))
-          .drop("n_rows"))
-      qty.join(broadcast(price), "l_returnflag")
-        .select(col("l_returnflag"), col("p50_qty"), col("p95_qty"),
-          col("p50_price"), col("n_rows"))
+      // Left join from the per-(group, metric) counts so a group whose
+      // values are ALL NULL still emits a row (quantiles NULL, n_rows
+      // real — n_rows rides the 'q' metric, one count per lineitem row).
+      val g = n.select(col("l_returnflag"), col("m"), col("n_rows"))
+        .join(broadcast(t.groupBy(col("l_returnflag"), col("m"))
+          .agg(aggs.head, aggs.tail: _*)), Seq("l_returnflag", "m"), "left")
+      val q = Seq("p50", "p95").foldLeft(g) { case (df, name) =>
+        df.withColumn(name, round(
+          col(s"${name}_vlo") +
+            col(s"${name}_frac") * (col(s"${name}_vhi") - col(s"${name}_vlo")),
+          6))
+      }
+      // fold the 2-metric rows back to one row per group — a 6-row
+      // frame, any aggregate shape is fine
+      q.groupBy(col("l_returnflag"))
+        .agg(max(when(col("m") === "q", col("p50"))).as("p50_qty"),
+          max(when(col("m") === "q", col("p95"))).as("p95_qty"),
+          max(when(col("m") === "p", col("p50"))).as("p50_price"),
+          max(when(col("m") === "q", col("n_rows"))).as("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
 
