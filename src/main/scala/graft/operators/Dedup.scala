@@ -553,6 +553,12 @@ object Dedup {
         s"$dir/documents.parquet"))
 
   def lshVerifiedPairs(docs: DataFrame): DataFrame = {
+    // NOTE (r15, measured): ckpt'ing `cand` and `sh` here looks like
+    // the q93 multi-consumer rule but is a LOSS (q61 1.77→2.07 s,
+    // q178 1.86→2.08 s, +4 jobs each at sf0.1) — both subtrees end in
+    // an Exchange, so ReuseExchange already shares the post-shuffle
+    // work across consumers and the extra materialization jobs buy
+    // nothing. Deliberately left un-ckpt'd.
     val cand = lshCandidates(docs)
     val sh = shingleHashes(docs)
     val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -1479,11 +1485,27 @@ object Dedup {
       // The decile is a GLOBAL per-doc rank over doc_id — an
       // unpartitioned ntile window is a one-reducer corpus sort at
       // scale, so rank via ShardedCum + arithmetic bucket instead.
-      val nv = shingleNovelty(table(s, dir, "documents"))
-        .select(col("doc_id"), col("novelty"))
-      val nTot = nv.agg(count(lit(1)).as("_n"))
-      ShardedCum.globalRank(nv, Seq(col("doc_id")), "_rn")
-        .crossJoin(broadcast(nTot))
+      // r15 (guide §1.2/§2.4): the per-doc novelty frame is ckpt'd ONCE
+      // — the old plan re-ran the whole two-shuffle novelty pipeline
+      // THREE times (range-sampling pass, shard ckpt, and the nTot
+      // count agg) — and the rank runs through the sampling-free
+      // cumSumsBucketed with an id-range bucket: one 1-row stats job
+      // replaces the range-sampling job + shard-pinning ckpt. Bucket
+      // width (id span)/4096 bounds per-bucket volume by the span/4096
+      // id slots (ids are unique) and keeps the offsets table ≤4097
+      // rows — broadcast class at any corpus size. The 1-row collect
+      // is a scalar, not a data pull (the HITS-normalizer precedent).
+      val nv = graft.GraftSession.ckpt(
+        shingleNovelty(table(s, dir, "documents"))
+          .select(col("doc_id"), col("novelty")))
+      val stats = nv.agg(count(lit(1)), min(col("doc_id")),
+        max(col("doc_id"))).head()
+      val nDocs = stats.getLong(0)
+      val w = if (nDocs == 0L) 1L
+        else math.max(1L, (stats.getLong(2) - stats.getLong(1) + 1L) / 4096L)
+      ShardedCum.cumSumsBucketed(nv, Nil, Seq(col("doc_id")),
+          expr(s"doc_id div $w"), Seq((lit(1L), "_rn")))
+        .withColumn("_n", lit(nDocs))
         .withColumn("decile", ShardedCum.ntileFromRank("_rn", "_n", 10))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),

@@ -1031,7 +1031,11 @@ object TextOps {
       val docs = table(s, dir, "documents")
       val sc = charLmScores(docs).select(col("doc_id"), col("avg_logp"))
       val keep = gopherRules(docs).select(col("doc_id"), col("keep"))
-      val scored = sc.join(keep, "doc_id")
+      // ckpt (r15, guide §1.2): three consumers — the rank's
+      // range-sampling pass, its shard-pinning ckpt, and the nTot
+      // count — would otherwise each re-run the char-LM scoring and
+      // gopher-rule join; materialize the 3-column frame once.
+      val scored = graft.GraftSession.ckpt(sc.join(keep, "doc_id"))
       val nTot = scored.agg(count(lit(1)).as("_n"))
       ShardedCum.globalRank(scored,
           Seq(col("avg_logp").desc, col("doc_id")), "_rn")
@@ -1064,8 +1068,13 @@ object TextOps {
       // sharded exact rank already removes the global sort. The gated
       // report is per (lang, bucket): count + mean/extreme scores.
       val docs = table(s, dir, "documents")
-      val scored = docs.select(col("doc_id"), col("lang"))
-        .join(charLmScores(docs), "doc_id")
+      // ckpt (r15, guide §1.2): the scored frame feeds the rank's
+      // range-sampling pass, its shard-pinning ckpt AND the per-lang
+      // counts — without the pin each re-runs the char-LM scoring join.
+      val scored = graft.GraftSession.ckpt(
+        docs.select(col("doc_id"), col("lang"))
+          .join(charLmScores(docs), "doc_id")
+          .select(col("doc_id"), col("lang"), col("avg_logp")))
       val withRn = ShardedCum.cumSums(scored, Seq("lang"),
         Seq(col("avg_logp").desc, col("doc_id")), Seq((lit(1L), "_rn")))
       val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("_n"))
