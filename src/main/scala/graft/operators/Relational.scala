@@ -18,6 +18,17 @@ import graft.GraftSession.{ckpt, dec, dsum, table}
   */
 object Relational {
 
+  /** lineitem pre-aggregated to the finest grouping set shared by the
+    * rollup/cube/grouping-sets family (q13/q44/q106): the Expand node
+    * then multiplies a 15-row frame instead of the fact table. `s` is
+    * the exact decimal(28,2) quantity sum — re-summing decimals is
+    * order-independent, so the coarser sets' totals (and their double
+    * casts) are bit-identical to a direct dsum over raw rows. */
+  private def groupedBase(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("s"), count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> ((s, dir) => {
       // TPC-H Q1 shape: wide scan -> filter -> 2-key groupBy, 5 aggregates.
@@ -189,9 +200,17 @@ object Relational {
     }),
 
     "q13_rollup" -> ((s, dir) => {
-      table(s, dir, "lineitem")
+      // r15 (guide §2.3 — aggregate before you expand): rollup/cube/
+      // grouping-sets EXPAND every input row once per grouping set, so
+      // the raw formulation pushed 3× the fact table through the
+      // aggregate. Pre-aggregating to the finest set (returnflag,
+      // linestatus) first leaves Expand a 15-row input; decimal sums
+      // re-sum exactly (order-independent) and counts sum to counts,
+      // so the output bytes are unchanged. Same rewrite in q44/q106.
+      groupedBase(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .agg(sum(col("s")).cast("double").as("sum_qty"),
+          sum(col("n")).as("n_rows"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -293,11 +312,14 @@ object Relational {
       // Native GROUPING SETS ((returnflag),(linestatus)): the Expand node
       // emits exactly the 2 requested sets per row (a cube would emit 4
       // and post-filter half the aggregation work away).
-      table(s, dir, "lineitem")
+      // pre-aggregated to the finest set first (see q13) — Expand then
+      // emits 2 sets over 15 rows, not over the fact table
+      groupedBase(s, dir)
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .agg(sum(col("s")).cast("double").as("sum_qty"),
+          sum(col("n")).as("n_rows"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -311,9 +333,12 @@ object Relational {
       // (returnflag, linestatus), Expand ×4. Lowercase ALL sentinels
       // distinguish the cube's null-marked subtotal rows from q13's:
       // same decimal-exact aggregate discipline.
-      table(s, dir, "lineitem")
+      // pre-aggregated to the finest set first (see q13) — Expand ×4
+      // runs over 15 rows, not over the fact table
+      groupedBase(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .agg(sum(col("s")).cast("double").as("sum_qty"),
+          sum(col("n")).as("n_rows"))
         .select(
           coalesce(col("l_returnflag"), lit("all")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("all")).as("linestatus"),
